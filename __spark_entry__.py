@@ -1,38 +1,60 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship feature pipeline (the reference's
+core query, SURVEY.md §3 entry point 2) on the sf0.001 fixtures.
+``queries()`` / ``oracle_sql()`` expose the registry in
+``web_attack_detection_spark.plans`` — one named, DuckDB-oracle-checked
+query per implemented operator from SURVEY.md §2.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from web_attack_detection_spark.plans import all_plans  # noqa: F401,E402
+from web_attack_detection_spark.plans.registry import QUERIES  # noqa: E402
+
+
+def _ensure_nanos_conf(spark: SparkSession) -> None:
+    """Runtime confs the driver's own session may lack: the events
+    fixture stores TIMESTAMP(NANOS) parquet (readable only with
+    nanosAsLong; io/sources.py converts back to µs), and timestamps
+    must collect as naive-UTC to match DuckDB's storage."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    _ensure_nanos_conf(spark)
+    from web_attack_detection_spark.plans.flagship import flagship_pipeline
+
+    return flagship_pipeline(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_nanos_conf(spark)
+            return fn(spark, sf_dir)
+
+        run.__name__ = fn.__name__
+        run.__doc__ = fn.__doc__
+        return run
+
+    return {name: wrap(spec.fn) for name, spec in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB twins; queries without one get the rows-only check."""
+    return {name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None}

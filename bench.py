@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Benchmark: run every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
+ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is total wall-clock seconds across all queries (lower is
+better); per-query seconds are in ``queries``. Each query is executed
+to completion with a count-style action (results are not collected to
+the driver — we measure engine time, not driver materialization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+    from web_attack_detection_spark.session import build_session
+
+    spark = build_session(app_name="bench")
+
+    # warm the JVM + parquet footers once so per-query numbers measure
+    # execution, not first-touch classloading
+    from web_attack_detection_spark.io.sources import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, SF_DIR, t).count()
+
+    timings: dict[str, float] = {}
+    for name in sorted(QUERIES):
+        fn = QUERIES[name].fn
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        assert n >= 0
+
+    # flagship pipeline end-to-end
+    from web_attack_detection_spark.plans.flagship import flagship_pipeline
+
+    t0 = time.perf_counter()
+    flagship_pipeline(spark, SF_DIR).count()
+    timings["flagship_pipeline"] = round(time.perf_counter() - t0, 4)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "total_query_wall_clock",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,24 @@
+"""Shared test fixtures: one SparkSession per test run."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from web_attack_detection_spark.session import build_session
+
+    s = build_session(app_name="tests", shuffle_partitions=8)
+    yield s
+    s.stop()

@@ -1,0 +1,28 @@
+"""Import every plan module so its queries register (plans.registry).
+
+``__spark_entry__.py`` imports this single module; adding a new plan
+file means adding one import line here.
+"""
+
+from web_attack_detection_spark.plans import features, relational  # noqa: F401
+
+try:  # modules added in later phases — keep entry importable mid-build
+    from web_attack_detection_spark.plans import dedup  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
+try:
+    from web_attack_detection_spark.plans import text  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
+try:
+    from web_attack_detection_spark.plans import similarity  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
+try:
+    from web_attack_detection_spark.plans import mlq  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
+try:
+    from web_attack_detection_spark.plans import multimodal  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass

@@ -1,0 +1,322 @@
+"""Oracle-checked queries for the feature operators (SURVEY.md §2.3).
+
+Each query exercises one transformer from
+``web_attack_detection_spark.functions.feature`` and pairs it with the
+DuckDB SQL "twin" of its semantic contract (the twins named in
+SURVEY.md §2.3's table). Where a fit statistic is a floating aggregate
+(imputer mean, scaler stddev), the query computes it with the exact
+integer-scaled formulation (registry docstring) so Spark and DuckDB
+agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from web_attack_detection_spark.functions.feature import (
+    apply_one_hot,
+    apply_string_indexer,
+    assemble_array,
+    fit_string_indexer,
+)
+from web_attack_detection_spark.io.sources import load_table
+from web_attack_detection_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# F1 — StringIndexer fit (frequencyDesc, ties by value asc)
+# ---------------------------------------------------------------------------
+
+_F1_ORACLE = """
+WITH counts AS (
+  SELECT event_type AS value, COUNT(*) AS cnt FROM events GROUP BY event_type
+)
+SELECT value,
+       CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, value ASC) - 1 AS DOUBLE) AS idx
+FROM counts
+"""
+
+
+@register("f1_string_indexer", _F1_ORACLE, doc="StringIndexer fit model (F1)")
+def f1_string_indexer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fit IS an aggregation query: groupBy-count + rank over the
+    aggregated (tiny) relation. Matches Spark ML StringIndexer's
+    default frequencyDesc order with ascending-value tie-break."""
+    ev = load_table(spark, sf_dir, "events")
+    return fit_string_indexer(ev, "event_type")
+
+
+# ---------------------------------------------------------------------------
+# F2 — OneHotEncoder (dropLast=True)
+# ---------------------------------------------------------------------------
+
+_F2_ORACLE = """
+WITH counts AS (
+  SELECT o_orderpriority AS v, COUNT(*) AS cnt FROM orders GROUP BY o_orderpriority
+),
+m AS (
+  SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, v ASC) - 1 AS DOUBLE) AS idx
+  FROM counts
+)
+SELECT o_orderkey,
+       CASE WHEN idx = 0 THEN 1.0 ELSE 0.0 END AS oh_0,
+       CASE WHEN idx = 1 THEN 1.0 ELSE 0.0 END AS oh_1,
+       CASE WHEN idx = 2 THEN 1.0 ELSE 0.0 END AS oh_2,
+       CASE WHEN idx = 3 THEN 1.0 ELSE 0.0 END AS oh_3
+FROM orders JOIN m ON o_orderpriority = m.v
+WHERE o_orderkey < 100
+"""
+
+
+@register("f2_one_hot", _F2_ORACLE, doc="StringIndexer + OneHotEncoder dropLast (F1+F2)")
+def f2_one_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index o_orderpriority (5 values) then one-hot with dropLast →
+    4 indicator slots; the last category encodes all-zero, exactly
+    Spark ML OneHotEncoder's default. Transform = broadcast join +
+    codegen'd CASE columns."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
+    model = fit_string_indexer(load_table(spark, sf_dir, "orders"), "o_orderpriority")
+    out = apply_string_indexer(orders, model, "o_orderpriority", "pidx")
+    out = apply_one_hot(out, "pidx", "oh", size=5, drop_last=True)
+    return out.select(
+        "o_orderkey",
+        F.col("oh")[0].alias("oh_0"),
+        F.col("oh")[1].alias("oh_1"),
+        F.col("oh")[2].alias("oh_2"),
+        F.col("oh")[3].alias("oh_3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F3 — Imputer(mean) over a deterministically null-injected column
+# ---------------------------------------------------------------------------
+
+# fixture tables have no NULLs (FIXTURES.md "Oracle notes") → both
+# engines null the same id-determined subset, impute with the exact
+# integer-scaled mean, and checksum per group.
+_F3_ORACLE = """
+WITH injected AS (
+  SELECT l_returnflag,
+         CASE WHEN l_orderkey % 97 = 0 THEN NULL ELSE l_quantity END AS q
+  FROM lineitem
+),
+stats AS (
+  SELECT SUM(CAST(ROUND(q * 100) AS BIGINT)) / CAST(COUNT(q) AS DOUBLE) / 100.0 AS mean_q
+  FROM injected
+)
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN q IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
+       ROUND(SUM(CAST(ROUND(COALESCE(q, mean_q) * 10000) AS BIGINT)) / 10000.0, 4) AS sum_imputed
+FROM injected CROSS JOIN stats
+GROUP BY l_returnflag
+"""
+
+
+@register("f3_impute_mean", _F3_ORACLE, doc="Imputer strategy=mean (F3), checksummed")
+def f3_impute_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit = one AVG aggregation (computed integer-scaled for
+    engine-exact determinism), transform = coalesce. The checksum
+    groups by l_returnflag so the oracle verifies imputed AND
+    preserved values together."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.when(F.col("l_orderkey") % 97 == 0, F.lit(None)).otherwise(F.col("l_quantity")).alias("q"),
+    )
+    mean_q = (
+        li.agg(
+            (
+                F.sum(F.round(F.col("q") * 100).cast("long"))
+                / F.count("q").cast("double")
+                / F.lit(100.0)
+            ).alias("m")
+        ).first()["m"]
+    )
+    return (
+        li.withColumn("imputed", F.coalesce(F.col("q"), F.lit(mean_q)))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("q").isNull(), 1).otherwise(0)).cast("long").alias("n_imputed"),
+            F.round(
+                F.sum(F.round(F.col("imputed") * 10000).cast("long")) / F.lit(10000.0), 4
+            ).alias("sum_imputed"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F4 — VectorAssembler array twin
+# ---------------------------------------------------------------------------
+
+_F4_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       [CAST(l_quantity AS DOUBLE), CAST(l_extendedprice AS DOUBLE),
+        CAST(l_discount AS DOUBLE)] AS features
+FROM lineitem
+WHERE l_orderkey < 50
+"""
+
+
+@register("f4_assemble_array", _F4_ORACLE, doc="VectorAssembler → array<double> twin (F4)")
+def f4_assemble_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-wise feature packing as ``array<double>`` — the oracle-visible
+    twin of VectorUDT (FIXTURES.md "Oracle notes"). Pure projection."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 50)
+    return assemble_array(li, ["l_quantity", "l_extendedprice", "l_discount"], "features").select(
+        "l_orderkey", "l_linenumber", "features"
+    )
+
+
+# ---------------------------------------------------------------------------
+# F5 — StandardScaler (withStd only, sample stddev)
+# ---------------------------------------------------------------------------
+
+# sample stddev from exact integer sums:
+#   var = (sum_sq/s² - sum²/(s²·n)) / (n-1);  both engines share the
+#   formula textually, so every double op happens in the same order.
+_F5_ORACLE = """
+WITH scaled AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v100 FROM events
+),
+stats AS (
+  SELECT
+    SQRT(
+      (SUM(CAST(v100 * v100 AS DOUBLE)) - SUM(v100) * (SUM(v100) / CAST(COUNT(*) AS DOUBLE)))
+      / (COUNT(*) - 1.0)
+    ) / 100.0 AS sd
+  FROM scaled
+)
+SELECT event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(CAST(ROUND((v100 / 100.0) / sd * 10000) AS BIGINT)) / 10000.0, 4) AS sum_scaled
+FROM scaled CROSS JOIN stats
+GROUP BY event_type
+"""
+
+
+@register("f5_standard_scale", _F5_ORACLE, doc="StandardScaler withStd (F5), checksummed")
+def f5_standard_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale events.value by the sample stddev (Spark ML default:
+    withMean=False, withStd=True) and checksum per event_type. The
+    stddev is derived from exact integer sums so both engines compute
+    the identical double."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("v100")
+    )
+    n = F.count(F.lit(1)).cast("double")
+    stats = ev.agg(
+        (
+            F.sqrt(
+                (
+                    F.sum((F.col("v100") * F.col("v100")).cast("double"))
+                    - F.sum("v100") * (F.sum("v100") / n)
+                )
+                / (n - F.lit(1.0))
+            )
+            / F.lit(100.0)
+        ).alias("sd")
+    ).first()
+    sd = stats["sd"]
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.round((F.col("v100") / F.lit(100.0)) / F.lit(sd) * 10000).cast("long"))
+                / F.lit(10000.0),
+                4,
+            ).alias("sum_scaled"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F8 — label cardinality
+# ---------------------------------------------------------------------------
+
+_F8_ORACLE = "SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_classes FROM events"
+
+
+@register("f8_label_cardinality", _F8_ORACLE, doc="countDistinct labels (F8)")
+def f8_label_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference computes ``len(np.unique(y_train))`` on the driver
+    (``/root/reference/models/mlp_model.py:61``); in-engine it is one
+    distinct-aggregate. (At 100 TB: ``approx_count_distinct`` unless
+    exactness is required.)"""
+    return load_table(spark, sf_dir, "events").agg(
+        F.countDistinct("event_type").alias("n_classes")
+    )
+
+
+# ---------------------------------------------------------------------------
+# M5 — accuracy of the majority-class baseline
+# ---------------------------------------------------------------------------
+
+_M5_ORACLE = """
+WITH majority AS (
+  SELECT event_type AS pred FROM events
+  GROUP BY event_type ORDER BY COUNT(*) DESC, event_type ASC LIMIT 1
+)
+SELECT ROUND(
+         SUM(CASE WHEN e.event_type = m.pred THEN 1.0 ELSE 0.0 END) / COUNT(*), 6
+       ) AS accuracy
+FROM events e CROSS JOIN majority m
+"""
+
+
+@register("m5_accuracy", _M5_ORACLE, doc="accuracy metric (M5) on majority-class baseline")
+def m5_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy = AVG(label == prediction) (the evaluator twin from
+    SURVEY.md §2.4 M5), demonstrated on the deterministic
+    majority-class predictor; the MLlib path reuses the same metric in
+    ml/evaluation.py."""
+    ev = load_table(spark, sf_dir, "events")
+    majority = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("event_type").asc())
+        .limit(1)
+        .select(F.col("event_type").alias("pred"))
+    )
+    return (
+        ev.crossJoin(F.broadcast(majority))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("event_type") == F.col("pred"), 1.0).otherwise(0.0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("accuracy")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# V4 — confusion matrix, computed in-engine
+# ---------------------------------------------------------------------------
+
+_V4_ORACLE = """
+SELECT event_type AS label,
+       CASE WHEN value >= 100 THEN 'high' ELSE 'low' END AS prediction,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("v4_confusion_matrix", _V4_ORACLE, doc="confusion matrix groupBy (V4)")
+def v4_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's confusion-matrix plot is dead code with no
+    producer (``/root/reference/utils/visualization.py:128-161``); here
+    the matrix is computed in-engine as groupBy(label, prediction) —
+    the scalable form (|classes|² output rows regardless of data size).
+    Prediction is a deterministic threshold rule for oracle purposes."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.col("event_type").alias("label"),
+            F.when(F.col("value") >= 100, "high").otherwise("low").alias("prediction"),
+        )
+        .groupBy("label", "prediction")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
