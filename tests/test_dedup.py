@@ -1,0 +1,65 @@
+"""Dedup operator semantics beyond the oracle: MinHash recall against
+the exact-Jaccard ground truth, SimHash self-consistency, exact-dedup
+determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from web_attack_detection_spark.io.sources import load_table
+from web_attack_detection_spark.operators.dedup import (
+    drop_exact_duplicates,
+    exact_dedup,
+    jaccard_pairs_exact,
+    minhash_near_dup_pairs,
+    simhash64,
+)
+
+from .conftest import SF_SMOKE
+
+
+def test_exact_dedup_min_survivor(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    doubled = docs.union(docs.select(F.col("doc_id") + 1000, "text"))
+    out = exact_dedup(doubled, ["text"], "doc_id", with_counts=True)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    assert all(r["n_copies"] == 2 for r in rows)
+    assert all(r["doc_id"] < 1000 for r in rows)  # min id survives
+
+
+def test_drop_exact_duplicates_keeps_full_row(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    doubled = docs.union(docs.withColumn("doc_id", F.col("doc_id") + 1000))
+    out = drop_exact_duplicates(doubled, ["text"], "doc_id")
+    assert out.count() == docs.count()
+    assert out.columns == docs.columns
+
+
+def test_minhash_recall_against_exact(spark):
+    """LSH with 32 perms / 8 bands must recover the high-similarity
+    pairs (est-Jaccard threshold 0.4 → everything the exact pass finds
+    at ≥0.6 should surface; banding theory: P[candidate] ≈ 1-(1-s^4)^8,
+    >0.996 at s=0.8, >0.92 at s=0.6)."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs_exact(docs, "text", "doc_id", n=3, threshold=0.6).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_dup_pairs(
+            docs, "text", "doc_id", n=3, num_perm=32, bands=8, threshold=0.4
+        ).collect()
+    }
+    assert exact, "fixture should contain planted near-dups at >=0.6"
+    missed = exact - approx
+    assert len(missed) <= max(1, len(exact) // 5), f"minhash missed too many: {missed}"
+
+
+def test_simhash_identical_docs_same_signature(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(50)
+    sig1 = {r["id"]: r["simhash"] for r in simhash64(docs, "text", "doc_id").collect()}
+    sig2 = {r["id"]: r["simhash"] for r in simhash64(docs, "text", "doc_id").collect()}
+    assert sig1 == sig2  # deterministic
+    assert len(set(sig1.values())) > 25  # distinct docs mostly distinct sigs

@@ -1,0 +1,54 @@
+"""Similarity operator semantics: IVF recall vs brute force, cosine
+self-similarity sanity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from web_attack_detection_spark.io.sources import load_table
+from web_attack_detection_spark.operators.similarity import (
+    brute_force_topk,
+    cosine,
+    ivf_topk,
+)
+
+from .conftest import SF_SMOKE
+
+
+def test_cosine_self_is_one(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(20)
+    out = emb.select(cosine(F.col("embedding"), F.col("embedding")).alias("c")).collect()
+    assert all(abs(r["c"] - 1.0) < 1e-9 for r in out)
+
+
+def test_brute_force_topk_deterministic_and_ranked(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = brute_force_topk(emb, q, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+        cos_vals = [r["cos"] for r in rows]
+        assert cos_vals == sorted(cos_vals, reverse=True)
+        assert all(r["neighbor_id"] != r["query_id"] for r in rows)
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF probing 4/16 cells must keep recall@5 ≥ 0.5 on random
+    unit vectors (it scans ~25% of the corpus; exact recall depends on
+    cell geometry, 0.5 is a conservative floor)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, q, k=5, k_centroids=16, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"

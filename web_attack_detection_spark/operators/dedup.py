@@ -1,0 +1,307 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, all DataFrame-native (no Python UDFs anywhere — every
+hash is ``xxhash64``, JVM-side, codegen'd):
+
+- **exact**: group identical keys, keep the smallest id. One shuffle.
+- **n-gram Jaccard** (exact near-dup): shingle → explode → self-join
+  on shingle → per-pair intersection counts → Jaccard. Exact but
+  O(pairs-sharing-a-shingle); the oracle-checkable ground truth the
+  approximate tiers are tested against.
+- **MinHash + LSH** (approximate near-dup at scale): k permutations
+  via seeded xxhash64 min-aggregation, banded into b buckets; only
+  docs sharing a band bucket become candidate pairs. Linear shuffle
+  volume; the 100 TB path.
+- **SimHash**: 64-bit signature from per-token hash bit-votes;
+  near-dups = signatures within a Hamming radius. Cheapest signature;
+  pairs found by banding the signature bytes.
+
+Scale notes: every step is explode → groupBy — linear in total
+shingles, shuffle-partitioned by shingle/bucket, no driver state. Hot
+shingles (stopword-only shingles shared by half the corpus) are the
+skew risk: ``jaccard_pairs_exact`` drops shingles above a document-
+frequency cap, the standard trick (they contribute negligible Jaccard
+mass but quadratic pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, key_cols: list[str], id_col: str, with_counts: bool = False
+) -> DataFrame:
+    """Keep one row (smallest ``id_col``) per distinct ``key_cols``.
+
+    `groupBy(key).min(id)` — ONE shuffle on the dedup key with map-side
+    partial aggregation, strictly cheaper than the window-rank
+    formulation (no sort). Returns (key_cols..., id_col[, n_copies]).
+    """
+    aggs = [F.min(id_col).alias(id_col)]
+    if with_counts:
+        aggs.append(F.count(F.lit(1)).alias("n_copies"))
+    return df.groupBy(*key_cols).agg(*aggs)
+
+
+def drop_exact_duplicates(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Full-row variant: keep the whole row of the smallest id per key.
+
+    Window ``row_number`` over the key — same single shuffle, keeps all
+    columns. (``dropDuplicates`` keeps an *arbitrary* row; training
+    pipelines want a deterministic survivor.)
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.col(id_col).asc())
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+
+def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Tokenize on whitespace, slide an n-window via ``F.sequence`` +
+    ``F.transform`` + ``slice`` — all built-in array functions, no UDF.
+    Documents shorter than n tokens produce their full token string as
+    the single shingle (so they still participate).
+    """
+    toks = F.split(F.col(text_col), r"\s+")
+    n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    sh = F.transform(
+        F.sequence(F.lit(0), n_sh - F.lit(1)),
+        lambda i: F.array_join(F.slice(toks, i + F.lit(1), F.lit(n)), " "),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard pairs (ground truth; oracle-checkable)
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs_exact(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with shingle-set Jaccard ≥ threshold.
+
+    Inverted-index join: explode shingles, self-join on the shingle,
+    count common shingles per pair, Jaccard = |∩| / (|A|+|B|-|∩|).
+    ``max_shingle_df`` drops shingles appearing in more than that many
+    docs before pairing — the skew guard that keeps the join linear
+    when a boilerplate shingle appears corpus-wide.
+
+    Returns (id_a, id_b, jaccard) with jaccard rounded to 6 (exact
+    rational k/n computed identically in any engine).
+    """
+    sh = shingles(df, text_col, id_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    if max_shingle_df is not None:
+        hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+        sh = sh.join(
+            F.broadcast(hot.filter(F.col("df_") > max_shingle_df).select("shingle")),
+            "shingle",
+            "left_anti",
+        )
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (the at-scale near-dedup path)
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, num_perm: int = 32
+) -> DataFrame:
+    """(id, sig: array<bigint>) — k-permutation MinHash.
+
+    Permutation i is ``xxhash64(shingle, i)``; the signature element is
+    the min over the doc's shingles. Computed as ONE groupBy over the
+    exploded shingles with k min-aggregates — map-side combine makes
+    the shuffle carry k longs per doc, independent of doc length.
+    """
+    sh = shingles(df, text_col, id_col, n)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(num_perm)
+    ]
+    sig = sh.groupBy("id").agg(*aggs)
+    return sig.select("id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig"))
+
+
+def minhash_candidate_pairs(
+    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: docs sharing any band-hash become candidates.
+
+    Explode the signature into ``bands`` slices, hash each slice, and
+    self-join on (band_idx, band_hash). Shuffle volume is
+    bands × |docs| rows — linear. Bucket sizes are bounded in practice;
+    a degenerate corpus (all-identical docs) degrades to the true
+    duplicate-pair count, which is the desired output anyway.
+    """
+    b = signatures.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[j] for j in range(i * rows_per_band, (i + 1) * rows_per_band)]
+                        ).alias("bh"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    left = b.select(F.col("id").alias("id_a"), "band", "bh")
+    right = b.select(F.col("id").alias("id_b"), "band", "bh")
+    return (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidates via LSH banding, then *verified* by estimated Jaccard
+    (fraction of matching signature elements ≥ threshold). Returns
+    (id_a, id_b, est_jaccard). The estimate-verify step kills the LSH
+    false positives without touching the raw text again.
+    """
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_perm).cache()
+    cand = minhash_candidate_pairs(sig, bands, rows_per_band)
+    sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda z: z))
+        / F.lit(float(num_perm))
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, simhash: bigint) — 64-bit SimHash over whitespace tokens.
+
+    Each token votes ±1 on each of 64 bit positions according to its
+    xxhash64; the signature bit is the vote sign. Expressed as explode
+    → 64 conditional-sum aggregates → bit reassembly; all JVM-side.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
+    )
+    sig = None
+    for i in range(64):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return votes.select("id", sig.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Near-dups = SimHash Hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole banding: split the 64-bit signature into ``bands``
+    16-bit chunks; any pair within distance ≤ bands-1 shares at least
+    one exact chunk → equi-join per chunk, then verify the full
+    Hamming distance with ``bit_count(xor)``. Linear shuffle, no O(n²).
+    """
+    width = 64 // bands
+    mask = (1 << width) - 1
+    sig = simhash64(df, text_col, id_col)
+    chunks = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "simhash", F.col("c.band").alias("band"), F.col("c.chunk").alias("chunk"))
+    left = chunks.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "band", "chunk")
+    right = chunks.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "band", "chunk")
+    return (
+        left.join(right, ["band", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

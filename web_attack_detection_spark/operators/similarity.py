@@ -1,0 +1,180 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Three tiers:
+
+- **brute-force cosine top-k** — exact baseline: broadcast the query
+  set, scan the corpus once, per-query top-k via window rank. The
+  oracle-checkable ground truth.
+- **cosine-threshold pair join** — exact all-pairs above a threshold
+  (block-nested-loop at test scale; the LSH/IVF tiers replace it at
+  scale).
+- **IVF (inverted-file) top-k** — the 100 TB path: pick k_centroids
+  deterministic centroids, assign every corpus vector to its nearest
+  centroid (one broadcast join), and at query time probe only the
+  ``n_probe`` nearest cells. Corpus scan cost drops from O(|corpus|)
+  to O(|corpus|·n_probe/k_centroids) per query; the cell assignment is
+  a partition key, so a real deployment co-partitions the corpus by
+  cell and prunes whole partitions.
+
+Float determinism: dot products fold left-to-right over the array
+(``F.aggregate``), every element cast to double first — the exact
+sequence DuckDB's ``list_reduce(list_prepend(0.0, ...))`` performs, so
+oracle comparison is bit-exact (see plans/similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-to-right fold of Σ a_i·b_i in double precision."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query: (query_id, neighbor_id, rank, cos).
+
+    queries is broadcast (the small side by construction); the corpus
+    is scanned once. Ranking ties break on neighbor id ascending, so
+    the result is fully deterministic. The rank window shuffles only
+    |queries|·|corpus| *rows of three scalars*, not vectors.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round(F.col("cos"), 6).alias("cos"))
+    )
+
+
+def cosine_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs (id_a < id_b, cos ≥ threshold). O(n²) — the
+    test-scale ground truth; use IVF/LSH beyond ~10^5 vectors."""
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round(F.col("cos"), 6).alias("cos"))
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    k_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic IVF index: centroids = every ⌈n/k⌉-th corpus vector
+    by id (a seed-free, reproducible choice; k-means refinement is an
+    optional iteration on top). Returns (centroids, assigned corpus
+    with a ``cell`` column).
+
+    Assignment = corpus ⋈ broadcast(centroids) → argmax cosine via
+    window — one broadcast join, no shuffle of the corpus. At scale
+    you'd persist the assigned corpus partitioned BY cell so queries
+    prune partitions.
+    """
+    ranked = corpus.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec")
+    ).withColumn("rn", F.row_number().over(Window.orderBy(F.col("cid").asc())) - 1)
+    n = corpus.count()
+    step = max(n // k_centroids, 1)
+    centroids = ranked.filter((F.col("rn") % step == 0) & (F.col("rn") < step * k_centroids)).select(
+        (F.col("rn") / step).cast("int").alias("cell"), "c_vec"
+    )
+    scored = corpus.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("cell"),
+        cosine(F.col(vec_col), F.col("c_vec")).alias("c_cos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("c_cos").desc(), F.col("cell").asc())
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select(
+            id_col, vec_col, "cell"
+        )
+    )
+    return centroids, assigned
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score queries only against vectors in their
+    ``n_probe`` nearest cells. Same output schema as brute_force_topk;
+    recall vs the exact baseline is asserted in tests/test_similarity.py.
+    """
+    centroids, assigned = ivf_assign(corpus, k_centroids, id_col, vec_col)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    q_cells = q.crossJoin(F.broadcast(centroids)).select(
+        "query_id", "q_vec", "cell", cosine(F.col("q_vec"), F.col("c_vec")).alias("c_cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("c_cos").desc(), F.col("cell").asc())
+    probes = q_cells.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= n_probe).select(
+        "query_id", "q_vec", "cell"
+    )
+    cand = assigned.withColumnsRenamed({id_col: "neighbor_id", vec_col: "c_vec"})
+    scored = (
+        probes.join(cand, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"))
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round(F.col("cos"), 6).alias("cos"))
+    )

@@ -1,0 +1,109 @@
+"""Oracle-checked queries for the deduplication operators.
+
+The documents fixture has no byte-identical duplicates but DOES
+contain planted near-duplicates (25 pairs at 3-gram Jaccard ≥ 0.2,
+max 0.989) — exactly the workload these operators exist for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from web_attack_detection_spark.io.sources import load_table, union_by_name
+from web_attack_detection_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs_exact,
+    minhash_near_dup_pairs,
+    simhash_near_dup_pairs,
+)
+from web_attack_detection_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# exact dedup — corpus ∪ shifted-id copy, survivor = min doc_id
+# ---------------------------------------------------------------------------
+
+_EXACT_ORACLE = """
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, COUNT(*) AS n_copies
+FROM (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+)
+GROUP BY text
+"""
+
+
+@register("dedup_exact", _EXACT_ORACLE, doc="exact dedup: hash-groupBy, min-id survivor")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over a corpus with planted duplicates (the fixture
+    has none, so the query unions a shifted-id copy). groupBy(text) →
+    min(doc_id): one shuffle, map-side partial agg. At 100 TB dedup on
+    raw text shuffles the text bytes — dedup on xxhash64(text) instead
+    and verify collisions; the operator supports either key."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = union_by_name(docs, docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    return exact_dedup(doubled, ["text"], "doc_id", with_counts=True).select("doc_id", "n_copies")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs (exact ground truth)
+# ---------------------------------------------------------------------------
+
+_JACCARD_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS r(i)
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)
+SELECT id_a, id_b,
+       ROUND(n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.2
+"""
+
+
+@register("dedup_ngram_jaccard", _JACCARD_ORACLE, doc="exact 3-gram Jaccard near-dup pairs")
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs via shingle inverted-index join — the
+    ground truth MinHash is tested against (tests/test_dedup.py).
+    Finds the fixture's 25 planted near-dup pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs_exact(docs, "text", "doc_id", n=3, threshold=0.2)
+
+
+# ---------------------------------------------------------------------------
+# MinHash LSH near-dup (approximate; rows-only — xxhash64 has no DuckDB twin)
+# ---------------------------------------------------------------------------
+
+
+@register("dedup_minhash_lsh", None, doc="MinHash+LSH near-dup pairs (approximate, at-scale path)")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-perm MinHash, 8 bands × 4 rows → candidates → estimate-verify.
+    Rows-only driver check (seeded xxhash64 isn't SQL-portable); recall
+    against the exact Jaccard query is asserted in tests/test_dedup.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(
+        docs, "text", "doc_id", n=3, num_perm=32, bands=8, threshold=0.4
+    ).orderBy("id_a", "id_b")
+
+
+@register("dedup_simhash", None, doc="SimHash Hamming≤3 near-dup pairs")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash with pigeonhole banding; verify via bit_count(xor).
+    Rows-only (xxhash64 bit-votes aren't SQL-portable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=3, bands=4).orderBy(
+        "id_a", "id_b"
+    )

@@ -1,0 +1,101 @@
+"""Oracle-checked queries for similarity search over ``embeddings``.
+
+The DuckDB twins fold dot products in exactly the same element order
+as the Spark implementation (left-to-right, double precision), so the
+cosine scores are bit-identical — no tolerance needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from web_attack_detection_spark.io.sources import load_table
+from web_attack_detection_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_pairs,
+    ivf_topk,
+)
+from web_attack_detection_spark.plans.registry import register
+
+# dot(a,b) and |a| as a left-to-right double fold — textual twin of
+# operators.similarity.dot / l2_norm
+_SQL_DOT = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+    "(acc, x) -> acc + x)"
+)
+_SQL_NORM = (
+    "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
+    "(acc, x) -> acc + x))"
+)
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return (
+        _SQL_DOT.format(a=a, b=b)
+        + " / ("
+        + _SQL_NORM.format(a=a)
+        + " * "
+        + _SQL_NORM.format(a=b)
+        + ")"
+    )
+
+
+_TOPK_ORACLE = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id,
+         c.vec_id AS neighbor_id,
+         {_sql_cosine('q.embedding', 'c.embedding')} AS cos
+  FROM embeddings q
+  JOIN embeddings c ON c.vec_id != q.vec_id
+  WHERE q.vec_id < 10
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, ROUND(cos, 6) AS cos
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("sim_topk_bruteforce", _TOPK_ORACLE, doc="exact cosine top-5 per query vector")
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ANN baseline: 10 query vectors (vec_id < 10) against the
+    full corpus; broadcast queries, one corpus scan, window top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return brute_force_topk(emb, queries, k=5)
+
+
+_PAIRS_ORACLE = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND({_sql_cosine('a.embedding', 'b.embedding')}, 6) AS cos
+FROM embeddings a
+JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= 0.45
+"""
+
+
+@register("sim_cosine_pairs", _PAIRS_ORACLE, doc="embedding near-dup pairs (cos ≥ 0.45)")
+def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection (exact all-pairs form; the
+    corpus has max pairwise cos ≈ 0.51, so 0.45 yields a small
+    non-empty set). The at-scale replacement is ivf_topk / LSH."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_pairs(emb, threshold=0.45)
+
+
+@register("sim_ivf_topk", None, doc="IVF-bucketed approximate top-k (scale path)")
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: 16 cells, probe 4 — scans ~1/4 of the corpus per query.
+    Rows-only driver check; recall vs the exact baseline asserted in
+    tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, k=5, k_centroids=16, n_probe=4).orderBy("query_id", "rank")

@@ -1,0 +1,181 @@
+"""Oracle-checked queries for the text-analysis operators over the
+``documents`` fixture (north-star set: token counting, language ID,
+quality scoring, fingerprinting)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from web_attack_detection_spark.functions.text import (
+    BPE_ISH_PATTERN,
+    LANG_MARKERS,
+    STOPWORDS,
+    avg_token_len,
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    punct_count,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from web_attack_detection_spark.io.sources import load_table
+from web_attack_detection_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# token counting (whitespace + BPE-ish), aggregated per lang
+# ---------------------------------------------------------------------------
+
+_TOKENS_ORACLE = f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(len(string_split_regex(text, '\\s+'))) AS total_tokens,
+       SUM(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))) AS total_bpe_ish,
+       SUM(length(text)) AS total_chars
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("text_token_count", _TOKENS_ORACLE, doc="token counting: whitespace + BPE-ish regex")
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token statistics. The regexes run inside codegen
+    (JVM), one pass over the corpus, aggregated map-side — at 100 TB
+    this is a pure scan + tiny shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            token_count(F.col("text")).alias("tc"),
+            bpe_ish_token_count(F.col("text")).alias("bc"),
+            F.length("text").cast("long").alias("nc"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tc").alias("total_tokens"),
+            F.sum("bc").alias("total_bpe_ish"),
+            F.sum("nc").alias("total_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality scoring per doc (row-level, exact rational arithmetic)
+# ---------------------------------------------------------------------------
+
+_QUALITY_ORACLE = f"""
+WITH q AS (
+  SELECT doc_id,
+         len(string_split_regex(text, '\\s+')) AS n_tok,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_punct,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split_regex(text, '\\s+'), t -> CAST(length(t) AS BIGINT))),
+           (acc, x) -> acc + x
+         ) AS tok_chars,
+         len(list_filter(string_split_regex(text, '\\s+'),
+                         t -> list_contains({STOPWORDS!r}, t))) AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       CAST(n_punct AS BIGINT) AS n_punct,
+       ROUND(n_stop / CAST(n_tok AS DOUBLE), 6) AS stop_ratio,
+       ROUND(tok_chars / CAST(n_tok AS DOUBLE), 6) AS avg_tok_len,
+       ROUND(0.4 * least(n_tok / 100.0, 1.0)
+           + 0.3 * (1.0 - n_punct / greatest(CAST(n_chars AS DOUBLE), 1.0))
+           + 0.3 * (CASE WHEN tok_chars / CAST(n_tok AS DOUBLE) >= 3.0
+                          AND tok_chars / CAST(n_tok AS DOUBLE) <= 12.0
+                         THEN 1.0 ELSE 0.0 END), 6) AS quality
+FROM q
+"""
+
+
+@register("text_quality", _QUALITY_ORACLE, doc="per-doc quality score (length/punct/stopword)")
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        punct_count(F.col("text")).alias("n_punct"),
+        stopword_ratio(F.col("text")).alias("stop_ratio"),
+        avg_token_len(F.col("text")).alias("avg_tok_len"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# language ID (marker heuristic) — confusion counts vs the lang column
+# ---------------------------------------------------------------------------
+
+
+def _sql_lang_score(lang: str) -> str:
+    markers = LANG_MARKERS[lang]
+    return (
+        f"len(list_intersect(list_distinct(string_split_regex(text, '\\s+')), {markers!r}))"
+    )
+
+
+_LANGID_ORACLE = f"""
+WITH scored AS (
+  SELECT lang,
+         {_sql_lang_score('en')} AS s_en,
+         {_sql_lang_score('de')} AS s_de,
+         {_sql_lang_score('es')} AS s_es,
+         {_sql_lang_score('fr')} AS s_fr
+  FROM documents
+),
+pred AS (
+  SELECT lang,
+         CASE
+           WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+           WHEN s_de > 0 AND s_de > s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+           WHEN s_es > 0 AND s_es > s_en AND s_es > s_de AND s_es >= s_fr THEN 'es'
+           WHEN s_fr > 0 AND s_fr > s_en AND s_fr > s_de AND s_fr > s_es THEN 'fr'
+           ELSE 'und'
+         END AS predicted
+  FROM scored
+)
+SELECT lang, predicted, COUNT(*) AS n FROM pred GROUP BY lang, predicted
+"""
+
+
+@register("text_lang_id", _LANGID_ORACLE, doc="marker-based language-ID heuristic")
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/marker language heuristic (mechanism demo over synthetic
+    vocab — see functions/text.py), output as a (true lang, predicted)
+    confusion count table."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", lang_id(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# document fingerprint (rolling hash)
+# ---------------------------------------------------------------------------
+
+_FP_ORACLE = """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      list_transform(string_split_regex(text, '\\s+'),
+                                     t -> CAST(length(t) AS BIGINT) * 17 + ascii(t))),
+         (acc, x) -> (acc * 31 + x) % 2147483647
+       ) AS fp
+FROM documents
+"""
+
+
+@register("text_fingerprint", _FP_ORACLE, doc="rolling polynomial hash fingerprint per doc")
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling hash (mod 2^31−1) — pure integer
+    arithmetic, so Spark's F.aggregate fold and DuckDB's list_reduce
+    agree exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
