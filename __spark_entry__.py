@@ -23,6 +23,29 @@ from web_attack_detection_spark.plans import all_plans  # noqa: F401,E402
 from web_attack_detection_spark.plans.registry import QUERIES  # noqa: E402
 
 
+_PKG_SHIPPED: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``web_attack_detection_spark`` importable on Spark's Python
+    workers (Pandas-UDF/mapInPandas closures deserialize by module
+    reference). ``addPyFile`` is the standard deploy mechanism — on a
+    real cluster the same zip ships to every executor."""
+    key = id(spark.sparkContext)
+    if key in _PKG_SHIPPED:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = Path(_REPO) / "web_attack_detection_spark"
+    zip_path = Path(tempfile.gettempdir()) / "web_attack_detection_spark_pkg.zip"
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for py in sorted(pkg_dir.rglob("*.py")):
+            zf.write(py, py.relative_to(pkg_dir.parent))
+    spark.sparkContext.addPyFile(str(zip_path))
+    _PKG_SHIPPED.add(key)
+
+
 def _ensure_nanos_conf(spark: SparkSession) -> None:
     """Runtime confs the driver's own session may lack: the events
     fixture stores TIMESTAMP(NANOS) parquet (readable only with
@@ -30,6 +53,7 @@ def _ensure_nanos_conf(spark: SparkSession) -> None:
     must collect as naive-UTC to match DuckDB's storage."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _ship_package(spark)
 
 
 def entry(spark: SparkSession) -> DataFrame:

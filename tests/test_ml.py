@@ -1,0 +1,65 @@
+"""ML semantics the oracle can't check: PCA variance ordering, MLP
+learnability on a separable problem, evaluator correctness on a
+hand-computed case."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from web_attack_detection_spark.ml.pipeline import (
+    accuracy,
+    confusion_matrix,
+    fit_mlp,
+    fit_pca,
+    pca_project,
+    per_class_metrics,
+    predict,
+)
+
+
+def test_pca_variance_ordering(spark):
+    """Explained variance must be non-increasing and sum ≤ 1."""
+    from web_attack_detection_spark.io.sources import load_table
+    from .conftest import SF_SMOKE
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        F.array(
+            F.col("l_quantity").cast("double"),
+            F.col("l_extendedprice").cast("double"),
+            F.col("l_discount").cast("double"),
+            F.col("l_tax").cast("double"),
+        ).alias("feats")
+    )
+    model = fit_pca(li, "feats", k=4)
+    ev = list(model.explainedVariance)
+    assert all(ev[i] >= ev[i + 1] - 1e-12 for i in range(len(ev) - 1))
+    assert abs(sum(ev) - 1.0) < 1e-6
+    projected = pca_project(model, li, "feats")
+    assert len(projected.first()["pca_features"]) == 4
+
+
+def test_mlp_learns_separable(spark):
+    """A linearly separable 2-class problem must reach ≥95% accuracy."""
+    rows = [(float(i % 2), [float(i % 2) * 2 - 1, float((i * 7) % 5) / 5]) for i in range(400)]
+    df = spark.createDataFrame(rows, "label double, features array<double>")
+    model = fit_mlp(df, "features", "label", hidden=(4,), seed=7, max_iter=60)
+    scored = predict(model, df, "features")
+    acc = accuracy(scored).first()["accuracy"]
+    assert acc >= 0.95, acc
+
+
+def test_evaluators_hand_computed(spark):
+    # labels: a a a b b ; preds: a b a b a
+    df = spark.createDataFrame(
+        [("a", "a"), ("a", "b"), ("a", "a"), ("b", "b"), ("b", "a")],
+        "label string, prediction string",
+    )
+    assert accuracy(df).first()["accuracy"] == pytest.approx(0.6)
+    cm = {(r["label"], r["prediction"]): r["n"] for r in confusion_matrix(df).collect()}
+    assert cm == {("a", "a"): 2, ("a", "b"): 1, ("b", "b"): 1, ("b", "a"): 1}
+    m = {r["label"]: r for r in per_class_metrics(df).collect()}
+    assert m["a"]["precision"] == pytest.approx(2 / 3)
+    assert m["a"]["recall"] == pytest.approx(2 / 3)
+    assert m["b"]["precision"] == pytest.approx(1 / 2)
+    assert m["b"]["recall"] == pytest.approx(1 / 2)

@@ -1,0 +1,49 @@
+"""Multimodal plumbing: determinism of the Arrow path, stub gating,
+frame-sampling arithmetic."""
+
+from __future__ import annotations
+
+import pytest
+
+from web_attack_detection_spark.io.sources import load_table
+from web_attack_detection_spark.operators.multimodal import (
+    attach_fake_media,
+    decode_image_stub,
+    extract_media_features,
+    sample_frames,
+)
+
+from .conftest import SF_SMOKE
+
+
+def test_decode_stub_gating():
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"abc", fake=False)
+    a = decode_image_stub(b"abc", fake=True)
+    assert a == decode_image_stub(b"abc", fake=True)
+    assert len(a) == 16 and all(0 <= x < 256 for x in a)
+
+
+def test_extract_features_deterministic(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(50)
+    media = attach_fake_media(docs, "text", "doc_id")
+    out1 = {r["media_id"]: tuple(r) for r in extract_media_features(media).collect()}
+    out2 = {r["media_id"]: tuple(r) for r in extract_media_features(media).collect()}
+    assert out1 == out2
+    assert len(out1) == 50
+    sample = next(iter(out1.values()))
+    assert sample[1] > 0  # n_bytes
+    assert 0.0 < sample[3] <= 8.0  # byte_entropy of text bytes
+
+
+def test_sample_frames_every_second(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(100)
+    media = attach_fake_media(docs, "text", "doc_id")
+    frames = sample_frames(media, every=2).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r["frame_idx"])
+    metas = {r["media_id"]: r["meta"]["n_frames"] for r in media.collect()}
+    for mid, idxs in by_id.items():
+        n = metas[mid]
+        assert sorted(idxs) == list(range(0, n, 2))

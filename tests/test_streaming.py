@@ -1,0 +1,130 @@
+"""Structured Streaming semantics: stream result == batch result on
+the same data; watermark drops late rows; foreachBatch scoring reuses
+the batch pipeline."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from web_attack_detection_spark.io.sources import load_table
+from web_attack_detection_spark.streaming.windows import (
+    score_stream,
+    stream_events_from_dir,
+    windowed_event_counts,
+)
+
+from .conftest import SF_SMOKE
+
+
+def _run_stream_to_memory(spark, src_dir: str, name: str, output_mode: str):
+    stream = stream_events_from_dir(spark, src_dir)
+    agg = windowed_event_counts(stream, window="1 hour", watermark="30 minutes")
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    return q
+
+
+def test_stream_matches_batch(spark):
+    """Replaying the events table through the file source must produce
+    exactly the batch aggregation (complete mode, no late data)."""
+    events = load_table(spark, SF_SMOKE, "events")
+    with tempfile.TemporaryDirectory() as d:
+        events.coalesce(1).write.parquet(f"{d}/in")
+        q = _run_stream_to_memory(spark, f"{d}/in", "stream_out", "complete")
+        try:
+            got = {
+                (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+                for r in spark.sql("SELECT * FROM stream_out").collect()
+            }
+        finally:
+            q.stop()
+    want = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in windowed_event_counts(events, "1 hour", None).collect()
+    }
+    assert got == want
+    assert len(want) > 100
+
+
+def test_watermark_drops_late_rows(spark):
+    """Batch 1 advances the watermark to max(ts)-30min; a batch-2 row
+    2 days older must be dropped, an on-time batch-2 row kept."""
+    events = load_table(spark, SF_SMOKE, "events").orderBy("ts")
+    rows = events.collect()
+    cutoff = rows[len(rows) // 2]["ts"]
+    batch1 = events.filter(F.col("ts") <= F.lit(cutoff))
+    max_ts = batch1.agg(F.max("ts")).first()[0]
+
+    late_ts = max_ts - __import__("datetime").timedelta(days=2)
+    ontime_ts = max_ts + __import__("datetime").timedelta(minutes=5)
+    extra = spark.createDataFrame(
+        [
+            (999001, late_ts, 1, "late_marker", 1.0, "{}"),
+            (999002, ontime_ts, 1, "ontime_marker", 1.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        src = Path(d) / "in"
+        batch1.coalesce(1).write.parquet(str(src))
+        stream = stream_events_from_dir(spark, str(src))
+        agg = windowed_event_counts(stream, "1 hour", "30 minutes")
+        q = agg.writeStream.outputMode("update").format("memory").queryName("late_out").start()
+        try:
+            q.processAllAvailable()  # batch 1: watermark -> max_ts - 30min
+            extra.coalesce(1).write.mode("append").parquet(str(src))
+            q.processAllAvailable()  # batch 2: late row beyond watermark
+            types = {
+                r["event_type"] for r in spark.sql("SELECT * FROM late_out").collect()
+            }
+        finally:
+            q.stop()
+    assert "ontime_marker" in types
+    assert "late_marker" not in types
+
+
+def test_foreachbatch_scoring_reuses_batch_pipeline(spark):
+    """Fit the feature pipeline in batch, score the stream via
+    foreachBatch with the SAME transform — predictions must match the
+    batch-side transform of the same rows."""
+    from web_attack_detection_spark.functions.feature import fit_feature_pipeline
+
+    events = load_table(spark, SF_SMOKE, "events").drop("props")
+    fitted = fit_feature_pipeline(events.drop("ts"), label_col="event_type")
+
+    def transform(batch_df):
+        return fitted.transform(batch_df.drop("ts")).select("event_id", "features", "label")
+
+    collected = []
+
+    def sink(df, epoch_id):
+        collected.extend(df.collect())
+
+    with tempfile.TemporaryDirectory() as d:
+        events.coalesce(1).write.parquet(f"{d}/in")
+        q = score_stream(
+            stream_events_from_dir(spark, f"{d}/in"),
+            transform,
+            sink,
+            checkpoint_dir=f"{d}/ckpt",
+            trigger_once=True,
+        )
+        q.awaitTermination(120)
+
+    got = {r["event_id"]: (r["features"], r["label"]) for r in collected}
+    want = {
+        r["event_id"]: (r["features"], r["label"])
+        for r in fitted.transform(events.drop("ts")).select("event_id", "features", "label").collect()
+    }
+    assert got == want
+    assert len(got) == events.count()

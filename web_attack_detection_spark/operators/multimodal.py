@@ -1,0 +1,140 @@
+"""Multimodal columns: opaque ``binary`` payloads + typed metadata.
+
+The pattern for image/audio/video at 100 TB: the bytes travel as a
+``binary`` column next to a metadata struct (mime, width/height or
+duration, frame count); decode/feature-extraction runs executor-side
+as Arrow-batched ``mapInPandas`` — bytes never visit the driver, and
+each Python worker touches one partition's batches.
+
+The actual codec step is STUBBED: this image has no PIL/ffmpeg/etc.
+``decode_image_stub`` raises ``NotImplementedError`` unless
+``fake=True``, in which case it produces a deterministic fake
+"decoded" representation (seeded from the payload hash) so the
+Spark-side plumbing — schema, batch iteration, partitioning, UDF
+signatures — is real and tested end-to-end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# metadata struct carried beside every binary payload
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+
+def attach_fake_media(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Derive a deterministic binary payload + metadata from text —
+    the fixture has no real media, so the bytes are the UTF-8 text and
+    the metadata is hash-derived. Column expressions only.
+    """
+    payload = F.encode(F.col(text_col), "UTF-8")
+    h = F.xxhash64(F.col(text_col))
+    meta = F.struct(
+        F.lit("image/fake").alias("mime"),
+        (F.pmod(h, F.lit(640)) + 16).cast("int").alias("width"),
+        (F.pmod(F.shiftright(h, 16), F.lit(480)) + 16).cast("int").alias("height"),
+        (F.pmod(F.shiftright(h, 32), F.lit(8)) + 1).cast("int").alias("n_frames"),
+    )
+    return df.select(
+        F.col(id_col).alias("media_id"), payload.alias("payload"), meta.alias("meta")
+    )
+
+
+def decode_image_stub(payload: bytes, fake: bool = False) -> list[int]:
+    """STUB for the real image decode (no codec libs in this image).
+
+    ``fake=True`` → deterministic 16-byte pseudo-pixel block derived
+    from the payload (NOT a real decode — a stand-in with the same
+    shape contract: bytes in, fixed-size numeric block out).
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image decode requires a codec library (PIL/opencv) that is "
+            "not available in this environment; pass fake=True for the "
+            "deterministic test stand-in"
+        )
+    acc = 2166136261
+    out = []
+    for i, b in enumerate(payload[:256]):
+        acc = (acc ^ b) * 16777619 % (1 << 32)
+        if i % 16 == 0:
+            out.append(acc % 256)
+    while len(out) < 16:
+        out.append(0)
+    return out[:16]
+
+
+_FEATURE_SCHEMA = (
+    "media_id long, n_bytes long, mean_byte double, byte_entropy double, "
+    "pseudo_pixels array<int>, width int, height int"
+)
+
+
+def extract_media_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column.
+
+    ``mapInPandas``: one pandas batch per Arrow chunk, vectorized
+    byte statistics (length, mean byte, entropy) + the stubbed decode.
+    This is THE multimodal scale pattern — per-executor batch loops,
+    no driver involvement, output schema declared up front.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            n_bytes = payloads.map(len)
+            mean_byte = []
+            entropy = []
+            pixels = []
+            for p in payloads:
+                arr = np.frombuffer(p, dtype=np.uint8)
+                if arr.size == 0:
+                    mean_byte.append(0.0)
+                    entropy.append(0.0)
+                else:
+                    mean_byte.append(float(arr.mean()))
+                    counts = np.bincount(arr, minlength=256)
+                    probs = counts[counts > 0] / arr.size
+                    entropy.append(float(-(probs * np.log2(probs)).sum()))
+                pixels.append(decode_image_stub(bytes(p), fake=fake_decode))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": n_bytes,
+                    "mean_byte": [round(m, 6) for m in mean_byte],
+                    "byte_entropy": [round(e, 6) for e in entropy],
+                    "pseudo_pixels": pixels,
+                    "width": [m["width"] for m in pdf["meta"]],
+                    "height": [m["height"] for m in pdf["meta"]],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=_FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every: int = 2) -> DataFrame:
+    """Frame sampling: explode each payload into its metadata-declared
+    frames, keeping every ``every``-th — pure column expressions
+    (``sequence`` + ``explode``), no UDF. Real video sampling swaps the
+    frame-byte slicing in; the partition/explode shape is identical."""
+    return (
+        media.select(
+            "media_id",
+            F.col("meta.n_frames").alias("n_frames"),
+            F.explode(F.sequence(F.lit(0), F.col("meta.n_frames") - 1)).alias("frame_idx"),
+        )
+        .filter(F.col("frame_idx") % every == 0)
+    )

@@ -1,0 +1,118 @@
+"""ML queries: per-class metrics (oracle-checked) + PCA / MLP
+(rows-only — eigenvectors and trained weights aren't SQL-expressible,
+SURVEY.md §5 item 2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from web_attack_detection_spark.io.sources import load_table
+from web_attack_detection_spark.ml.pipeline import (
+    accuracy,
+    fit_mlp,
+    fit_pca,
+    pca_project,
+    per_class_metrics,
+    predict,
+)
+from web_attack_detection_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# per-class precision/recall/F1 — SQL-expressible, oracle-checked
+# ---------------------------------------------------------------------------
+
+_METRICS_ORACLE = """
+WITH preds AS (
+  SELECT event_type AS label,
+         CASE WHEN value >= 100 THEN 'error' ELSE 'view' END AS prediction
+  FROM events
+),
+cm AS (SELECT label, prediction, COUNT(*) AS n FROM preds GROUP BY 1, 2),
+per_label AS (SELECT label, SUM(n) AS n_true FROM cm GROUP BY label),
+per_pred AS (SELECT prediction, SUM(n) AS n_pred FROM cm GROUP BY prediction),
+tp AS (SELECT label, n AS tp FROM cm WHERE label = prediction)
+SELECT l.label,
+       ROUND(CASE WHEN COALESCE(p.n_pred, 0) > 0
+                  THEN COALESCE(t.tp, 0) / CAST(p.n_pred AS DOUBLE) ELSE 0.0 END, 6) AS precision,
+       ROUND(CASE WHEN l.n_true > 0
+                  THEN COALESCE(t.tp, 0) / CAST(l.n_true AS DOUBLE) ELSE 0.0 END, 6) AS recall,
+       ROUND(CASE WHEN (CASE WHEN COALESCE(p.n_pred, 0) > 0
+                             THEN COALESCE(t.tp, 0) / CAST(p.n_pred AS DOUBLE) ELSE 0.0 END
+                      + CASE WHEN l.n_true > 0
+                             THEN COALESCE(t.tp, 0) / CAST(l.n_true AS DOUBLE) ELSE 0.0 END) > 0
+                  THEN 2 * (CASE WHEN COALESCE(p.n_pred, 0) > 0
+                                 THEN COALESCE(t.tp, 0) / CAST(p.n_pred AS DOUBLE) ELSE 0.0 END)
+                         * (CASE WHEN l.n_true > 0
+                                 THEN COALESCE(t.tp, 0) / CAST(l.n_true AS DOUBLE) ELSE 0.0 END)
+                         / ((CASE WHEN COALESCE(p.n_pred, 0) > 0
+                                  THEN COALESCE(t.tp, 0) / CAST(p.n_pred AS DOUBLE) ELSE 0.0 END)
+                          + (CASE WHEN l.n_true > 0
+                                  THEN COALESCE(t.tp, 0) / CAST(l.n_true AS DOUBLE) ELSE 0.0 END))
+                  ELSE 0.0 END, 6) AS f1
+FROM per_label l
+LEFT JOIN tp t ON l.label = t.label
+LEFT JOIN per_pred p ON l.label = p.prediction
+"""
+
+
+@register("ml_per_class_metrics", _METRICS_ORACLE, doc="per-class precision/recall/F1")
+def ml_per_class_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiclass metrics from one confusion-matrix aggregation, on a
+    deterministic threshold predictor (the MLlib path reuses the same
+    evaluator functions)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("label"),
+        F.when(F.col("value") >= 100, "error").otherwise("view").alias("prediction"),
+    )
+    return per_class_metrics(ev)
+
+
+# ---------------------------------------------------------------------------
+# PCA (F6) — rows-only (sign/order of eigenvectors is impl-defined)
+# ---------------------------------------------------------------------------
+
+
+@register("ml_pca_project", None, doc="PCA k=4 projection of numeric lineitem features")
+def ml_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA over 4 numeric lineitem columns → 4 components. Rows-only
+    check; variance-explained ordering is unit-tested instead
+    (tests/test_ml.py) because eigenvector sign is impl-defined."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.array(
+            F.col("l_quantity").cast("double"),
+            F.col("l_extendedprice").cast("double"),
+            F.col("l_discount").cast("double"),
+            F.col("l_tax").cast("double"),
+        ).alias("feats"),
+    )
+    model = fit_pca(li, "feats", k=4)
+    return pca_project(model, li, "feats").select("l_orderkey", "l_linenumber", "pca_features")
+
+
+# ---------------------------------------------------------------------------
+# MLP train + evaluate (M1 + M5) — rows-only (trained weights)
+# ---------------------------------------------------------------------------
+
+
+@register("ml_mlp_train_eval", None, doc="MLlib MLP train on events features, eval accuracy")
+def ml_mlp_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end M1: feature pipeline → MLP(16,8) → accuracy on the
+    held-out split. Seeded for reproducibility; rows-only check (one
+    row: accuracy, n_train, n_test)."""
+    from web_attack_detection_spark.functions.feature import fit_feature_pipeline
+
+    events = load_table(spark, sf_dir, "events").drop("props", "ts")
+    train = events.filter(F.col("event_id") % 4 != 1)
+    test = events.filter(F.col("event_id") % 4 == 1)
+    fp = fit_feature_pipeline(train, label_col="event_type")
+    tr = fp.transform(train).select("features", "label")
+    te = fp.transform(test).select("features", "label")
+    model = fit_mlp(tr, "features", "label", hidden=(16, 8), seed=42, max_iter=40)
+    scored = predict(model, te, "features")
+    acc = accuracy(scored).first()["accuracy"]
+    return spark.createDataFrame(
+        [(float(acc), tr.count(), te.count())], "accuracy double, n_train long, n_test long"
+    )
