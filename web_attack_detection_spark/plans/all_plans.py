@@ -6,6 +6,11 @@ file means adding one import line here.
 
 from web_attack_detection_spark.plans import features, relational  # noqa: F401
 
+try:
+    from web_attack_detection_spark.plans import relational2  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
+
 try:  # modules added in later phases — keep entry importable mid-build
     from web_attack_detection_spark.plans import dedup  # noqa: F401
 except ImportError:  # pragma: no cover

@@ -1,0 +1,317 @@
+"""Extended relational coverage: JSON extraction, pivot, set ops,
+correlated subqueries (SQL API), sessionization, scalar function
+library, exact percentiles, approximate aggregates.
+
+These round out the relational surface a user of the reference (or of
+the north-star pipeline) needs; each is the idiomatic Catalyst form,
+with the scale rationale in the docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from web_attack_detection_spark.io.sources import load_table, register_views
+from web_attack_detection_spark.plans.registry import (
+    money_sum,
+    register,
+    sql_money_sum,
+)
+
+# ---------------------------------------------------------------------------
+# JSON extraction from the events.props column
+# ---------------------------------------------------------------------------
+
+_JSON_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("rel_json_extract", _JSON_ORACLE, doc="JSON path extraction + aggregation")
+def rel_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``get_json_object`` is JVM-side (Jackson) — JSON parsing stays
+    in codegen, no Python. At scale, parse ONCE into a struct column
+    (``from_json``) and reuse, rather than re-extracting per path."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pivot
+# ---------------------------------------------------------------------------
+
+_PIVOT_ORACLE = f"""
+SELECT l_returnflag,
+       COUNT(*) FILTER (WHERE l_linestatus = 'O') AS n_open,
+       COUNT(*) FILTER (WHERE l_linestatus = 'F') AS n_filled,
+       {sql_money_sum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_open,
+       {sql_money_sum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_filled
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("rel_pivot", _PIVOT_ORACLE, doc="pivot = conditional aggregation")
+def rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an EXPLICIT value list — without it Spark runs an
+    extra distinct-values job before planning (a full scan at 100 TB).
+    Compiled to conditional aggregates, same as the SQL FILTER form."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(F.col("l_linestatus") == "O", 1)).alias("n_open"),
+            F.count(F.when(F.col("l_linestatus") == "F", 1)).alias("n_filled"),
+            money_sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity"))).alias(
+                "qty_open"
+            ),
+            money_sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity"))).alias(
+                "qty_filled"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# set operations
+# ---------------------------------------------------------------------------
+
+_INTERSECT_ORACLE = """
+SELECT user_id FROM events WHERE event_type = 'error'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+@register("rel_intersect", _INTERSECT_ORACLE, doc="INTERSECT (distinct set semantics)")
+def rel_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT plans as a left-semi join over distincts — both sides
+    reduce to their key sets before the shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select("user_id")
+    pur = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return err.intersect(pur)
+
+
+_EXCEPT_ORACLE = """
+SELECT user_id FROM events WHERE event_type = 'view'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+@register("rel_except", _EXCEPT_ORACLE, doc="EXCEPT (anti-join over distincts)")
+def rel_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL EXCEPT is distinct-set subtraction — ``subtract`` plans as a
+    left-anti join after both sides reduce to their distinct key sets
+    (NOT ``exceptAll``, whose multiset semantics would let a user who
+    viewed twice and purchased once survive)."""
+    ev = load_table(spark, sf_dir, "events")
+    viewed = ev.filter(F.col("event_type") == "view").select("user_id")
+    bought = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return viewed.subtract(bought)
+
+
+# ---------------------------------------------------------------------------
+# correlated subquery through the SQL API
+# ---------------------------------------------------------------------------
+
+_SUBQUERY_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                   WHERE c2.c_nationkey = customer.c_nationkey)
+  AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+              AND o_orderstatus = 'F')
+"""
+
+
+@register("rel_subquery_sql", _SUBQUERY_SQL, doc="correlated scalar + EXISTS subqueries (SQL API)")
+def rel_subquery_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same ANSI text runs on both engines — Catalyst decorrelates the
+    scalar subquery into an aggregate + join and the EXISTS into a
+    left-semi join; nothing is executed row-at-a-time."""
+    register_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_SUBQUERY_SQL)
+
+
+# ---------------------------------------------------------------------------
+# sessionization (gap > 30 min starts a new session)
+# ---------------------------------------------------------------------------
+
+_SESSION_ORACLE = """
+WITH gaps AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS t,
+         CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                   - epoch_us(LAG(CAST(ts AS TIMESTAMP)) OVER w) > 1800000000
+              OR LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+),
+sessions AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY t, new_session
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+)
+SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id
+"""
+
+
+@register("rel_sessionize", _SESSION_ORACLE, doc="sessionization: lag-gap + running sum")
+def rel_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic sessionization: one shuffle on user_id, per-partition
+    sort on ts; session ids via running sum of gap markers. The
+    streaming twin is ``session_window`` (state-bounded)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    marked = ev.withColumn(
+        "new_session",
+        F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0),
+    )
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("new_session").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sessions = marked.withColumn("session_id", F.sum("new_session").over(wsum))
+    return sessions.groupBy("user_id").agg(
+        F.max("session_id").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar function library
+# ---------------------------------------------------------------------------
+
+_SCALAR_ORACLE = """
+SELECT p_partkey,
+       upper(p_brand) AS brand_uc,
+       substr(p_name, 1, 8) AS name_prefix,
+       concat(p_brand, ':', p_type) AS brand_type,
+       length(p_name) AS name_len,
+       abs(p_size - 25) AS size_dev,
+       CAST(p_size % 7 AS INTEGER) AS size_mod,
+       CAST(ceil(p_retailprice / 100.0) AS BIGINT) AS price_bucket,
+       CASE WHEN p_size >= 30 THEN 'large'
+            WHEN p_size >= 10 THEN 'medium'
+            ELSE 'small' END AS size_class
+FROM part
+WHERE p_partkey < 500
+"""
+
+
+@register("rel_scalar_funcs", _SCALAR_ORACLE, doc="string/math scalar function library")
+def rel_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level scalar functions — all codegen'd JVM intrinsics; this
+    query pins their cross-engine semantics (1-based substr, %, ceil)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_uc"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        (F.col("p_size") % 7).alias("size_mod"),
+        F.ceil(F.col("p_retailprice") / 100.0).alias("price_bucket"),
+        F.when(F.col("p_size") >= 30, "large")
+        .when(F.col("p_size") >= 10, "medium")
+        .otherwise("small")
+        .alias("size_class"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# date/time function library
+# ---------------------------------------------------------------------------
+
+_DATE_ORACLE = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+       CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+       COUNT(*) AS n,
+       COUNT(DISTINCT CAST(month(o_orderdate) AS INTEGER)) AS n_months,
+       MIN(strftime(o_orderdate, '%Y-%m-%d')) AS first_day,
+       MAX(dayofweek(o_orderdate)) AS max_dow
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+@register("rel_date_funcs", _DATE_ORACLE, doc="date part extraction + grouping")
+def rel_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part grouping — at scale this is what partition columns are
+    derived from (write partitioned by (yr, qtr) → partition pruning).
+    DuckDB dayofweek is 0-6 Sunday-first; Spark dayofweek is 1-7 —
+    normalized here to the DuckDB convention."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("yr"), F.quarter("o_orderdate").alias("qtr")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(F.month("o_orderdate")).alias("n_months"),
+            F.min(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("first_day"),
+            F.max(F.dayofweek("o_orderdate") - 1).cast("long").alias("max_dow"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact percentiles
+# ---------------------------------------------------------------------------
+
+_PCTL_ORACLE = """
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+       ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("rel_percentiles", _PCTL_ORACLE, doc="exact interpolated percentiles per group")
+def rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``, both linear interpolation). At 100 TB switch to
+    ``percentile_approx`` (t-digest, mergeable) — see
+    rel_approx_aggregates."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 2).alias("p25"),
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90"),
+    )
+
+
+@register("rel_approx_aggregates", None, doc="approx_count_distinct + percentile_approx (sketches)")
+def rel_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB forms: HyperLogLog++ distinct counts and t-digest
+    percentiles — mergeable sketches, map-side combinable, bounded
+    memory. Rows-only (sketch internals differ per engine); accuracy
+    vs exact is unit-tested (tests/test_relational.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+    )
