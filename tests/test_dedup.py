@@ -8,10 +8,12 @@ from pyspark.sql import functions as F
 
 from web_attack_detection_spark.io.sources import load_table
 from web_attack_detection_spark.operators.dedup import (
+    connected_components,
     drop_exact_duplicates,
     exact_dedup,
     jaccard_pairs_exact,
     minhash_near_dup_pairs,
+    near_dup_groups,
     simhash64,
 )
 
@@ -55,6 +57,27 @@ def test_minhash_recall_against_exact(spark):
     assert exact, "fixture should contain planted near-dups at >=0.6"
     missed = exact - approx
     assert len(missed) <= max(1, len(exact) // 5), f"minhash missed too many: {missed}"
+
+
+def test_connected_components_chain_collapse(spark):
+    """A~B, B~C, D~E (A~C never emitted) → components {A,B,C} and
+    {D,E}, labeled by their min member id."""
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (3, 7)], ["id_a", "id_b"]
+    )
+    got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+    groups = {r["component"]: r["n_members"] for r in near_dup_groups(pairs).collect()}
+    assert groups == {1: 4, 10: 2}
+
+
+def test_connected_components_long_path(spark):
+    """A 12-node path graph needs multiple propagation rounds — checks
+    the iteration/convergence logic, not just one hop."""
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(11)], ["id_a", "id_b"])
+    got = connected_components(pairs).collect()
+    assert {r["component"] for r in got} == {0}
+    assert len(got) == 12
 
 
 def test_simhash_identical_docs_same_signature(spark):

@@ -12,7 +12,9 @@ from pyspark.sql import functions as F
 
 from web_attack_detection_spark.io.sources import load_table
 from web_attack_detection_spark.streaming.windows import (
+    running_user_totals,
     score_stream,
+    sessionized_event_counts,
     stream_events_from_dir,
     windowed_event_counts,
 )
@@ -91,6 +93,93 @@ def test_watermark_drops_late_rows(spark):
             q.stop()
     assert "ontime_marker" in types
     assert "late_marker" not in types
+
+
+def test_session_window_stream_matches_batch(spark):
+    """Session windows (30-min gap) computed over the stream must equal
+    the batch computation on the same data — and agree with the batch
+    sessionization count in plans/relational2.rel_sessionize."""
+    events = load_table(spark, SF_SMOKE, "events")
+    with tempfile.TemporaryDirectory() as d:
+        events.coalesce(1).write.parquet(f"{d}/in")
+        stream = stream_events_from_dir(spark, f"{d}/in")
+        agg = sessionized_event_counts(stream, gap="30 minutes")
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("sess_out")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                (r["user_id"], r["session_start"]): r["n_events"]
+                for r in spark.sql("SELECT * FROM sess_out").collect()
+            }
+        finally:
+            q.stop()
+    want = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in sessionized_event_counts(events, gap="30 minutes").collect()
+    }
+    assert got == want
+    assert len(want) > 50
+    # cross-check: per-user session COUNT equals the lag-gap batch twin
+    from web_attack_detection_spark.plans.relational2 import rel_sessionize
+
+    want_sessions = {
+        r["user_id"]: r["n_sessions"] for r in rel_sessionize(spark, SF_SMOKE).collect()
+    }
+    got_sessions: dict = {}
+    for (uid, _), _n in got.items():
+        got_sessions[uid] = got_sessions.get(uid, 0) + 1
+    assert got_sessions == want_sessions
+
+
+def test_stateful_running_totals_accumulate_across_batches(spark):
+    """applyInPandasWithState: per-user totals must carry state across
+    micro-batches — after replaying the table split into two files, the
+    LAST emitted row per user equals the whole-table aggregate."""
+    events = load_table(spark, SF_SMOKE, "events")
+    half1 = events.filter(F.col("event_id") % 2 == 0)
+    half2 = events.filter(F.col("event_id") % 2 == 1)
+
+    with tempfile.TemporaryDirectory() as d:
+        src = Path(d) / "in"
+        half1.coalesce(1).write.parquet(str(src))
+        stream = stream_events_from_dir(spark, str(src))
+        q = (
+            running_user_totals(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("state_out")
+            .option("checkpointLocation", f"{d}/ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            half2.coalesce(1).write.mode("append").parquet(str(src))
+            q.processAllAvailable()
+            rows = spark.sql("SELECT * FROM state_out").collect()
+        finally:
+            q.stop()
+
+    # memory sink in update mode appends every emission; keep the last per user
+    last: dict = {}
+    for r in rows:
+        last[r["user_id"]] = (r["n_events"], r["total_value"])
+    want = {
+        r["user_id"]: (r["n"], r["tv"])
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0), 2
+            ).alias("tv"),
+        )
+        .collect()
+    }
+    assert last == want
 
 
 def test_foreachbatch_scoring_reuses_batch_pipeline(spark):

@@ -236,6 +236,75 @@ def minhash_near_dup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# connected components (group collapse — the final stage of near-dedup)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, component) for every node in the pair graph; component =
+    the minimum node id reachable from it.
+
+    Near-dup pair lists (MinHash/SimHash/cosine) are not a dedup result
+    by themselves — A~B and B~C must collapse into ONE group {A,B,C}
+    even when A~C was never emitted. That collapse is connected
+    components; the survivor is then one doc per component.
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the min label among itself and its neighbors. This is the
+    standard scalable union-find on Spark (driver-side union-find would
+    need all edges in one process; this needs one groupBy per round).
+    Rounds = graph diameter, and near-dup components are small/dense in
+    practice, so 3-5 rounds converge. Each round is one shuffle of
+    |edges| rows; ``localCheckpoint`` truncates the lineage so the plan
+    doesn't grow exponentially across iterations (the classic iterative-
+    DataFrame trap). Convergence is detected by a changed-label count.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .unionByName(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("u").alias("id")).distinct().withColumn("lbl", F.col("id"))
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels.withColumnRenamed("id", "u"), "u")
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr, "id", "left")
+            .select("id", F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("lbl", "new_lbl")
+            .join(labels, "id")
+            .filter(F.col("new_lbl") != F.col("lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("lbl").alias("component"))
+
+
+def near_dup_groups(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Collapse a near-dup pair graph into groups: one row per
+    component with (component, n_members). The survivor of each group
+    is the component id itself (min member id — deterministic)."""
+    cc = connected_components(pairs, id_a, id_b)
+    return cc.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

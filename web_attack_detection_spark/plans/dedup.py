@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from web_attack_detection_spark.io.sources import load_table, union_by_name
 from web_attack_detection_spark.operators.dedup import (
+    connected_components,
     exact_dedup,
     jaccard_pairs_exact,
     minhash_near_dup_pairs,
@@ -97,6 +98,47 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dup_pairs(
         docs, "text", "doc_id", n=3, num_perm=32, bands=8, threshold=0.4
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# connected components over the near-dup pair graph (group collapse)
+# ---------------------------------------------------------------------------
+
+_CC_ORACLE = f"""
+WITH RECURSIVE jp AS ({_JACCARD_ORACLE}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM jp
+  UNION
+  SELECT id_b AS u, id_a AS v FROM jp
+),
+reach(src, dst) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+)
+SELECT CAST(src AS BIGINT) AS doc_id, CAST(MIN(dst) AS BIGINT) AS component
+FROM reach GROUP BY src
+"""
+
+
+@register(
+    "dedup_connected_components",
+    _CC_ORACLE,
+    doc="near-dup group collapse: connected components via min-label propagation",
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A~B, B~C must collapse to one group even though A~C was never
+    emitted — the final stage of every near-dedup pipeline. Iterative
+    min-label propagation (one shuffle per round, localCheckpoint
+    lineage truncation); oracle is a recursive CTE over the same exact-
+    Jaccard pair graph. The same operator collapses MinHash, SimHash,
+    or embedding-cosine pair lists."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs_exact(docs, "text", "doc_id", n=3, threshold=0.2)
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("id").cast("long").alias("doc_id"), F.col("component").cast("long")
+    )
 
 
 @register("dedup_simhash", None, doc="SimHash Hamming≤3 near-dup pairs")

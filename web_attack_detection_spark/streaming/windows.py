@@ -70,6 +70,92 @@ def windowed_event_counts(
     )
 
 
+def sessionized_event_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Per-user session windows: a session closes after ``gap`` of
+    inactivity (the streaming twin of plans/relational2.rel_sessionize).
+
+    ``session_window`` keeps one merging window per (user, open
+    session) — state is bounded by the number of *open* sessions, and
+    the watermark finalizes/evicts sessions whose close time has
+    passed. Works on batch DataFrames too (watermark skipped).
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+        )
+    )
+
+
+def running_user_totals(
+    events: DataFrame, timeout_minutes: int | None = None
+) -> DataFrame:
+    """Custom stateful operator: per-user RUNNING event count + value
+    sum across micro-batches via ``applyInPandasWithState``.
+
+    This is the shape built-in windowed aggs can't express: state that
+    never closes (a lifetime per-user counter), emitted once per
+    micro-batch per active user. State per user is two numbers —
+    O(|users|) total. Pass ``timeout_minutes`` to evict keys after that
+    much processing-time inactivity (the unbounded-state guard for
+    high-cardinality key spaces); note that arming a processing-time
+    timeout makes Spark schedule continuous no-data batches to fire
+    evictions, so ``processAllAvailable`` no longer returns — use it
+    with a real trigger interval, not in replay-to-completion tests.
+    Arrow-batched: each call receives ALL rows for one user in the
+    micro-batch as pandas DataFrames.
+    """
+    import pandas as pd  # local import: executors deserialize the closure
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+    evict_ms = None if timeout_minutes is None else timeout_minutes * 60 * 1000
+
+    def update(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            # integer-scaled sum: deterministic across batch orders
+            total += float((pdf["value"] * 100).round().astype("int64").sum()) / 100.0
+        state.update((n, round(total, 2)))
+        if evict_ms is not None:
+            state.setTimeoutDuration(evict_ms)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if evict_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
+    )
+
+
 def stream_events_from_dir(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream: each new parquet file in ``path`` becomes a
     micro-batch — the deterministic test transport."""
