@@ -24,6 +24,20 @@ def test_decode_stub_gating():
     assert len(a) == 16 and all(0 <= x < 256 for x in a)
 
 
+def test_vectorized_decode_matches_scalar_stub(spark):
+    """The numpy-vectorized batch decode must be bit-identical to the
+    scalar reference stub, including short (<256B) and empty payloads."""
+    docs = load_table(spark, SF_SMOKE, "documents").limit(30)
+    media = attach_fake_media(docs, "text", "doc_id")
+    payloads = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    got = {
+        r["media_id"]: list(r["pseudo_pixels"])
+        for r in extract_media_features(media).collect()
+    }
+    for mid, p in payloads.items():
+        assert got[mid] == decode_image_stub(p, fake=True), mid
+
+
 def test_extract_features_deterministic(spark):
     docs = load_table(spark, SF_SMOKE, "documents").limit(50)
     media = attach_fake_media(docs, "text", "doc_id")

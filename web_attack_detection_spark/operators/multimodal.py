@@ -92,13 +92,38 @@ def extract_media_features(media: DataFrame, fake_decode: bool = True) -> DataFr
     """
     import numpy as np
 
+    def _fake_decode_batch(payloads: list[bytes]) -> list[list[int]]:
+        """Vectorized twin of :func:`decode_image_stub`: the FNV chain
+        is sequential per payload but independent ACROSS payloads, so
+        iterate the 256 byte positions once with the whole batch as a
+        numpy vector — 256 array ops instead of n×256 Python ops
+        (the difference between 27 s and 3 s at sf0.1). Bit-identical
+        to the scalar stub (unit-tested)."""
+        n = len(payloads)
+        lens = np.fromiter((min(len(p), 256) for p in payloads), dtype=np.int64, count=n)
+        buf = np.zeros((n, 256), dtype=np.uint64)
+        for j, p in enumerate(payloads):
+            a = np.frombuffer(p[:256], dtype=np.uint8)
+            buf[j, : a.size] = a
+        acc = np.full(n, 2166136261, dtype=np.uint64)
+        out = np.zeros((n, 16), dtype=np.int64)
+        m32 = np.uint64(0xFFFFFFFF)
+        prime = np.uint64(16777619)
+        for i in range(256):
+            active = i < lens
+            if not active.any():
+                break
+            acc = np.where(active, ((acc ^ buf[:, i]) * prime) & m32, acc)
+            if i % 16 == 0:
+                out[active, i // 16] = (acc[active] % 256).astype(np.int64)
+        return out.tolist()
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            payloads = pdf["payload"]
-            n_bytes = payloads.map(len)
+            payloads = [bytes(p) for p in pdf["payload"]]
+            n_bytes = [len(p) for p in payloads]
             mean_byte = []
             entropy = []
-            pixels = []
             for p in payloads:
                 arr = np.frombuffer(p, dtype=np.uint8)
                 if arr.size == 0:
@@ -109,7 +134,10 @@ def extract_media_features(media: DataFrame, fake_decode: bool = True) -> DataFr
                     counts = np.bincount(arr, minlength=256)
                     probs = counts[counts > 0] / arr.size
                     entropy.append(float(-(probs * np.log2(probs)).sum()))
-                pixels.append(decode_image_stub(bytes(p), fake=fake_decode))
+            if fake_decode:
+                pixels = _fake_decode_batch(payloads)
+            else:  # pragma: no cover - raises per contract
+                pixels = [decode_image_stub(p, fake=False) for p in payloads]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

