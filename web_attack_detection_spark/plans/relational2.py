@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from web_attack_detection_spark.io.sources import load_table, register_views
+from web_attack_detection_spark.operators.asof import asof_join, range_join_binned
 from web_attack_detection_spark.plans.registry import (
     money_sum,
     register,
@@ -195,6 +196,83 @@ def rel_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("session_id").cast("long").alias("n_sessions"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# two-table as-of join (union-tag algorithm; oracle = DuckDB ASOF JOIN)
+# ---------------------------------------------------------------------------
+
+_ASOF_JOIN_ORACLE = """
+WITH v AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t
+  FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS t
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT v.event_id, v.user_id,
+       strftime(p.t, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       CAST((epoch_us(v.t) - epoch_us(p.t)) // 1000 AS BIGINT) AS gap_ms
+FROM v ASOF JOIN p ON v.user_id = p.user_id AND v.t >= p.t
+"""
+
+
+@register("rel_asof_join", _ASOF_JOIN_ORACLE, doc="two-table as-of join (union-tag, one shuffle)")
+def rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each 'view' event joined to the user's most recent
+    at-or-before 'purchase'. Union-tag as-of (operators/asof.py): ONE
+    shuffle of |views|+|purchases| rows, no inequality-join explosion;
+    the oracle is DuckDB's native ASOF JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    out = asof_join(views, purchases, key="user_id", left_ts="ts", right_ts="ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        ((F.unix_micros(F.col("ts")) - F.unix_micros(F.col("asof_ts"))) / F.lit(1000))
+        .cast("long")
+        .alias("gap_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# range join (binned; oracle = DuckDB inequality join / IEJoin)
+# ---------------------------------------------------------------------------
+
+_RANGE_JOIN_ORACLE = """
+SELECT a.o_orderkey, COUNT(*) AS n_near
+FROM orders a
+JOIN orders b
+  ON a.o_orderkey != b.o_orderkey
+ AND abs(epoch_us(a.o_orderdate) - epoch_us(b.o_orderdate)) <= 86400000000
+GROUP BY a.o_orderkey
+"""
+
+
+@register("rel_range_join", _RANGE_JOIN_ORACLE, doc="range join via radius-width binning")
+def rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders placed within 24 h of each other (no equi key). Binning
+    both sides into radius-width buckets turns the O(n²) nested loop
+    into a hash join on the bucket id (operators/asof.py); DuckDB's
+    IEJoin evaluates the same inequality natively for the oracle."""
+    orders = load_table(spark, sf_dir, "orders")
+    left = orders.select("o_orderkey", "o_orderdate")
+    right = orders.select(
+        F.col("o_orderkey").alias("b_orderkey"), F.col("o_orderdate").alias("b_orderdate")
+    )
+    pairs = range_join_binned(
+        left,
+        right,
+        left_ts="o_orderdate",
+        right_ts="b_orderdate",
+        radius_seconds=86400,
+        left_cols=["o_orderkey"],
+        right_cols=["b_orderkey"],
+    ).filter(F.col("o_orderkey") != F.col("b_orderkey"))
+    return pairs.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n_near"))
 
 
 # ---------------------------------------------------------------------------
