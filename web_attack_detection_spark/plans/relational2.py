@@ -354,6 +354,80 @@ def rel_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# cube (all grouping sets)
+# ---------------------------------------------------------------------------
+
+_CUBE_ORACLE = f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       COUNT(*) AS n,
+       {sql_money_sum('l_extendedprice')} AS sum_price
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("rel_cube", _CUBE_ORACLE, doc="cube: all 2^k grouping sets in one pass")
+def rel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE = all 2^k grouping sets sharing ONE shuffle (rows expand
+    ×2^k before the exchange; at 100 TB prefer rollup or explicit
+    grouping sets when the full lattice isn't needed)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money_sum(F.col("l_extendedprice")).alias("sum_price"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_price",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# moving aggregates (frame-bounded windows)
+# ---------------------------------------------------------------------------
+
+_MOVAVG_ORACLE = """
+SELECT event_id, user_id,
+       ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             / CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / 100.0, 6) AS mov_avg_3,
+       ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                     ROWS UNBOUNDED PRECEDING) / 100.0, 2) AS running_total
+FROM events
+"""
+
+
+@register("rel_moving_avg", _MOVAVG_ORACLE, doc="frame-bounded windows: moving avg + running total")
+def rel_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving 3-row average and running total per user — frame-bounded
+    windows: one shuffle on user_id, per-partition sort, single pass.
+    Integer-scaled sums keep the doubles engine-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    w3 = w.rowsBetween(-2, 0)
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    v100 = F.round(F.col("value") * 100).cast("long")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.sum(v100).over(w3) / F.count(F.lit(1)).over(w3).cast("double") / F.lit(100.0), 6
+        ).alias("mov_avg_3"),
+        F.round(F.sum(v100).over(wrun) / F.lit(100.0), 2).alias("running_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # exact percentiles
 # ---------------------------------------------------------------------------
 

@@ -157,6 +157,73 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TF-IDF (DataFrame-native; top term per document)
+# ---------------------------------------------------------------------------
+
+_TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split_regex(text, '\\s+')) AS tok FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+),
+df AS (
+  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok, tf.tf,
+         tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) AS tfidf
+  FROM tf JOIN df USING (tok) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, tok, tf, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, tok AS top_term, CAST(tf AS BIGINT) AS tf, ROUND(tfidf, 6) AS tfidf
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("text_tfidf", _TFIDF_ORACLE, doc="TF-IDF: top term per document")
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF as three aggregations: term frequency per (doc, token),
+    document frequency per token, smooth idf = ln((N+1)/(df+1))+1.
+    The df table is O(vocabulary) — broadcast onto the tf table, so
+    the corpus-sized side shuffles once (on doc_id/token for tf).
+    MLlib's HashingTF/IDF computes the same statistic with hashed
+    buckets; this form keeps exact tokens so SQL can verify it."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", r"\s+")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(F.broadcast(df), "tok").select(
+        "doc_id",
+        "tok",
+        "tf",
+        (
+            F.col("tf")
+            * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + F.lit(1.0))
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("tok").alias("top_term"),
+            F.col("tf").cast("long").alias("tf"),
+            F.round("tfidf", 6).alias("tfidf"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # document fingerprint (rolling hash)
 # ---------------------------------------------------------------------------
 
