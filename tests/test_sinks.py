@@ -1,0 +1,77 @@
+"""Sink layout semantics: partition pruning actually prunes, bucketed
+joins actually skip the shuffle, and round-trips preserve data."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import tempfile
+
+from pyspark.sql import functions as F
+
+from web_attack_detection_spark.io.sinks import (
+    read_partitioned,
+    write_bucketed,
+    write_partitioned,
+)
+from web_attack_detection_spark.io.sources import load_table
+
+from .conftest import SF_SMOKE
+
+
+def _plan(df, mode="formatted"):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_partitioned_write_prunes_on_read(spark):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    with tempfile.TemporaryDirectory() as d:
+        write_partitioned(orders, f"{d}/orders_p", ["o_orderstatus"])
+        back = read_partitioned(spark, f"{d}/orders_p")
+        # round-trip fidelity
+        assert back.count() == orders.count()
+        filtered = back.filter(F.col("o_orderstatus") == "F")
+        plan = _plan(filtered)
+        # the status filter must land in PartitionFilters (directory
+        # pruning), NOT PushedFilters (row-group skipping after I/O)
+        assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+        want = orders.filter(F.col("o_orderstatus") == "F").count()
+        assert filtered.count() == want
+
+
+def test_bucketed_join_skips_shuffle(spark):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    customer = load_table(spark, SF_SMOKE, "customer")
+    write_bucketed(orders, "t_orders_b", "o_custkey", n_buckets=4)
+    write_bucketed(
+        customer.withColumnRenamed("c_custkey", "o_custkey"), "t_cust_b", "o_custkey", n_buckets=4
+    )
+    try:
+        a = spark.table("t_orders_b")
+        b = spark.table("t_cust_b")
+        # disable broadcast so the join would otherwise shuffle both sides
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = a.join(b, "o_custkey").groupBy("c_mktsegment").count()
+            plan = _plan(joined)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # both sides pre-hashed on the bucket key: no Exchange feeds the join
+        join_section = plan.split("SortMergeJoin")[0] if "SortMergeJoin" in plan else plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange hashpartitioning(o_custkey" not in join_section
+        # correctness of the bucketed result
+        want = (
+            orders.join(
+                customer.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey"
+            )
+            .groupBy("c_mktsegment")
+            .count()
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, want.collect()))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_cust_b")

@@ -1,0 +1,60 @@
+"""Source semantics: CSV round-trip with explicit schema vs inference,
+multi-file single-scan ingest, unionByName column alignment."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from web_attack_detection_spark.io.sources import (
+    load_split,
+    load_table,
+    read_csv,
+    union_by_name,
+)
+
+from .conftest import SF_SMOKE
+
+
+def test_csv_roundtrip_explicit_schema(spark):
+    part = load_table(spark, SF_SMOKE, "part")
+    with tempfile.TemporaryDirectory() as d:
+        part.coalesce(1).write.option("header", "true").csv(f"{d}/part_csv")
+        back = read_csv(spark, f"{d}/part_csv", schema=part.schema)
+        assert back.schema == part.schema
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, part.collect()))
+
+
+def test_csv_infer_schema_flag(spark):
+    """inferSchema mirrors the reference's read
+    (/root/reference/main.py:34); numeric columns must come back
+    numeric, not string."""
+    part = load_table(spark, SF_SMOKE, "part").select("p_partkey", "p_size", "p_brand")
+    with tempfile.TemporaryDirectory() as d:
+        part.coalesce(1).write.option("header", "true").csv(f"{d}/c")
+        inferred = read_csv(spark, f"{d}/c", infer_schema=True)
+        dtypes = dict(inferred.dtypes)
+        assert dtypes["p_partkey"] in ("int", "bigint")
+        assert dtypes["p_brand"] == "string"
+        uninferred = read_csv(spark, f"{d}/c")
+        assert dict(uninferred.dtypes)["p_partkey"] == "string"
+
+
+def test_load_split_single_scan(spark):
+    """Multi-file ingest (S2): N files, ONE scan node — not N unions
+    (the reference unions per-file DataFrames, main.py:39,42)."""
+    orders = load_table(spark, SF_SMOKE, "orders")
+    with tempfile.TemporaryDirectory() as d:
+        for i, part in enumerate([orders.filter(F.col("o_orderkey") % 3 == k) for k in range(3)]):
+            part.write.parquet(f"{d}/f{i}")
+        merged = load_split(spark, [f"{d}/f{i}" for i in range(3)])
+        assert merged.count() == orders.count()
+        assert "Union" not in merged._jdf.queryExecution().executedPlan().toString()
+
+
+def test_union_by_name_handles_column_order_drift(spark):
+    a = spark.createDataFrame([(1, "x")], "id long, name string")
+    b = spark.createDataFrame([("y", 2)], "name string, id long")
+    out = union_by_name(a, b)
+    assert sorted(map(tuple, out.collect())) == [(1, "x"), (2, "y")]

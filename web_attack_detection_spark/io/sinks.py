@@ -1,0 +1,81 @@
+"""Sinks: partitioned / bucketed parquet layout (the 100 TB story).
+
+The reference's only sink is matplotlib PNGs of tiny aggregates
+(``/root/reference/utils/visualization.py:51,88,124,160``); an engine
+run at scale needs data sinks whose LAYOUT encodes the access pattern:
+
+- **partitioned writes** (`partitionBy`): one directory per partition
+  value — queries filtering on the partition column read only matching
+  directories (partition pruning: the scan's ``PartitionFilters``,
+  asserted in tests/test_sinks.py). Choose low-cardinality, always-
+  filtered columns (date, region); high-cardinality partition keys
+  create millions of tiny files.
+- **bucketed writes** (`bucketBy`): rows hash-distributed into a fixed
+  bucket count per partition. Two tables bucketed on the same key with
+  the same count join WITHOUT a shuffle (both sides already hash-
+  partitioned) — the standard trick for a fact table repeatedly joined
+  on one key. Requires ``saveAsTable`` (bucket metadata lives in the
+  catalog).
+- **repartition before write**: the file count per partition dir ==
+  upstream task count; ``repartition(n, cols)`` right-sizes files
+  (~128-1024 MB each at scale) and clusters rows for min/max row-group
+  skipping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    files_per_partition: int = 1,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet partitioned by ``partition_cols``.
+
+    The pre-write ``repartition(n, cols)`` clusters each partition
+    value's rows into ``files_per_partition`` tasks — without it every
+    upstream task writes a file into every partition dir (task_count ×
+    partition_count small files, the classic small-files failure)."""
+    (
+        df.repartition(
+            max(files_per_partition, 1) * _distinct_bound(df, partition_cols),
+            *partition_cols,
+        )
+        .write.mode(mode)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def _distinct_bound(df: DataFrame, cols: list[str], cap: int = 1024) -> int:
+    """Distinct partition-value count, capped (layout sizing only)."""
+    n = df.select(*cols).distinct().limit(cap + 1).count()
+    return min(max(n, 1), cap)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Save as a bucketed catalog table: joins/aggregations on
+    ``bucket_col`` between same-bucketed tables skip the shuffle
+    entirely (asserted in tests/test_sinks.py)."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.format("parquet").saveAsTable(table_name)
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read a partitioned layout; partition columns come back as
+    directory-derived columns and filters on them prune directories
+    before any file I/O."""
+    return spark.read.parquet(path)
