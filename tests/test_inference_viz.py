@@ -1,0 +1,84 @@
+"""Distributed inference (predict_batch_udf) correctness vs a local
+numpy reference, and the visualization sinks' fallback path."""
+
+from __future__ import annotations
+
+import tempfile
+from pathlib import Path
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from web_attack_detection_spark.io.sources import load_table
+from web_attack_detection_spark.ml.inference import batch_score
+from web_attack_detection_spark.ml.pipeline import confusion_matrix
+from web_attack_detection_spark.viz import (
+    make_run_dir,
+    plot_confusion,
+    plot_history,
+    plot_model_comparison,
+    plot_training_times,
+)
+
+from .conftest import SF_SMOKE
+
+
+def test_batch_score_matches_local_numpy(spark):
+    li = load_table(spark, SF_SMOKE, "lineitem").limit(500).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.array(
+            F.col("l_quantity").cast("double"),
+            F.col("l_discount").cast("double"),
+            F.col("l_tax").cast("double"),
+        ).alias("feats"),
+    )
+    w = [[0.4, -0.2, 0.1], [-0.3, 0.5, 0.0], [0.2, 0.1, -0.4]]
+    b = [0.05, -0.05, 0.0]
+    scored = batch_score(li, "feats", w, b)
+    rows = scored.collect()
+    assert len(rows) == 500
+    wm, bm = np.asarray(w), np.asarray(b)
+    for r in rows[:50]:
+        x = np.asarray(r["feats"])
+        logits = x @ wm + bm
+        logits -= logits.max()
+        e = np.exp(logits)
+        want = e / e.sum()
+        assert np.allclose(np.asarray(r["probabilities"]), want, atol=1e-12)
+        assert r["prediction"] == int(want.argmax())
+
+
+def test_batch_score_is_distributed_not_driver(spark):
+    """The physical plan must contain the Arrow Python eval node (the
+    scoring runs ON executors), and no collect happens before it."""
+    import contextlib
+    import io
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        F.array(F.col("l_quantity").cast("double")).alias("feats")
+    )
+    scored = batch_score(li, "feats", [[1.0, -1.0]], [0.0, 0.0])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        scored.explain("extended")
+    assert "ArrowEvalPython" in buf.getvalue()
+
+
+def test_viz_sinks_fallback_write_data(spark):
+    with tempfile.TemporaryDirectory() as d:
+        run = make_run_dir(base=d, stamp="t1")
+        assert run == Path(d) / "run_t1"
+        p1 = plot_history({"acc": [0.5, 0.7], "loss": [1.0, 0.4]}, run, "mlp")
+        p2 = plot_model_comparison({"mlp": 0.9, "cnn": 0.8}, run)
+        p3 = plot_training_times({"mlp": 12.5}, run)
+        ev = load_table(spark, SF_SMOKE, "events").select(
+            F.col("event_type").alias("label"),
+            F.when(F.col("value") >= 100, "high").otherwise("low").alias("prediction"),
+        )
+        p4 = plot_confusion(confusion_matrix(ev), run)
+        # one run dir, four artifacts, each non-empty
+        for p in (p1, p2, p3, p4):
+            assert p.parent == run
+            assert p.stat().st_size > 0
+        assert len(list(run.iterdir())) == 4

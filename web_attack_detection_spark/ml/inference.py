@@ -1,0 +1,78 @@
+"""Distributed batch inference — the seam where the reference's Keras
+models (M2-M4) plug in WITHOUT the driver collect.
+
+The reference scores by copying the whole DataFrame to the driver and
+calling ``model.predict`` in-process
+(``/root/reference/models/mlp_model.py:94-100`` + 3 clones). The
+scale-correct shape is ``pyspark.ml.functions.predict_batch_udf``: the
+model loads ONCE per Python worker (not per row, not per batch), rows
+stream through as numpy batches via Arrow, and the cluster scores in
+parallel with zero driver involvement.
+
+TensorFlow isn't in this image, so the demonstration model is a
+deterministic numpy affine+softmax classifier — the exact calling
+convention a Keras ``model.predict`` has (2-D float batch in, 2-D
+probability batch out). Swapping in a real model changes
+``make_predict_fn``'s body only: load the saved model there, return
+``model.predict``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.ml.functions import predict_batch_udf
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType
+
+
+def linear_softmax_scorer(
+    weights: list[list[float]], bias: list[float]
+):
+    """Build a ``predict_batch_udf`` for an affine+softmax model.
+
+    ``weights`` is (n_features × n_classes), ``bias`` (n_classes,) —
+    tiny, shipped to workers inside the serialized closure (a real DL
+    model would instead be loaded from storage inside
+    ``make_predict_fn``, keeping the closure small)."""
+    w = np.asarray(weights, dtype=np.float64)
+    b = np.asarray(bias, dtype=np.float64)
+
+    def make_predict_fn():
+        # runs once per Python worker: the place to load a saved model
+        def predict(batch: np.ndarray) -> np.ndarray:
+            logits = batch @ w + b
+            logits -= logits.max(axis=1, keepdims=True)  # stable softmax
+            e = np.exp(logits)
+            return e / e.sum(axis=1, keepdims=True)
+
+        return predict
+
+    return predict_batch_udf(
+        make_predict_fn,
+        return_type=ArrayType(DoubleType()),
+        batch_size=1024,
+        input_tensor_shapes=[[w.shape[0]]],
+    )
+
+
+def batch_score(
+    df: DataFrame,
+    array_col: str,
+    weights: list[list[float]],
+    bias: list[float],
+    prob_col: str = "probabilities",
+    pred_col: str = "prediction",
+) -> DataFrame:
+    """Score rows with the distributed scorer: adds a probability
+    vector and an argmax prediction. The scan → Arrow batch → numpy →
+    Arrow path never touches the driver."""
+    scorer = linear_softmax_scorer(weights, bias)
+    scored = df.withColumn(prob_col, scorer(F.col(array_col).cast("array<double>")))
+    return scored.withColumn(
+        pred_col,
+        F.array_position(
+            F.col(prob_col), F.array_max(F.col(prob_col))
+        ).cast("int")
+        - 1,
+    )
