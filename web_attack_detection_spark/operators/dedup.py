@@ -277,18 +277,20 @@ def connected_components(
             .groupBy(F.col("v").alias("id"))
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
+        # carry a per-row changed flag so convergence detection is one
+        # tiny aggregate over the already-checkpointed frame — no extra
+        # join against the previous labels each round
         new_labels = (
             labels.join(nbr, "id", "left")
-            .select("id", F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl"))
+            .select(
+                "id",
+                F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("new_lbl"),
+                (F.coalesce("nbr_lbl", "lbl") < F.col("lbl")).cast("int").alias("__chg"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.withColumnRenamed("lbl", "new_lbl")
-            .join(labels, "id")
-            .filter(F.col("new_lbl") != F.col("lbl"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.agg(F.sum("__chg")).first()[0] or 0
+        labels = new_labels.select("id", F.col("new_lbl").alias("lbl"))
         if changed == 0:
             break
     return labels.select("id", F.col("lbl").alias("component"))
