@@ -1,0 +1,117 @@
+"""Property-based operator invariants (SURVEY.md §5 item 4).
+
+Hypothesis drives the *data*; each property is checked with one Spark
+job over a generated micro-table. Spark-session startup dominates, so
+examples are capped low — the point is adversarial value coverage
+(NaN-free floats, duplicates, empty-ish strings), not volume.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from web_attack_detection_spark.functions.feature import (
+    apply_imputer,
+    apply_scaler,
+    fit_imputer_mean,
+    fit_scaler,
+    fit_string_indexer,
+)
+from web_attack_detection_spark.io.sources import union_by_name
+from web_attack_detection_spark.operators.dedup import exact_dedup
+
+_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+finite = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+maybe_null = st.one_of(st.none(), finite)
+
+
+@given(vals=st.lists(maybe_null, min_size=2, max_size=40))
+@_SETTINGS
+def test_imputer_fills_all_nulls_preserves_nonnulls(spark, vals):
+    if all(v is None for v in vals):
+        return
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id long, x double")
+    means = fit_imputer_mean(df, ["x"])
+    out = apply_imputer(df, means).collect()
+    assert all(r["x"] is not None for r in out)
+    by_id = {r["id"]: r["x"] for r in out}
+    nonnull = [v for v in vals if v is not None]
+    mean = sum(nonnull) / len(nonnull)
+    for i, v in enumerate(vals):
+        if v is not None:
+            assert by_id[i] == v  # preserved bit-exactly
+        else:
+            assert math.isclose(by_id[i], mean, rel_tol=1e-9)
+
+
+@given(vals=st.lists(finite, min_size=3, max_size=40, unique=True))
+@_SETTINGS
+def test_scaler_output_unit_sample_stddev(spark, vals):
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id long, x double")
+    stats = fit_scaler(df, ["x"])
+    out = [r["x_scaled"] for r in apply_scaler(df, stats).collect()]
+    n = len(out)
+    m = sum(out) / n
+    var = sum((v - m) ** 2 for v in out) / (n - 1)
+    # unique finite values → nonzero stddev → scaled sample stddev == 1
+    assert math.isclose(math.sqrt(var), 1.0, rel_tol=1e-6)
+
+
+@given(
+    a=st.lists(st.integers(0, 100), min_size=0, max_size=30),
+    b=st.lists(st.integers(0, 100), min_size=0, max_size=30),
+)
+@_SETTINGS
+def test_union_row_count_additive(spark, a, b):
+    da = spark.createDataFrame([(v,) for v in a], "x int") if a else spark.createDataFrame([], "x int")
+    db = spark.createDataFrame([(v,) for v in b], "x int") if b else spark.createDataFrame([], "x int")
+    assert union_by_name(da, db).count() == len(a) + len(b)
+
+
+@given(vals=st.lists(st.text(alphabet="abc", min_size=0, max_size=3), min_size=1, max_size=40))
+@_SETTINGS
+def test_string_indexer_is_dense_permutation(spark, vals):
+    """Indices are exactly 0..k-1 (dense), ordered by frequency desc
+    then value asc — for ANY value distribution."""
+    df = spark.createDataFrame([(v,) for v in vals], "c string")
+    model = fit_string_indexer(df, "c").collect()
+    idxs = sorted(r["idx"] for r in model)
+    assert idxs == [float(i) for i in range(len(set(vals)))]
+    from collections import Counter
+
+    counts = Counter(vals)
+    want = sorted(counts, key=lambda v: (-counts[v], v))
+    got = [r["value"] for r in sorted(model, key=lambda r: r["idx"])]
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1 << 40), st.sampled_from(["k1", "k2", "k3"])),
+        min_size=1,
+        max_size=40,
+    )
+)
+@_SETTINGS
+def test_exact_dedup_min_survivor_and_count(spark, rows):
+    df = spark.createDataFrame(rows, "id long, key string")
+    out = exact_dedup(df, ["key"], "id", with_counts=True).collect()
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for i, k in rows:
+        groups[k].append(i)
+    assert {r["key"]: (r["id"], r["n_copies"]) for r in out} == {
+        k: (min(ids), len(ids)) for k, ids in groups.items()
+    }
