@@ -31,3 +31,7 @@ try:
     from web_attack_detection_spark.plans import multimodal  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
+try:
+    from web_attack_detection_spark.plans import streamq  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass

@@ -1,0 +1,114 @@
+"""Streaming queries in the oracle-checked registry.
+
+Each query replays the ``events`` fixture through a real Structured
+Streaming file source (micro-batched), runs the SAME aggregation the
+batch path uses, and returns the final result table. Because
+stream-replay == batch on identical input (exactly-once, watermark
+never exceeded on ordered replay), the DuckDB twin is plain batch SQL
+— the streaming execution path itself is what's under test.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from web_attack_detection_spark.io.sources import load_table
+from web_attack_detection_spark.plans.registry import register, sql_money_sum
+from web_attack_detection_spark.streaming.windows import (
+    sessionized_event_counts,
+    stream_events_from_dir,
+    windowed_event_counts,
+)
+
+
+def _replay(spark: SparkSession, sf_dir: str, agg_fn) -> DataFrame:
+    """Replay events through the file-source stream, run ``agg_fn`` on
+    the streaming DataFrame, collect via a memory sink (complete
+    mode), return the result as a batch DataFrame."""
+    name = f"streamq_{uuid.uuid4().hex[:8]}"
+    d = tempfile.mkdtemp(prefix="streamq_")
+    load_table(spark, sf_dir, "events").coalesce(4).write.mode("overwrite").parquet(
+        f"{d}/in"
+    )
+    q = (
+        agg_fn(stream_events_from_dir(spark, f"{d}/in"))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # materialize before the memory sink table goes away
+    return spark.createDataFrame(
+        spark.table(name).collect(), spark.table(name).schema
+    )
+
+
+_STREAM_HOURLY_ORACLE = f"""
+SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       {sql_money_sum('value')} AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "stream_windowed_counts",
+    _STREAM_HOURLY_ORACLE,
+    doc="Structured Streaming tumbling-window agg, oracle-checked vs batch SQL",
+)
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The S3 path realized end-to-end: file-source micro-batches →
+    watermarked 1h tumbling windows → memory sink; result must equal
+    the batch SQL exactly (same integer-scaled sums). Kafka swaps in
+    via streaming/windows.stream_events_from_kafka without touching
+    the aggregation."""
+    return _replay(
+        spark, sf_dir, lambda s: windowed_event_counts(s, "1 hour", "30 minutes")
+    )
+
+
+_STREAM_SESSION_ORACLE = """
+WITH gaps AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS t,
+         CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                   - epoch_us(LAG(CAST(ts AS TIMESTAMP)) OVER w) > 1800000000
+              OR LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+)
+SELECT user_id,
+       CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM gaps
+GROUP BY user_id
+"""
+
+
+@register(
+    "stream_session_windows",
+    _STREAM_SESSION_ORACLE,
+    doc="Structured Streaming session windows, oracle-checked vs lag-gap SQL",
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``session_window`` (30-min gap) on the stream, rolled up to
+    per-user session/event counts; the oracle derives the identical
+    sessionization with the batch lag-gap + running-sum formulation —
+    two totally different mechanisms, same answer."""
+    sessions = _replay(
+        spark, sf_dir, lambda s: sessionized_event_counts(s, "30 minutes")
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+    )
