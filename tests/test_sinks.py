@@ -10,6 +10,7 @@ import tempfile
 from pyspark.sql import functions as F
 
 from web_attack_detection_spark.io.sinks import (
+    overwrite_partitions,
     read_partitioned,
     write_bucketed,
     write_partitioned,
@@ -40,6 +41,31 @@ def test_partitioned_write_prunes_on_read(spark):
         assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
         want = orders.filter(F.col("o_orderstatus") == "F").count()
         assert filtered.count() == want
+
+
+def test_dynamic_partition_overwrite_touches_only_written_partitions(spark):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/orders_dyn"
+        write_partitioned(orders, path, ["o_orderstatus"])
+        before = read_partitioned(spark, path)
+        # "backfill" partition F with doubled prices; O and P untouched
+        patch = orders.filter(F.col("o_orderstatus") == "F").withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        )
+        overwrite_partitions(patch, path, ["o_orderstatus"])
+        after = read_partitioned(spark, path)
+        assert after.count() == before.count()
+        f_sum_before = (
+            orders.filter(F.col("o_orderstatus") == "F").agg(F.sum("o_totalprice")).first()[0]
+        )
+        f_sum_after = (
+            after.filter(F.col("o_orderstatus") == "F").agg(F.sum("o_totalprice")).first()[0]
+        )
+        assert abs(f_sum_after - 2 * f_sum_before) < 1e-6
+        o_before = orders.filter(F.col("o_orderstatus") == "O").agg(F.sum("o_totalprice")).first()[0]
+        o_after = after.filter(F.col("o_orderstatus") == "O").agg(F.sum("o_totalprice")).first()[0]
+        assert o_before == o_after  # untouched partition bit-identical
 
 
 def test_bucketed_join_skips_shuffle(spark):

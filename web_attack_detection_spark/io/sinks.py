@@ -74,6 +74,26 @@ def write_bucketed(
     writer.format("parquet").saveAsTable(table_name)
 
 
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Dynamic partition overwrite — the incremental-backfill pattern:
+    rewrite ONLY the partition directories present in ``df`` (e.g.
+    today's date partition), leaving every other partition untouched.
+    Static overwrite mode (the default) would delete the whole root;
+    at a 100 TB table that difference is the whole job."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # existing readers cache the file listing; drop it so they see the
+    # replaced files instead of FAILED_READ_FILE on the deleted ones
+    spark.catalog.refreshByPath(path)
+
+
 def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     """Read a partitioned layout; partition columns come back as
     directory-derived columns and filters on them prune directories
