@@ -48,14 +48,17 @@ def test_dynamic_partition_overwrite_touches_only_written_partitions(spark):
     with tempfile.TemporaryDirectory() as d:
         path = f"{d}/orders_dyn"
         write_partitioned(orders, path, ["o_orderstatus"])
-        before = read_partitioned(spark, path)
+        # materialize the pre-image count NOW: a DataFrame created
+        # before an in-place overwrite pins the old file listing and
+        # must not be reused afterwards
+        before_count = read_partitioned(spark, path).count()
         # "backfill" partition F with doubled prices; O and P untouched
         patch = orders.filter(F.col("o_orderstatus") == "F").withColumn(
             "o_totalprice", F.col("o_totalprice") * 2
         )
         overwrite_partitions(patch, path, ["o_orderstatus"])
         after = read_partitioned(spark, path)
-        assert after.count() == before.count()
+        assert after.count() == before_count
         f_sum_before = (
             orders.filter(F.col("o_orderstatus") == "F").agg(F.sum("o_totalprice")).first()[0]
         )
