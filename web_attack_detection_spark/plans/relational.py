@@ -191,6 +191,87 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q6_forecast_revenue — TPC-H Q6 shape: pure range-filter aggregation
+# ---------------------------------------------------------------------------
+
+_Q6_ORACLE = f"""
+SELECT {sql_money_sum('l_extendedprice * l_discount', 10000, 4)} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("q6_forecast_revenue", _Q6_ORACLE, doc="TPC-H Q6: range filters + global agg")
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four range predicates push to the parquet scan (row-group
+    min/max skipping); the aggregation reduces to one partial-agg per
+    partition + a single-row final merge — the cheapest possible plan
+    shape at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            money_sum(F.col("l_extendedprice") * F.col("l_discount"), 10000, 4).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q10_returned_revenue — TPC-H Q10 shape: join + agg + top-20
+# ---------------------------------------------------------------------------
+
+_Q10_ORACLE = f"""
+SELECT c_custkey, c_name, n_name,
+       {sql_money_sum('l_extendedprice * (1 - l_discount)', 10000, 4)} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+@register("q10_returned_revenue", _Q10_ORACLE, doc="TPC-H Q10: returned-item revenue top-20")
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem filtered on the scan, one fact-fact shuffle with
+    orders, customer+nation broadcast, TakeOrderedAndProject top-20
+    (per-partition heaps — no global sort)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            money_sum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), 10000, 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
 # rel_filter_project — pushdown exemplar (row-level output)
 # ---------------------------------------------------------------------------
 
