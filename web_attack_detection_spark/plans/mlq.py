@@ -97,6 +97,33 @@ def ml_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+@register("ml_logreg_train_eval", None, doc="MLlib multinomial logistic regression train/eval")
+def ml_logreg_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial logistic regression on the same split as the MLP —
+    the convex baseline every model comparison needs (distributed
+    L-BFGS, seeded init is deterministic). Rows-only (one row:
+    accuracy, n_train, n_test)."""
+    from pyspark.ml.classification import LogisticRegression
+
+    from web_attack_detection_spark.functions.feature import fit_feature_pipeline
+    from web_attack_detection_spark.ml.pipeline import accuracy, to_vector
+
+    events = load_table(spark, sf_dir, "events").drop("props", "ts")
+    train = events.filter(F.col("event_id") % 4 != 1)
+    test = events.filter(F.col("event_id") % 4 == 1)
+    fp = fit_feature_pipeline(train, label_col="event_type")
+    tr = to_vector(fp.transform(train).select("features", "label"), "features", "fv")
+    te = to_vector(fp.transform(test).select("features", "label"), "features", "fv")
+    lr = LogisticRegression(
+        featuresCol="fv", labelCol="label", maxIter=30, regParam=0.01, family="multinomial"
+    )
+    model = lr.fit(tr)
+    acc = accuracy(model.transform(te)).first()["accuracy"]
+    return spark.createDataFrame(
+        [(float(acc), tr.count(), te.count())], "accuracy double, n_train long, n_test long"
+    )
+
+
 @register("ml_mlp_train_eval", None, doc="MLlib MLP train on events features, eval accuracy")
 def ml_mlp_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end M1: feature pipeline → MLP(16,8) → accuracy on the

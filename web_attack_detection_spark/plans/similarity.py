@@ -96,6 +96,59 @@ def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs(emb, threshold=0.45)
 
 
+_CENTROID_ORACLE = """
+WITH elems AS (
+  SELECT label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)
+),
+sums AS (
+  SELECT label, pos,
+         SUM(CAST(ROUND(v * 1000000) AS BIGINT)) AS s,
+         COUNT(*) AS n
+  FROM elems GROUP BY label, pos
+)
+SELECT label,
+       CAST(MIN(n) AS BIGINT) AS n_vectors,
+       list(ROUND(s / CAST(n AS DOUBLE) / 1000000.0, 6) ORDER BY pos) AS centroid
+FROM sums GROUP BY label
+"""
+
+
+@register("sim_label_centroids", _CENTROID_ORACLE, doc="per-label embedding centroid (element-wise mean)")
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean vector per label — the aggregation primitive
+    behind k-means/IVF refinement and class prototypes. posexplode →
+    groupBy(label, pos) (ONE shuffle, map-side partial sums of
+    integer-scaled elements for engine-exact determinism) → re-assemble
+    ordered arrays. At 100 TB the shuffle carries |labels|×dim partial
+    sums per partition — independent of corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "e")
+    ).select("label", "pos", F.round(F.col("e").cast("double") * 1_000_000).cast("long").alias("v"))
+    sums = elems.groupBy("label", "pos").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    per_dim = sums.select(
+        "label",
+        "pos",
+        "n",
+        F.round(F.col("s") / F.col("n").cast("double") / F.lit(1_000_000.0), 6).alias("m"),
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.min("n").cast("long").alias("n_vectors"),
+            F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"),
+        )
+        .select(
+            "label",
+            "n_vectors",
+            F.transform(F.col("pm"), lambda x: x["m"]).alias("centroid"),
+        )
+    )
+
+
 @register("sim_ivf_topk", None, doc="IVF-bucketed approximate top-k (scale path)")
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: 16 cells, probe 4 — scans ~1/4 of the corpus per query.
