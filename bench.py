@@ -39,6 +39,15 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, SF_DIR, t).count()
 
+    # warm the Python worker pool too: otherwise the first Arrow-path
+    # query (mapInPandas / pandas_udf) pays worker-spawn cost in its
+    # recorded time
+    import pandas as _pd
+
+    spark.range(64).mapInPandas(
+        lambda it: ( _pd.DataFrame({"id": pdf["id"]}) for pdf in it ), "id long"
+    ).count()
+
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):
         fn = QUERIES[name].fn
