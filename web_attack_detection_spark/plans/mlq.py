@@ -97,6 +97,31 @@ def ml_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+@register("ml_kmeans_clusters", None, doc="MLlib KMeans over embeddings (seeded)")
+def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means over the embedding corpus (k=8, fixed seed+init steps →
+    deterministic): per-cluster size and within-cluster cost. The
+    distributed Lloyd iteration is MLlib's — assignment is a broadcast
+    of k centroids against one corpus scan per iteration, the exact
+    shape hand-rolled in operators/similarity.ivf_assign. Rows-only
+    (centroid floats are iteration-order-dependent across engines)."""
+    from pyspark.ml.clustering import KMeans
+
+    from web_attack_detection_spark.ml.pipeline import to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    vdf = to_vector(emb, "e", "fv")
+    model = KMeans(k=8, seed=42, maxIter=10, featuresCol="fv", predictionCol="cluster").fit(vdf)
+    return (
+        model.transform(vdf)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("cluster")
+    )
+
+
 @register("ml_logreg_train_eval", None, doc="MLlib multinomial logistic regression train/eval")
 def ml_logreg_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial logistic regression on the same split as the MLP —
