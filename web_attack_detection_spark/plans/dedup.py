@@ -141,6 +141,53 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# end-to-end dedup: pairs → components → surviving corpus
+# ---------------------------------------------------------------------------
+
+_SURVIVORS_ORACLE = f"""
+WITH RECURSIVE jp AS ({_JACCARD_ORACLE}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM jp
+  UNION
+  SELECT id_b AS u, id_a AS v FROM jp
+),
+reach(src, dst) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+),
+cc AS (SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src),
+dropped AS (SELECT doc_id FROM cc WHERE doc_id != component)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
+
+
+@register(
+    "dedup_pipeline_survivors",
+    _SURVIVORS_ORACLE,
+    doc="end-to-end near-dedup: pair graph → components → surviving corpus",
+)
+def dedup_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data dedup pipeline in one query: exact
+    Jaccard pair graph → connected components → keep the min-id doc of
+    each near-dup group plus every unpaired doc. The final keep-step is
+    a broadcast LEFT ANTI join of the (tiny) dropped-id set against the
+    corpus — the corpus never shuffles. Swapping the pair stage for
+    MinHash/SimHash/cosine changes nothing downstream."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs_exact(docs, "text", "doc_id", n=3, threshold=0.2)
+    cc = connected_components(pairs)
+    dropped = cc.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    return docs.join(F.broadcast(dropped), "doc_id", "left_anti").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 @register("dedup_simhash", None, doc="SimHash Hamming≤3 near-dup pairs")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash with pigeonhole banding; verify via bit_count(xor).

@@ -495,6 +495,130 @@ def rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# quantile discretization (ntile) — QuantileDiscretizer's window twin
+# ---------------------------------------------------------------------------
+
+_NTILE_ORACLE = """
+WITH b AS (
+  SELECT c_custkey, NTILE(4) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS bucket
+  FROM customer
+)
+SELECT CAST(bucket AS INTEGER) AS bucket, COUNT(*) AS n,
+       CAST(MIN(c_custkey) AS BIGINT) AS min_key
+FROM b GROUP BY bucket
+"""
+
+
+@register("rel_ntile_buckets", _NTILE_ORACLE, doc="NTILE quantile bucketing (QuantileDiscretizer twin)")
+def rel_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency bucketing via NTILE — the exact form of Spark
+    ML's QuantileDiscretizer (which approximates with percentile
+    sketches at scale; this window twin is the oracle-checkable
+    contract). Global NTILE implies a single-partition sort — at
+    100 TB use percentile_approx cut-points instead (the sketch path
+    in rel_approx_aggregates)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return (
+        c.select("c_custkey", F.ntile(4).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("c_custkey").alias("min_key"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# min_by / max_by argmin-argmax aggregates
+# ---------------------------------------------------------------------------
+
+_MINBY_ORACLE = """
+SELECT o_orderstatus,
+       CAST(min_by(o_orderkey, o_totalprice) AS BIGINT) AS cheapest_order,
+       CAST(max_by(o_orderkey, o_totalprice) AS BIGINT) AS priciest_order,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("rel_min_max_by", _MINBY_ORACLE, doc="argmin/argmax per group (min_by/max_by)")
+def rel_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin/argmax without a self-join or window: one aggregation
+    carrying (value, key) pairs with map-side combine. The fixture's
+    o_totalprice values are distinct per group, so the argmin is
+    well-defined across engines."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+            F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# correlation from exact integer sums (engine-identical statistics)
+# ---------------------------------------------------------------------------
+
+_CORR_ORACLE = """
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sx,
+         SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS sy,
+         CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT) * CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS sxy,
+         CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT) * CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sxx,
+         CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT) * CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       ROUND(
+         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+            * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS corr_qty_disc
+FROM s
+"""
+
+
+@register("rel_correlation", _CORR_ORACLE, doc="Pearson correlation from exact integer sums")
+def rel_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson r per group computed from exact integer co-moments —
+    NOT the built-in ``corr`` (whose one-pass update order differs per
+    engine and partition count). The five sums are plain longs with
+    map-side combine; the float math happens once per group in a fixed
+    textual order, so results are bit-identical anywhere. Columns are
+    chosen so scaled co-moments fit int64 (quantity ≤ 5000, discount
+    ≤ 10 after ×100); for wider values switch the sums to
+    decimal(38,0) — same pattern, exact either way."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity") * 100).cast("long")
+    y = F.round(F.col("l_discount") * 100).cast("long")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    return s.select(
+        "l_returnflag",
+        F.round(
+            (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+            / (
+                F.sqrt(nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+                * F.sqrt(nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+            ),
+            6,
+        ).alias("corr_qty_disc"),
+    )
+
+
 @register("rel_approx_aggregates", None, doc="approx_count_distinct + percentile_approx (sketches)")
 def rel_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB forms: HyperLogLog++ distinct counts and t-digest
