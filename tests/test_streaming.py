@@ -16,6 +16,7 @@ from web_attack_detection_spark.streaming.windows import (
     score_stream,
     sessionized_event_counts,
     stream_events_from_dir,
+    view_purchase_stream_join,
     windowed_event_counts,
 )
 
@@ -180,6 +181,40 @@ def test_stateful_running_totals_accumulate_across_batches(spark):
         .collect()
     }
     assert last == want
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """Stream-stream attribution join (views ⋈ purchases within 1 h)
+    replayed through two file sources must equal the same join run in
+    batch on the same data."""
+    events = load_table(spark, SF_SMOKE, "events")
+    views_b = events.filter(F.col("event_type") == "view")
+    purch_b = events.filter(F.col("event_type") == "purchase")
+    want = sorted(
+        map(tuple, view_purchase_stream_join(views_b, purch_b).collect())
+    )
+    assert len(want) > 0
+
+    with tempfile.TemporaryDirectory() as d:
+        views_b.coalesce(2).write.parquet(f"{d}/v")
+        purch_b.coalesce(2).write.parquet(f"{d}/p")
+        joined = view_purchase_stream_join(
+            stream_events_from_dir(spark, f"{d}/v"),
+            stream_events_from_dir(spark, f"{d}/p"),
+        )
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("ssj_out")
+            .option("checkpointLocation", f"{d}/ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = sorted(map(tuple, spark.sql("SELECT * FROM ssj_out").collect()))
+        finally:
+            q.stop()
+    assert got == want
 
 
 def test_foreachbatch_scoring_reuses_batch_pipeline(spark):

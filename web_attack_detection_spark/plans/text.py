@@ -224,6 +224,70 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# fuzzy matching (edit distance)
+# ---------------------------------------------------------------------------
+
+_FUZZY_ORACLE = """
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+FROM part a
+JOIN part b ON a.p_partkey < b.p_partkey
+WHERE a.p_partkey < 150 AND b.p_partkey < 150
+  AND levenshtein(a.p_name, b.p_name) <= 10
+"""
+
+
+@register("text_fuzzy_match", _FUZZY_ORACLE, doc="edit-distance fuzzy pairs (levenshtein)")
+def text_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical name pairs by Levenshtein distance — the fuzzy
+    record-matching primitive (both engines use unit-cost edit
+    distance). All-pairs form for the oracle; at 100 TB block first
+    (sorted-neighborhood on a prefix key or length bucket) so the
+    quadratic compare runs only inside small blocks."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 150).select(
+        "p_partkey", "p_name"
+    )
+    a = p.select(F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"))
+    b = p.select(F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 10)
+        .select("key_a", "key_b", "dist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# regexp extraction
+# ---------------------------------------------------------------------------
+
+_REGEX_ORACLE = """
+SELECT COALESCE(regexp_extract(p_name, '^(\\w+)', 1), '') AS name_head,
+       COUNT(*) AS n,
+       CAST(COUNT(DISTINCT p_brand) AS BIGINT) AS n_brands
+FROM part
+GROUP BY 1
+"""
+
+
+@register("text_regexp_extract", _REGEX_ORACLE, doc="regexp group extraction + aggregation")
+def text_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex group capture as a grouping key — JVM-side (codegen'd
+    java.util.regex), one scan. Spark returns '' for no-match where
+    DuckDB returns NULL; the oracle COALESCEs to pin that boundary."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(F.regexp_extract("p_name", r"^(\w+)", 1).alias("name_head"), "p_brand")
+        .groupBy("name_head")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("p_brand").alias("n_brands"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # document fingerprint (rolling hash)
 # ---------------------------------------------------------------------------
 

@@ -156,6 +156,45 @@ def running_user_totals(
     )
 
 
+def view_purchase_stream_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each view matched to the same user's
+    purchases within ``within`` AFTER the view (attribution join).
+
+    Both sides are watermarked and the join condition bounds event time
+    on both sides — that's what lets Spark EVICT buffered state: a view
+    older than watermark+within can never match a future purchase and
+    is dropped. An unbounded stream-stream join (no time bound) buffers
+    forever — the canonical streaming OOM. Works identically on batch
+    DataFrames (watermarks no-op) for oracle/back-test parity.
+    """
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    if views.isStreaming:
+        v = v.withWatermark("v_ts", watermark)
+    if purchases.isStreaming:
+        p = p.withWatermark("p_ts", watermark)
+    return v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {within}")),
+        "inner",
+    ).select("view_id", "purchase_id", F.col("v_user").alias("user_id"))
+
+
 def stream_events_from_dir(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream: each new parquet file in ``path`` becomes a
     micro-batch — the deterministic test transport."""
