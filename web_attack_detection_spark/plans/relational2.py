@@ -496,6 +496,52 @@ def rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# deterministic stratified sampling (training-data pipelines)
+# ---------------------------------------------------------------------------
+
+_STRAT_ORACLE = """
+WITH hashed AS (
+  SELECT event_id, event_type,
+         (event_id * 2654435761) % 4294967296 AS h
+  FROM events
+),
+ranked AS (
+  SELECT event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h, event_id) AS rn
+  FROM hashed
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(SUM(event_id) AS BIGINT) AS id_checksum
+FROM ranked WHERE rn <= 50
+GROUP BY event_type
+"""
+
+
+@register("rel_stratified_sample", _STRAT_ORACLE, doc="deterministic stratified sample (k per class)")
+def rel_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-k-per-class sampling with a PORTABLE pseudo-random order:
+    Knuth multiplicative hash of the row id (exact integer arithmetic —
+    identical in any engine, unlike rand(seed) whose generator is
+    engine-private, or ``sampleBy`` whose Bernoulli draw is
+    partition-order-dependent). Deterministic sampling matters in
+    training pipelines: re-runs, retries, and engine migrations must
+    select the SAME examples. One shuffle on the class key."""
+    ev = load_table(spark, sf_dir, "events")
+    h = (F.col("event_id") * F.lit(2654435761)) % F.lit(4294967296)
+    w = Window.partitionBy("event_type").orderBy(h.asc(), F.col("event_id").asc())
+    return (
+        ev.select("event_id", "event_type")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("event_id").alias("id_checksum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # quantile discretization (ntile) — QuantileDiscretizer's window twin
 # ---------------------------------------------------------------------------
 
