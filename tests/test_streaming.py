@@ -217,6 +217,36 @@ def test_stream_stream_join_matches_batch(spark):
     assert got == want
 
 
+def test_stream_static_enrichment_join(spark):
+    """Stream-static join: each micro-batch broadcast-joins the static
+    dimension (no stream state at all) — the standard enrichment
+    pattern. Result must equal the batch join."""
+    events = load_table(spark, SF_SMOKE, "events")
+    dim = (
+        events.select("user_id").distinct()
+        .withColumn("tier", F.when(F.col("user_id") % 3 == 0, "gold").otherwise("std"))
+    )
+    want = sorted(
+        map(tuple, events.join(dim, "user_id").select("event_id", "tier").collect())
+    )
+    with tempfile.TemporaryDirectory() as d:
+        events.coalesce(2).write.parquet(f"{d}/in")
+        stream = stream_events_from_dir(spark, f"{d}/in")
+        enriched = stream.join(F.broadcast(dim), "user_id").select("event_id", "tier")
+        q = (
+            enriched.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("enrich_out")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = sorted(map(tuple, spark.sql("SELECT * FROM enrich_out").collect()))
+        finally:
+            q.stop()
+    assert got == want
+
+
 def test_foreachbatch_scoring_reuses_batch_pipeline(spark):
     """Fit the feature pipeline in batch, score the stream via
     foreachBatch with the SAME transform — predictions must match the

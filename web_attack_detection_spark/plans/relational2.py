@@ -394,6 +394,75 @@ def rel_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ranking window-function battery
+# ---------------------------------------------------------------------------
+
+_WINDOW_FUNCS_ORACLE = """
+SELECT s_suppkey,
+       s_nationkey,
+       CAST(RANK() OVER w AS INTEGER) AS rnk,
+       CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk,
+       ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
+       ROUND(CUME_DIST() OVER w, 6) AS cd,
+       CAST(FIRST_VALUE(s_suppkey) OVER w AS BIGINT) AS top_supp,
+       CAST(LEAD(s_suppkey, 1, -1) OVER w AS BIGINT) AS next_supp
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey ASC)
+"""
+
+
+@register("rel_window_funcs", _WINDOW_FUNCS_ORACLE, doc="rank/dense_rank/percent_rank/cume_dist/first_value/lead")
+def rel_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking-function battery over one window spec — Spark
+    evaluates all six in a single Window physical operator (one shuffle
+    on the partition key, one sort), not six."""
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey").asc()
+    )
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.first("s_suppkey").over(w).alias("top_supp"),
+        F.lead("s_suppkey", 1, -1).over(w).alias("next_supp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# array function battery
+# ---------------------------------------------------------------------------
+
+_ARRAY_FUNCS_ORACLE = """
+SELECT o_orderstatus,
+       array_agg(DISTINCT o_orderpriority ORDER BY o_orderpriority) AS priorities,
+       CAST(len(array_agg(DISTINCT o_orderpriority ORDER BY o_orderpriority)) AS INTEGER) AS n_priorities,
+       array_agg(DISTINCT o_orderpriority ORDER BY o_orderpriority)[1] AS first_priority,
+       CAST(list_contains(array_agg(DISTINCT o_orderpriority ORDER BY o_orderpriority), '1-URGENT') AS BOOLEAN) AS has_urgent
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("rel_array_funcs", _ARRAY_FUNCS_ORACLE, doc="collect_set/sort_array/element_at/array_contains")
+def rel_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array construction + manipulation: ``collect_set`` is order-
+    nondeterministic by itself (shuffle order!) — ALWAYS ``sort_array``
+    before comparing, persisting, or hashing collected arrays."""
+    o = load_table(spark, sf_dir, "orders")
+    arr = F.sort_array(F.collect_set("o_orderpriority"))
+    return o.groupBy("o_orderstatus").agg(
+        arr.alias("priorities"),
+        F.size(arr).alias("n_priorities"),
+        F.element_at(arr, 1).alias("first_priority"),
+        F.array_contains(arr, "1-URGENT").alias("has_urgent"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # cube (all grouping sets)
 # ---------------------------------------------------------------------------
 
