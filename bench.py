@@ -48,6 +48,8 @@ def main() -> None:
         lambda it: ( _pd.DataFrame({"id": pdf["id"]}) for pdf in it ), "id long"
     ).count()
 
+    import gc
+
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):
         fn = QUERIES[name].fn
@@ -56,6 +58,12 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 4)
         assert n >= 0
+        # release localCheckpoint block references between queries
+        # (ContextCleaner frees them once Python lets go) — otherwise 70
+        # queries of accumulated blocks pressure the block manager and
+        # late queries measure eviction churn, not their own cost
+        del df
+        gc.collect()
 
     # flagship pipeline end-to-end
     from web_attack_detection_spark.plans.flagship import flagship_pipeline

@@ -1,0 +1,322 @@
+"""Third relational-coverage wave: grouping sets, unpivot/melt,
+higher-order array functions, ordered string aggregation, time-range
+window frames, lateral joins, median, and explode.
+
+Nothing here maps 1:1 to a reference call site (the reference —
+huunhan1804/web-attack-detection, see SURVEY.md §2.2 — has no
+relational operators at all); these are the remaining engine-surface
+gaps a user of the north-star pipeline hits: melt-for-plotting,
+per-entity trailing-window features, set-valued group summaries, and
+array analytics over tokenized text.
+
+Scale notes per query are inline; the common rules from SCALE.md
+apply: one shuffle per groupBy/window on the natural key, no
+driver-side loops, integer-scaled sums for deterministic floats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from web_attack_detection_spark.io.sources import load_table, register_views
+from web_attack_detection_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS with grouping_id — the general form of rollup/cube
+# (rel_rollup / rel_cube cover the two shorthands; this is the explicit
+# set list, which Catalyst expands into a single Expand + one shuffle).
+# ---------------------------------------------------------------------------
+
+_GROUPING_SETS_ORACLE = """
+SELECT event_type,
+       CAST(year(ts) AS INT) AS yr,
+       CAST(GROUPING(event_type, year(ts)) AS BIGINT) AS gid,
+       COUNT(*) AS n,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_val_c
+FROM events
+GROUP BY GROUPING SETS ((event_type), (year(ts)), ())
+"""
+
+
+@register(
+    "rel_grouping_sets",
+    _GROUPING_SETS_ORACLE,
+    doc="explicit GROUPING SETS + grouping_id in one Expand pass",
+)
+def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three grouping sets computed in ONE scan + ONE shuffle: Catalyst's
+    Expand node replicates each input row once per set, then a single
+    hash aggregate handles all of them. At 100 TB this beats three
+    separate groupBy+union jobs 3:1 on scan cost; partial aggregation
+    still applies map-side because the expanded rows carry the gid."""
+    register_views(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(year(ts) AS INT) AS yr,
+               CAST(grouping_id(event_type, year(ts)) AS BIGINT) AS gid,
+               COUNT(*) AS n,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_val_c
+        FROM events
+        GROUP BY GROUPING SETS ((event_type), (year(ts)), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot / melt — wide → long. The training-pipeline use: reshaping
+# per-feature metric columns into (feature, value) rows for profiling.
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val
+FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val
+FROM part
+"""
+
+
+@register("rel_unpivot", _UNPIVOT_ORACLE, doc="unpivot/melt wide→long (inverse of pivot)")
+def rel_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.unpivot`` is a single Expand node — one scan, zero
+    shuffles, output = rows × n_value_cols. The naive alternative (one
+    select per column + union) re-scans the table per column; at 100 TB
+    with 50 metric columns that is a 50× scan amplification."""
+    part = load_table(spark, sf_dir, "part").withColumn(
+        "p_size", F.col("p_size").cast("double")
+    )
+    return part.unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Higher-order array functions — transform / filter / aggregate lambdas
+# run inside codegen (no Python), the idiomatic way to do per-row token
+# analytics without an explode+groupBy round trip.
+# ---------------------------------------------------------------------------
+
+_HOF_ORACLE = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       CAST(len(list_filter(string_split(text, ' '), w -> strlen(w) > 5)) AS BIGINT) AS n_long,
+       CAST(list_aggregate(list_transform(string_split(text, ' '), w -> strlen(w)), 'sum') AS BIGINT) AS sum_len
+FROM documents
+"""
+
+
+@register(
+    "rel_higher_order_funcs",
+    _HOF_ORACLE,
+    doc="array lambdas: transform/filter/aggregate without explode",
+)
+def rel_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row array analytics stay inside whole-stage codegen — zero
+    shuffle, zero Python. The explode+groupBy(doc_id) equivalent would
+    shuffle ``n_words`` rows per document; lambdas make it a map-only
+    stage, which is the difference between O(tokens) shuffle and none
+    at corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.size(F.filter(words, lambda w: F.length(w) > 5)).cast("long").alias("n_long"),
+        F.aggregate(
+            F.transform(words, lambda w: F.length(w)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        .cast("long")
+        .alias("sum_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation — set-valued group summary with a total
+# order, so the concatenated result is deterministic.
+# ---------------------------------------------------------------------------
+
+_STRING_AGG_ORACLE = """
+SELECT o_orderpriority,
+       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+       COUNT(DISTINCT o_orderstatus) AS n_statuses
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "rel_string_agg",
+    _STRING_AGG_ORACLE,
+    doc="ordered string_agg via collect_set → array_sort → array_join",
+)
+def rel_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set is partial-aggregable (map-side sets merge), and the
+    sort happens per GROUP on the tiny distinct set, not per row —
+    deterministic output without a global sort. The anti-pattern is
+    collect_list + driver-side dedup: unbounded per-group state AND
+    nondeterministic order under shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias("statuses"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-range window frame — trailing 1-hour per-user activity, the
+# classic per-entity feature for fraud/attack scoring. RANGE frames
+# bound by the ORDER BY *value*, so ties get identical frames and the
+# result is deterministic even with duplicate timestamps.
+# ---------------------------------------------------------------------------
+
+_TIME_RANGE_ORACLE = """
+SELECT event_id,
+       COUNT(*) OVER w AS cnt_1h,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS sum_1h_c
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register(
+    "rel_time_range_window",
+    _TIME_RANGE_ORACLE,
+    doc="trailing-1h RANGE frame per user (event-time feature)",
+)
+def rel_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One shuffle on user_id, then a per-partition ordered scan with a
+    sliding frame — O(n log n) in partition size, no self-join. The
+    self-join formulation (e ⋈ e ON same user AND ts BETWEEN ..) is
+    O(n·k) with a full extra shuffle; at 100 TB the window form wins
+    outright. Skewed users (bots) are the hazard: cap frame cost via
+    AQE skew splitting, or pre-bucket by (user_id, day)."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return events.select(
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("cnt_1h"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).over(w).alias("sum_1h_c"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LATERAL correlated subquery — per-outer-row top-k, the SQL-standard
+# spelling of "for each region, its 2 richest customers".
+# ---------------------------------------------------------------------------
+
+_LATERAL_ORACLE = """
+SELECT r.r_name, t.c_name, t.c_acctbal
+FROM region r,
+     LATERAL (
+       SELECT c.c_name, c.c_acctbal
+       FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+       WHERE n.n_regionkey = r.r_regionkey
+       ORDER BY c.c_acctbal DESC, c.c_custkey
+       LIMIT 2
+     ) t
+"""
+
+
+@register(
+    "rel_lateral_topk",
+    _LATERAL_ORACLE,
+    doc="LATERAL correlated subquery: top-2 customers per region",
+)
+def rel_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst decorrelates the lateral subquery into a join + window
+    top-k — same physical plan as the rel_topk_per_group spelling, so
+    the scale story is one shuffle on the correlation key. The LATERAL
+    form matters as API surface: it is how users port DuckDB/Postgres
+    queries without hand-rewriting to window functions."""
+    register_views(spark, sf_dir, "region", "nation", "customer")
+    return spark.sql(
+        """
+        SELECT r.r_name, t.c_name, t.c_acctbal
+        FROM region r,
+             LATERAL (
+               SELECT c.c_name, c.c_acctbal
+               FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+               WHERE n.n_regionkey = r.r_regionkey
+               ORDER BY c.c_acctbal DESC, c.c_custkey
+               LIMIT 2
+             ) t
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Median — exact interpolated 50th percentile per group. Distinct from
+# rel_percentiles (array of quantiles) in that it exercises the
+# dedicated median() aggregate.
+# ---------------------------------------------------------------------------
+
+_MEDIAN_ORACLE = """
+SELECT l_returnflag,
+       median(l_quantity) AS med_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("rel_median", _MEDIAN_ORACLE, doc="exact median per group (interpolated)")
+def rel_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median requires a full sort of each group's values — fine
+    per-group here, but at 100 TB switch to approx_percentile (KLL-type
+    sketch, mergeable map-side, bounded memory); rel_approx_aggregates
+    is that scale path. Both Spark and DuckDB interpolate the even-n
+    midpoint as (a+b)/2, so parity is exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("med_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Explode → word count — the shuffle-side complement of the lambda
+# query above: global token frequencies across the corpus.
+# ---------------------------------------------------------------------------
+
+_WORDCOUNT_ORACLE = """
+SELECT word, COUNT(*) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+WHERE word <> ''
+GROUP BY word
+ORDER BY cnt DESC, word
+LIMIT 20
+"""
+
+
+@register(
+    "rel_explode_wordcount",
+    _WORDCOUNT_ORACLE,
+    doc="explode(split) → global top-20 token frequencies",
+)
+def rel_explode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generate (explode) stays pipelined with the scan — no
+    materialization of the exploded rows before the partial aggregate,
+    so the shuffle carries only (distinct-token, partial-count) pairs,
+    not O(total tokens). Top-20 is a TakeOrderedAndProject (per-
+    partition heap + driver merge), never a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(20)
+    )
