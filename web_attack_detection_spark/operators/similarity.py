@@ -129,44 +129,74 @@ def cosine_pairs(
     )
 
 
+def _cell_scores(cents: Column, vec: Column) -> Column:
+    """array<struct<cos, negcell>> — one entry per centroid. Struct
+    comparison is lexicographic, so ``array_max`` over this is argmax
+    by (cosine desc, cell asc) with no shuffle and no window."""
+    return F.transform(
+        cents,
+        lambda c: F.struct(
+            dot(vec, c["c_vec"]).alias("cos"), (-c["cell"]).alias("negcell")
+        ),
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     k_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iters: int = 1,
 ) -> tuple[DataFrame, DataFrame]:
-    """Deterministic IVF index: centroids = every ⌈n/k⌉-th corpus vector
-    by id (a seed-free, reproducible choice; k-means refinement is an
-    optional iteration on top). Returns (centroids, assigned corpus
-    with a ``cell`` column).
+    """Deterministic IVF index. Centroid seeds are the ``k_centroids``
+    corpus vectors with the smallest ``xxhash64(id)`` — a seed-free
+    uniform sample selected by a top-k (TakeOrdered: per-partition heap
+    + driver merge, never a global sort). Returns ``(centroids,
+    assigned)`` where ``assigned`` carries a ``cell`` column.
 
-    Assignment = corpus ⋈ broadcast(centroids) → argmax cosine via
-    window — one broadcast join, no shuffle of the corpus. At scale
-    you'd persist the assigned corpus partitioned BY cell so queries
-    prune partitions.
+    Assignment is MAP-ONLY: the 16 centroids are collapsed into one
+    array-of-structs row, broadcast, and each corpus row picks its cell
+    via ``array_max`` over per-centroid cosines — zero shuffle of the
+    corpus (the previous formulation expanded 16× through a crossJoin
+    and shuffled that through a window; at 100 TB that shuffle IS the
+    job). A real deployment then persists ``assigned`` partitioned BY
+    cell so query-time probes prune whole partitions.
     """
-    unit = unit_normalize(corpus.select(id_col, vec_col), vec_col)
-    ranked = unit.select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec")
-    ).withColumn("rn", F.row_number().over(Window.orderBy(F.col("cid").asc())) - 1)
-    n = corpus.count()
-    step = max(n // k_centroids, 1)
-    centroids = ranked.filter((F.col("rn") % step == 0) & (F.col("rn") < step * k_centroids)).select(
-        (F.col("rn") / step).cast("int").alias("cell"), "c_vec"
+    unit = unit_normalize(corpus.select(id_col, vec_col), vec_col).localCheckpoint()
+    seeds = (
+        unit.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec"))
+        .orderBy(F.xxhash64(F.col("cid")).asc(), F.col("cid").asc())
+        .limit(k_centroids)
     )
-    scored = unit.crossJoin(F.broadcast(centroids)).select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.col("cell"),
-        dot(F.col(vec_col), F.col("c_vec")).alias("c_cos"),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("c_cos").desc(), F.col("cell").asc())
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select(
-            id_col, vec_col, "cell"
+    centroids = seeds.withColumn(
+        "cell", F.row_number().over(Window.orderBy(F.col("cid").asc())) - 1
+    ).select("cell", "c_vec")
+
+    def assign(cent_df: DataFrame) -> DataFrame:
+        cents = cent_df.agg(F.collect_list(F.struct("cell", "c_vec")).alias("cents"))
+        return (
+            unit.crossJoin(F.broadcast(cents))
+            .withColumn("__best", F.array_max(_cell_scores(F.col("cents"), F.col(vec_col))))
+            .select(id_col, vec_col, (-F.col("__best.negcell")).alias("cell"))
         )
-    )
-    return centroids, assigned
+
+    # Lloyd refinement: per-cell element-wise mean → re-unit-normalize.
+    # Each iteration is one map-only assignment pass + a k_centroids-
+    # group aggregate (partial map-side, negligible shuffle) — the
+    # standard IVF train loop, and what makes nearest-cell a useful
+    # proxy for nearest-neighbor on real (clustered) embeddings.
+    for _ in range(refine_iters):
+        a = assign(centroids)
+        means = (
+            a.select("cell", F.posexplode(F.col(vec_col)).alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell", F.transform(F.col("pm"), lambda s: s["m"]).alias("c_vec"))
+        )
+        centroids = unit_normalize(means, "c_vec").localCheckpoint()
+    return centroids, assign(centroids)
 
 
 def ivf_topk(
@@ -181,22 +211,46 @@ def ivf_topk(
     """Approximate top-k: score queries only against vectors in their
     ``n_probe`` nearest cells. Same output schema as brute_force_topk;
     recall vs the exact baseline is asserted in tests/test_similarity.py.
+
+    Plan shape (the 100 TB story): centroid seeding is a top-k, cell
+    assignment is map-only (see ivf_assign), probe selection is a
+    map-only array_sort over the same broadcast centroid array, and the
+    candidate join broadcasts the (tiny) probe set — the corpus is
+    scanned exactly once with no shuffle until the final per-query
+    top-k window over ~|corpus|·n_probe/k_centroids candidate rows.
     """
     centroids, assigned = ivf_assign(corpus, k_centroids, id_col, vec_col)
+    cents = centroids.agg(F.collect_list(F.struct("cell", "c_vec")).alias("cents"))
     q = unit_normalize(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
         "q_vec",
     )
-    q_cells = q.crossJoin(F.broadcast(centroids)).select(
-        "query_id", "q_vec", "cell", dot(F.col("q_vec"), F.col("c_vec")).alias("c_cos")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("c_cos").desc(), F.col("cell").asc())
-    probes = q_cells.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= n_probe).select(
-        "query_id", "q_vec", "cell"
+    # cos desc, cell asc == struct(-cos, cell) asc; slice the first n_probe
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "__ranked",
+            F.array_sort(
+                F.transform(
+                    F.col("cents"),
+                    lambda c: F.struct(
+                        (-dot(F.col("q_vec"), c["c_vec"])).alias("negcos"),
+                        c["cell"].alias("cell"),
+                    ),
+                )
+            ),
+        )
+        .select(
+            "query_id",
+            "q_vec",
+            F.explode(
+                F.transform(F.slice(F.col("__ranked"), 1, n_probe), lambda x: x["cell"])
+            ).alias("cell"),
+        )
     )
     cand = assigned.withColumnsRenamed({id_col: "neighbor_id", vec_col: "c_vec"})
     scored = (
-        probes.join(cand, "cell")
+        cand.join(F.broadcast(probes), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", dot(F.col("q_vec"), F.col("c_vec")).alias("cos"))
     )
