@@ -9,6 +9,8 @@ from web_attack_detection_spark.io.sources import load_table
 from web_attack_detection_spark.operators.similarity import (
     brute_force_topk,
     cosine,
+    cosine_pairs,
+    cosine_pairs_blocked,
     ivf_topk,
 )
 
@@ -52,3 +54,19 @@ def test_ivf_recall_vs_bruteforce(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_blocked_pairs_bit_exact_vs_fold(spark):
+    """The blocked numpy kernel must reproduce the JVM fold exactly —
+    same pairs, bit-identical cosines (dimension-sequential float64
+    accumulation is the same IEEE op sequence as the fold)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    fold = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in cosine_pairs(emb, threshold=0.45).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in cosine_pairs_blocked(emb, threshold=0.45).collect()
+    }
+    assert fold == blocked and len(fold) > 0

@@ -113,8 +113,10 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact all-pairs (id_a < id_b, cos ≥ threshold). O(n²) — the
-    test-scale ground truth; use IVF/LSH beyond ~10^5 vectors."""
+    """Exact all-pairs (id_a < id_b, cos ≥ threshold) as a pure-JVM
+    pair join + fold — the readable reference spec. Production path is
+    :func:`cosine_pairs_blocked` (bit-identical results, blocked numpy
+    kernel); tests assert the two agree exactly."""
     unit = unit_normalize(
         corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "v"
     ).localCheckpoint()  # normalize ONCE; both join sides reuse the result
@@ -139,6 +141,99 @@ def _cell_scores(cents: Column, vec: Column) -> Column:
             dot(vec, c["c_vec"]).alias("cos"), (-c["cell"]).alias("negcell")
         ),
     )
+
+
+def cosine_pairs_blocked(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 16,
+) -> DataFrame:
+    """Exact all-pairs cosine (id_a < id_b, cos ≥ threshold) as a
+    BLOCKED matrix kernel — same results as :func:`cosine_pairs`,
+    bit-for-bit, at a fraction of the cost.
+
+    Plan: hash vectors into ``n_blocks`` buckets, collapse each bucket
+    to ONE row carrying its vectors, crossJoin the (tiny) bucket
+    relation with itself keeping blk_a ≤ blk_b, and evaluate each
+    bucket-pair as a numpy block inside ``mapInPandas``. Work per task
+    is an (m×m) matrix accumulation; the shuffle moves n/n_blocks-row
+    blocks, never O(n²) pairs — pair enumeration happens only inside
+    the Arrow batch. At 100 TB scale the same shape holds: block count
+    grows with the corpus, each task stays cache-sized, and no
+    executor ever materializes the pair table.
+
+    Bit-exactness with the SQL fold oracle: the kernel accumulates
+    DIMENSION-SEQUENTIALLY (acc = acc + a_d·b_d for d = 0..63,
+    float64), which is the exact IEEE op sequence of the
+    ``F.aggregate`` fold and DuckDB's ``list_reduce`` — numpy pairwise
+    summation never enters (no ``np.sum``/``np.dot``), so scores are
+    identical to the JVM fold, not merely close.
+    """
+    blocks = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .groupBy(F.pmod(F.col("id"), F.lit(n_blocks)).cast("int").alias("blk"))
+        .agg(F.collect_list(F.struct("id", "v")).alias("rows"))
+    )
+    a = blocks.select(F.col("blk").alias("blk_a"), F.col("rows").alias("rows_a"))
+    b = blocks.select(F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("blk_a") <= F.col("blk_b"))
+        .repartition(n_blocks * (n_blocks + 1) // 2)
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        def to_mat(rows):
+            ids = np.fromiter((r["id"] for r in rows), dtype=np.int64, count=len(rows))
+            mat = np.asarray([np.asarray(r["v"], dtype=np.float64) for r in rows])
+            return ids, mat
+
+        def unitize(mat):
+            acc = np.zeros(mat.shape[0], dtype=np.float64)
+            for d in range(mat.shape[1]):
+                col = mat[:, d]
+                acc = acc + col * col
+            return mat / np.sqrt(acc)[:, None]
+
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for ra, rb, blk_a, blk_b in zip(
+                pdf["rows_a"], pdf["rows_b"], pdf["blk_a"], pdf["blk_b"]
+            ):
+                ids_a, ma = to_mat(ra)
+                ma = unitize(ma)
+                if blk_a == blk_b:
+                    ids_b, mb = ids_a, ma
+                else:
+                    ids_b, mb = to_mat(rb)
+                    mb = unitize(mb)
+                cos = np.zeros((ma.shape[0], mb.shape[0]), dtype=np.float64)
+                for d in range(ma.shape[1]):
+                    cos = cos + ma[:, d][:, None] * mb[:, d][None, :]
+                hit = cos >= threshold
+                if blk_a == blk_b:
+                    hit &= ids_a[:, None] < ids_b[None, :]
+                ii, jj = np.nonzero(hit)
+                ia, ib = ids_a[ii], ids_b[jj]
+                lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+                out_a.append(lo)
+                out_b.append(hi)
+                out_c.append(cos[ii, jj])
+            yield pd.DataFrame(
+                {
+                    "id_a": np.concatenate(out_a) if out_a else np.array([], dtype=np.int64),
+                    "id_b": np.concatenate(out_b) if out_b else np.array([], dtype=np.int64),
+                    "cos": np.concatenate(out_c) if out_c else np.array([], dtype=np.float64),
+                }
+            )
+
+    raw = pairs.mapInPandas(kernel, "id_a long, id_b long, cos double")
+    return raw.select("id_a", "id_b", F.round(F.col("cos"), 6).alias("cos"))
 
 
 def ivf_assign(

@@ -300,6 +300,174 @@ LIMIT 20
 """
 
 
+_LOCF_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_val_c
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(date_trunc('hour', ts)) AS mn, max(date_trunc('hour', ts)) AS mx
+  FROM events GROUP BY 1
+), spine AS (
+  SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM bounds
+)
+SELECT s.event_type,
+       strftime(CAST(s.h AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS hour,
+       last_value(hourly.sum_val_c IGNORE NULLS) OVER (
+         PARTITION BY s.event_type ORDER BY s.h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_c,
+       CAST(CASE WHEN hourly.sum_val_c IS NULL THEN 1 ELSE 0 END AS INT) AS was_gap
+FROM spine s LEFT JOIN hourly ON s.event_type = hourly.event_type AND s.h = hourly.h
+"""
+
+
+@register(
+    "rel_gap_fill_locf",
+    _LOCF_ORACLE,
+    doc="hourly spine + last-observation-carried-forward gap fill",
+)
+def rel_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: build the complete hourly spine per
+    series with ``sequence()`` + explode (generated in-engine — never a
+    driver-side date loop), left-join the observed aggregates, then
+    carry the last non-null forward with ``last(ignorenulls) OVER``.
+
+    Scale: the spine is O(series × hours) — tiny next to the raw
+    events — and the observed side is already aggregated before the
+    join, so the join input is two SMALL relations regardless of raw
+    volume; the LOCF window shuffles only spine rows, partitioned by
+    series. Output hours are strings (engine-side formatting is
+    tz-proof; see events_hourly)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_val_c"))
+    bounds = ev.groupBy("event_type").agg(
+        F.date_trunc("hour", F.min("ts")).alias("mn"),
+        F.date_trunc("hour", F.max("ts")).alias("mx"),
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return spine.join(hourly, ["event_type", "h"], "left").select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.last("sum_val_c", ignorenulls=True).over(w).alias("filled_c"),
+        F.col("sum_val_c").isNull().cast("int").alias("was_gap"),
+    )
+
+
+_FUNNEL_ORACLE = """
+WITH v AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts >= v.t1 AND e.ts < v.t1 + INTERVAL 24 HOUR
+      GROUP BY 1),
+p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.t2 AND e.ts < c.t2 + INTERVAL 24 HOUR
+      GROUP BY 1)
+SELECT 'view' AS stage, 1 AS stage_ord, COUNT(*) AS n_users FROM v
+UNION ALL SELECT 'click', 2, COUNT(*) FROM c
+UNION ALL SELECT 'purchase', 3, COUNT(*) FROM p
+"""
+
+
+@register(
+    "rel_funnel",
+    _FUNNEL_ORACLE,
+    doc="ordered 3-stage funnel (view→click→purchase, 24h steps)",
+)
+def rel_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel: users whose first click follows their first
+    view within 24 h, then first purchase within 24 h of that click.
+    Each stage is a filtered aggregate joined to the previous stage's
+    (small) per-user result — the per-stage join key is user_id, the
+    stage tables shrink monotonically, and Spark broadcasts them
+    automatically once they fit, so each stage costs one scan-side
+    filter plus a broadcast probe. The anti-pattern at scale is
+    collect_list(ts) per user and Python sequence matching: unbounded
+    per-user state and a Python boundary for what is plain relational
+    algebra."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("INTERVAL 24 HOUR")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") >= F.col("t1")) & (F.col("ts") < F.col("t1") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") >= F.col("t2")) & (F.col("ts") < F.col("t2") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(df: DataFrame, name: str, ord_: int) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.lit(ord_).cast("int").alias("stage_ord"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+
+    return stage(v, "view", 1).unionByName(stage(c, "click", 2)).unionByName(
+        stage(p, "purchase", 3)
+    )
+
+
+_HISTOGRAM_ORACLE = """
+WITH b AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM lineitem)
+SELECT LEAST(CAST(FLOOR((l_extendedprice - mn) / ((mx - mn) / 20.0)) AS INT), 19) AS bucket,
+       COUNT(*) AS n
+FROM lineitem, b
+GROUP BY 1
+"""
+
+
+@register(
+    "rel_histogram",
+    _HISTOGRAM_ORACLE,
+    doc="fixed-width 20-bucket histogram (two-pass min/max + bucket agg)",
+)
+def rel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram: pass 1 computes global min/max (algebraic,
+    map-side combine), pass 2 buckets every row against the broadcast
+    1-row bounds and aggregates 20 groups. Both passes shuffle only
+    aggregate state. The double arithmetic ((v-mn)/width) is identical
+    IEEE ops in both engines, so bucket assignment is bit-exact; the
+    LEAST(...) pins v == max into the last bucket."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.agg(
+        F.min("l_extendedprice").alias("mn"), F.max("l_extendedprice").alias("mx")
+    )
+    return (
+        li.crossJoin(F.broadcast(b))
+        .select(
+            F.least(
+                F.floor(
+                    (F.col("l_extendedprice") - F.col("mn"))
+                    / ((F.col("mx") - F.col("mn")) / F.lit(20.0))
+                ).cast("int"),
+                F.lit(19),
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 @register(
     "rel_explode_wordcount",
     _WORDCOUNT_ORACLE,

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from web_attack_detection_spark.io.sources import load_table
 from web_attack_detection_spark.operators.similarity import (
     brute_force_topk,
-    cosine_pairs,
+    cosine_pairs_blocked,
     ivf_topk,
 )
 from web_attack_detection_spark.plans.registry import register
@@ -91,9 +91,12 @@ WHERE {_SQL_DOT.format(a='a.u', b='b.u')} >= 0.45
 def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection (exact all-pairs form; the
     corpus has max pairwise cos ≈ 0.51, so 0.45 yields a small
-    non-empty set). The at-scale replacement is ivf_topk / LSH."""
+    non-empty set). Runs as the blocked numpy kernel — bit-identical
+    to the fold (tests/test_similarity.py asserts it against
+    cosine_pairs) but ~10× cheaper; ivf_topk / LSH replace even that
+    beyond exact-ground-truth scale."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_pairs(emb, threshold=0.45)
+    return cosine_pairs_blocked(emb, threshold=0.45)
 
 
 _CENTROID_ORACLE = """
