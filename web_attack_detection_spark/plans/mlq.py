@@ -137,15 +137,21 @@ def ml_logreg_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = events.filter(F.col("event_id") % 4 != 1)
     test = events.filter(F.col("event_id") % 4 == 1)
     fp = fit_feature_pipeline(train, label_col="event_type")
-    tr = to_vector(fp.transform(train).select("features", "label"), "features", "fv")
+    # cache before the iterative fit — same rationale as the MLP query:
+    # L-BFGS passes must read a materialized input, not re-run the
+    # feature pipeline per iteration
+    tr = to_vector(fp.transform(train).select("features", "label"), "features", "fv").cache()
+    n_train = tr.count()
     te = to_vector(fp.transform(test).select("features", "label"), "features", "fv")
     lr = LogisticRegression(
         featuresCol="fv", labelCol="label", maxIter=30, regParam=0.01, family="multinomial"
     )
     model = lr.fit(tr)
     acc = accuracy(model.transform(te)).first()["accuracy"]
+    n_test = te.count()
+    tr.unpersist()
     return spark.createDataFrame(
-        [(float(acc), tr.count(), te.count())], "accuracy double, n_train long, n_test long"
+        [(float(acc), n_train, n_test)], "accuracy double, n_train long, n_test long"
     )
 
 
@@ -160,11 +166,19 @@ def ml_mlp_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = events.filter(F.col("event_id") % 4 != 1)
     test = events.filter(F.col("event_id") % 4 == 1)
     fp = fit_feature_pipeline(train, label_col="event_type")
-    tr = fp.transform(train).select("features", "label")
+    # cache the ASSEMBLED training set: MLP's L-BFGS re-reads it every
+    # iteration, and without the cache each of the 40 passes re-runs
+    # the whole feature pipeline (3× wall-clock at sf0.1). At cluster
+    # scale this is MEMORY_AND_DISK on executors — the iteration input
+    # must be materialized once, never recomputed per pass.
+    tr = fp.transform(train).select("features", "label").cache()
+    n_train = tr.count()
     te = fp.transform(test).select("features", "label")
     model = fit_mlp(tr, "features", "label", hidden=(16, 8), seed=42, max_iter=40)
     scored = predict(model, te, "features")
     acc = accuracy(scored).first()["accuracy"]
+    n_test = te.count()
+    tr.unpersist()
     return spark.createDataFrame(
-        [(float(acc), tr.count(), te.count())], "accuracy double, n_train long, n_test long"
+        [(float(acc), n_train, n_test)], "accuracy double, n_train long, n_test long"
     )
