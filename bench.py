@@ -21,6 +21,13 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
+# Python WORKERS don't see the driver's sys.path mutation: when bench
+# runs from any cwd other than the repo root, pickled-by-reference UDF
+# functions fail to import on the worker side. Exporting PYTHONPATH
+# before the JVM starts makes the spawned worker daemons inherit it.
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    [str(REPO)] + ([os.environ["PYTHONPATH"]] if os.environ.get("PYTHONPATH") else [])
+)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -47,6 +54,26 @@ def main() -> None:
     spark.range(64).mapInPandas(
         lambda it: ( _pd.DataFrame({"id": pdf["id"]}) for pdf in it ), "id long"
     ).count()
+
+    # warm the relational machinery (shuffle exchange, broadcast join,
+    # window exec, explode, higher-order exprs): the first plan to use
+    # each pays multi-second one-time class-generation/compile costs
+    # that would otherwise be charged to whichever query sorts first
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
+    _small = load_table(spark, SF_DIR, "lineitem").limit(256).cache()
+    _w = _W.partitionBy("l_returnflag").orderBy("l_orderkey")
+    (
+        _small.withColumn("rn", _F.row_number().over(_w))
+        .withColumn("toks", _F.split(_F.lit("a b c"), " "))
+        .withColumn("t", _F.explode(_F.transform(_F.col("toks"), lambda x: _F.upper(x))))
+        .join(_F.broadcast(_small.select("l_orderkey").distinct()), "l_orderkey")
+        .groupBy("l_returnflag", "t")
+        .agg(_F.sum("l_quantity"), _F.countDistinct("l_partkey"))
+        .count()
+    )
+    _small.unpersist()
 
     import gc
 

@@ -25,15 +25,29 @@ from web_attack_detection_spark.streaming.windows import (
 )
 
 
+_REPLAY_DIRS: dict[str, str] = {}
+
+
+def _replay_input(spark: SparkSession, sf_dir: str) -> str:
+    """Write the events fixture once per (process, sf_dir) as the
+    stream replay input — the input is immutable, so every streaming
+    query replays the same files instead of re-writing them."""
+    d = _REPLAY_DIRS.get(sf_dir)
+    if d is None:
+        d = tempfile.mkdtemp(prefix="streamq_")
+        load_table(spark, sf_dir, "events").coalesce(4).write.mode("overwrite").parquet(
+            f"{d}/in"
+        )
+        _REPLAY_DIRS[sf_dir] = d
+    return d
+
+
 def _replay(spark: SparkSession, sf_dir: str, agg_fn) -> DataFrame:
     """Replay events through the file-source stream, run ``agg_fn`` on
     the streaming DataFrame, collect via a memory sink (complete
     mode), return the result as a batch DataFrame."""
     name = f"streamq_{uuid.uuid4().hex[:8]}"
-    d = tempfile.mkdtemp(prefix="streamq_")
-    load_table(spark, sf_dir, "events").coalesce(4).write.mode("overwrite").parquet(
-        f"{d}/in"
-    )
+    d = _replay_input(spark, sf_dir)
     q = (
         agg_fn(stream_events_from_dir(spark, f"{d}/in"))
         .writeStream.outputMode("complete")
