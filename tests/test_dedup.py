@@ -86,3 +86,28 @@ def test_simhash_identical_docs_same_signature(spark):
     sig2 = {r["id"]: r["simhash"] for r in simhash64(docs, "text", "doc_id").collect()}
     assert sig1 == sig2  # deterministic
     assert len(set(sig1.values())) > 25  # distinct docs mostly distinct sigs
+
+
+def test_mllib_minhash_lsh_finds_exact_duplicates(spark, tmp_path):
+    """MLlib MinHashLSH (ml_minhash_lsh_join) must recall every exact-
+    duplicate pair: identical token vectors share all hash buckets, so
+    recall at distance 0 is deterministic, not probabilistic. The
+    fixture has no exact text dups, so plant them: copy 20 docs under
+    doc_id+100000 and require every (orig, copy) pair in the output."""
+    from pyspark.sql import functions as F
+
+    from web_attack_detection_spark.io.sources import load_table
+    from web_attack_detection_spark.plans.all_plans import mlq
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    copies = docs.limit(20).withColumn("doc_id", F.col("doc_id") + F.lit(100000))
+    planted_dir = str(tmp_path / "planted")
+    docs.unionByName(copies).write.parquet(f"{planted_dir}/documents.parquet")
+    expected = {
+        (r["doc_id"], r["doc_id"] + 100000) for r in docs.limit(20).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in mlq.ml_minhash_lsh_join(spark, planted_dir).collect()
+    }
+    assert expected <= got

@@ -182,3 +182,46 @@ def ml_mlp_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(float(acc), n_train, n_test)], "accuracy double, n_train long, n_test long"
     )
+
+
+@register(
+    "ml_minhash_lsh_join",
+    None,
+    doc="MLlib MinHashLSH approxSimilarityJoin over token sets",
+)
+def ml_minhash_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MLlib-native near-dup path SURVEY §2.7 names: Tokenizer → NGram(3)
+    shingles → binary HashingTF → MinHashLSH → approxSimilarityJoin at
+    Jaccard distance ≤ 0.25 (similarity ≥ 0.75 — near-dup territory;
+    looser thresholds explode the candidate volume quadratically). Complements the hand-rolled
+    operators/dedup.py pipeline (same problem, library primitive):
+    MLlib hashes each doc to ``numHashTables`` buckets and equi-joins
+    on the bucket key — identical plan shape to our banding, so the
+    scale story carries over. Rows-only (hash seeds are
+    implementation-defined); recall vs the exact pair set is asserted
+    in tests/test_dedup.py."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, Tokenizer
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = Tokenizer(inputCol="text", outputCol="toks").transform(docs)
+    # 3-gram shingles, not unigrams: the corpus shares a small
+    # vocabulary, so unigram Jaccard ≥ 0.75 matches ~30% of all pairs;
+    # shingling restores discriminative power (same reason
+    # operators/dedup.py shingles before MinHash)
+    sh = NGram(n=3, inputCol="toks", outputCol="shingles").transform(toks)
+    tf = HashingTF(
+        inputCol="shingles", outputCol="fv", binary=True, numFeatures=1 << 18
+    ).transform(sh)
+    # MinHashLSH requires at least one non-zero entry per vector
+    tf = tf.filter(F.size("shingles") > 0)
+    model = MinHashLSH(inputCol="fv", outputCol="hashes", numHashTables=8, seed=42).fit(tf)
+    pairs = (
+        model.approxSimilarityJoin(tf, tf, 0.25, distCol="jaccard_dist")
+        .select(
+            F.col("datasetA.doc_id").alias("id_a"),
+            F.col("datasetB.doc_id").alias("id_b"),
+            F.round(F.col("jaccard_dist"), 6).alias("jaccard_dist"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    return pairs.orderBy("id_a", "id_b")

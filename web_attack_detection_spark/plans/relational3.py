@@ -290,6 +290,128 @@ def rel_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 # query above: global token frequencies across the corpus.
 # ---------------------------------------------------------------------------
 
+_FULL_OUTER_ORACLE = """
+SELECT COALESCE(o.d, l.d) AS d,
+       COALESCE(o.n_orders, 0) AS n_orders,
+       COALESCE(l.n_ships, 0) AS n_ships
+FROM (SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d') AS d, COUNT(*) AS n_orders
+      FROM orders GROUP BY 1) o
+FULL OUTER JOIN
+     (SELECT strftime(CAST(l_shipdate AS TIMESTAMP), '%Y-%m-%d') AS d, COUNT(*) AS n_ships
+      FROM lineitem GROUP BY 1) l
+ON o.d = l.d
+"""
+
+
+@register(
+    "rel_full_outer_join",
+    _FULL_OUTER_ORACLE,
+    doc="FULL OUTER join of daily order vs ship counts (COALESCE keys)",
+)
+def rel_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily orders vs shipments reconciled with a full outer join —
+    ship dates trail order dates, so BOTH sides contribute unmatched
+    keys. The join runs on two pre-aggregated (tiny) relations: at
+    scale the rule is aggregate-then-join whenever the join is on the
+    grouping key — shuffling two |days|-row inputs instead of two raw
+    fact tables."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    l = li.groupBy(F.date_format("l_shipdate", "yyyy-MM-dd").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_ships")
+    )
+    return (
+        o.join(l, "d", "full_outer")
+        .select(
+            "d",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_ships", F.lit(0)).alias("n_ships"),
+        )
+    )
+
+
+_NULL_SEM_ORACLE = """
+WITH x AS (
+  SELECT c_mktsegment,
+         CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS v
+  FROM customer
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_all,
+       COUNT(v) AS n_nonnull,
+       CAST(SUM(CASE WHEN v IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_nullsafe,
+       SUM(CAST(ROUND(v * 100) AS BIGINT)) AS sum_pos_c
+FROM x GROUP BY c_mktsegment
+"""
+
+
+@register(
+    "rel_null_semantics",
+    _NULL_SEM_ORACLE,
+    doc="SQL null semantics: COUNT(col) vs COUNT(*), null-safe equality, null-skipping SUM",
+)
+def rel_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The null contract every aggregate relies on, exercised in one
+    query: COUNT(col) skips nulls, COUNT(*) doesn't; ``<=>`` (null-safe
+    equality) treats NULL=NULL as true; SUM ignores nulls rather than
+    poisoning the total. Matters at scale because imputation and
+    quality filters produce null-dense columns — an operator that
+    miscounts nulls silently corrupts training statistics."""
+    c = load_table(spark, sf_dir, "customer")
+    v = F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.col("c_acctbal"))
+    return (
+        c.select("c_mktsegment", v.alias("v"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_all"),
+            F.count("v").alias("n_nonnull"),
+            F.sum(F.col("v").eqNullSafe(F.lit(None)).cast("int")).cast("long").alias(
+                "n_null_nullsafe"
+            ),
+            F.sum(F.round(F.col("v") * 100).cast("long")).alias("sum_pos_c"),
+        )
+    )
+
+
+_DECIMAL_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * CAST(1 - l_discount AS DECIMAL(12,2))) AS DECIMAL(24,4)) AS sum_revenue,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "rel_decimal_agg",
+    _DECIMAL_ORACLE,
+    doc="exact DECIMAL aggregation (no float drift by construction)",
+)
+def rel_decimal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money math in DECIMAL: sums are exact integers underneath, so
+    the result is partition-order-independent WITHOUT the integer-
+    scaling idiom the double queries use — the type system carries the
+    guarantee. The cost at scale is wider aggregation state (128-bit)
+    and no SIMD, which is why the hot queries keep scaled BIGINTs and
+    DECIMAL is reserved for the ledger-grade outputs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(12,2)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(price).cast("decimal(18,2)").alias("sum_price"),
+        # scale-4 products sum exactly; casting DOWN to scale 2 would hit
+        # engine-specific rounding (HALF_UP vs half-even) on .xx5 ties
+        F.sum(price * disc).cast("decimal(24,4)").alias("sum_revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 _WORDCOUNT_ORACLE = """
 SELECT word, COUNT(*) AS cnt
 FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
