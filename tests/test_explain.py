@@ -75,3 +75,51 @@ def test_aggregation_uses_whole_stage_codegen(spark):
     # whole-stage-codegen'd operators carry a *(codegen-stage-id) prefix;
     # both the partial and final HashAggregate must be inside a codegen span
     assert "*(1) HashAggregate" in plan and "*(2) HashAggregate" in plan
+
+
+def test_unpivot_is_single_expand_no_shuffle(spark):
+    """unpivot must compile to ONE Expand over one scan — no Exchange,
+    no per-column union re-scans."""
+    from web_attack_detection_spark.plans.relational3 import rel_unpivot
+
+    plan = plan_of(rel_unpivot(spark, SF_SMOKE), "simple")
+    assert "Expand" in plan
+    assert "Exchange" not in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_grouping_sets_one_expand_one_shuffle(spark):
+    """All grouping sets must share one Expand pass + one aggregation
+    shuffle — never one job per set."""
+    from web_attack_detection_spark.plans.relational3 import rel_grouping_sets
+
+    plan = plan_of(rel_grouping_sets(spark, SF_SMOKE), "simple")
+    assert plan.count("Expand") == 1
+    assert plan.count("Exchange") == 1
+
+
+def test_full_outer_join_runs_on_preaggregates(spark):
+    """The full outer join must see two pre-aggregated inputs: both
+    join children aggregate BEFORE the join (aggregate-then-join), and
+    the join itself is a sort-merge FullOuter."""
+    from web_attack_detection_spark.plans.relational3 import rel_full_outer_join
+
+    plan = plan_of(rel_full_outer_join(spark, SF_SMOKE), "formatted")
+    assert "FullOuter" in plan
+    assert "SortMergeJoin" in plan
+
+
+def test_ivf_assignment_corpus_side_is_map_only(spark):
+    """IVF cell assignment must not shuffle the corpus: the only
+    Exchange in the plan is the SinglePartition collect of the (tiny)
+    centroid array; the corpus scan feeds the broadcast join directly."""
+    from web_attack_detection_spark.io.sources import load_table
+    from web_attack_detection_spark.operators.similarity import ivf_assign
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    _, assigned = ivf_assign(emb, 16)
+    plan = plan_of(assigned, "simple")
+    assert "BroadcastNestedLoopJoin" in plan
+    # every Exchange is the centroid-side SinglePartition collect —
+    # no hash-partitioning shuffle of corpus rows anywhere
+    assert "Exchange hashpartitioning" not in plan
