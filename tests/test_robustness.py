@@ -89,3 +89,31 @@ def test_streaming_restart_from_checkpoint_no_duplicates(spark):
         final = spark.read.parquet(out)
         assert final.count() == events.count()  # no duplicates, no loss
         assert final.select("event_id").distinct().count() == events.count()
+
+
+def test_observation_metrics_piggyback_on_action(spark):
+    """``df.observe`` collects dataset metrics DURING the action — the
+    mechanism for row-count/quality accounting at scale without a
+    second scan of the input."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from web_attack_detection_spark.io.sources import load_table
+
+    from .conftest import SF_SMOKE
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    obs = Observation("audit")
+    out = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("qty_c"),
+    ).filter(F.col("l_quantity") > 25)
+    kept = out.count()
+    got = obs.get
+    assert got["n_rows"] == li.count()
+    assert got["n_rows"] > kept  # metrics observed pre-filter
+    expected_qty = li.agg(
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
+    ).first()[0]
+    assert got["qty_c"] == expected_qty
