@@ -70,3 +70,33 @@ def test_blocked_pairs_bit_exact_vs_fold(spark):
         for r in cosine_pairs_blocked(emb, threshold=0.45).collect()
     }
     assert fold == blocked and len(fold) > 0
+
+
+def test_ivf_partitioned_layout_prunes_cells(spark, tmp_path):
+    """The IVF 'layout = index' claim, end to end: persist the assigned
+    corpus partitioned BY cell, and a probe of 2 cells must (a) push
+    the cell predicate into PartitionFilters — whole directories
+    skipped, not rows filtered — and (b) return exactly the vectors
+    assigned to those cells."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from web_attack_detection_spark.operators.similarity import ivf_assign
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    _, assigned = ivf_assign(emb, 16)
+    path = str(tmp_path / "ivf_corpus")
+    assigned.write.partitionBy("cell").parquet(path)
+
+    probed = spark.read.parquet(path).filter(F.col("cell").isin(3, 7))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probed.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:120]
+
+    expected = {r["vec_id"] for r in assigned.filter(F.col("cell").isin(3, 7)).collect()}
+    got = {r["vec_id"] for r in probed.collect()}
+    assert got == expected and got
