@@ -294,25 +294,48 @@ GROUP BY a.o_orderkey
 
 @register("rel_range_join", _RANGE_JOIN_ORACLE, doc="range join via radius-width binning")
 def rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Orders placed within 24 h of each other (no equi key). Binning
-    both sides into radius-width buckets turns the O(n²) nested loop
-    into a hash join on the bucket id (operators/asof.py); DuckDB's
-    IEJoin evaluates the same inequality natively for the oracle."""
+    """Orders placed within 24 h of each other (no equi key), counted
+    per order. Two-level plan:
+
+    1. COMPRESS: collapse orders to (distinct timestamp, multiplicity)
+       — 150 k rows → ~2.4 k at sf0.1. A range join's candidate volume
+       is |a|·|b|·selectivity; compressing duplicate keys first shrinks
+       it quadratically (28 M candidate pairs → ~7 k) and is exact for
+       any aggregate downstream, because counts weight the join.
+    2. Range-join the compressed relation against itself with
+       radius-width binning (operators/asof.py) — the same binned hash
+       join the general operator uses, now over the tiny key relation;
+       per-date in-range totals are Σ multiplicities − 1 (self).
+    3. Broadcast the per-date totals back onto orders — map-only.
+
+    The naive form (self-join the raw table) stays available via
+    ``range_join_binned`` for genuinely high-cardinality keys; the
+    compress-first rewrite is what survives 100 TB when the range key
+    is low-cardinality relative to the rows (dates, sensor epochs)."""
     orders = load_table(spark, sf_dir, "orders")
-    left = orders.select("o_orderkey", "o_orderdate")
-    right = orders.select(
-        F.col("o_orderkey").alias("b_orderkey"), F.col("o_orderdate").alias("b_orderdate")
+    dates = orders.groupBy("o_orderdate").agg(F.count(F.lit(1)).alias("c"))
+    right = dates.select(
+        F.col("o_orderdate").alias("b_orderdate"), F.col("c").alias("b_c")
     )
     pairs = range_join_binned(
-        left,
+        dates,
         right,
         left_ts="o_orderdate",
         right_ts="b_orderdate",
         radius_seconds=86400,
-        left_cols=["o_orderkey"],
-        right_cols=["b_orderkey"],
-    ).filter(F.col("o_orderkey") != F.col("b_orderkey"))
-    return pairs.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n_near"))
+        left_cols=["o_orderdate"],
+        right_cols=["b_c"],
+    )
+    per_date = pairs.groupBy("o_orderdate").agg(
+        (F.sum("b_c") - F.lit(1)).alias("n_near")
+    )
+    # the pair-join form emits nothing for an order with zero in-range
+    # neighbors; match that contract (n_near is never 0 in the output)
+    return (
+        orders.join(F.broadcast(per_date), "o_orderdate")
+        .filter(F.col("n_near") > 0)
+        .select("o_orderkey", "n_near")
+    )
 
 
 # ---------------------------------------------------------------------------
