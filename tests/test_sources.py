@@ -58,3 +58,30 @@ def test_union_by_name_handles_column_order_drift(spark):
     b = spark.createDataFrame([("y", 2)], "name string, id long")
     out = union_by_name(a, b)
     assert sorted(map(tuple, out.collect())) == [(1, "x"), (2, "y")]
+
+
+def test_json_lines_source_round_trip(spark, tmp_path):
+    """JSON-lines ingestion with an explicit schema: no inference pass,
+    and the schema-declared columns survive the round trip exactly."""
+    from pyspark.sql import functions as F
+
+    from web_attack_detection_spark.io.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(50)
+    path = str(tmp_path / "docs_json")
+    docs.write.json(path)
+    back = spark.read.schema(docs.schema).json(path)
+    assert sorted(r["doc_id"] for r in back.collect()) == sorted(
+        r["doc_id"] for r in docs.collect()
+    )
+    assert back.schema == docs.schema
+
+
+def test_text_source_one_row_per_line(spark, tmp_path):
+    """spark.read.text: raw-corpus ingestion (one row per line) — the
+    entry format for text pipelines before any parsing."""
+    p = tmp_path / "corpus.txt"
+    p.write_text("alpha beta\ngamma\n\ndelta epsilon zeta\n")
+    df = spark.read.text(str(p))
+    lines = [r["value"] for r in df.collect()]
+    assert lines == ["alpha beta", "gamma", "", "delta epsilon zeta"]
