@@ -610,3 +610,57 @@ def rel_explode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("word"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Navigation functions with IGNORE NULLS — nth_value / first_value /
+# lag over null-dense columns (the sparse-sensor-reading shape).
+# ---------------------------------------------------------------------------
+
+_WINDOW_NULLS_ORACLE = """
+WITH x AS (
+  SELECT c_custkey, c_nationkey,
+         CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS v
+  FROM customer
+)
+SELECT c_custkey,
+       nth_value(c_custkey, 2) OVER w AS second_key,
+       first_value(v IGNORE NULLS) OVER w AS first_nonnull_v,
+       lag(v, 1 IGNORE NULLS) OVER w AS prev_nonnull_v
+FROM x
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@register(
+    "rel_window_ignore_nulls",
+    _WINDOW_NULLS_ORACLE,
+    doc="nth_value + IGNORE NULLS navigation (first_value/lag) over null-dense data",
+)
+def rel_window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS navigation — 'previous valid reading' over sparse
+    data WITHOUT a pre-filter join (the filter-then-self-join spelling
+    shuffles twice; this is one window pass). The deterministic ORDER
+    BY key (c_custkey, unique per partition) makes every navigation
+    result reproducible — navigation over a non-unique order is the
+    classic nondeterminism trap at scale, where partition order varies
+    run to run."""
+    register_views(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        WITH x AS (
+          SELECT c_custkey, c_nationkey,
+                 CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS v
+          FROM customer
+        )
+        SELECT c_custkey,
+               nth_value(c_custkey, 2) OVER w AS second_key,
+               first_value(v) IGNORE NULLS OVER w AS first_nonnull_v,
+               lag(v, 1) IGNORE NULLS OVER wl AS prev_nonnull_v
+        FROM x
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_custkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wl AS (PARTITION BY c_nationkey ORDER BY c_custkey)
+        """
+    )
