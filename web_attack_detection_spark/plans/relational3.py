@@ -664,3 +664,47 @@ def rel_window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
                wl AS (PARTITION BY c_nationkey ORDER BY c_custkey)
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Rollup cascade — daily aggregates derived FROM the hourly partials,
+# not from raw events (the continuous-aggregate / hypertable pattern).
+# ---------------------------------------------------------------------------
+
+_CASCADE_ORACLE = """
+SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+       event_type,
+       COUNT(*) AS n,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_val_c
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "rel_rollup_cascade",
+    _CASCADE_ORACLE,
+    doc="daily rollup computed from hourly partials (continuous-aggregate shape)",
+)
+def rel_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregation of partials: daily = SUM over the hourly rollup's
+    (count, scaled-sum) state — exact because both aggregates are
+    algebraic (counts add; integer-scaled sums add). This is the
+    continuous-aggregate pattern at 100 TB: persist the fine-grain
+    rollup once, answer every coarser grain from it — the raw table is
+    scanned once per ingest, not once per query grain. The oracle
+    aggregates raw events directly, proving the cascade is lossless."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_val_c"),
+    )
+    return (
+        hourly.groupBy(
+            F.date_format(F.date_trunc("day", F.col("h")), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(F.sum("n").alias("n"), F.sum("sum_val_c").alias("sum_val_c"))
+    )
