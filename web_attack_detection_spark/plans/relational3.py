@@ -708,3 +708,57 @@ def rel_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum("n").alias("n"), F.sum("sum_val_c").alias("sum_val_c"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding (overlapping) windows in batch — the twin of streaming
+# window(ts, "1 hour", "30 minutes"); each event lands in 2 windows.
+# ---------------------------------------------------------------------------
+
+_SLIDING_ORACLE = """
+WITH starts AS (
+  SELECT CAST(ts AS TIMESTAMP) AS t, event_type, value,
+         date_trunc('hour', CAST(ts AS TIMESTAMP))
+           + CASE WHEN minute(CAST(ts AS TIMESTAMP)) >= 30
+                  THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END AS s0
+  FROM events
+), expanded AS (
+  SELECT event_type, value, s0 AS ws FROM starts
+  UNION ALL
+  SELECT event_type, value, s0 - INTERVAL 30 MINUTE FROM starts
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+       COUNT(*) AS n,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_val_c
+FROM expanded GROUP BY 1, 2
+"""
+
+
+@register(
+    "rel_sliding_window",
+    _SLIDING_ORACLE,
+    doc="sliding 1h/30m window agg (overlapping windows, batch twin of streaming)",
+)
+def rel_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping windows via ``F.window(ts, '1 hour', '30 minutes')``
+    — Catalyst expands each row into window/slide = 2 copies and
+    aggregates once (same Expand-then-aggregate shape as grouping
+    sets). The oracle derives both window starts arithmetically,
+    proving the engine's window assignment. At scale the expansion
+    factor is the knob: a 1h/1m sliding window is a 60× row blowup —
+    prefer the coarsest slide the consumer tolerates, or cascade from
+    a tumbling rollup (rel_rollup_cascade)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_val_c"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_val_c",
+        )
+    )
