@@ -75,6 +75,16 @@ def main() -> None:
     )
     _small.unpersist()
 
+    # warm the Structured Streaming machinery (micro-batch planner,
+    # state store provider, session-window merging exec): the first
+    # streaming query in a process pays ~10 s of one-time init that
+    # would otherwise be charged to whichever stream query sorts first.
+    # sf0.001 replay is a few hundred rows — the machinery, not the data.
+    from web_attack_detection_spark.plans import streamq as _streamq
+
+    _streamq.stream_session_windows(spark, "/root/testdata/sf0.001").count()
+    _streamq.stream_windowed_counts(spark, "/root/testdata/sf0.001").count()
+
     import gc
 
     timings: dict[str, float] = {}

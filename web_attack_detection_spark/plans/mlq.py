@@ -214,6 +214,13 @@ def ml_minhash_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).transform(sh)
     # MinHashLSH requires at least one non-zero entry per vector
     tf = tf.filter(F.size("shingles") > 0)
+    # cache the featurized side: it is consumed THREE times (the LSH
+    # fit pass + both sides of the self-join), and each pass would
+    # otherwise re-run Tokenizer→NGram→HashingTF over the full corpus.
+    # At cluster scale this is the standard persist-before-self-join —
+    # the featurization is the expensive narrow stage, the join fans
+    # out from it.
+    tf = tf.cache()
     model = MinHashLSH(inputCol="fv", outputCol="hashes", numHashTables=8, seed=42).fit(tf)
     pairs = (
         model.approxSimilarityJoin(tf, tf, 0.25, distCol="jaccard_dist")
