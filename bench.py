@@ -75,6 +75,23 @@ def main() -> None:
     )
     _small.unpersist()
 
+    # warm the MLlib machinery (Tokenizer/NGram/HashingTF codegen, the
+    # LSH fit + join path, vector UDT serde): first touch costs ~5-7 s
+    # of Scala classloading that is machinery, not query work
+    from pyspark.ml.feature import HashingTF as _HTF
+    from pyspark.ml.feature import MinHashLSH as _MH
+    from pyspark.ml.feature import NGram as _NG
+    from pyspark.ml.feature import Tokenizer as _Tok
+
+    _d = spark.createDataFrame(
+        [(i, "a b c d e f g h " + str(i)) for i in range(8)], "id long, text string"
+    )
+    _t = _Tok(inputCol="text", outputCol="toks").transform(_d)
+    _t = _NG(n=3, inputCol="toks", outputCol="sh").transform(_t)
+    _t = _HTF(inputCol="sh", outputCol="fv", binary=True, numFeatures=1 << 10).transform(_t)
+    _mh = _MH(inputCol="fv", outputCol="hashes", numHashTables=2, seed=1).fit(_t)
+    _mh.approxSimilarityJoin(_t, _t, 0.9, distCol="d").count()
+
     # warm the Structured Streaming machinery (micro-batch planner,
     # state store provider, session-window merging exec): the first
     # streaming query in a process pays ~10 s of one-time init that

@@ -1,0 +1,283 @@
+"""Fourth relational-coverage wave: conditional aggregation (FILTER
+semantics), exact regression aggregates, bitwise aggregates,
+try-arithmetic null safety, and map-typed columns.
+
+As with relational3.py, nothing here maps 1:1 to a reference call site
+(the reference — huunhan1804/web-attack-detection, SURVEY.md §2.2 —
+has no relational layer); these close the remaining scalar/aggregate
+surface a production user expects from the engine.
+
+Determinism: every floating output is either an integer-scaled sum or
+a single IEEE double expression evaluated identically by both engines
+(long/decimal → double casts are exact round-to-nearest in both).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from web_attack_detection_spark.io.sources import load_table
+from web_attack_detection_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# Conditional aggregation — SQL FILTER clause semantics: count_if,
+# filtered sums, bool_and / bool_or. One shuffle on the group key; the
+# predicates evaluate map-side inside the partial aggregate, so at
+# scale this costs exactly one pass over the fact table regardless of
+# how many conditions are stacked.
+# ---------------------------------------------------------------------------
+
+_CONDITIONAL_ORACLE = """
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+       COALESCE(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                FILTER (WHERE l_discount > 0.05), 0) AS disc_rev_c,
+       bool_and(l_quantity > 0) AS all_positive,
+       bool_or(l_discount > 0.09) AS any_deep_discount
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "rel_conditional_agg",
+    _CONDITIONAL_ORACLE,
+    doc="FILTER-clause conditional aggregates: count_if, filtered sum, bool_and/bool_or",
+)
+def rel_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``count_if`` / conditional ``sum`` / ``bool_and`` / ``bool_or``
+    — the DataFrame spellings of SQL's ``FILTER (WHERE ...)``. All
+    four fold into ONE partial+final aggregate (check: a single
+    HashAggregate pair in the plan), so adding conditions is free at
+    scale — the anti-pattern is N self-joins, one per condition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("l_quantity") > 25).alias("n_bulk"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("l_discount") > 0.05,
+                    F.round(F.col("l_extendedprice") * 100).cast("long"),
+                )
+            ),
+            F.lit(0).cast("long"),
+        ).alias("disc_rev_c"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact linear-regression aggregates (slope / intercept per group).
+# Same co-moment discipline as rel_correlation: all sums are exact
+# integers (quantity as long, price in cents), combined in 128-bit
+# arithmetic (Spark DECIMAL(38,0), DuckDB HUGEINT), and only the FINAL
+# slope/intercept are doubles — one exact-integer→double cast and one
+# IEEE division, identical in both engines. A bare regr_slope() over
+# doubles would differ in the last ulp per partition order.
+# ---------------------------------------------------------------------------
+
+_REGR_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(l_quantity AS BIGINT)) AS sx,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sy,
+         SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+         SUM(CAST(l_quantity AS BIGINT) * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sxy
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+         / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS slope,
+       (CAST(sy AS DOUBLE)
+          - (CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+            * CAST(sx AS DOUBLE))
+         / CAST(n AS DOUBLE) AS intercept
+FROM m
+"""
+
+
+@register(
+    "rel_regr_aggregates",
+    _REGR_ORACLE,
+    doc="exact per-group OLS slope/intercept from integer co-moments",
+)
+def rel_regr_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group simple linear regression (price-cents on quantity)
+    computed from exact integer co-moments — the deterministic twin of
+    ``regr_slope``/``regr_intercept``. The five sums fit one map-side
+    partial aggregate; the 128-bit combination happens once per group
+    AFTER aggregation (3 rows), so the wide arithmetic costs nothing
+    at scale. Long sums stay far under 2^63 at any SF because the
+    per-row product is bounded (qty ≤ 50 × cents ≤ 1e7); the n*sxy
+    cross terms are what need 128 bits."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    x = F.col("l_quantity").cast("long")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(cents).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * cents).alias("sxy"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = (dec("n") * dec("sxy") - dec("sx") * dec("sy")).cast("double")
+    den = (dec("n") * dec("sxx") - dec("sx") * dec("sx")).cast("double")
+    slope = num / den
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return m.select(
+        "l_returnflag", "n", slope.alias("slope"), intercept.alias("intercept")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bitwise aggregates — bit_and / bit_or / bit_xor. Niche but cheap to
+# support (one partial aggregate) and genuinely useful at scale for
+# permission-mask rollups and parity checks over key sets.
+# ---------------------------------------------------------------------------
+
+_BITWISE_ORACLE = """
+SELECT l_returnflag,
+       bit_and(CAST(l_partkey AS BIGINT)) AS mask_and,
+       bit_or(CAST(l_partkey AS BIGINT)) AS mask_or,
+       bit_xor(CAST(l_partkey AS BIGINT)) AS parity_xor,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "rel_bitwise_agg",
+    _BITWISE_ORACLE,
+    doc="bitwise aggregates bit_and/bit_or/bit_xor per group",
+)
+def rel_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise AND/OR/XOR aggregates over the part keys per return
+    flag. Commutative + associative → perfect map-side partials; XOR
+    additionally gives an order-independent set fingerprint (used by
+    the dedup reconciliation pattern in SCALE.md)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pk = F.col("l_partkey").cast("long")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and(pk).alias("mask_and"),
+        F.bit_or(pk).alias("mask_or"),
+        F.bit_xor(pk).alias("parity_xor"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# try_* arithmetic — ANSI mode is ON engine-wide (Spark 4 default;
+# overflow/bad-cast/div-zero THROW). The try_* family is the per-
+# expression escape hatch: failures become NULL instead of killing a
+# 1000-executor job 3 hours in. This query proves the NULL semantics
+# line up with SQL's NULLIF/TRY_CAST forms.
+# ---------------------------------------------------------------------------
+
+_TRY_ORACLE = """
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       COUNT(*) FILTER (WHERE CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                              / NULLIF(l_linenumber - 1, 0) IS NULL) AS n_div_null,
+       COALESCE(SUM(CAST(ROUND(
+           CAST(ROUND(l_extendedprice * 100) AS BIGINT) / NULLIF(l_linenumber - 1, 0)
+         ) AS BIGINT)), 0) AS sum_ratio_c,
+       COUNT(TRY_CAST(substring(CAST(l_shipdate AS VARCHAR), 1, 4) AS BIGINT))
+         AS n_year_parses,
+       COUNT(*) FILTER (WHERE TRY_CAST(l_returnflag AS BIGINT) IS NULL) AS n_bad_casts
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "rel_try_arithmetic",
+    _TRY_ORACLE,
+    doc="try_divide/try_cast null-on-failure semantics under ANSI mode",
+)
+def rel_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``try_divide`` (NULL on /0) and ``try_cast`` (NULL on bad
+    parse) aggregated per return flag. ``l_linenumber - 1`` is zero
+    for every first line item, so ~quarter of the divisions hit /0 —
+    the point is the expression yields NULL instead of killing the job
+    under ANSI mode. The shipdate-year substring is the succeed path
+    for try_cast, the returnflag letter the fail path. NULL behavior
+    is asserted via counts, keeping the output small and
+    engine-comparable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    ratio = F.try_divide(cents, F.col("l_linenumber") - 1)
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(ratio.isNull()).alias("n_div_null"),
+        F.coalesce(F.sum(F.round(ratio).cast("long")), F.lit(0).cast("long")).alias(
+            "sum_ratio_c"
+        ),
+        F.count(
+            F.substring(F.col("l_shipdate").cast("string"), 1, 4).try_cast("long")
+        ).alias("n_year_parses"),
+        F.count_if(F.col("l_returnflag").try_cast("long").isNull()).alias(
+            "n_bad_casts"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Map-typed columns — map_from_entries / try_element_at / map_keys.
+# The map is BUILT in Spark (per-user event_type→count) and consumed
+# with map functions; the oracle computes the same scalars relationally
+# (DuckDB's map surface differs too much to compare maps directly, and
+# the driver hashes scalar columns anyway).
+# ---------------------------------------------------------------------------
+
+_MAP_ORACLE = """
+SELECT user_id,
+       CASE WHEN COUNT(*) FILTER (WHERE event_type = 'click') > 0
+            THEN COUNT(*) FILTER (WHERE event_type = 'click') END AS n_click,
+       COUNT(DISTINCT event_type) AS n_types,
+       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv
+FROM events
+WHERE user_id < 200
+GROUP BY user_id
+"""
+
+
+@register(
+    "rel_map_funcs",
+    _MAP_ORACLE,
+    doc="map column build + lookup: map_from_entries, try_element_at, map_keys",
+)
+def rel_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Builds a per-user ``map<event_type, count>`` with
+    ``map_from_entries(sort_array(collect_list(struct(...))))`` and
+    reads it back with ``try_element_at`` (ANSI-safe NULL on missing
+    key — plain ``element_at`` THROWS under ANSI), ``map_keys``, and
+    ``size``. Sorting entries before building makes map iteration
+    order deterministic, so the keys-csv matches the oracle's ordered
+    string_agg. At scale the map stays a per-group value (bounded by
+    event-type cardinality), never a shuffle key."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    m = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("m")
+    )
+    return m.select(
+        "user_id",
+        F.try_element_at("m", F.lit("click")).alias("n_click"),
+        F.size("m").cast("long").alias("n_types"),
+        F.array_join(F.map_keys("m"), ",").alias("types_csv"),
+    )
