@@ -281,3 +281,187 @@ def rel_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("m").cast("long").alias("n_types"),
         F.array_join(F.map_keys("m"), ",").alias("types_csv"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO / upsert — operators/merge.merge_upsert driven end-to-end.
+# The update set is derived deterministically from orders (CDC-style:
+# recomputed balances for a third of the customers, plus brand-new
+# keys), so the oracle can rebuild the identical merge with a FULL
+# OUTER JOIN.
+# ---------------------------------------------------------------------------
+
+_MERGE_ORACLE = """
+WITH ub AS (
+  SELECT o_custkey, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS acctbal_c
+  FROM orders WHERE o_custkey % 3 = 0 GROUP BY o_custkey
+), u AS (
+  SELECT o_custkey AS c_custkey, CAST(o_custkey % 25 AS BIGINT) AS c_nationkey,
+         acctbal_c FROM ub
+  UNION ALL
+  SELECT o_custkey + 10000000, CAST(o_custkey % 25 AS BIGINT), acctbal_c FROM ub
+), t AS (
+  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_c
+  FROM customer
+)
+SELECT COALESCE(t.c_custkey, u.c_custkey) AS c_custkey,
+       COALESCE(t.c_nationkey, u.c_nationkey) AS c_nationkey,
+       COALESCE(u.acctbal_c, t.acctbal_c) AS acctbal_c
+FROM t FULL OUTER JOIN u ON t.c_custkey = u.c_custkey
+"""
+
+
+@register(
+    "rel_merge_upsert",
+    _MERGE_ORACLE,
+    doc="MERGE INTO semantics (update-matched + insert-unmatched) in one full-outer join",
+)
+def rel_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style upsert: recomputed balances for customers with
+    ``custkey % 3 = 0`` update in place (keeping the customer's own
+    nation), shifted keys insert as new rows. ``merge_upsert`` executes
+    the whole MERGE as ONE full-outer join + per-column coalesce — the
+    plan a table format (Delta/Iceberg) generates for the same
+    statement, minus the transaction log. Broadcast the delta when it
+    fits; here both sides shuffle on the key once."""
+    from web_attack_detection_spark.operators.merge import merge_upsert
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_c"),
+    )
+    ub = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 3 == 0)
+        .groupBy("o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("acctbal_c"))
+    )
+    nk = (F.col("o_custkey") % 25).cast("long").alias("c_nationkey")
+    updates = (
+        ub.select(F.col("o_custkey").alias("c_custkey"), nk, "acctbal_c")
+    ).unionByName(
+        ub.select(
+            (F.col("o_custkey") + 10000000).alias("c_custkey"), nk, "acctbal_c"
+        )
+    )
+    return merge_upsert(cust, updates, ["c_custkey"], update_cols=["acctbal_c"])
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension maintenance — operators/merge.scd2_apply end-to-end:
+# close changed current versions, append new ones, insert new keys.
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH t AS (
+  SELECT c_custkey, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_c,
+         DATE '1990-01-01' AS vf FROM customer
+), u AS (
+  SELECT o_custkey AS c_custkey,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS acctbal_c,
+         CAST(MAX(o_orderdate) AS DATE) AS eff
+  FROM orders GROUP BY o_custkey
+)
+SELECT t.c_custkey, t.acctbal_c,
+       strftime(t.vf, '%Y-%m-%d') AS valid_from,
+       CASE WHEN u.c_custkey IS NOT NULL AND u.acctbal_c <> t.acctbal_c
+            THEN strftime(u.eff, '%Y-%m-%d') END AS valid_to
+FROM t LEFT JOIN u ON t.c_custkey = u.c_custkey
+UNION ALL
+SELECT u.c_custkey, u.acctbal_c, strftime(u.eff, '%Y-%m-%d'), NULL
+FROM u LEFT JOIN t ON t.c_custkey = u.c_custkey
+WHERE t.c_custkey IS NULL OR u.acctbal_c <> t.acctbal_c
+"""
+
+
+@register(
+    "rel_scd2_upsert",
+    _SCD2_ORACLE,
+    doc="SCD type-2 merge: close changed versions, append new, one shuffle",
+)
+def rel_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 over the customer balance:
+    every customer starts as one open version (valid_from 1990-01-01);
+    the update batch (recomputed balance + last order date per
+    customer) closes changed versions at the effective date and
+    appends the new open version. ``scd2_apply`` does it in one
+    full-outer join + inline generator — history never reshuffles.
+    Dates are emitted as formatted strings for engine-neutral
+    comparison."""
+    from web_attack_detection_spark.operators.merge import scd2_apply
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_c"),
+        F.lit("1990-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    upd = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("acctbal_c"),
+            F.max(F.col("o_orderdate")).cast("date").alias("effective_date"),
+        )
+        .withColumnRenamed("o_custkey", "c_custkey")
+    )
+    res = scd2_apply(dim, upd, "c_custkey", ["acctbal_c"])
+    return res.select(
+        "c_custkey",
+        "acctbal_c",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# String-function battery 2 — padding, repetition, splitting, and
+# positional functions (battery 1 = rel_scalar_funcs: case, substring,
+# concat, length). All JVM-side, whole-stage-codegen'd.
+# ---------------------------------------------------------------------------
+
+_STRING2_ORACLE = """
+SELECT p_partkey,
+       lpad(p_brand, 12, '*') AS brand_lpad,
+       rpad(p_brand, 12, '_') AS brand_rpad,
+       repeat(p_mfgr_tag, 2) AS tag_twice,
+       reverse(p_brand) AS brand_rev,
+       replace(p_type, ' ', '-') AS type_dashed,
+       split_part(p_type, ' ', 2) AS type_mid,
+       CAST(instr(p_type, 'BRASS') AS BIGINT) AS brass_pos,
+       left(p_name, 5) AS name_head,
+       right(p_name, 4) AS name_tail,
+       translate(p_brand, '#', '№') AS brand_tr
+FROM (SELECT *, substring(p_brand, 7) AS p_mfgr_tag FROM part)
+WHERE p_partkey < 500
+"""
+
+
+@register(
+    "rel_string_funcs2",
+    _STRING2_ORACLE,
+    doc="string battery 2: lpad/rpad/repeat/reverse/replace/split_part/instr/left/right/translate",
+)
+def rel_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding, repetition, reversal, replacement, token extraction
+    (1-based ``split_part``), substring position (1-based ``instr``, 0
+    = absent), prefix/suffix slices, and character translation — all
+    built-in JVM expressions inside one WholeStageCodegen projection
+    over the pruned scan."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    tag = F.substring("p_brand", 7, 99)
+    return p.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, "*").alias("brand_lpad"),
+        F.rpad("p_brand", 12, "_").alias("brand_rpad"),
+        F.repeat(tag, 2).alias("tag_twice"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("-")).alias("type_dashed"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(2)).alias("type_mid"),
+        F.instr("p_type", "BRASS").cast("long").alias("brass_pos"),
+        F.left(F.col("p_name"), F.lit(5)).alias("name_head"),
+        F.right(F.col("p_name"), F.lit(4)).alias("name_tail"),
+        F.translate("p_brand", "#", "№").alias("brand_tr"),
+    )
