@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from web_attack_detection_spark.io.sources import load_table
+from web_attack_detection_spark.io.sources import load_table, register_views
 from web_attack_detection_spark.plans.registry import register
 
 # ---------------------------------------------------------------------------
@@ -465,3 +465,135 @@ def rel_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.right(F.col("p_name"), F.lit(4)).alias("name_tail"),
         F.translate("p_brand", "#", "№").alias("brand_tr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE (Spark 4's WITH RECURSIVE): a month spine generated by
+# recursion, left-joined to monthly order revenue. The recursion is a
+# driver-cheap 84-row series; the fact-side aggregate is the real work
+# and stays one shuffle. (rel_gap_fill_locf builds the same spine with
+# sequence()+explode — two engine mechanisms, one semantic.)
+# ---------------------------------------------------------------------------
+
+_RECURSIVE_SPARK = """
+WITH RECURSIVE months(m) AS (
+  SELECT DATE '1992-01-01'
+  UNION ALL
+  SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months WHERE m < DATE '1998-12-01'
+), rev AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+         COUNT(*) AS n_orders,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_c
+  FROM orders GROUP BY 1
+)
+SELECT date_format(months.m, 'yyyy-MM') AS month,
+       CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(rev_c, 0) AS BIGINT) AS rev_c
+FROM months LEFT JOIN rev ON months.m = rev.m
+"""
+
+_RECURSIVE_ORACLE = """
+WITH RECURSIVE months(m) AS (
+  SELECT DATE '1992-01-01'
+  UNION ALL
+  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months WHERE m < DATE '1998-12-01'
+), rev AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+         COUNT(*) AS n_orders,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_c
+  FROM orders GROUP BY 1
+)
+SELECT strftime(months.m, '%Y-%m') AS month,
+       CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(rev_c, 0) AS BIGINT) AS rev_c
+FROM months LEFT JOIN rev ON months.m = rev.m
+"""
+
+
+@register(
+    "rel_recursive_cte",
+    _RECURSIVE_ORACLE,
+    doc="WITH RECURSIVE month spine left-joined to monthly revenue",
+)
+def rel_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 recursive CTE: the month spine recurses 84 rows (one
+    UnionLoop iteration each — bounded, terminating), then joins the
+    aggregated fact side. At scale recursion depth — not data volume —
+    is the knob to watch: each iteration is a plan execution, so keep
+    recursive members O(spine), never O(fact). Spine bounds are
+    literals covering the fixture's full order-date range; empty
+    months survive via the left join (COALESCE 0)."""
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(_RECURSIVE_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# Cross join — the one join type not yet in the registry. Both sides
+# tiny dimensions (the only place a cartesian product belongs).
+# ---------------------------------------------------------------------------
+
+_CROSS_ORACLE = """
+SELECT n.n_name, r.r_name,
+       CASE WHEN n.n_regionkey = r.r_regionkey THEN 1 ELSE 0 END AS is_home
+FROM nation n CROSS JOIN region r
+"""
+
+
+@register(
+    "rel_cross_join",
+    _CROSS_ORACLE,
+    doc="explicit cartesian product of two dimensions (BroadcastNestedLoopJoin)",
+)
+def rel_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product (``crossJoin`` — Spark refuses
+    implicit ones) between the two smallest dimensions, flagging each
+    nation's home region. Plans as BroadcastNestedLoopJoin with the
+    5-row side broadcast. The scale rule: a cross join is only ever
+    legal when one side is O(constant) — anything else is a bug the
+    explicit API surface makes visible."""
+    n = load_table(spark, sf_dir, "nation").select("n_name", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").select("r_name", "r_regionkey")
+    return n.crossJoin(r).select(
+        "n_name",
+        "r_name",
+        F.when(F.col("n_regionkey") == F.col("r_regionkey"), 1)
+        .otherwise(0)
+        .alias("is_home"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# NOT IN vs NOT EXISTS under three-valued logic — the classic silent-
+# wrong-answer trap: one NULL in the subquery makes NOT IN return
+# nothing, while NOT EXISTS keeps working.
+# ---------------------------------------------------------------------------
+
+_NOT_IN_SQL = """
+SELECT
+  (SELECT COUNT(*) FROM customer
+   WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS not_in_clean,
+  (SELECT COUNT(*) FROM customer
+   WHERE c_custkey NOT IN
+     (SELECT CASE WHEN o_custkey % 100 = 0 THEN NULL ELSE o_custkey END
+      FROM orders)) AS not_in_nullable,
+  (SELECT COUNT(*) FROM customer c
+   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+    AS not_exists
+"""
+
+
+@register(
+    "rel_not_in_nulls",
+    _NOT_IN_SQL,
+    doc="NOT IN three-valued logic vs NOT EXISTS (same SQL text on both engines)",
+)
+def rel_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical ANSI text on both engines. ``not_in_clean`` counts
+    customers without orders; ``not_in_nullable`` is 0 — one NULL in
+    the NOT IN set makes every predicate UNKNOWN — and ``not_exists``
+    matches the clean count because EXISTS is two-valued. Catalyst
+    plans NOT IN as a null-aware anti join (an extra null-check per
+    probe); prefer NOT EXISTS at scale unless the null semantics are
+    the point."""
+    register_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_NOT_IN_SQL)
