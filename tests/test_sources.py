@@ -85,3 +85,38 @@ def test_text_source_one_row_per_line(spark, tmp_path):
     df = spark.read.text(str(p))
     lines = [r["value"] for r in df.collect()]
     assert lines == ["alpha beta", "gamma", "", "delta epsilon zeta"]
+
+
+def test_orc_source_round_trip(spark, tmp_path):
+    """ORC round trip: the second columnar format Spark ships natively.
+    Values and schema must survive exactly (same predicate-pushdown /
+    column-pruning machinery as parquet via the vectorized reader)."""
+    from web_attack_detection_spark.io.sources import load_table
+
+    cust = load_table(spark, SF_SMOKE, "customer").limit(100)
+    path = str(tmp_path / "cust_orc")
+    cust.write.orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == cust.schema
+    assert sorted(r["c_custkey"] for r in back.collect()) == sorted(
+        r["c_custkey"] for r in cust.collect()
+    )
+
+
+def test_xml_source_round_trip(spark, tmp_path):
+    """XML round trip (native in Spark 4, absorbed from spark-xml):
+    rowTag-delimited records with attribute/element mapping."""
+    from web_attack_detection_spark.io.sources import load_table
+
+    nat = load_table(spark, SF_SMOKE, "nation").select("n_nationkey", "n_name")
+    path = str(tmp_path / "nation_xml")
+    nat.write.format("xml").option("rowTag", "nation").save(path)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema(nat.schema)
+        .load(path)
+    )
+    assert sorted((r["n_nationkey"], r["n_name"]) for r in back.collect()) == sorted(
+        (r["n_nationkey"], r["n_name"]) for r in nat.collect()
+    )

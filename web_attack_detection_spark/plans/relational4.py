@@ -597,3 +597,48 @@ def rel_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     the point."""
     register_views(spark, sf_dir, "customer", "orders")
     return spark.sql(_NOT_IN_SQL)
+
+
+# ---------------------------------------------------------------------------
+# VARIANT (Spark 4's semi-structured type): parse_json once into an
+# open-schema binary value, extract typed paths with variant_get. The
+# scale pitch over from_json: no schema declaration to maintain when
+# producers add fields, and the encoding is columnar-shreddable.
+# ---------------------------------------------------------------------------
+
+_VARIANT_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       COUNT(*) FILTER (WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) < 50)
+         AS n_small,
+       'OBJECT<k: BIGINT>' AS schema_str
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "rel_variant_json",
+    _VARIANT_ORACLE,
+    doc="VARIANT type: parse_json + variant_get typed path extraction",
+)
+def rel_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``parse_json`` → VARIANT → ``variant_get(v, '$.k', 'long')``,
+    aggregated per event type, with ``schema_of_variant`` proving the
+    inferred per-row schema. Parse ONCE into a column and extract many
+    paths from it — same rule as from_json, but the VARIANT keeps
+    untyped fields available without a declared schema (the
+    schema-drift-proof ingestion path for 100 TB of heterogeneous
+    event logs). DuckDB has no VARIANT; the oracle extracts the same
+    values through its JSON type."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "v", F.parse_json("props")
+    )
+    k = F.variant_get("v", "$.k", "long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.count_if(k < 50).alias("n_small"),
+        F.min(F.schema_of_variant(F.col("v"))).alias("schema_str"),
+    )
