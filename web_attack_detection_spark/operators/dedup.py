@@ -331,28 +331,39 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
-    # compress repeated tokens FIRST: the 64 bit-vote expressions then
+    # compress repeated tokens FIRST: the bit-vote expressions then
     # run over |distinct (doc, token)| rows instead of |tokens| rows —
     # the expression evaluation dominates, so duplicate-heavy corpora
     # (natural language is) get a proportional speedup. Votes weighted
     # by the count are identical to per-occurrence ±1 votes.
     cnts = toks.groupBy("id", "h").agg(F.count(F.lit(1)).alias("cnt"))
-    votes = cnts.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.col("cnt")
-                ).otherwise(-F.col("cnt"))
-            ).alias(f"v{i}")
-            for i in range(64)
+    # Lane packing + SQL-string expressions. Packing 3 bit-votes per
+    # long in 21-bit lanes turns 64 conditional sums into 22 packed
+    # sums + one total: v_i = 2*S_i - T with S_i = Σ cnt·bit_i, so the
+    # sign test v_i > 0 becomes 2*S_i > T. Lanes never carry into each
+    # other while a doc has < 2^21 (≈2M) tokens; ANSI mode would throw
+    # loudly on overflow rather than corrupt. The expressions are
+    # assembled as SQL STRINGS because building ~700 Column objects
+    # costs ~2 s of driver-side Py4J round-trips per plan — one
+    # F.expr parse is milliseconds and yields the identical plan.
+    lanes, width = 3, 21
+    mask = (1 << width) - 1
+    n_longs = (64 + lanes - 1) // lanes
+    packs = []
+    for j in range(n_longs):
+        terms = [
+            f"SHIFTLEFT(SHIFTRIGHT(h, {i}) & 1, {lane * width})"
+            for lane in range(lanes)
+            if (i := j * lanes + lane) < 64
         ]
-    )
-    sig = None
+        packs.append(F.expr(f"SUM(cnt * ({' + '.join(terms)}))").alias(f"s{j}"))
+    votes = cnts.groupBy("id").agg(F.expr("SUM(cnt)").alias("t"), *packs)
+    sig_terms = []
     for i in range(64):
-        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, i)
-        sig = term if sig is None else sig.bitwiseOR(term)
-    return votes.select("id", sig.alias("simhash"))
+        j, lane = divmod(i, lanes)
+        s_i = f"(SHIFTRIGHT(s{j}, {lane * width}) & {mask})"
+        sig_terms.append(f"SHIFTLEFT(CAST(2 * {s_i} > t AS BIGINT), {i})")
+    return votes.select("id", F.expr(" | ".join(sig_terms)).alias("simhash"))
 
 
 def simhash_near_dup_pairs(
