@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from web_attack_detection_spark.io.sources import load_table
 from web_attack_detection_spark.plans.registry import register, sql_money_sum
 from web_attack_detection_spark.streaming.windows import (
+    deduped_event_counts,
     sessionized_event_counts,
     stream_events_from_dir,
     windowed_event_counts,
@@ -126,3 +127,26 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum("n_events").cast("long").alias("n_events"),
     )
+
+
+_STREAM_DEDUP_ORACLE = f"""
+SELECT event_type,
+       COUNT(*) AS n,
+       {sql_money_sum('value')} AS total_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "stream_dedup_watermark",
+    _STREAM_DEDUP_ORACLE,
+    doc="dropDuplicatesWithinWatermark: exactly-once counts from duplicated input",
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every event is delivered TWICE into the stream; the
+    within-watermark dedup restores exactly-once, so the per-type
+    counts must equal plain batch SQL over the original (single-copy)
+    fixture. State for seen event_ids is evicted as the watermark
+    advances — the bounded-memory property the 100 TB stream needs."""
+    return _replay(spark, sf_dir, deduped_event_counts)

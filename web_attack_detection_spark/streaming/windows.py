@@ -195,6 +195,35 @@ def view_purchase_stream_join(
     ).select("view_id", "purchase_id", F.col("v_user").alias("user_id"))
 
 
+def deduped_event_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once per event_id under at-least-once delivery: every
+    row is duplicated in-flight (explode ×2 — same micro-batch, the
+    deterministic stand-in for a redelivering transport), then
+    ``dropDuplicatesWithinWatermark`` keeps one copy per key. Unlike
+    plain ``dropDuplicates``, the within-watermark variant EVICTS key
+    state once the watermark passes — bounded state, the only dedup
+    that survives an unbounded 100 TB stream. Batch DataFrames take
+    the plain ``dropDuplicates`` path, so stream == batch is testable.
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    doubled = src.withColumn(
+        "__copy", F.explode(F.array(F.lit(1), F.lit(2)))
+    ).drop("__copy")
+    deduped = (
+        doubled.dropDuplicatesWithinWatermark(["event_id"])
+        if events.isStreaming
+        else doubled.dropDuplicates(["event_id"])
+    )
+    return deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0), 2
+        ).alias("total_value"),
+    )
+
+
 def stream_events_from_dir(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream: each new parquet file in ``path`` becomes a
     micro-batch — the deterministic test transport."""
