@@ -1,0 +1,186 @@
+"""Second text-analysis wave for the training-data pipeline: PII
+redaction, document chunking (overlapping token windows), and
+repetition-ratio quality signals.
+
+North-star extensions (BASELINE.json / SURVEY.md §2.7) — the reference
+has no text processing at all. These three are the standard
+pre-training corpus steps between dedup and tokenization: strip PII,
+window long documents into model-sized chunks, and drop
+degenerate/repetitive text (Gopher-style quality rules).
+
+All three are pure JVM scalar/generator pipelines — regexp, split,
+sequence/slice, explode — no Python, no shuffle except the final
+aggregate where one exists; they scale linearly with corpus bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from web_attack_detection_spark.io.sources import load_table
+from web_attack_detection_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# PII redaction. The fixture corpus is synthetic and PII-free, so the
+# query plants deterministic emails/phones derived from doc_id, then
+# redacts them — both engines apply the identical mutation (the
+# FIXTURES.md null-injection pattern, applied to strings).
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = "[A-Za-z0-9._]+@[A-Za-z0-9.]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "\\+1-555-[0-9]{4}"
+
+_PII_ORACLE = f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@mail.example.com or +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now' AS text
+  FROM documents WHERE doc_id <= 300
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+       regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+FROM planted
+"""
+
+
+@register(
+    "text_pii_redact",
+    _PII_ORACLE,
+    doc="PII redaction: count + regexp_replace emails/phones",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-then-redact in one projection. Spark's regexp_replace
+    replaces all occurrences by default (DuckDB needs the 'g' flag);
+    regexp_count / regexp_extract_all agree on the common RE subset
+    used here. At 100 TB this is embarrassingly parallel scan work —
+    the only design rule is to keep it JVM-side (a Python UDF here
+    would cost 10-100×)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 300)
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@mail.example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" now"),
+        ).alias("text"),
+    )
+    return planted.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count("text", F.lit(_PHONE_RE)).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ).alias("redacted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking: overlapping token windows (size 50, stride 40).
+# ---------------------------------------------------------------------------
+
+_CHUNK_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id <= 300
+), starts AS (
+  SELECT doc_id, t, unnest(generate_series(0, len(t) - 1, 40)) AS start
+  FROM toks
+)
+SELECT doc_id,
+       CAST(start AS INTEGER) AS chunk_start,
+       CAST(len(list_slice(t, start + 1, start + 50)) AS INTEGER) AS n_tokens,
+       t[start + 1] AS first_token,
+       CAST(length(array_to_string(list_slice(t, start + 1, start + 50), ' '))
+            AS BIGINT) AS n_chars
+FROM starts
+"""
+
+
+@register(
+    "text_chunk_windows",
+    _CHUNK_ORACLE,
+    doc="document chunking: overlapping token windows via sequence+slice",
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window a document into model-sized chunks (50 tokens, stride
+    40 → 10-token overlap) with sequence → explode → slice. One
+    generator, no shuffle, output rows ∝ corpus tokens / stride. The
+    chunk text itself stays an array until the final projection —
+    re-joining to a string only at the edge keeps the intermediate
+    compact."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 300)
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    starts = toks.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.greatest(F.size("t") - 1, F.lit(0)), F.lit(40)
+            )
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("t"), F.col("start") + 1, 50)
+    return starts.select(
+        "doc_id",
+        F.col("start").cast("int").alias("chunk_start"),
+        F.size(chunk).alias("n_tokens"),
+        F.element_at(F.col("t"), F.col("start") + 1).alias("first_token"),
+        F.length(F.array_join(chunk, " ")).cast("long").alias("n_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition ratio — Gopher-style degenerate-text signal.
+# ---------------------------------------------------------------------------
+
+_REPETITION_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE doc_id <= 300
+), cnt AS (
+  SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w
+)
+SELECT doc_id,
+       CAST(MAX(c) AS BIGINT) AS max_count,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS rep_ratio,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS ttr
+FROM cnt
+GROUP BY doc_id
+"""
+
+
+@register(
+    "text_repetition_ratio",
+    _REPETITION_ORACLE,
+    doc="repetition ratio + type-token ratio per document",
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-frequent-token share and type-token ratio — the two
+    cheap repetition signals used to drop degenerate documents
+    before training. Two chained aggregates on the same doc_id key:
+    Catalyst reuses the partitioning, so the second groupBy is
+    exchange-free. Ratios are one double division of exact longs."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 300)
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    cnt = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    return cnt.groupBy("doc_id").agg(
+        F.max("c").alias("max_count"),
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(F.max("c").cast("double") / F.sum("c").cast("double"), 6).alias(
+            "rep_ratio"
+        ),
+        F.round(
+            F.count(F.lit(1)).cast("double") / F.sum("c").cast("double"), 6
+        ).alias("ttr"),
+    )
