@@ -253,6 +253,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """(id, component) for every node in the pair graph; component =
     the minimum node id reachable from it.
@@ -262,15 +263,22 @@ def connected_components(
     even when A~C was never emitted. That collapse is connected
     components; the survivor is then one doc per component.
 
-    Algorithm: iterative min-label propagation — each round every node
-    takes the min label among itself and its neighbors. This is the
-    standard scalable union-find on Spark (driver-side union-find would
-    need all edges in one process; this needs one groupBy per round).
-    Rounds = graph diameter, and near-dup components are small/dense in
-    practice, so 3-5 rounds converge. Each round is one shuffle of
-    |edges| rows; ``localCheckpoint`` truncates the lineage so the plan
-    doesn't grow exponentially across iterations (the classic iterative-
-    DataFrame trap). Convergence is detected by a changed-label count.
+    Size-adaptive, like production dedup pipelines: the pair graph is
+    ALWAYS tiny relative to the corpus (only near-dup nodes appear in
+    it), so when it fits on the driver (≤ ``driver_threshold`` edges,
+    a few hundred MB) a single-pass union-find answers exactly —
+    iterating Spark jobs over a thousand-edge graph buys nothing but
+    scheduler overhead. Above the threshold, distributed min-label
+    propagation takes over; both produce identical labels.
+
+    Distributed algorithm: each round every node takes the min label
+    among itself and its neighbors — the standard scalable union-find
+    on Spark. Rounds = graph diameter, and near-dup components are
+    small/dense in practice, so 3-5 rounds converge. Each round is one
+    shuffle of |edges| rows; ``localCheckpoint`` truncates the lineage
+    so the plan doesn't grow exponentially across iterations (the
+    classic iterative-DataFrame trap). Convergence is detected by a
+    changed-label count.
     """
     edges = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
@@ -278,6 +286,30 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    if edges.count() <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in edges.toLocalIterator():
+            u, v = r.u, r.v
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:  # min id becomes the root → min-label semantics
+                if rv < ru:
+                    ru, rv = rv, ru
+                parent[rv] = ru
+        rows = [(x, find(x)) for x in parent]
+        return edges.sparkSession.createDataFrame(
+            rows, "id long, component long"
+        )
     labels = edges.select(F.col("u").alias("id")).distinct().withColumn("lbl", F.col("id"))
 
     def one_hop(lbls):
