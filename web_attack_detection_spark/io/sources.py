@@ -42,6 +42,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     session.py). We convert ns→µs and expose a true ``timestamp`` so
     Spark and the DuckDB oracle (``CAST(ts AS TIMESTAMP)`` truncates to
     µs identically) agree on the column.
+
+    Fixtures written as tz-less ``timestamp[us]`` come back as
+    TIMESTAMP_NTZ on sessions without ``inferTimestampNTZ=false``
+    (our session.py sets it; the driver's harness session may not).
+    The session timezone is UTC everywhere, so casting NTZ→timestamp
+    preserves the instant and matches DuckDB's naive-timestamp read.
     """
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
@@ -50,6 +56,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # integer division: ts is ~1.7e18 ns — double division would lose
         # sub-µs precision (doubles carry 53 bits ≈ 9e15)
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz:
+        from pyspark.sql import functions as F
+
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     return df
 
 

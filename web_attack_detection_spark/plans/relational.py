@@ -556,7 +556,10 @@ def rel_asof_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "user_id",
             (
-                (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts")))
+                (
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    - F.unix_micros(F.col("prev_ts").cast("timestamp"))
+                )
                 / F.lit(1000)
             )
             .cast("long")

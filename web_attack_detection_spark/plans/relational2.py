@@ -221,7 +221,9 @@ def rel_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming twin is ``session_window`` (state-bounded)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.lag("ts").over(w).cast("timestamp")
+    )
     marked = ev.withColumn(
         "new_session",
         F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0),
@@ -272,7 +274,13 @@ def rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
-        ((F.unix_micros(F.col("ts")) - F.unix_micros(F.col("asof_ts"))) / F.lit(1000))
+        (
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.col("asof_ts").cast("timestamp"))
+            )
+            / F.lit(1000)
+        )
         .cast("long")
         .alias("gap_ms"),
     )

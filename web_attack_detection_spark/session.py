@@ -64,6 +64,10 @@ def build_session(
         # the events fixture stores TIMESTAMP(NANOS) parquet, which Spark
         # refuses by default; read ns as long, converted in io.sources.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # tz-less parquet timestamp[us] should scan as TIMESTAMP (UTC
+        # session), not TIMESTAMP_NTZ — keeps ts predicates pushable and
+        # every time function (unix_micros, from_utc_timestamp) typed.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
