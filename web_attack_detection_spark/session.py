@@ -68,6 +68,13 @@ def build_session(
         # session), not TIMESTAMP_NTZ — keeps ts predicates pushable and
         # every time function (unix_micros, from_utc_timestamp) typed.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # Spark 4.x writes + fsyncs a checksum sidecar per checkpoint
+        # file (ChecksumCheckpointFileManager); on a local/posix
+        # checkpoint dir that integrity layer costs ~30% of stateful-
+        # streaming micro-batch latency for zero benefit — single-disk
+        # durability is already the filesystem's problem. Re-enable on
+        # object-store checkpoints where partial writes are real.
+        .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
