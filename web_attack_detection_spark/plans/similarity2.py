@@ -1,0 +1,148 @@
+"""Quantized-embedding queries: the int8 scale path for similarity
+search over ``embeddings``.
+
+At 100 TB an fp32 embedding column is the dominant scan cost of every
+ANN query; symmetric per-vector int8 quantization cuts candidate-scan
+bytes 4× and turns the inner loop into an exact integer dot product
+(no float-order nondeterminism at all — BIGINT sums are associative,
+so the result is independent of partitioning, unlike fp32 folds that
+similarity.py must pin to left-to-right order). The recall cost is
+bounded by the per-vector scale: q = round(x · 127/max|x|).
+
+The reference (huunhan1804/web-attack-detection) has no embedding or
+similarity surface (SURVEY.md §2.7) — this extends the north-star
+similarity stack (similarity.py) with its memory-bound scale variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from web_attack_detection_spark.io.sources import load_table
+from web_attack_detection_spark.plans.registry import register
+
+# per-vector symmetric int8 quantization (DuckDB side). Element order:
+# cast float→double FIRST in both engines, then abs/max/round —
+# textual twin of _quantized() below.
+_SQL_QUANT_CTE = """
+scaled AS (
+  SELECT vec_id, label, embedding,
+         127.0 / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS s
+  FROM embeddings
+),
+quant AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * s) AS INTEGER)) AS q
+  FROM scaled
+)
+"""
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vec_id, label, q: array<int> in [-127, 127]. Map-only — the
+    scale is a per-row array fold, no shuffle, no UDF; at 100 TB this
+    is the one-pass rewrite job that materializes the quantized
+    column next to (or instead of) the fp32 one."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    s = F.lit(127.0) / F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    return emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("embedding"), lambda x: F.round(x.cast("double") * s).cast("int")
+        ).alias("q"),
+    )
+
+
+_QUANTIZE_ORACLE = f"""
+WITH {_SQL_QUANT_CTE}
+SELECT vec_id, q,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), q),
+                        (acc, x) -> acc + x) AS BIGINT) AS q_sum,
+       CAST(list_max(list_transform(q, x -> abs(x))) AS INTEGER) AS q_max_abs
+FROM quant
+"""
+
+
+@register(
+    "sim_scalar_quantize",
+    _QUANTIZE_ORACLE,
+    doc="symmetric per-vector int8 quantization of the embedding column",
+)
+def sim_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantized arrays themselves are the checked output (plus a
+    sum/max-abs digest): integers survive both engines bit-exactly, so
+    this pins the quantization formula — the part recall depends on —
+    not just row counts."""
+    q = _quantized(spark, sf_dir)
+    return q.select(
+        "vec_id",
+        "q",
+        F.aggregate(F.col("q"), F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "q_sum"
+        ),
+        F.array_max(F.transform(F.col("q"), lambda x: F.abs(x))).alias("q_max_abs"),
+    )
+
+
+_QTOPK_ORACLE = f"""
+WITH {_SQL_QUANT_CTE},
+scored AS (
+  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, 65), i -> CAST(p.q[i] AS BIGINT) * c.q[i])),
+           (acc, x) -> acc + x) AS BIGINT) AS dot_q
+  FROM quant p JOIN quant c ON c.vec_id != p.vec_id
+  WHERE p.vec_id < 10
+),
+ranked AS (
+  SELECT query_id, neighbor_id, dot_q,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY dot_q DESC, neighbor_id ASC
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dot_q
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register(
+    "sim_quantized_topk",
+    _QTOPK_ORACLE,
+    doc="exact int8-dot top-5 neighbors for 10 probe vectors",
+)
+def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k over the QUANTIZED column: the 10 probes
+    broadcast against the candidate scan (map-only scoring — the only
+    shuffle is the per-query top-k window over 10 partitions), and the
+    BIGINT dot product makes ranking ties exact, so (score desc, id
+    asc) is a total order both engines agree on. At 100 TB this is the
+    re-rank-free ANN fallback: 4× less scan than fp32 brute force with
+    identical plan shape."""
+    q = _quantized(spark, sf_dir)
+    probes = q.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("pq")
+    )
+    cands = q.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("cq"))
+    dot = F.aggregate(
+        F.zip_with(F.col("pq"), F.col("cq"), lambda a, b: a.cast("long") * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        cands.join(F.broadcast(probes), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", dot.alias("dot_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_q").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "dot_q")
+    )
