@@ -280,13 +280,18 @@ def connected_components(
     classic iterative-DataFrame trap). Convergence is detected by a
     changed-label count.
     """
-    edges = (
+    # checkpoint the RAW pair list first: the pair plan (typically an
+    # expensive shingle self-join) must evaluate exactly once — the
+    # doubled edge list both paths conceptually use would otherwise
+    # re-run it per union branch. Union-find is symmetric, so the
+    # driver path consumes the raw pairs directly; only distributed
+    # propagation needs the (cheap, post-checkpoint) doubled copy.
+    raw = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        .unionByName(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
-        .distinct()
         .localCheckpoint()
     )
-    if edges.count() <= driver_threshold:
+    if raw.count() <= driver_threshold:
+        edges = raw
         parent: dict = {}
 
         def find(x):
@@ -310,6 +315,11 @@ def connected_components(
         return edges.sparkSession.createDataFrame(
             rows, "id long, component long"
         )
+    edges = (
+        raw.unionByName(raw.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
     labels = edges.select(F.col("u").alias("id")).distinct().withColumn("lbl", F.col("id"))
 
     def one_hop(lbls):
