@@ -57,6 +57,10 @@ try:
 except ImportError:  # pragma: no cover
     pass
 try:
+    from web_attack_detection_spark.plans import pipelineq  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
+try:
     from web_attack_detection_spark.plans import mlq  # noqa: F401
 except ImportError:  # pragma: no cover
     pass

@@ -1,0 +1,136 @@
+"""Training-data pipeline operations: dataset audit + deterministic
+splits.
+
+Two ops every 100 TB ingest needs before any model sees the data:
+
+* **column profiling** — null rates, exact distinct counts, ranges,
+  computed in ONE scan (a struct-per-column aggregate exploded to long
+  format), not one scan per column: at 100 TB the scan IS the cost.
+* **deterministic hash split** — train/test assignment must be a pure
+  function of the row key, not a random() that reshuffles every run
+  (irreproducible) or a sorted-prefix split (biased by key order).
+  md5 is used instead of Spark's murmur ``hash()`` precisely so the
+  split is portable: any engine (here: the DuckDB oracle) re-derives
+  the identical assignment.
+
+The reference (huunhan1804/web-attack-detection) splits train/test by
+FILE (partition CSVs 1,3,4 vs 2 — ``main.py:28-44``), which is neither
+reproducible at the row level nor rebalanceable; SURVEY.md §2.1 S2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from web_attack_detection_spark.io.sources import load_table
+from web_attack_detection_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# one-scan column profile (lineitem numeric columns)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name,
+       COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_null,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       MIN({c}) AS min_val,
+       MAX({c}) AS max_val
+FROM lineitem"""
+    for c in _PROFILE_COLS
+)
+
+
+@register(
+    "pipe_profile_columns",
+    _PROFILE_ORACLE,
+    doc="dataset audit: nulls / exact NDV / range per column, one scan",
+)
+def pipe_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All per-column stats in a single aggregate (the oracle's
+    UNION-ALL-of-scans form is the semantic spec, not the plan): one
+    pass over the fact table computes count/nulls/NDV/min/max for
+    every profiled column at once, then a generator pivots the single
+    result row to long format — driver-side cost is one row. Exact NDV
+    shuffles per-column distinct sets; swap in approx_count_distinct
+    when ±2% suffices at 100 TB (rel_approx_aggregates)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null"),
+            F.count_distinct(F.col(c)).alias(f"{c}__ndv"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+        ]
+    one = li.agg(*aggs)
+    stacked = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col(f"{c}__n").alias("n_rows"),
+                        F.col(f"{c}__null").alias("n_null"),
+                        F.col(f"{c}__ndv").alias("n_distinct"),
+                        F.col(f"{c}__min").alias("min_val"),
+                        F.col(f"{c}__max").alias("max_val"),
+                    )
+                    for c in _PROFILE_COLS
+                ]
+            )
+        ).alias("p")
+    )
+    return stacked.select("p.*")
+
+
+# ---------------------------------------------------------------------------
+# deterministic md5 train/test split (80/20) over documents
+# ---------------------------------------------------------------------------
+
+_SPLIT_ORACLE = """
+WITH assigned AS (
+  SELECT lang, n_chars,
+         CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                   AS INTEGER) < 205
+              THEN 'train' ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM assigned
+GROUP BY split, lang
+"""
+
+
+@register(
+    "pipe_hash_split",
+    _SPLIT_ORACLE,
+    doc="deterministic md5-keyed 80/20 split, portable across engines",
+)
+def pipe_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split = first md5 byte of the key < 205 (~80.1% of 256). Pure
+    row-local function — no shuffle to assign, stable under
+    re-partitioning, re-runs, and engine swaps (the oracle re-derives
+    it in DuckDB byte-for-byte), and any related-row leakage control
+    just changes the hashed key (hash the GROUP id to keep groups
+    together). The aggregation here audits the split balance per
+    language."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2), 16, 10
+    ).cast("int")
+    assigned = docs.select(
+        "lang",
+        "n_chars",
+        F.when(bucket < 205, "train").otherwise("test").alias("split"),
+    )
+    return assigned.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
