@@ -198,8 +198,13 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(F.split("text", r"\s+")).alias("tok"))
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    # one explode, one shuffle: DF derives from the TF relation (whose
+    # rows are already distinct (doc, tok) pairs, so COUNT == COUNT
+    # DISTINCT doc) instead of re-exploding the corpus — the second
+    # pass aggregates |tf| rows, not |token instances|, and the cache
+    # makes the branch reuse explicit.
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")).cache()
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.count()
     scored = tf.join(F.broadcast(df), "tok").select(
         "doc_id",
