@@ -155,6 +155,37 @@ def ml_logreg_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ml_naive_bayes_train_eval", None, doc="MLlib Gaussian Naive Bayes train/eval (single-pass fit)")
+def ml_naive_bayes_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaussian NB on the same split as the MLP/logreg: the fit is ONE
+    aggregation pass (per-class feature means/variances — algebraic,
+    map-side combinable), no iterative optimizer re-reading the input,
+    so at 100 TB training costs exactly one scan. The accuracy-vs-cost
+    trade against the iterative models is the point of having it in
+    the battery. Rows-only (one row: accuracy, n_train, n_test)."""
+    from pyspark.ml.classification import NaiveBayes
+
+    from web_attack_detection_spark.functions.feature import fit_feature_pipeline
+    from web_attack_detection_spark.ml.pipeline import accuracy, to_vector
+
+    events = load_table(spark, sf_dir, "events").drop("props", "ts")
+    train = events.filter(F.col("event_id") % 4 != 1)
+    test = events.filter(F.col("event_id") % 4 == 1)
+    fp = fit_feature_pipeline(train, label_col="event_type")
+    # no cache: the single-pass fit reads the pipeline output once —
+    # materializing it would cost more than it saves (contrast the
+    # cached iterative fits above)
+    tr = to_vector(fp.transform(train).select("features", "label"), "features", "fv")
+    te = to_vector(fp.transform(test).select("features", "label"), "features", "fv")
+    nb = NaiveBayes(featuresCol="fv", labelCol="label", modelType="gaussian")
+    model = nb.fit(tr)
+    acc = accuracy(model.transform(te)).first()["accuracy"]
+    return spark.createDataFrame(
+        [(float(acc), tr.count(), te.count())],
+        "accuracy double, n_train long, n_test long",
+    )
+
+
 @register("ml_mlp_train_eval", None, doc="MLlib MLP train on events features, eval accuracy")
 def ml_mlp_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end M1: feature pipeline → MLP(16,8) → accuracy on the

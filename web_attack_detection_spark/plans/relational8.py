@@ -20,7 +20,7 @@ engine-completeness queries, same rationale as relational5.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from web_attack_detection_spark.io.sources import load_table
@@ -170,4 +170,120 @@ def rel_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# time-series gap fill by LINEAR INTERPOLATION (the companion to
+# relational3's LOCF: estimates missing hours from BOTH neighbors)
+# ---------------------------------------------------------------------------
+
+_LERP_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_val_c
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type,
+         min(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS mn,
+         max(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS mx
+  FROM events GROUP BY 1
+), spine AS (
+  SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM bounds
+), ctx AS (
+  SELECT s.event_type, s.h, hourly.sum_val_c AS own,
+         last_value(hourly.sum_val_c IGNORE NULLS) OVER wb AS prev_c,
+         last_value(CASE WHEN hourly.sum_val_c IS NOT NULL THEN epoch_us(s.h) END IGNORE NULLS) OVER wb AS prev_e,
+         first_value(hourly.sum_val_c IGNORE NULLS) OVER wf AS next_c,
+         first_value(CASE WHEN hourly.sum_val_c IS NOT NULL THEN epoch_us(s.h) END IGNORE NULLS) OVER wf AS next_e
+  FROM spine s LEFT JOIN hourly ON s.event_type = hourly.event_type AND s.h = hourly.h
+  WINDOW wb AS (PARTITION BY s.event_type ORDER BY s.h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY s.event_type ORDER BY s.h
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type,
+       strftime(CAST(h AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS hour,
+       ROUND(CAST(ROUND(CASE
+         WHEN own IS NOT NULL THEN CAST(own AS DOUBLE)
+         WHEN prev_c IS NULL THEN CAST(next_c AS DOUBLE)
+         WHEN next_c IS NULL THEN CAST(prev_c AS DOUBLE)
+         ELSE prev_c + (next_c - prev_c)
+              * ((epoch_us(h) - prev_e) / CAST(next_e - prev_e AS DOUBLE))
+       END) AS BIGINT) / 100.0, 2) AS filled,
+       CAST(CASE WHEN own IS NULL THEN 1 ELSE 0 END AS INT) AS was_gap
+FROM ctx
+"""
+
+
+@register(
+    "rel_gap_fill_lerp",
+    _LERP_ORACLE,
+    doc="hourly spine + linear interpolation between neighboring observations",
+)
+def rel_gap_fill_lerp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing hours get the straight line between their nearest
+    observed neighbors (boundary gaps fall back to the single
+    neighbor) — LOCF's step function is wrong for rates and gauges.
+    Two IGNORE-NULLS windows (backward last, forward first) over the
+    spine join find both anchors in one sort each; interpolation is
+    exact-integer cents lerped with one double division, so both
+    engines agree bit-for-bit. Same single-shuffle shape as LOCF: the
+    spine join and both windows share the event_type partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_val_c"))
+    bounds = ev.groupBy("event_type").agg(
+        F.min(F.date_trunc("hour", F.col("ts"))).alias("mn"),
+        F.max(F.date_trunc("hour", F.col("ts"))).alias("mx"),
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    joined = spine.join(hourly, ["event_type", "h"], "left").select(
+        "event_type", "h", F.col("sum_val_c").alias("own")
+    )
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    e = F.unix_micros(F.col("h"))
+    known_e = F.when(F.col("own").isNotNull(), e)
+    ctx = joined.select(
+        "event_type",
+        "h",
+        "own",
+        F.last("own", ignorenulls=True).over(wb).alias("prev_c"),
+        F.last(known_e, ignorenulls=True).over(wb).alias("prev_e"),
+        F.first("own", ignorenulls=True).over(wf).alias("next_c"),
+        F.first(known_e, ignorenulls=True).over(wf).alias("next_e"),
+    )
+    filled = (
+        F.when(F.col("own").isNotNull(), F.col("own").cast("double"))
+        .when(F.col("prev_c").isNull(), F.col("next_c").cast("double"))
+        .when(F.col("next_c").isNull(), F.col("prev_c").cast("double"))
+        .otherwise(
+            F.col("prev_c")
+            + (F.col("next_c") - F.col("prev_c"))
+            * ((e - F.col("prev_e")) / (F.col("next_e") - F.col("prev_e")).cast("double"))
+        )
+    )
+    # round the lerped CENTS to an integer first: fractional-decimal
+    # rounding of a lerp result hits HALF_UP-vs-float-repr divergence
+    # between engines (10.63375 → .6337/.6338); integer rounding of a
+    # ~1e3-magnitude double is ulp-safe, and the final /100 + round(2)
+    # is the registry's proven money discipline.
+    return ctx.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.round(F.round(filled).cast("long") / 100.0, 2).alias("filled"),
+        F.when(F.col("own").isNull(), 1).otherwise(0).cast("int").alias("was_gap"),
     )
