@@ -123,3 +123,46 @@ def test_ivf_assignment_corpus_side_is_map_only(spark):
     # every Exchange is the centroid-side SinglePartition collect —
     # no hash-partitioning shuffle of corpus rows anywhere
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_profile_columns_is_single_scan(spark):
+    """The one-scan claim of pipe_profile_columns: all per-column
+    stats (including 4 COUNT DISTINCTs) compile to aggregates over ONE
+    parquet scan — Expand handles the multi-distinct, never a second
+    read of the fact table."""
+    from web_attack_detection_spark.plans.pipelineq import pipe_profile_columns
+
+    plan = plan_of(pipe_profile_columns(spark, SF_SMOKE), "simple")
+    assert plan.count("Scan parquet") == 1
+
+
+def test_quantized_topk_corpus_never_shuffles_for_scoring(spark):
+    """Quantized top-k scoring: the 10 probes broadcast (nested-loop,
+    the join key is an inequality), the corpus is scanned map-side;
+    the only hash exchange is the per-query top-k window over scalar
+    score triples — never the vectors."""
+    from web_attack_detection_spark.plans.similarity2 import sim_quantized_topk
+
+    plan = plan_of(sim_quantized_topk(spark, SF_SMOKE), "simple")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q17_dimension_broadcasts(spark):
+    """Q17's part filter must broadcast onto lineitem — the fact table
+    shuffles only for the per-part stats join, never for the dimension."""
+    from web_attack_detection_spark.plans.relational7 import q17_small_qty_revenue
+
+    plan = plan_of(q17_small_qty_revenue(spark, SF_SMOKE), "simple")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q21_single_lineitem_pass_per_branch(spark):
+    """Q21 rewrites EXISTS/NOT-EXISTS self-joins into one per-order
+    aggregate joined back: supplier and nation must broadcast, and no
+    nested-loop join may appear anywhere."""
+    from web_attack_detection_spark.plans.relational7 import q21_waiting_suppliers
+
+    plan = plan_of(q21_waiting_suppliers(spark, SF_SMOKE), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
