@@ -150,3 +150,88 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture. State for seen event_ids is evicted as the watermark
     advances — the bounded-memory property the 100 TB stream needs."""
     return _replay(spark, sf_dir, deduped_event_counts)
+
+
+_STREAM_OUTER_JOIN_ORACLE = """
+WITH v AS (
+  SELECT event_id AS view_id, user_id, CAST(ts AS TIMESTAMP) AS v_ts
+  FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
+  FROM events WHERE event_type = 'purchase'
+),
+mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS m FROM events),
+j AS (
+  SELECT v.user_id, v.view_id, p.purchase_id
+  FROM v CROSS JOIN mx
+  LEFT JOIN p ON v.user_id = p.user_id
+             AND p.p_ts >= v.v_ts
+             AND p.p_ts <= v.v_ts + INTERVAL 1 HOUR
+  WHERE v.v_ts <= mx.m - INTERVAL 4 HOUR
+)
+SELECT user_id,
+       COUNT(*) AS n_rows,
+       COUNT(purchase_id) AS n_matched,
+       COUNT(*) - COUNT(purchase_id) AS n_unmatched
+FROM j
+GROUP BY user_id
+"""
+
+
+@register(
+    "stream_join_left_outer",
+    _STREAM_OUTER_JOIN_ORACLE,
+    doc="watermarked stream-stream LEFT OUTER join, oracle-checked below the cutoff",
+)
+def stream_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer attribution: every view row survives — matched views
+    once per purchase within the hour, unmatched views with a NULL
+    purchase once their state provably cannot match (watermark past
+    v_ts + within). Null emission near the END of a bounded replay
+    depends on the final watermark, so both sides restrict to views at
+    least 4 h (watermark 2 h + within 1 h + 1 h margin) before the max
+    event time — inside that region stream and batch semantics are
+    identical and the oracle checks them exactly."""
+    from web_attack_detection_spark.streaming.windows import (
+        view_purchase_stream_join,
+    )
+
+    name = f"streamq_{uuid.uuid4().hex[:8]}"
+    d = _replay_input(spark, sf_dir)
+    views = stream_events_from_dir(spark, f"{d}/in").filter(
+        F.col("event_type") == "view"
+    )
+    purchases = stream_events_from_dir(spark, f"{d}/in").filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = view_purchase_stream_join(
+        views, purchases, how="left_outer", with_ts=True
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    res = spark.createDataFrame(
+        spark.table(name).collect(), spark.table(name).schema
+    )
+    cutoff = (
+        load_table(spark, sf_dir, "events")
+        .agg((F.max("ts") - F.expr("INTERVAL 4 HOURS")).alias("c"))
+        .first()["c"]
+    )
+    return (
+        res.filter(F.col("v_ts") <= F.lit(cutoff))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("purchase_id").alias("n_matched"),
+            (F.count(F.lit(1)) - F.count("purchase_id")).alias("n_unmatched"),
+        )
+    )

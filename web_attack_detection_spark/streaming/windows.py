@@ -161,8 +161,10 @@ def view_purchase_stream_join(
     purchases: DataFrame,
     within: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
+    with_ts: bool = False,
 ) -> DataFrame:
-    """Stream-stream inner join: each view matched to the same user's
+    """Stream-stream join: each view matched to the same user's
     purchases within ``within`` AFTER the view (attribution join).
 
     Both sides are watermarked and the join condition bounds event time
@@ -171,6 +173,14 @@ def view_purchase_stream_join(
     is dropped. An unbounded stream-stream join (no time bound) buffers
     forever — the canonical streaming OOM. Works identically on batch
     DataFrames (watermarks no-op) for oracle/back-test parity.
+
+    ``how="left_outer"`` additionally emits unmatched views with a null
+    purchase_id — but only once the watermark passes ``v_ts + within``
+    (the row is provably unmatchable from then on), so views near the
+    END of a bounded replay never emit their null row: the caller must
+    restrict to rows older than the final watermark minus ``within``
+    (plans/streamq.stream_join_left_outer does). ``with_ts`` keeps the
+    view timestamp in the output for exactly that cutoff filter.
     """
     v = views.select(
         F.col("event_id").alias("view_id"),
@@ -186,13 +196,19 @@ def view_purchase_stream_join(
         v = v.withWatermark("v_ts", watermark)
     if purchases.isStreaming:
         p = p.withWatermark("p_ts", watermark)
-    return v.join(
+    out = v.join(
         p,
         (F.col("v_user") == F.col("p_user"))
         & (F.col("p_ts") >= F.col("v_ts"))
         & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {within}")),
-        "inner",
-    ).select("view_id", "purchase_id", F.col("v_user").alias("user_id"))
+        how,
+    ).select(
+        "view_id",
+        "purchase_id",
+        F.col("v_user").alias("user_id"),
+        *(["v_ts"] if with_ts else []),
+    )
+    return out
 
 
 def deduped_event_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
