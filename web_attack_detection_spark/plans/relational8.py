@@ -287,3 +287,98 @@ def rel_gap_fill_lerp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.round(filled).cast("long") / 100.0, 2).alias("filled"),
         F.when(F.col("own").isNull(), 1).otherwise(0).cast("int").alias("was_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# date arithmetic battery 2: calendar functions beyond part extraction
+# ---------------------------------------------------------------------------
+
+_DATE2_ORACLE = """
+SELECT o_orderkey,
+       strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+       strftime(o_orderdate + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus_2_months,
+       CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+       CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
+FROM orders
+WHERE o_orderkey < 500
+"""
+
+
+@register(
+    "rel_date_funcs2",
+    _DATE2_ORACLE,
+    doc="calendar arithmetic: last_day/add_months/dayofyear/ISO week/trunc",
+)
+def rel_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic the partition-maintenance jobs live on
+    (month-end snapshots, rolling +N-month retention cutoffs, ISO-week
+    rollups). All codegen'd JVM intrinsics over the pruned scan; the
+    month arithmetic is calendar-aware on both engines (Jan 31 + 1
+    month = Feb 28/29), which no epoch-seconds arithmetic reproduces."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.add_months("o_orderdate", 2), "yyyy-MM-dd").alias(
+            "plus_2_months"
+        ),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+        F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# value-range window frame (RANGE BETWEEN n PRECEDING/FOLLOWING over a
+# NUMERIC sort key — not rows, not time)
+# ---------------------------------------------------------------------------
+
+_VALUE_RANGE_ORACLE = """
+SELECT o_orderkey,
+       o_orderstatus,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) / 100.0 AS totalprice,
+       COUNT(*) OVER w AS n_near,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w AS near_total_c
+FROM orders
+WHERE o_orderkey < 2000
+WINDOW w AS (PARTITION BY o_orderstatus
+             ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT)
+             RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING)
+"""
+
+
+@register(
+    "rel_value_range_window",
+    _VALUE_RANGE_ORACLE,
+    doc="value-range window frame: ±100 around each price, per status",
+)
+def rel_value_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frame is defined by the SORT KEY'S VALUE (orders within
+    ±100 currency units), not row offsets or time — peer-density
+    analytics (how many competitors price near me). One shuffle on the
+    partition key, ordered scan with a sliding value-bounded frame;
+    the frame content is value-determined, so ties cause no
+    nondeterminism. rel_moving_avg (rows) and rel_time_range_window
+    (time) cover the other two frame types. The frame sorts on exact
+    integer CENTS (±10000) — PySpark range boundaries are integral,
+    and the integer key dodges float-equality edges at the frame
+    borders in both engines."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = (
+        W.partitionBy("o_orderstatus")
+        .orderBy(cents)
+        .rangeBetween(-10000, 10000)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        (cents / 100.0).alias("totalprice"),
+        F.count(F.lit(1)).over(w).alias("n_near"),
+        F.sum(cents).over(w).alias("near_total_c"),
+    )
