@@ -151,6 +151,45 @@ def jaccard_pairs_exact(
     )
 
 
+def containment_pairs_exact(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Ordered pairs (id_a != id_b) with shingle CONTAINMENT
+    C(A→B) = |A∩B| / |A| ≥ threshold — the asymmetric companion to
+    Jaccard: a short document quoted inside a long one scores high
+    containment but low Jaccard, so symmetric dedup misses it. This is
+    the quote/subset detector of a training-data pipeline (drop the
+    contained copy, keep the superset doc). Same inverted-index join
+    and skew discipline as :func:`jaccard_pairs_exact`; both
+    directions of each unordered pair are evaluated, and only the
+    direction(s) above threshold survive.
+    """
+    sh = shingles(df, text_col, id_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    return (
+        common.join(F.broadcast(sa), "id_a")
+        .withColumn(
+            "containment",
+            F.round(F.col("n_common") / F.col("sz_a").cast("double"), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH (the at-scale near-dedup path)
 # ---------------------------------------------------------------------------

@@ -196,3 +196,46 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=3, bands=4).orderBy(
         "id_a", "id_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# shingle containment (asymmetric near-dup: quote / subset detection)
+# ---------------------------------------------------------------------------
+
+_CONTAINMENT_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS r(i)
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id != b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)
+SELECT id_a, id_b,
+       ROUND(n_common / CAST(sa.sz AS DOUBLE), 6) AS containment
+FROM pairs JOIN sizes sa ON id_a = sa.doc_id
+WHERE n_common / CAST(sa.sz AS DOUBLE) >= 0.4
+"""
+
+
+@register(
+    "dedup_containment",
+    _CONTAINMENT_ORACLE,
+    doc="asymmetric shingle containment pairs (|A∩B|/|A| ≥ 0.4)",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: C(A→B) = |A∩B|/|A| flags a document mostly
+    CONTAINED in another (quotes, boilerplate-wrapped copies) that
+    symmetric Jaccard under-scores — the dedup direction that keeps
+    the superset doc. Same inverted-index join as dedup_ngram_jaccard;
+    both directions evaluated, threshold keeps the contained side."""
+    from web_attack_detection_spark.operators.dedup import containment_pairs_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs_exact(docs, "text", "doc_id", n=3, threshold=0.4)

@@ -382,3 +382,49 @@ def rel_value_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_near"),
         F.sum(cents).over(w).alias("near_total_c"),
     )
+
+
+# ---------------------------------------------------------------------------
+# skew-salted join, oracle-checked result-identical to the plain join
+# ---------------------------------------------------------------------------
+
+_SALTED_JOIN_ORACLE = """
+SELECT p_brand,
+       COUNT(*) AS n_lines,
+       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_c
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size <= 10
+GROUP BY p_brand
+"""
+
+
+@register(
+    "rel_skew_salted_join",
+    _SALTED_JOIN_ORACLE,
+    doc="salted fact-dim join: result-identical to the plain join",
+)
+def rel_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew weapon in the driver-checked registry: the fact side
+    gets a deterministic per-row salt, the dimension is replicated
+    ×n_salt, and the join key becomes (key, salt) — a hot part key
+    fans out over 8 shuffle partitions instead of melting one task.
+    The oracle is the PLAIN SQL join: salting must be invisible in the
+    result (operators/skew.py guarantees row-identity; this query pins
+    it at the value-hash level, under aggregation)."""
+    from web_attack_detection_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 10)
+        .select(F.col("p_partkey").alias("l_partkey"), "p_brand")
+    )
+    joined = salted_join(li, part, "l_partkey", n_salt=8)
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+                "long"
+            )
+        ).alias("revenue_c"),
+    )
