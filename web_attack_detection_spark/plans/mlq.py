@@ -186,6 +186,67 @@ def ml_naive_bayes_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ml_cv_naive_bayes",
+    None,
+    doc="3-fold cross-validation with deterministic md5 folds (NB, one scan per fold)",
+)
+def ml_cv_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model selection needs CV, and CV needs reproducible folds: fold
+    = first md5 byte of the row key mod 3 (the same engine-portable
+    discipline as pipe_hash_split — a random split makes every CV run
+    incomparable). Features are STAT-FREE row-local expressions, so
+    they are computed once outside the folds with zero leakage (only
+    fitted statistics can leak); per fold only the label indexer and
+    the single-pass Gaussian NB re-fit on the 2/3 — so 3-fold CV costs
+    three scans, the cheapest honest CV a 100 TB table admits. The
+    full fitted-pipeline-per-fold variant is ml_logreg/ml_mlp's split
+    machinery applied per fold: same code, 3×. Rows-only (MLlib fit
+    is not SQL-expressible)."""
+    from pyspark.ml.classification import NaiveBayes
+
+    from web_attack_detection_spark.functions.feature import (
+        apply_string_indexer,
+        fit_string_indexer,
+    )
+    from web_attack_detection_spark.ml.pipeline import accuracy, to_vector
+
+    events = load_table(spark, sf_dir, "events").drop("props")
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string").cast("binary")), 1, 2),
+            16,
+            10,
+        ).cast("int")
+        % 3
+    )
+    # row-local features (no fitted stats → fold-leakage-free by
+    # construction): value, hour-of-day, user bucket
+    feats = F.array(
+        F.col("value").cast("double"),
+        F.hour("ts").cast("double"),
+        F.pmod(F.col("user_id"), F.lit(97)).cast("double"),
+    )
+    base = events.select(
+        "event_type", fold.alias("__fold"), feats.alias("farr")
+    )
+    vdf = to_vector(base, "farr", "fv").cache()
+    rows = []
+    for k in range(3):
+        train = vdf.filter(F.col("__fold") != k)
+        test = vdf.filter(F.col("__fold") == k)
+        labels = fit_string_indexer(train, "event_type")
+        tr = apply_string_indexer(train, labels, "event_type", "label")
+        te = apply_string_indexer(test, labels, "event_type", "label")
+        model = NaiveBayes(featuresCol="fv", labelCol="label", modelType="gaussian").fit(tr)
+        acc = accuracy(model.transform(te)).first()["accuracy"]
+        rows.append((k, float(acc)))
+    vdf.unpersist()
+    mean_acc = sum(a for _, a in rows) / len(rows)
+    rows = [(k, a, round(mean_acc, 6)) for k, a in rows]
+    return spark.createDataFrame(rows, "fold int, accuracy double, mean_accuracy double")
+
+
 @register("ml_mlp_train_eval", None, doc="MLlib MLP train on events features, eval accuracy")
 def ml_mlp_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end M1: feature pipeline → MLP(16,8) → accuracy on the
