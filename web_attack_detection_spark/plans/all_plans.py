@@ -41,6 +41,11 @@ try:
 except ImportError:  # pragma: no cover
     pass
 
+try:
+    from web_attack_detection_spark.plans import relational9  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
+
 try:  # modules added in later phases — keep entry importable mid-build
     from web_attack_detection_spark.plans import dedup  # noqa: F401
 except ImportError:  # pragma: no cover

@@ -1,0 +1,126 @@
+"""Ninth relational wave: collation-aware grouping and incremental
+aggregate maintenance.
+
+Collations are Spark 4's engine-level answer to the lower()-wrapper
+anti-pattern (a lower() around the group key disables any future
+index/statistics use of the column; a collation keeps the column as
+the key). Incremental aggregate maintenance is THE pattern behind
+every materialized rollup at 100 TB: never recompute history — merge
+yesterday's partials with today's delta, and the merge must equal the
+full recompute exactly, which is precisely what the oracle checks.
+
+The reference (huunhan1804/web-attack-detection) has neither grouping
+nor any notion of incremental computation (SURVEY.md §2.2);
+engine-completeness additions, same rationale as relational5.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from web_attack_detection_spark.io.sources import load_table
+from web_attack_detection_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# collation-aware grouping (UTF8_LCASE) — case-insensitive equivalence
+# as an engine collation, not a lower() rewrite
+# ---------------------------------------------------------------------------
+
+_COLLATION_ORACLE = """
+WITH mixed AS (
+  SELECT p_brand FROM part
+  UNION ALL
+  SELECT upper(p_brand) FROM part
+)
+SELECT lower(p_brand) AS brand_lc, COUNT(*) AS n
+FROM mixed
+GROUP BY lower(p_brand)
+"""
+
+
+@register(
+    "rel_collation_group",
+    _COLLATION_ORACLE,
+    doc="UTF8_LCASE collation grouping merges case variants of a key",
+)
+def rel_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The input is deliberately case-perturbed (each brand unioned
+    with its uppercase form); grouping on the UTF8_LCASE-collated
+    column merges the variants WITHOUT rewriting the key through
+    lower() — at scale that matters because the collated column
+    remains the storage column (statistics, bucketing, and future
+    partition layouts still apply), where a lower() wrapper makes the
+    key an expression no layout can serve. Output is normalized to the
+    lowercase form since which variant survives as the group key is
+    collation-internal."""
+    p = load_table(spark, sf_dir, "part").select("p_brand")
+    mixed = p.unionByName(p.select(F.upper("p_brand").alias("p_brand")))
+    return (
+        mixed.groupBy(F.collate(F.col("p_brand"), "UTF8_LCASE").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # every member of a UTF8_LCASE group lowercases to the same
+            # string, so min(lower(raw)) IS the normalized key
+            F.min(F.lower(F.col("p_brand"))).alias("brand_lc"),
+        )
+        .select("brand_lc", "n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental aggregate maintenance: partials(history) ⊎ delta == full
+# ---------------------------------------------------------------------------
+
+_INCR_ORACLE = """
+SELECT o_orderstatus,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+       COUNT(*) AS n_orders,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_c,
+       MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS max_c
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "rel_incremental_agg_merge",
+    _INCR_ORACLE,
+    doc="incremental rollup maintenance: history partials + delta == recompute",
+)
+def rel_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized-rollup update path, oracle-pinned: history
+    (orders before 1997) is aggregated to PARTIALS, the delta (1997+)
+    is aggregated separately, and the two partial sets merge by
+    re-aggregating the mergeable states (sum of counts, sum of sums,
+    max of maxes). The oracle recomputes from scratch — the merge must
+    be indistinguishable. Works because every aggregate here is
+    algebraic; a non-mergeable aggregate (exact median) would force
+    the recompute, which is why the registry keeps sketch twins for
+    those. At 100 TB, history partials are read from the rollup table
+    (tiny), only the delta partition is scanned."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    month = F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "o_orderstatus", month.alias("month")
+        ).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("total_c"),
+            F.max(cents).alias("max_c"),
+        )
+
+    cut = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    history = partials(o.filter(F.col("o_orderdate") < cut))
+    delta = partials(o.filter(F.col("o_orderdate") >= cut))
+    return (
+        history.unionByName(delta)
+        .groupBy("o_orderstatus", "month")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("total_c").alias("total_c"),
+            F.max("max_c").alias("max_c"),
+        )
+    )
