@@ -146,3 +146,109 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "dot_q")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF × int8: the combined scale path, self-evaluating recall
+# ---------------------------------------------------------------------------
+
+
+def _quant_arr(vec):
+    """Quantize an array column to int8-range ints (same formula as
+    _quantized, as a reusable expression over any numeric array)."""
+    s = F.lit(127.0) / F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    return F.transform(vec, lambda x: F.round(x.cast("double") * s).cast("int"))
+
+
+@register(
+    "sim_ivf_quantized_topk",
+    None,
+    doc="IVF cell pruning + int8 integer scoring, with in-query recall vs quantized brute force",
+)
+def sim_ivf_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full 100 TB ANN stack in one query: IVF assignment prunes
+    the candidate set to n_probe/k_centroids of the corpus (map-only,
+    operators/similarity.ivf_assign), and candidate scoring runs on
+    the QUANTIZED unit vectors with exact BIGINT dots — 4× less scan
+    and associative scores. The query also computes its own recall
+    against the quantized brute force (what a production pipeline runs
+    on a sample to tune n_probe): both paths share one quantized
+    corpus, so recall isolates exactly the IVF pruning loss. Output
+    (query_id, n_hit, recall@5) is deterministic — integer scores,
+    id tiebreaks, deterministic seeding — but xxhash64 seeding has no
+    DuckDB twin, hence rows-only."""
+    from pyspark.sql import Window
+
+    from web_attack_detection_spark.operators.similarity import dot, ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, assigned = ivf_assign(emb, 16)
+    qcorp = assigned.select(
+        "vec_id", "cell", _quant_arr(F.col("embedding")).alias("q")
+    ).localCheckpoint()
+
+    probes_unit = assigned.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    cents = centroids.agg(F.collect_list(F.struct("cell", "c_vec")).alias("cents"))
+    probe_cells = (
+        probes_unit.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "__ranked",
+            F.array_sort(
+                F.transform(
+                    F.col("cents"),
+                    lambda c: F.struct(
+                        (-dot(F.col("q_vec"), c["c_vec"])).alias("negcos"),
+                        c["cell"].alias("cell"),
+                    ),
+                )
+            ),
+        )
+        .select(
+            "query_id",
+            F.explode(
+                F.transform(F.slice("__ranked", 1, 4), lambda s: s["cell"])
+            ).alias("cell"),
+        )
+    )
+    qprobe = qcorp.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("pq")
+    )
+    dot_q = F.aggregate(
+        F.zip_with(F.col("pq"), F.col("q"), lambda a, b: a.cast("long") * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_q").desc(), F.col("vec_id").asc()
+    )
+
+    def topk(cands: DataFrame) -> DataFrame:
+        return (
+            cands.filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id", dot_q.alias("dot_q"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 5)
+            .select("query_id", "vec_id")
+        )
+
+    ivf_hits = topk(
+        qcorp.join(F.broadcast(probe_cells), "cell").join(
+            F.broadcast(qprobe), "query_id"
+        )
+    )
+    exact_hits = topk(qcorp.crossJoin(F.broadcast(qprobe)))
+    overlap = ivf_hits.join(exact_hits, ["query_id", "vec_id"], "left_semi")
+    hits = overlap.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    # left join from the probe list: a query whose probed cells missed
+    # every true neighbor must still report recall 0, not vanish
+    return (
+        qprobe.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(F.coalesce("n_hit", F.lit(0)) / 5.0, 2).alias("recall_at_5"),
+        )
+    )
