@@ -184,3 +184,87 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("double") / F.sum("c").cast("double"), 6
         ).alias("ttr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary encoding: top-V tokens by corpus frequency → docs as
+# int-id sequences with OOV = 0 (the tokenize-to-ids training step)
+# ---------------------------------------------------------------------------
+
+_VOCAB_ENCODE_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+),
+flat AS (
+  SELECT doc_id, t[i] AS tok, i AS ord
+  FROM toks, UNNEST(range(1, len(t) + 1)) AS r(i)
+),
+vocab AS (
+  SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok ASC) AS tok_id
+  FROM flat GROUP BY tok
+  QUALIFY tok_id <= 20
+)
+SELECT doc_id,
+       array_agg(COALESCE(tok_id, 0) ORDER BY ord) AS ids,
+       CAST(SUM(CASE WHEN tok_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+FROM flat LEFT JOIN vocab USING (tok)
+WHERE doc_id < 50
+GROUP BY doc_id
+"""
+
+
+@register(
+    "text_vocab_encode",
+    _VOCAB_ENCODE_ORACLE,
+    doc="top-20 frequency vocabulary → docs encoded as int-id arrays, OOV=0",
+)
+def text_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenize-to-ids step every training pipeline runs: rank
+    tokens by corpus frequency (ties: token asc — a total order, so
+    the vocabulary is reproducible), keep the top 20 (the corpus has 31
+    distinct tokens, so the tail genuinely hits the OOV path), re-encode each
+    document as its id sequence with 0 for out-of-vocabulary. The
+    global rank is a single-partition window — fine because it runs on
+    the AGGREGATED token relation, and at 100 TB you first drop the
+    long tail with a HAVING count > threshold so the ranked relation
+    stays small. Encoding is posexplode → broadcast-join vocab →
+    re-assemble in position order; order inside collect_list is made
+    deterministic by sorting (pos, id) structs, never by relying on
+    collection order."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    flat = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", r"\s+")).alias("pos", "tok"),
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    vocab = (
+        flat.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("tok_id", F.row_number().over(w))
+        .filter(F.col("tok_id") <= 20)
+        .select("tok", "tok_id")
+    )
+    enc = (
+        flat.filter(F.col("doc_id") < 50)
+        .join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("pos").alias("pos"),
+                            F.coalesce("tok_id", F.lit(0)).alias("id"),
+                        )
+                    )
+                ),
+                lambda s: s["id"],
+            ).alias("ids"),
+            F.sum(F.when(F.col("tok_id").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+    )
+    return enc
