@@ -172,11 +172,24 @@ def containment_pairs_exact(
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
-    common = (
+    # |A∩B| is symmetric: join/aggregate the UNORDERED pairs once
+    # (half the candidate volume of an id_a != id_b join), then emit
+    # both directions of each count before the size join — the swap is
+    # a cheap map over |pairs| rows, the join+groupBy it avoids was
+    # over |shingle-instance matches|.
+    half = (
         a.join(b, "shingle")
-        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
+        .localCheckpoint()
+    )
+    common = half.unionByName(
+        half.select(
+            F.col("id_b").alias("id_a"),
+            F.col("id_a").alias("id_b"),
+            "n_common",
+        )
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     return (
