@@ -115,3 +115,31 @@ def test_exact_dedup_min_survivor_and_count(spark, rows):
     assert {r["key"]: (r["id"], r["n_copies"]) for r in out} == {
         k: (min(ids), len(ids)) for k, ids in groups.items()
     }
+
+
+nonzero_vec = st.lists(
+    st.floats(min_value=-100.0, max_value=100.0, allow_nan=False, allow_infinity=False),
+    min_size=2,
+    max_size=16,
+).filter(lambda v: max(abs(x) for x in v) > 1e-6)
+
+
+@given(vec=nonzero_vec)
+@_SETTINGS
+def test_int8_quantization_error_bound(spark, vec):
+    """Symmetric int8 quantization invariants: every code in
+    [-127, 127], at least one code hits ±127 (the scale is tight), and
+    dequantization error per element is ≤ half a quantization step
+    (max|x| / 254), the bound recall arguments rest on."""
+    from web_attack_detection_spark.plans.similarity2 import _quant_arr
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, vec)], "id long, e array<double>")
+    [q] = df.select(_quant_arr(F.col("e")).alias("q")).first()
+    assert all(-127 <= c <= 127 for c in q)
+    m = max(abs(x) for x in vec)
+    assert max(abs(c) for c in q) == 127
+    step = m / 127.0
+    for x, c in zip(vec, q):
+        assert abs(x - c * step) <= step / 2 + 1e-9

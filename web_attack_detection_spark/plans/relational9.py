@@ -124,3 +124,70 @@ def rel_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("max_c").alias("max_c"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# explicit NULLS FIRST/LAST ordering — Spark (ASC ⇒ NULLS FIRST) and
+# DuckDB/Postgres (ASC ⇒ NULLS LAST) DISAGREE on the default, so any
+# cross-engine sort over nullable keys must pin it explicitly
+# ---------------------------------------------------------------------------
+
+_NULL_ORDER_ORACLE = """
+WITH c AS (
+  SELECT c_custkey, c_nationkey,
+         NULLIF(c_acctbal, c_acctbal) AS bal_nulled
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey, c_nationkey, c_acctbal FROM customer WHERE c_custkey % 7 != 0
+),
+ranked AS (
+  SELECT c_custkey, c_nationkey, bal_nulled,
+         ROW_NUMBER() OVER (
+           PARTITION BY c_nationkey
+           ORDER BY bal_nulled DESC NULLS LAST, c_custkey ASC
+         ) AS rn
+  FROM c
+)
+SELECT c_nationkey, CAST(rn AS INT) AS rn, c_custkey,
+       CAST(CASE WHEN bal_nulled IS NULL THEN 1 ELSE 0 END AS INT) AS is_null
+FROM ranked WHERE rn <= 3 OR bal_nulled IS NULL
+"""
+
+
+@register(
+    "rel_null_ordering",
+    _NULL_ORDER_ORACLE,
+    doc="explicit DESC NULLS LAST ranking over an injected-null key",
+)
+def rel_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 7th customer's balance is nulled (the fixture has no
+    nulls), then ranked DESC NULLS LAST per nation. The explicit null
+    placement is the whole point: Spark's ASC default puts nulls
+    FIRST, DuckDB/Postgres put them LAST, so an unpinned ORDER BY over
+    a nullable key silently returns different rows from each engine —
+    this query would hash-mismatch the moment either side dropped the
+    explicit modifier. Output keeps all null rows plus the top-3 per
+    nation to pin both ends of the ordering."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    c = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal_nulled"),
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("bal_nulled").desc_nulls_last(), F.col("c_custkey").asc()
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= 3) | F.col("bal_nulled").isNull())
+        .select(
+            "c_nationkey",
+            F.col("rn").cast("int").alias("rn"),
+            "c_custkey",
+            F.when(F.col("bal_nulled").isNull(), 1).otherwise(0).cast("int").alias("is_null"),
+        )
+    )
