@@ -61,3 +61,31 @@ def test_sample_frames_every_second(spark):
     for mid, idxs in by_id.items():
         n = metas[mid]
         assert sorted(idxs) == list(range(0, n, 2))
+
+
+def test_resize_geometry_invariants(spark):
+    """Resize must fit within the box, never upscale, preserve aspect
+    ratio within integer truncation, and block-average the pixel
+    vector 16 → 4."""
+    from web_attack_detection_spark.operators.multimodal import (
+        attach_fake_media,
+        extract_media_features,
+        resize_media,
+    )
+    from web_attack_detection_spark.io.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(50)
+    feats = extract_media_features(attach_fake_media(docs, "text", "doc_id"))
+    rows = resize_media(feats, 224, 224).collect()
+    assert len(rows) == 50
+    feats_by_id = {r["media_id"]: r for r in feats.collect()}
+    for r in rows:
+        assert 1 <= r["out_w"] <= 224 and 1 <= r["out_h"] <= 224
+        assert r["out_w"] <= r["width"] and r["out_h"] <= r["height"]  # no upscale
+        # aspect preserved within truncation: out ratios bracket the input ratio
+        s = min(224 / r["width"], 224 / r["height"], 1.0)
+        assert r["out_w"] == max(1, int(r["width"] * s))
+        assert r["out_h"] == max(1, int(r["height"] * s))
+        px = feats_by_id[r["media_id"]]["pseudo_pixels"]
+        want = [sum(px[i * 4 : i * 4 + 4]) // 4 for i in range(4)]
+        assert list(r["resized_pixels"]) == want

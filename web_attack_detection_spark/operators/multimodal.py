@@ -166,3 +166,43 @@ def sample_frames(media: DataFrame, every: int = 2) -> DataFrame:
         )
         .filter(F.col("frame_idx") % every == 0)
     )
+
+
+def resize_media(
+    features: DataFrame, target_w: int = 224, target_h: int = 224
+) -> DataFrame:
+    """Aspect-preserving resize plumbing over the decoded features.
+
+    The geometry (fit-within-box, never upscale) is pure column math
+    on the metadata dims, and the pixel path block-averages the
+    stubbed 16-px vector down to 4 — column expressions over the
+    mapInPandas output, so the whole resize stage adds ZERO Python and
+    zero shuffles on top of the decode pass. A real decoder swaps the
+    pseudo-pixel column for image tensors; the schema, batching, and
+    partition shape stay exactly this.
+    """
+    scale = F.least(
+        F.lit(float(target_w)) / F.col("width"),
+        F.lit(float(target_h)) / F.col("height"),
+        F.lit(1.0),
+    )
+    block = F.transform(
+        F.sequence(F.lit(0), F.lit(3)),
+        lambda i: (
+            (
+                F.element_at("pseudo_pixels", i * 4 + 1)
+                + F.element_at("pseudo_pixels", i * 4 + 2)
+                + F.element_at("pseudo_pixels", i * 4 + 3)
+                + F.element_at("pseudo_pixels", i * 4 + 4)
+            ).cast("long")
+            / F.lit(4)
+        ).cast("long"),
+    )
+    return features.select(
+        "media_id",
+        "width",
+        "height",
+        F.greatest(F.lit(1), F.floor(F.col("width") * scale)).cast("int").alias("out_w"),
+        F.greatest(F.lit(1), F.floor(F.col("height") * scale)).cast("int").alias("out_h"),
+        block.alias("resized_pixels"),
+    )

@@ -62,3 +62,26 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_sampled"), F.max("n_frames").alias("n_frames"))
         .orderBy("media_id")
     )
+
+
+@register(
+    "mm_resize_sample",
+    None,
+    doc="aspect-preserving resize plumbing over the decoded feature batch",
+)
+def mm_resize_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode (stubbed, Arrow-batched) → fit-within-224² geometry +
+    block-averaged pixel downsample, all column expressions on top of
+    the mapInPandas pass — the resize stage adds no Python and no
+    shuffle. Rows-only (hash-derived dims have no SQL twin); the
+    geometry invariants are unit-tested in test_multimodal.py."""
+    from web_attack_detection_spark.operators.multimodal import (
+        attach_fake_media,
+        extract_media_features,
+        resize_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_fake_media(docs, "text", "doc_id")
+    feats = extract_media_features(media)
+    return resize_media(feats)
