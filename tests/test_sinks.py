@@ -104,3 +104,26 @@ def test_bucketed_join_skips_shuffle(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_cust_b")
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark):
+    """Dynamic partition pruning: when the partition key is only
+    constrained THROUGH a join (a filter on the dimension side), Spark
+    must inject a runtime subquery filter into the fact scan so
+    non-matching partitions are never read — the mechanism that turns
+    a star join over a 100 TB partitioned fact into a partial scan.
+    Static pruning can't help here because the fact query itself has
+    no literal predicate on the partition column."""
+    orders = load_table(spark, SF_SMOKE, "orders")
+    with tempfile.TemporaryDirectory() as d:
+        write_partitioned(orders, f"{d}/orders_p", ["o_orderstatus"])
+        fact = read_partitioned(spark, f"{d}/orders_p")
+        dim = spark.createDataFrame(
+            [("F", "finished"), ("O", "open"), ("P", "pending")],
+            "o_orderstatus string, label string",
+        ).filter(F.col("label") == "finished")
+        joined = fact.join(F.broadcast(dim), "o_orderstatus")
+        plan = _plan(joined)
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+        want = orders.filter(F.col("o_orderstatus") == "F").count()
+        assert joined.count() == want
