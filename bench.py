@@ -92,6 +92,17 @@ def main() -> None:
     _mh = _MH(inputCol="fv", outputCol="hashes", numHashTables=2, seed=1).fit(_t)
     _mh.approxSimilarityJoin(_t, _t, 0.9, distCol="d").count()
 
+    # Gaussian NB has its own first-touch classload (paid otherwise by
+    # whichever NB-using query sorts first — the CV query)
+    from pyspark.ml.classification import NaiveBayes as _NB
+    from pyspark.ml.linalg import Vectors as _V
+
+    _nbd = spark.createDataFrame(
+        [(0.0, _V.dense([0.0, 1.0])), (1.0, _V.dense([1.0, 0.0]))] * 4,
+        ["label", "features"],
+    )
+    _NB(modelType="gaussian").fit(_nbd).transform(_nbd).count()
+
     # warm the Structured Streaming machinery (micro-batch planner,
     # state store provider, session-window merging exec): the first
     # streaming query in a process pays ~10 s of one-time init that
