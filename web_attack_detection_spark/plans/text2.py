@@ -268,3 +268,73 @@ def text_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return enc
+
+
+# ---------------------------------------------------------------------------
+# Zipf slope: corpus rank-frequency law as an exact-sum OLS fit
+# ---------------------------------------------------------------------------
+
+_ZIPF_ORACLE = """
+WITH toks AS (
+  SELECT t[i] AS tok
+  FROM (SELECT string_split_regex(text, '\\s+') AS t FROM documents),
+       UNNEST(range(1, len(t) + 1)) AS r(i)
+),
+freqs AS (
+  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+),
+ranked AS (
+  SELECT CAST(ROUND(ln(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC)) * 1000000) AS BIGINT) AS lr,
+         CAST(ROUND(ln(cnt) * 1000000) AS BIGINT) AS lf
+  FROM freqs
+)
+SELECT COUNT(*) AS n_tokens,
+       ROUND(
+         (COUNT(*) * SUM(lr * lf) - SUM(lr) * SUM(lf))
+         / CAST(COUNT(*) * SUM(lr * lr) - SUM(lr) * SUM(lr) AS DOUBLE), 6
+       ) AS zipf_slope
+FROM ranked
+"""
+
+
+@register(
+    "text_zipf_slope",
+    _ZIPF_ORACLE,
+    doc="Zipf rank-frequency slope via exact integer-scaled log OLS",
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics check every training-data audit runs: natural
+    text follows rank-frequency slope ≈ -1 on log-log axes; a corpus
+    that doesn't is TEMPLATED or DUPLICATED (our synthetic fixture
+    scores far from -1, which is itself the signal). The OLS fit uses
+    the registry's exact-sum discipline: ln(rank), ln(freq) are rounded
+    to fixed-point BIGINTs first, so every sum is exact and the slope
+    is ONE double division — engine- and partition-order-independent.
+    The global rank is a single-partition window over the aggregated
+    token relation (tiny; cap with HAVING at 100 TB)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    freqs = (
+        docs.select(F.explode(F.split("text", r"\s+")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    ranked = freqs.select(
+        F.round(F.log(F.row_number().over(w).cast("double")) * 1_000_000)
+        .cast("long")
+        .alias("lr"),
+        F.round(F.log(F.col("cnt").cast("double")) * 1_000_000).cast("long").alias("lf"),
+    )
+    n = F.count(F.lit(1))
+    return ranked.agg(
+        n.alias("n_tokens"),
+        F.round(
+            (n * F.sum(F.col("lr") * F.col("lf")) - F.sum("lr") * F.sum("lf"))
+            / (n * F.sum(F.col("lr") * F.col("lr")) - F.sum("lr") * F.sum("lr")).cast(
+                "double"
+            ),
+            6,
+        ).alias("zipf_slope"),
+    )
