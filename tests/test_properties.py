@@ -55,7 +55,19 @@ def test_imputer_fills_all_nulls_preserves_nonnulls(spark, vals):
             assert math.isclose(by_id[i], mean, rel_tol=1e-9)
 
 
-@given(vals=st.lists(finite, min_size=3, max_size=40, unique=True))
+# well-conditioned values only: with magnitudes spanning hundreds of
+# orders (hypothesis will find 1e-159 next to 1e-264), EVERY one-pass
+# stddev — Spark's co-moment aggregate and the naive recompute below —
+# loses relative precision past any fixed tolerance; that is float
+# arithmetic, not a scaler property.
+conditioned = st.one_of(
+    st.just(0.0),
+    st.floats(min_value=1e-3, max_value=1e6, allow_nan=False, allow_infinity=False),
+    st.floats(min_value=-1e6, max_value=-1e-3, allow_nan=False, allow_infinity=False),
+)
+
+
+@given(vals=st.lists(conditioned, min_size=3, max_size=40, unique=True))
 @_SETTINGS
 def test_scaler_output_unit_sample_stddev(spark, vals):
     df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id long, x double")
