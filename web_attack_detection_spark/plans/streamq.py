@@ -262,3 +262,51 @@ def stream_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) - F.count("purchase_id")).alias("n_unmatched"),
         )
     )
+
+
+_STREAM_STATEFUL_ORACLE = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0, 2) AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+
+@register(
+    "stream_stateful_totals",
+    _STREAM_STATEFUL_ORACLE,
+    doc="applyInPandasWithState lifetime per-user totals, oracle-checked vs batch SQL",
+)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful operator (streaming/windows.running_user_totals:
+    arbitrary per-key state via applyInPandasWithState — the shape no
+    built-in windowed agg expresses) replayed to completion: the final
+    emission per user must equal plain batch SQL. Emissions are cumulative,
+    so the final one is selected by max n_events per user — robust to the
+    replay splitting into multiple micro-batches. State is two numbers per
+    user; the in-operator sum is integer-scaled, same discipline as the
+    registry's money sums."""
+    from web_attack_detection_spark.streaming.windows import running_user_totals
+
+    name = f"streamq_{uuid.uuid4().hex[:8]}"
+    d = _replay_input(spark, sf_dir)
+    with _stream_conf(spark):
+        q = (
+            running_user_totals(stream_events_from_dir(spark, f"{d}/in"))
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    res = spark.createDataFrame(
+        spark.table(name).collect(), spark.table(name).schema
+    )
+    return res.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("total_value", "n_events").alias("total_value"),
+    )
