@@ -191,3 +191,68 @@ def rel_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("bal_nulled").isNull(), 1).otherwise(0).cast("int").alias("is_null"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# array set operations (union / intersect / except over per-group sets)
+# ---------------------------------------------------------------------------
+
+_ARRAY_SETOPS_ORACLE = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         -- DuckDB's filtered list() is NULL (not []) when no row
+         -- qualifies; Spark's collect_set is [] — normalize to []
+         list_sort(list_distinct(COALESCE(
+           list(l_linenumber) FILTER (l_quantity > 25), CAST([] AS INTEGER[])
+         ))) AS big_lines,
+         list_sort(list_distinct(COALESCE(
+           list(l_linenumber) FILTER (l_discount > 0.05), CAST([] AS INTEGER[])
+         ))) AS disc_lines
+  FROM lineitem
+  WHERE l_orderkey < 2000
+  GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       list_sort(list_distinct(big_lines || disc_lines)) AS union_lines,
+       list_sort(list_filter(big_lines, x -> list_contains(disc_lines, x)))
+         AS common_lines,
+       list_sort(list_filter(big_lines, x -> NOT list_contains(disc_lines, x)))
+         AS only_big,
+       CAST(len(list_distinct(big_lines || disc_lines)) AS INTEGER) AS n_union,
+       list_contains(big_lines, 1) AS has_line1
+FROM per_order
+"""
+
+
+@register(
+    "rel_array_setops",
+    _ARRAY_SETOPS_ORACLE,
+    doc="array_union/intersect/except over per-group sets, canonical sorted output",
+)
+def rel_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra directly on array columns — per-entity tag/feature
+    sets at 100 TB live as arrays precisely so set ops stay ROW-LOCAL
+    (one codegen'd projection) instead of re-exploding into a join.
+    Engines disagree on element ORDER inside set-op results (Spark
+    keeps first occurrence, DuckDB varies), so every array output is
+    canonicalized through array_sort — the set, not the sequence, is
+    the semantics being checked."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_set(F.when(F.col("l_quantity") > 25, F.col("l_linenumber")))
+        ).alias("big_lines"),
+        F.array_sort(
+            F.collect_set(F.when(F.col("l_discount") > 0.05, F.col("l_linenumber")))
+        ).alias("disc_lines"),
+    )
+    return per_order.select(
+        "l_orderkey",
+        F.array_sort(F.array_union("big_lines", "disc_lines")).alias("union_lines"),
+        F.array_sort(F.array_intersect("big_lines", "disc_lines")).alias(
+            "common_lines"
+        ),
+        F.array_sort(F.array_except("big_lines", "disc_lines")).alias("only_big"),
+        F.size(F.array_union("big_lines", "disc_lines")).alias("n_union"),
+        F.array_contains("big_lines", 1).alias("has_line1"),
+    )
