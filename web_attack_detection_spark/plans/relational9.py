@@ -256,3 +256,49 @@ def rel_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_union("big_lines", "disc_lines")).alias("n_union"),
         F.array_contains("big_lines", 1).alias("has_line1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# discrete percentiles (exact, element-selecting — vs rel_percentiles'
+# interpolating continuous form)
+# ---------------------------------------------------------------------------
+
+_PCTL_DISC_ORACLE = """
+WITH grouped AS (
+  SELECT l_returnflag, list_sort(list(CAST(l_quantity AS BIGINT))) AS vals
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(len(vals) AS BIGINT) AS n,
+       vals[CAST(ceil(0.5 * len(vals)) AS INTEGER)] AS p50_disc,
+       vals[CAST(ceil(0.9 * len(vals)) AS INTEGER)] AS p90_disc
+FROM grouped
+"""
+
+
+@register(
+    "rel_percentile_disc",
+    _PCTL_DISC_ORACLE,
+    doc="discrete percentiles: element at ceil(p*n) of the sorted group",
+)
+def rel_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENTILE_DISC semantics — an actual data value (the element at
+    ceil(p·n) in sort order), never an interpolated number that exists
+    in no row; required whenever the percentile must be a legal value
+    (latency buckets, ordinal codes). Both sides compute the SAME
+    index formula on the sorted group, pinning the off-by-one that
+    engine-native quantile_disc definitions disagree on. The collected
+    per-group array is the oracle formulation; at 100 TB the same
+    element is found without materializing the group via the
+    row_number = ceil(p·n) window (rel_median's pattern)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    grouped = li.groupBy("l_returnflag").agg(
+        F.array_sort(F.collect_list(F.col("l_quantity").cast("long"))).alias("vals")
+    )
+    n = F.size("vals")
+    return grouped.select(
+        "l_returnflag",
+        n.cast("long").alias("n"),
+        F.element_at("vals", F.ceil(n * 0.5).cast("int")).alias("p50_disc"),
+        F.element_at("vals", F.ceil(n * 0.9).cast("int")).alias("p90_disc"),
+    )
