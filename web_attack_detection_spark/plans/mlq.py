@@ -324,3 +324,42 @@ def ml_minhash_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
     )
     return pairs.orderBy("id_a", "id_b")
+
+
+@register(
+    "ml_random_forest_train_eval",
+    None,
+    doc="MLlib RandomForest multiclass train/eval (tree-ensemble family)",
+)
+def ml_random_forest_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tree ensembles complete the model battery next to the linear
+    (logreg), single-pass (NB), and neural (MLP) families — on tabular
+    features they are the standard strong baseline, and their fit
+    parallelizes by tree×partition rather than by optimizer iteration
+    (each of the 10 trees trains on feature/row subsamples; one pass
+    per tree LEVEL, not per iteration — depth 5 ⇒ ~50 passes total
+    regardless of data size, all map-side histograms). Seeded for
+    reproducibility; rows-only (one row: accuracy, n_train, n_test)."""
+    from pyspark.ml.classification import RandomForestClassifier
+
+    from web_attack_detection_spark.functions.feature import fit_feature_pipeline
+    from web_attack_detection_spark.ml.pipeline import accuracy, to_vector
+
+    events = load_table(spark, sf_dir, "events").drop("props", "ts")
+    train = events.filter(F.col("event_id") % 4 != 1)
+    test = events.filter(F.col("event_id") % 4 == 1)
+    fp = fit_feature_pipeline(train, label_col="event_type")
+    # cache: each tree level re-reads the assembled training set
+    tr = to_vector(fp.transform(train).select("features", "label"), "features", "fv").cache()
+    n_train = tr.count()
+    te = to_vector(fp.transform(test).select("features", "label"), "features", "fv")
+    rf = RandomForestClassifier(
+        featuresCol="fv", labelCol="label", numTrees=10, maxDepth=5, seed=42
+    )
+    model = rf.fit(tr)
+    acc = accuracy(model.transform(te)).first()["accuracy"]
+    n_test = te.count()
+    tr.unpersist()
+    return spark.createDataFrame(
+        [(float(acc), n_train, n_test)], "accuracy double, n_train long, n_test long"
+    )
