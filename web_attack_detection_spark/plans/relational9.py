@@ -302,3 +302,55 @@ def rel_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("vals", F.ceil(n * 0.5).cast("int")).alias("p50_disc"),
         F.element_at("vals", F.ceil(n * 0.9).cast("int")).alias("p90_disc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# explode_outer: generators that PRESERVE empty-collection rows
+# ---------------------------------------------------------------------------
+
+_EXPLODE_OUTER_ORACLE = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         COALESCE(list_sort(list_distinct(
+           list(l_linenumber) FILTER (l_quantity > 45)
+         )), CAST([] AS INTEGER[])) AS big_lines
+  FROM lineitem
+  WHERE l_orderkey < 2000
+  GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       u.line AS line_no,
+       CAST(CASE WHEN u.line IS NULL THEN 1 ELSE 0 END AS INT) AS no_big_lines
+FROM per_order,
+     UNNEST(CASE WHEN len(big_lines) = 0
+                 THEN [CAST(NULL AS INTEGER)] ELSE big_lines END) AS u(line)
+"""
+
+
+@register(
+    "rel_explode_outer",
+    _EXPLODE_OUTER_ORACLE,
+    doc="explode_outer: empty-array rows survive with a NULL element",
+)
+def rel_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain explode DROPS rows whose collection is empty — silently
+    deleting every order with no qualifying line from the output, the
+    classic fan-out bug. explode_outer keeps them with a NULL element
+    so downstream aggregates still see every parent row (the LEFT JOIN
+    of generators). The oracle normalizes empty lists to [NULL] before
+    UNNEST, which is exactly the semantics. At most orders qualify
+    here (quantity > 45 is rare), making the preserved-row path the
+    dominant case, not the corner."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_set(F.when(F.col("l_quantity") > 45, F.col("l_linenumber")))
+        ).alias("big_lines")
+    )
+    return per_order.select(
+        "l_orderkey",
+        F.explode_outer("big_lines").alias("line_no"),
+    ).withColumn(
+        "no_big_lines",
+        F.when(F.col("line_no").isNull(), 1).otherwise(0).cast("int"),
+    )
