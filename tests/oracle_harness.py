@@ -1,9 +1,23 @@
 """Local mirror of the driver's DuckDB-oracle comparison.
 
-Runs a registered Spark query and its oracle SQL side by side and
-compares row count, column names, and order-insensitive values. Used by
-tests/test_oracle_parity.py so a mismatch is caught before the driver's
-per-round CORRECTNESS gate.
+Driver-faithful by construction (VERDICT r1 "What's wrong" §4): the
+round-1 harness compared ``fetchall()`` Python tuples, where DuckDB's
+HUGEINT silently became ``int`` — so an oracle whose ``SUM(int)``
+surfaced as float64 in pandas passed locally but hash-mismatched in the
+driver. This version routes BOTH sides through pandas exactly like the
+driver does:
+
+- Spark side via ``DataFrame.toPandas()``;
+- DuckDB side via ``fetchdf()`` (HUGEINT -> float64, LIST -> object);
+- canonicalization = sort columns by name, then ``sort_values`` over all
+  columns (which raises ``TypeError: unhashable type: 'list'`` on LIST
+  columns, same as the driver's canonicalizer);
+- value comparison via a dtype-sensitive CSV serialization, so int64
+  ``100143`` vs float64 ``100143.0`` is a MISMATCH here too.
+
+A query that passes :func:`compare` therefore passes the driver's
+CORRECTNESS gate; a query that would crash or hash-mismatch there fails
+here first.
 """
 
 from __future__ import annotations
@@ -11,6 +25,7 @@ from __future__ import annotations
 import math
 
 import duckdb
+import pandas as pd
 
 from web_attack_detection_spark.io.sources import TABLES
 
@@ -22,59 +37,90 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
-    if isinstance(v, (list, tuple)):
-        return tuple(_norm(x) for x in v)
-    return v
+def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Driver-style canonical form: columns sorted by name, rows sorted
+    by every column.  Raises on unsortable (list-valued) columns — that
+    is deliberate: the driver's canonicalizer crashes on those too, so
+    we must see the crash locally."""
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    if len(pdf.columns) and len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
+    return pdf.reset_index(drop=True)
 
 
-def _norm_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+def _serialize(pdf: pd.DataFrame) -> list[str]:
+    """Dtype-sensitive row serialization.  float64 100143.0 and int64
+    100143 serialize differently — exactly the distinction the driver's
+    value hash makes."""
     out = []
-    for r in rows:
-        vals = tuple(_norm(r[i]) for i in order)
-        out.append(vals)
-    return sorted(cols), sorted(out, key=repr)
+    for row in pdf.itertuples(index=False, name=None):
+        parts = []
+        for v in row:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                parts.append("<NULL>")
+            elif v is pd.NaT:
+                parts.append("<NULL>")
+            else:
+                parts.append(f"{type(v).__name__}:{v!r}")
+        out.append("|".join(parts))
+    return out
+
+
+def _to_rows(pdf: pd.DataFrame) -> list[tuple]:
+    return [tuple(r) for r in pdf.itertuples(index=False, name=None)]
 
 
 def _approx_eq(a, b, rel=1e-9):
-    if isinstance(a, float) and isinstance(b, float):
-        return math.isclose(a, b, rel_tol=rel, abs_tol=1e-9)
-    if isinstance(a, tuple) and isinstance(b, tuple):
-        return len(a) == len(b) and all(_approx_eq(x, y, rel) for x, y in zip(a, b))
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) and math.isnan(a):
+        return isinstance(b, float) and math.isnan(b)
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return math.isclose(float(a), float(b), rel_tol=rel, abs_tol=1e-9)
     return a == b
 
 
 def compare(spark, sf_dir: str, fn, oracle: str, exact: bool = True) -> None:
     """Raise AssertionError with a diff preview on any mismatch.
 
-    ``exact=True`` mimics the driver's value-hash (bit-exact floats) —
-    our queries are engineered for it via integer-scaled aggregates.
+    ``exact=True`` mimics the driver's value hash: dtype-sensitive,
+    bit-exact floats. ``exact=False`` relaxes numerics to a relative
+    tolerance (used only by exploratory tests, never by the parity
+    gate).
     """
     sdf = fn(spark, sf_dir)
-    spark_rows = [tuple(r) for r in sdf.collect()]
-    spark_cols = list(sdf.columns)
+    spdf = sdf.toPandas()
 
     con = duckdb_con(sf_dir)
-    res = con.execute(oracle)
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = [tuple(r) for r in res.fetchall()]
+    dpdf = con.execute(oracle).fetchdf()
     con.close()
 
-    s_cols, s_rows = _norm_rows(spark_cols, spark_rows)
-    d_cols, d_rows = _norm_rows(duck_cols, duck_rows)
+    assert sorted(spdf.columns) == sorted(dpdf.columns), (
+        f"column mismatch: spark={sorted(spdf.columns)} duckdb={sorted(dpdf.columns)}"
+    )
+    assert len(spdf) == len(dpdf), f"row count: spark={len(spdf)} duckdb={len(dpdf)}"
 
-    assert s_cols == d_cols, f"column mismatch: spark={s_cols} duckdb={d_cols}"
-    assert len(s_rows) == len(d_rows), f"row count: spark={len(s_rows)} duckdb={len(d_rows)}"
-    bad = []
-    for i, (a, b) in enumerate(zip(s_rows, d_rows)):
-        ok = (a == b) if exact else _approx_eq(a, b)
-        if not ok:
-            bad.append((i, a, b))
-            if len(bad) >= 5:
-                break
-    assert not bad, "value mismatches (row, spark, duckdb): " + "\n".join(map(str, bad))
+    # Canonicalize exactly like the driver — this line CRASHES on
+    # list-valued columns, which is the point (driver bug class 2).
+    s_c, d_c = _canon(spdf), _canon(dpdf)
+
+    if exact:
+        s_ser, d_ser = _serialize(s_c), _serialize(d_c)
+        bad = [
+            (i, a, b) for i, (a, b) in enumerate(zip(s_ser, d_ser)) if a != b
+        ][:5]
+        assert not bad, (
+            "dtype-sensitive value mismatches (row, spark, duckdb):\n"
+            + "\n".join(map(str, bad))
+            + f"\nspark dtypes: {dict(s_c.dtypes.astype(str))}"
+            + f"\nduck  dtypes: {dict(d_c.dtypes.astype(str))}"
+        )
+    else:
+        s_rows, d_rows = _to_rows(s_c), _to_rows(d_c)
+        bad = []
+        for i, (a, b) in enumerate(zip(s_rows, d_rows)):
+            if not all(_approx_eq(x, y) for x, y in zip(a, b)):
+                bad.append((i, a, b))
+                if len(bad) >= 5:
+                    break
+        assert not bad, "value mismatches (row, spark, duckdb): " + "\n".join(map(str, bad))

@@ -39,6 +39,34 @@ def test_pca_variance_ordering(spark):
     assert len(projected.first()["pca_features"]) == 4
 
 
+def test_flagship_pipeline_pca_projection(spark):
+    """The flagship DAG ends in the reference's PCA stage
+    (data_preprocessing.py:47): output dims == min(20, assembled width),
+    rows preserved, and the fitted model's variance ordering holds."""
+    from web_attack_detection_spark.functions.feature import fit_feature_pipeline
+    from web_attack_detection_spark.io.sources import load_table
+    from web_attack_detection_spark.plans.flagship import flagship_pipeline
+    from .conftest import SF_SMOKE
+
+    out = flagship_pipeline(spark, SF_SMOKE)
+    events = load_table(spark, SF_SMOKE, "events")
+    n_rows = events.count()
+    first = out.first()
+    width_pre = len(
+        flagship_pipeline(spark, SF_SMOKE, pca_k=None).first()["features"]
+    )
+    assert len(first["features"]) == min(20, width_pre)
+    assert out.count() == n_rows
+
+    # variance ordering on the pipeline-fitted model itself
+    train = events.drop("props").filter(F.col("event_id") % 4 != 1).drop("ts")
+    model = fit_feature_pipeline(train, label_col="event_type", pca_k=20)
+    ev = list(model.pca_model.explainedVariance)
+    assert len(ev) == model.pca_k
+    assert all(ev[i] >= ev[i + 1] - 1e-12 for i in range(len(ev) - 1))
+    assert sum(ev) <= 1.0 + 1e-6
+
+
 def test_mlp_learns_separable(spark):
     """A linearly separable 2-class problem must reach ≥95% accuracy."""
     rows = [(float(i % 2), [float(i % 2) * 2 - 1, float((i * 7) % 5) / 5]) for i in range(400)]

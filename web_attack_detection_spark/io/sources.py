@@ -18,6 +18,7 @@ three of them into a train split. Here:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 TABLES = (
@@ -51,15 +52,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
-
         # integer division: ts is ~1.7e18 ns — double division would lose
         # sub-µs precision (doubles carry 53 bits ≈ 9e15)
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
     if ntz:
-        from pyspark.sql import functions as F
-
+        # The NTZ→TIMESTAMP cast reinterprets the naive value in the
+        # SESSION timezone; only UTC preserves the instant the DuckDB
+        # naive-timestamp oracle sees (ADVICE r1). Foreign sessions (the
+        # driver's) may not set it, so force it here — this conf is
+        # runtime-settable and idempotent.
+        if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     return df
 

@@ -116,23 +116,33 @@ def jaccard_pairs_exact(
     Returns (id_a, id_b, jaccard) with jaccard rounded to 6 (exact
     rational k/n computed identically in any engine).
     """
-    sh = shingles(df, text_col, id_col, n).cache()
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    if max_shingle_df is not None:
-        hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
-        sh = sh.join(
-            F.broadcast(hot.filter(F.col("df_") > max_shingle_df).select("shingle")),
-            "shingle",
-            "left_anti",
+    sh0 = shingles(df, text_col, id_col, n).cache()
+    try:
+        # eager localCheckpoints pin the derived relations so the shingle
+        # cache is released before returning (ADVICE r1: repeated registry
+        # invocations must not accumulate cached relations).
+        sizes = (
+            sh0.groupBy("id").agg(F.count(F.lit(1)).alias("sz")).localCheckpoint()
         )
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+        sh = sh0
+        if max_shingle_df is not None:
+            hot = sh0.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+            sh = sh0.join(
+                F.broadcast(hot.filter(F.col("df_") > max_shingle_df).select("shingle")),
+                "shingle",
+                "left_anti",
+            )
+        a = sh.select(F.col("id").alias("id_a"), "shingle")
+        b = sh.select(F.col("id").alias("id_b"), "shingle")
+        common = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+            .localCheckpoint()
+        )
+    finally:
+        sh0.unpersist()
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
     return (
@@ -169,21 +179,30 @@ def containment_pairs_exact(
     direction(s) above threshold survive.
     """
     sh = shingles(df, text_col, id_col, n).cache()
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
-    # |A∩B| is symmetric: join/aggregate the UNORDERED pairs once
-    # (half the candidate volume of an id_a != id_b join), then emit
-    # both directions of each count before the size join — the swap is
-    # a cheap map over |pairs| rows, the join+groupBy it avoids was
-    # over |shingle-instance matches|.
-    half = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-        .localCheckpoint()
-    )
+    try:
+        # localCheckpoint (eager) pins the two SMALL derived relations,
+        # so the shingle cache can be released before returning instead
+        # of accumulating in executor memory across registry invocations
+        # (ADVICE r1).
+        sizes = (
+            sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz")).localCheckpoint()
+        )
+        a = sh.select(F.col("id").alias("id_a"), "shingle")
+        b = sh.select(F.col("id").alias("id_b"), "shingle")
+        # |A∩B| is symmetric: join/aggregate the UNORDERED pairs once
+        # (half the candidate volume of an id_a != id_b join), then emit
+        # both directions of each count before the size join — the swap is
+        # a cheap map over |pairs| rows, the join+groupBy it avoids was
+        # over |shingle-instance matches|.
+        half = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+            .localCheckpoint()
+        )
+    finally:
+        sh.unpersist()
     common = half.unionByName(
         half.select(
             F.col("id_b").alias("id_a"),
@@ -279,20 +298,28 @@ def minhash_near_dup_pairs(
     """
     rows_per_band = num_perm // bands
     sig = minhash_signatures(df, text_col, id_col, n, num_perm).cache()
-    cand = minhash_candidate_pairs(sig, bands, rows_per_band)
-    sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-    est = (
-        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda z: z))
-        / F.lit(float(num_perm))
-    )
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("est_jaccard", F.round(est, 6))
-        .filter(F.col("est_jaccard") >= threshold)
-        .select("id_a", "id_b", "est_jaccard")
-    )
+    try:
+        cand = minhash_candidate_pairs(sig, bands, rows_per_band)
+        sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+        sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+        est = (
+            F.size(
+                F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda z: z)
+            )
+            / F.lit(float(num_perm))
+        )
+        # eager localCheckpoint pins the small verified-pair result so the
+        # signature cache is released before returning (ADVICE r1)
+        return (
+            cand.join(sa, "id_a")
+            .join(sb, "id_b")
+            .withColumn("est_jaccard", F.round(est, 6))
+            .filter(F.col("est_jaccard") >= threshold)
+            .select("id_a", "id_b", "est_jaccard")
+            .localCheckpoint()
+        )
+    finally:
+        sig.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -317,7 +344,9 @@ def connected_components(
 
     Size-adaptive, like production dedup pipelines: the pair graph is
     ALWAYS tiny relative to the corpus (only near-dup nodes appear in
-    it), so when it fits on the driver (≤ ``driver_threshold`` edges,
+    it), so when it fits on the driver (≤ ``driver_threshold`` RAW
+    input pairs — counted as given, duplicates included, roughly half
+    the doubled-distinct edge count an earlier revision gated on;
     a few hundred MB) a single-pass union-find answers exactly —
     iterating Spark jobs over a thousand-edge graph buys nothing but
     scheduler overhead. Above the threshold, distributed min-label

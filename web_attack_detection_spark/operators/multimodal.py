@@ -37,15 +37,22 @@ MEDIA_META_SCHEMA = T.StructType(
 def attach_fake_media(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Derive a deterministic binary payload + metadata from text —
     the fixture has no real media, so the bytes are the UTF-8 text and
-    the metadata is hash-derived. Column expressions only.
+    the metadata is arithmetic over (byte length, id). Column
+    expressions only.
+
+    The dims were xxhash64-derived in round 1; length/id arithmetic is
+    equally fake but SQL-PORTABLE, which lets mm_frame_sample and
+    mm_resize_sample carry full DuckDB oracles (VERDICT r1 next-round
+    §4: shrink the rows-only set where an oracle is honestly possible).
     """
     payload = F.encode(F.col(text_col), "UTF-8")
-    h = F.xxhash64(F.col(text_col))
+    n = F.octet_length(payload).cast("long")
+    i = F.col(id_col).cast("long")
     meta = F.struct(
         F.lit("image/fake").alias("mime"),
-        (F.pmod(h, F.lit(640)) + 16).cast("int").alias("width"),
-        (F.pmod(F.shiftright(h, 16), F.lit(480)) + 16).cast("int").alias("height"),
-        (F.pmod(F.shiftright(h, 32), F.lit(8)) + 1).cast("int").alias("n_frames"),
+        (F.pmod(n * 7 + i, F.lit(640)) + 16).cast("int").alias("width"),
+        (F.pmod(n * 13 + i * 3, F.lit(480)) + 16).cast("int").alias("height"),
+        (F.pmod(n + i, F.lit(8)) + 1).cast("int").alias("n_frames"),
     )
     return df.select(
         F.col(id_col).alias("media_id"), payload.alias("payload"), meta.alias("meta")

@@ -59,10 +59,10 @@ m AS (
   FROM counts
 )
 SELECT o_orderkey,
-       CASE WHEN idx = 0 THEN 1.0 ELSE 0.0 END AS oh_0,
-       CASE WHEN idx = 1 THEN 1.0 ELSE 0.0 END AS oh_1,
-       CASE WHEN idx = 2 THEN 1.0 ELSE 0.0 END AS oh_2,
-       CASE WHEN idx = 3 THEN 1.0 ELSE 0.0 END AS oh_3
+       CAST(CASE WHEN idx = 0 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS oh_0,
+       CAST(CASE WHEN idx = 1 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS oh_1,
+       CAST(CASE WHEN idx = 2 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS oh_2,
+       CAST(CASE WHEN idx = 3 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS oh_3
 FROM orders JOIN m ON o_orderpriority = m.v
 WHERE o_orderkey < 100
 """
@@ -149,10 +149,16 @@ def f3_impute_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 # F4 — VectorAssembler array twin
 # ---------------------------------------------------------------------------
 
+# Array outputs crash the driver's pandas canonicalizer (CORRECTNESS_r01:
+# "unhashable type: 'list'"), so the registry entry serializes the vector
+# to JSON of integer cent-units — dtype-stable across Spark/DuckDB and
+# sortable as a scalar. The array<double> operator itself is unchanged
+# (assemble_array, tested in tests/test_ml.py).
 _F4_ORACLE = """
 SELECT l_orderkey, l_linenumber,
-       [CAST(l_quantity AS DOUBLE), CAST(l_extendedprice AS DOUBLE),
-        CAST(l_discount AS DOUBLE)] AS features
+       CAST(to_json([CAST(ROUND(l_quantity * 100) AS BIGINT),
+                     CAST(ROUND(l_extendedprice * 100) AS BIGINT),
+                     CAST(ROUND(l_discount * 100) AS BIGINT)]) AS VARCHAR) AS features
 FROM lineitem
 WHERE l_orderkey < 50
 """
@@ -161,10 +167,17 @@ WHERE l_orderkey < 50
 @register("f4_assemble_array", _F4_ORACLE, doc="VectorAssembler → array<double> twin (F4)")
 def f4_assemble_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-wise feature packing as ``array<double>`` — the oracle-visible
-    twin of VectorUDT (FIXTURES.md "Oracle notes"). Pure projection."""
+    twin of VectorUDT (FIXTURES.md "Oracle notes"). Pure projection; the
+    registry output serializes the array to JSON of exact cent-units so
+    the driver can sort/hash it as a scalar."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 50)
-    return assemble_array(li, ["l_quantity", "l_extendedprice", "l_discount"], "features").select(
-        "l_orderkey", "l_linenumber", "features"
+    asm = assemble_array(li, ["l_quantity", "l_extendedprice", "l_discount"], "features")
+    return asm.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.to_json(
+            F.transform(F.col("features"), lambda x: F.round(x * 100).cast("long"))
+        ).alias("features"),
     )
 
 

@@ -7,6 +7,7 @@ the fixture ``events`` table:
     events ─► dtype column classification (R3) ─► mean-impute (F3)
            ─► standard-scale (F5) ─► string-index categoricals + label
               (F1) ─► one-hot (F2) ─► assemble array features (F4)
+           ─► PCA(k=20) projection (F6, data_preprocessing.py:47)
            ─► select(features, label)
 
 Differences from the reference, on purpose (SURVEY.md §7 "what's
@@ -28,18 +29,47 @@ from web_attack_detection_spark.functions.feature import fit_feature_pipeline
 from web_attack_detection_spark.io.sources import load_table
 
 
-def flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fit the feature pipeline on `events` and return (features, label).
+def flagship_pipeline(
+    spark: SparkSession, sf_dir: str, pca_k: int | None = 20
+) -> DataFrame:
+    """Fit the feature pipeline on `events` and return (features, label),
+    where ``features`` is the PCA(k=20) projection — the reference DAG's
+    final stage (``data_preprocessing.py:47``; k clamps to the assembled
+    width when the fixture yields fewer raw dims).
 
     ``event_type`` plays the reference's ``attack_cat`` role (FIXTURES.md
     role mapping); ``props`` (json string) is a categorical stand-in for
     proto/service/state-style columns; ``value`` and the id columns are
-    the numeric features.
+    the numeric features. Pass ``pca_k=None`` for the pre-projection
+    features.
     """
-    events = load_table(spark, sf_dir, "events").drop("props")
+    ev = load_table(spark, sf_dir, "events")
+    # Row-local featurization to reference width: the reference's input
+    # is ~44 columns wide before PCA(k=20) (UNSW-NB15; BASELINE.md §2),
+    # while the fixture has 4 usable columns — so the flagship derives
+    # the wide frame the DAG expects (json field, calendar parts,
+    # bucketed categoricals; all map-only column expressions, no
+    # shuffle). Assembled width = 6 numerics + 8+4+7 one-hot = 25 dims,
+    # so the PCA stage genuinely reduces (25 → 20).
+    events = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").cast("double").alias("k"),
+        F.hour("ts").cast("double").alias("hour"),
+        F.dayofmonth("ts").cast("double").alias("dom"),
+        F.pmod(F.col("user_id"), F.lit(8)).cast("string").alias("user_shard"),
+        F.when(F.col("value") < 50, "low")
+        .when(F.col("value") < 150, "mid")
+        .when(F.col("value") < 300, "high")
+        .otherwise("extreme")
+        .alias("value_band"),
+        F.date_format("ts", "EEE").alias("dow"),
+    )
     # deterministic train split (reference trains on 3 of 4 partition
     # files, main.py:28-44; we split by key instead of by file)
     train = events.filter(F.col("event_id") % 4 != 1)
-    model = fit_feature_pipeline(train.drop("ts"), label_col="event_type")
-    out = model.transform(events.drop("ts"))
+    model = fit_feature_pipeline(train, label_col="event_type", pca_k=pca_k)
+    out = model.transform(events)
     return out.select("features", "label")

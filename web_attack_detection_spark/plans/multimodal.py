@@ -18,7 +18,7 @@ from web_attack_detection_spark.plans.registry import register
 _MM_META_ORACLE = """
 SELECT source,
        COUNT(*) AS n_media,
-       SUM(octet_length(encode(text))) AS total_bytes
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
 FROM documents
 GROUP BY source
 """
@@ -50,10 +50,27 @@ def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(media, fake_decode=True).orderBy("media_id")
 
 
-@register("mm_frame_sample", None, doc="frame sampling via sequence+explode")
+# n_frames = (octet_length + id) % 8 + 1 (attach_fake_media); sampling
+# every 2nd frame from 0..n-1 keeps floor((n+1)/2) frames.
+_MM_FRAMES_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST((octet_length(encode(text)) + doc_id) % 8 + 1 AS INTEGER) AS n_frames
+  FROM documents
+)
+SELECT media_id,
+       CAST(floor((n_frames + 1) / 2.0) AS BIGINT) AS n_sampled,
+       n_frames
+FROM m
+ORDER BY media_id
+"""
+
+
+@register("mm_frame_sample", _MM_FRAMES_ORACLE, doc="frame sampling via sequence+explode")
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling shape test: explode n_frames, keep every 2nd.
-    Rows-only (frame counts derive from xxhash64, not SQL-portable)."""
+    """Frame sampling: explode n_frames, keep every 2nd. Fully
+    oracle-checked since the fake metadata became portable arithmetic —
+    the oracle recomputes the expected kept-frame count per media row."""
     docs = load_table(spark, sf_dir, "documents")
     media = attach_fake_media(docs, "text", "doc_id")
     return (
@@ -64,17 +81,38 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# geometry twin of resize_media: scale = min(224/w, 224/h, 1), floor,
+# clamp at 1 — identical double math in both engines.
+_MM_RESIZE_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST((octet_length(encode(text)) * 7 + doc_id) % 640 + 16 AS INTEGER) AS width,
+         CAST((octet_length(encode(text)) * 13 + doc_id * 3) % 480 + 16 AS INTEGER) AS height
+  FROM documents
+),
+s AS (
+  SELECT *, least(224.0 / width, 224.0 / height, 1.0) AS scale FROM m
+)
+SELECT media_id, width, height,
+       CAST(greatest(1, floor(width * scale)) AS INTEGER) AS out_w,
+       CAST(greatest(1, floor(height * scale)) AS INTEGER) AS out_h
+FROM s
+"""
+
+
 @register(
     "mm_resize_sample",
-    None,
+    _MM_RESIZE_ORACLE,
     doc="aspect-preserving resize plumbing over the decoded feature batch",
 )
 def mm_resize_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode (stubbed, Arrow-batched) → fit-within-224² geometry +
     block-averaged pixel downsample, all column expressions on top of
     the mapInPandas pass — the resize stage adds no Python and no
-    shuffle. Rows-only (hash-derived dims have no SQL twin); the
-    geometry invariants are unit-tested in test_multimodal.py."""
+    shuffle. The registered output is the GEOMETRY (oracle-checked
+    against the same double math in DuckDB); the resized pseudo-pixel
+    block rides the same plan but has no SQL twin (FNV-chain decode),
+    so its invariants stay unit-tested in test_multimodal.py."""
     from web_attack_detection_spark.operators.multimodal import (
         attach_fake_media,
         extract_media_features,
@@ -84,4 +122,4 @@ def mm_resize_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = attach_fake_media(docs, "text", "doc_id")
     feats = extract_media_features(media)
-    return resize_media(feats)
+    return resize_media(feats).select("media_id", "width", "height", "out_w", "out_h")

@@ -27,7 +27,7 @@ from web_attack_detection_spark.plans.registry import (
 _JSON_ORACLE = """
 SELECT event_type,
        COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events
 GROUP BY event_type
@@ -61,7 +61,7 @@ WITH parsed AS (
 )
 SELECT k % 10 AS k_bucket,
        COUNT(*) AS n,
-       SUM(k) AS sum_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM parsed
 GROUP BY k % 10
@@ -467,9 +467,11 @@ def rel_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # array function battery
 # ---------------------------------------------------------------------------
 
+# The array itself goes through to_json: list-typed output columns crash
+# the driver's pandas canonicalizer (CORRECTNESS_r01 bug class 2).
 _ARRAY_FUNCS_ORACLE = """
 SELECT o_orderstatus,
-       array_agg(DISTINCT o_orderpriority ORDER BY o_orderpriority) AS priorities,
+       CAST(to_json(array_agg(DISTINCT o_orderpriority ORDER BY o_orderpriority)) AS VARCHAR) AS priorities,
        CAST(len(array_agg(DISTINCT o_orderpriority ORDER BY o_orderpriority)) AS INTEGER) AS n_priorities,
        array_agg(DISTINCT o_orderpriority ORDER BY o_orderpriority)[1] AS first_priority,
        CAST(list_contains(array_agg(DISTINCT o_orderpriority ORDER BY o_orderpriority), '1-URGENT') AS BOOLEAN) AS has_urgent
@@ -482,11 +484,12 @@ GROUP BY o_orderstatus
 def rel_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array construction + manipulation: ``collect_set`` is order-
     nondeterministic by itself (shuffle order!) — ALWAYS ``sort_array``
-    before comparing, persisting, or hashing collected arrays."""
+    before comparing, persisting, or hashing collected arrays. The
+    array output is JSON-serialized for the driver's scalar hash."""
     o = load_table(spark, sf_dir, "orders")
     arr = F.sort_array(F.collect_set("o_orderpriority"))
     return o.groupBy("o_orderstatus").agg(
-        arr.alias("priorities"),
+        F.to_json(arr).alias("priorities"),
         F.size(arr).alias("n_priorities"),
         F.element_at(arr, 1).alias("first_priority"),
         F.array_contains(arr, "1-URGENT").alias("has_urgent"),
@@ -765,15 +768,58 @@ def rel_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("rel_approx_aggregates", None, doc="approx_count_distinct + percentile_approx (sketches)")
+# Sketch INTERNALS differ per engine, so the sketch estimates can't be
+# hashed directly — but their accuracy CONTRACT can: the query emits the
+# exact counts (oracle-checkable) plus booleans asserting each estimate
+# landed within its error bound. If Spark's HLL++ or t-digest ever
+# degrades, the booleans flip and the driver's hash catches it.
+_APPROX_AGG_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+       TRUE AS parts_est_ok,
+       TRUE AS orders_est_ok,
+       TRUE AS median_est_ok
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "rel_approx_aggregates",
+    _APPROX_AGG_ORACLE,
+    doc="approx_count_distinct + percentile_approx: exact twins + in-bound accuracy booleans",
+)
 def rel_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB forms: HyperLogLog++ distinct counts and t-digest
     percentiles — mergeable sketches, map-side combinable, bounded
-    memory. Rows-only (sketch internals differ per engine); accuracy
-    vs exact is unit-tested (tests/test_relational.py)."""
+    memory (exact countDistinct's shuffle carries every distinct key;
+    the sketch partials are KBs). Default rsd is 5%; the booleans
+    assert 3× that bound (approx is probabilistic but deterministic for
+    fixed input), and percentile_approx with accuracy=10000 must land
+    within 1% of the exact interpolated median."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median"),
+    )
+
+    def within(est, exact, tol):
+        return (
+            F.abs(est.cast("double") - exact.cast("double"))
+            <= F.lit(tol) * exact.cast("double")
+        ).alias
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_orders",
+        within(F.col("approx_parts"), F.col("exact_parts"), 0.15)("parts_est_ok"),
+        within(F.col("approx_orders"), F.col("exact_orders"), 0.15)("orders_est_ok"),
+        within(F.col("approx_median_price"), F.col("exact_median"), 0.01)(
+            "median_est_ok"
+        ),
     )

@@ -33,7 +33,7 @@ SELECT event_type,
        CAST(year(ts) AS INT) AS yr,
        CAST(GROUPING(event_type, year(ts)) AS BIGINT) AS gid,
        COUNT(*) AS n,
-       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_val_c
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_val_c
 FROM events
 GROUP BY GROUPING SETS ((event_type), (year(ts)), ())
 """
@@ -57,7 +57,7 @@ def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(year(ts) AS INT) AS yr,
                CAST(grouping_id(event_type, year(ts)) AS BIGINT) AS gid,
                COUNT(*) AS n,
-               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_val_c
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_val_c
         FROM events
         GROUP BY GROUPING SETS ((event_type), (year(ts)), ())
         """
@@ -179,7 +179,7 @@ def rel_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TIME_RANGE_ORACLE = """
 SELECT event_id,
        COUNT(*) OVER w AS cnt_1h,
-       SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS sum_1h_c
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT) AS sum_1h_c
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
@@ -344,7 +344,7 @@ SELECT c_mktsegment,
        COUNT(v) AS n_nonnull,
        CAST(SUM(CASE WHEN v IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS n_null_nullsafe,
-       SUM(CAST(ROUND(v * 100) AS BIGINT)) AS sum_pos_c
+       CAST(SUM(CAST(ROUND(v * 100) AS BIGINT)) AS BIGINT) AS sum_pos_c
 FROM x GROUP BY c_mktsegment
 """
 
@@ -377,11 +377,15 @@ def rel_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DECIMAL surfaces as float64 via fetchdf but as decimal.Decimal objects
+# via Spark's toPandas — the driver's dtype-sensitive hash would always
+# mismatch. Serialize the exact decimal to its canonical string instead:
+# both engines print fixed-scale decimals identically ("1234.50").
 _DECIMAL_ORACLE = """
 SELECT l_returnflag,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                * CAST(1 - l_discount AS DECIMAL(12,2))) AS DECIMAL(24,4)) AS sum_revenue,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS VARCHAR) AS sum_price,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * CAST(1 - l_discount AS DECIMAL(12,2))) AS DECIMAL(24,4)) AS VARCHAR) AS sum_revenue,
        COUNT(*) AS n
 FROM lineitem
 GROUP BY l_returnflag
@@ -404,10 +408,13 @@ def rel_decimal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     price = F.col("l_extendedprice").cast("decimal(12,2)")
     disc = (F.lit(1) - F.col("l_discount")).cast("decimal(12,2)")
     return li.groupBy("l_returnflag").agg(
-        F.sum(price).cast("decimal(18,2)").alias("sum_price"),
+        F.sum(price).cast("decimal(18,2)").cast("string").alias("sum_price"),
         # scale-4 products sum exactly; casting DOWN to scale 2 would hit
-        # engine-specific rounding (HALF_UP vs half-even) on .xx5 ties
-        F.sum(price * disc).cast("decimal(24,4)").alias("sum_revenue"),
+        # engine-specific rounding (HALF_UP vs half-even) on .xx5 ties.
+        # Final cast to string: the exact fixed-scale decimal prints
+        # identically in both engines, while pandas dtypes for decimals
+        # do not agree (object vs float64).
+        F.sum(price * disc).cast("decimal(24,4)").cast("string").alias("sum_revenue"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -425,7 +432,7 @@ LIMIT 20
 _LOCF_ORACLE = """
 WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS h,
-         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_val_c
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_val_c
   FROM events GROUP BY 1, 2
 ), bounds AS (
   SELECT event_type, min(date_trunc('hour', ts)) AS mn, max(date_trunc('hour', ts)) AS mx
@@ -675,7 +682,7 @@ _CASCADE_ORACLE = """
 SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
        event_type,
        COUNT(*) AS n,
-       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_val_c
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_val_c
 FROM events
 GROUP BY 1, 2
 """
@@ -729,7 +736,7 @@ WITH starts AS (
 )
 SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
        COUNT(*) AS n,
-       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_val_c
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_val_c
 FROM expanded GROUP BY 1, 2
 """
 

@@ -32,8 +32,8 @@ _CONDITIONAL_ORACLE = """
 SELECT l_returnflag,
        COUNT(*) AS n,
        COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
-       COALESCE(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
-                FILTER (WHERE l_discount > 0.05), 0) AS disc_rev_c,
+       CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                FILTER (WHERE l_discount > 0.05), 0) AS BIGINT) AS disc_rev_c,
        bool_and(l_quantity > 0) AS all_positive,
        bool_or(l_discount > 0.09) AS any_deep_discount
 FROM lineitem
@@ -189,9 +189,9 @@ SELECT l_returnflag,
        COUNT(*) AS n,
        COUNT(*) FILTER (WHERE CAST(ROUND(l_extendedprice * 100) AS BIGINT)
                               / NULLIF(l_linenumber - 1, 0) IS NULL) AS n_div_null,
-       COALESCE(SUM(CAST(ROUND(
+       CAST(COALESCE(SUM(CAST(ROUND(
            CAST(ROUND(l_extendedprice * 100) AS BIGINT) / NULLIF(l_linenumber - 1, 0)
-         ) AS BIGINT)), 0) AS sum_ratio_c,
+         ) AS BIGINT)), 0) AS BIGINT) AS sum_ratio_c,
        COUNT(TRY_CAST(substring(CAST(l_shipdate AS VARCHAR), 1, 4) AS BIGINT))
          AS n_year_parses,
        COUNT(*) FILTER (WHERE TRY_CAST(l_returnflag AS BIGINT) IS NULL) AS n_bad_casts
@@ -293,7 +293,7 @@ def rel_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MERGE_ORACLE = """
 WITH ub AS (
-  SELECT o_custkey, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS acctbal_c
+  SELECT o_custkey, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS acctbal_c
   FROM orders WHERE o_custkey % 3 = 0 GROUP BY o_custkey
 ), u AS (
   SELECT o_custkey AS c_custkey, CAST(o_custkey % 25 AS BIGINT) AS c_nationkey,
@@ -360,7 +360,7 @@ WITH t AS (
          DATE '1990-01-01' AS vf FROM customer
 ), u AS (
   SELECT o_custkey AS c_custkey,
-         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS acctbal_c,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS acctbal_c,
          CAST(MAX(o_orderdate) AS DATE) AS eff
   FROM orders GROUP BY o_custkey
 )
@@ -609,7 +609,7 @@ def rel_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
 _VARIANT_ORACLE = """
 SELECT event_type,
        COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        COUNT(*) FILTER (WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) < 50)
          AS n_small,
        'OBJECT<k: BIGINT>' AS schema_str

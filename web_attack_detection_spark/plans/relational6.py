@@ -177,10 +177,27 @@ def rel_timezone_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# Same oracle pattern as rel_approx_aggregates: exact counts hash-match,
+# and the sketch estimates are pinned through their accuracy contract
+# (lgK=12 → ~1.6% standard error; the boolean asserts 5× that).
+_HLL_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS est_ok
+FROM lineitem
+GROUP BY l_returnflag
+UNION ALL
+SELECT 'ALL',
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT),
+       TRUE
+FROM lineitem
+"""
+
+
 @register(
     "ml_hll_sketch",
-    None,
-    doc="hll_sketch_agg/estimate/union: mergeable distinct-count sketches",
+    _HLL_ORACLE,
+    doc="hll_sketch_agg/estimate/union: mergeable distinct-count sketches, accuracy-pinned",
 )
 def ml_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group HLL sketches + a union across groups, estimated in
@@ -188,24 +205,32 @@ def ml_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts: partial aggregates are a few KB each and MERGE (unlike
     exact countDistinct, whose shuffle carries every distinct key);
     the union sketch gives the global cardinality WITHOUT a second
-    pass over the data. Accuracy bound tested in
-    tests/test_sketches.py against the exact count (lgK=12 → ~1.6%
-    standard error)."""
+    pass over the data. The registered output carries the exact counts
+    (including the global one, so the union estimate has a real
+    baseline) plus in-bound booleans; the raw estimate magnitudes stay
+    engine-internal. Accuracy also unit-tested in
+    tests/test_sketches.py."""
     li = load_table(spark, sf_dir, "lineitem")
     per_flag = li.groupBy("l_returnflag").agg(
         F.hll_sketch_agg("l_partkey", 12).alias("sk"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
+    global_exact = li.agg(
+        F.countDistinct("l_partkey").alias("exact_parts")
+    )
     union_row = (
         per_flag.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
-        .select(
-            F.lit("ALL").alias("l_returnflag"),
-            "est",
-            F.lit(None).cast("long").alias("exact_parts"),
-        )
+        .crossJoin(F.broadcast(global_exact))
+        .select(F.lit("ALL").alias("l_returnflag"), "est", "exact_parts")
     )
-    return union_row.unionByName(
+    ok = (
+        F.abs(F.col("est").cast("double") - F.col("exact_parts").cast("double"))
+        <= F.lit(0.08) * F.col("exact_parts").cast("double")
+    ).alias("est_ok")
+    return (
         per_flag.select(
             "l_returnflag", F.hll_sketch_estimate("sk").alias("est"), "exact_parts"
         )
+        .unionByName(union_row)
+        .select("l_returnflag", "exact_parts", ok)
     )

@@ -341,7 +341,7 @@ SELECT o_orderkey,
        o_orderstatus,
        CAST(ROUND(o_totalprice * 100) AS BIGINT) / 100.0 AS totalprice,
        COUNT(*) OVER w AS n_near,
-       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w AS near_total_c
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT) AS near_total_c
 FROM orders
 WHERE o_orderkey < 2000
 WINDOW w AS (PARTITION BY o_orderstatus
@@ -391,7 +391,7 @@ def rel_value_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SALTED_JOIN_ORACLE = """
 SELECT p_brand,
        COUNT(*) AS n_lines,
-       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_c
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE p_size <= 10
 GROUP BY p_brand

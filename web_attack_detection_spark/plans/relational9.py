@@ -76,7 +76,7 @@ _INCR_ORACLE = """
 SELECT o_orderstatus,
        strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
        COUNT(*) AS n_orders,
-       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_c,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c,
        MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS max_c
 FROM orders
 GROUP BY 1, 2
@@ -213,10 +213,11 @@ WITH per_order AS (
   GROUP BY l_orderkey
 )
 SELECT l_orderkey,
-       list_sort(list_distinct(big_lines || disc_lines)) AS union_lines,
-       list_sort(list_filter(big_lines, x -> list_contains(disc_lines, x)))
+       -- to_json: list outputs crash the driver's canonicalizer
+       CAST(to_json(list_sort(list_distinct(big_lines || disc_lines))) AS VARCHAR) AS union_lines,
+       CAST(to_json(list_sort(list_filter(big_lines, x -> list_contains(disc_lines, x)))) AS VARCHAR)
          AS common_lines,
-       list_sort(list_filter(big_lines, x -> NOT list_contains(disc_lines, x)))
+       CAST(to_json(list_sort(list_filter(big_lines, x -> NOT list_contains(disc_lines, x)))) AS VARCHAR)
          AS only_big,
        CAST(len(list_distinct(big_lines || disc_lines)) AS INTEGER) AS n_union,
        list_contains(big_lines, 1) AS has_line1
@@ -248,11 +249,15 @@ def rel_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_order.select(
         "l_orderkey",
-        F.array_sort(F.array_union("big_lines", "disc_lines")).alias("union_lines"),
-        F.array_sort(F.array_intersect("big_lines", "disc_lines")).alias(
+        F.to_json(F.array_sort(F.array_union("big_lines", "disc_lines"))).alias(
+            "union_lines"
+        ),
+        F.to_json(F.array_sort(F.array_intersect("big_lines", "disc_lines"))).alias(
             "common_lines"
         ),
-        F.array_sort(F.array_except("big_lines", "disc_lines")).alias("only_big"),
+        F.to_json(F.array_sort(F.array_except("big_lines", "disc_lines"))).alias(
+            "only_big"
+        ),
         F.size(F.array_union("big_lines", "disc_lines")).alias("n_union"),
         F.array_contains("big_lines", 1).alias("has_line1"),
     )

@@ -112,7 +112,10 @@ sums AS (
 )
 SELECT label,
        CAST(MIN(n) AS BIGINT) AS n_vectors,
-       list(ROUND(s / CAST(n AS DOUBLE) / 1000000.0, 6) ORDER BY pos) AS centroid
+       -- JSON of micro-unit means: list outputs crash the driver's
+       -- canonicalizer, and integer micro-units are engine-exact
+       CAST(to_json(list(CAST(ROUND(s / CAST(n AS DOUBLE)) AS BIGINT) ORDER BY pos)) AS VARCHAR)
+         AS centroid
 FROM sums GROUP BY label
 """
 
@@ -136,7 +139,9 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         "pos",
         "n",
-        F.round(F.col("s") / F.col("n").cast("double") / F.lit(1_000_000.0), 6).alias("m"),
+        # micro-unit mean as an exact BIGINT: one double division of
+        # exact longs, then one round — identical in both engines
+        F.round(F.col("s") / F.col("n").cast("double")).cast("long").alias("m"),
     )
     return (
         per_dim.groupBy("label")
@@ -147,7 +152,7 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "label",
             "n_vectors",
-            F.transform(F.col("pm"), lambda x: x["m"]).alias("centroid"),
+            F.to_json(F.transform(F.col("pm"), lambda x: x["m"])).alias("centroid"),
         )
     )
 

@@ -59,7 +59,8 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QUANTIZE_ORACLE = f"""
 WITH {_SQL_QUANT_CTE}
-SELECT vec_id, q,
+SELECT vec_id,
+       CAST(to_json(q) AS VARCHAR) AS q,
        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), q),
                         (acc, x) -> acc + x) AS BIGINT) AS q_sum,
        CAST(list_max(list_transform(q, x -> abs(x))) AS INTEGER) AS q_max_abs
@@ -80,7 +81,7 @@ def sim_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _quantized(spark, sf_dir)
     return q.select(
         "vec_id",
-        "q",
+        F.to_json("q").alias("q"),
         F.aggregate(F.col("q"), F.lit(0).cast("long"), lambda a, x: a + x).alias(
             "q_sum"
         ),

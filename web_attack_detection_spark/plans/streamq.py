@@ -57,7 +57,15 @@ class _stream_conf:
 def _replay_input(spark: SparkSession, sf_dir: str) -> str:
     """Write the events fixture once per (process, sf_dir) as the
     stream replay input — the input is immutable, so every streaming
-    query replays the same files instead of re-writing them."""
+    query replays the same files instead of re-writing them.
+
+    SINGLE-BATCH ASSUMPTION (ADVICE r1): the default file source takes
+    all 4 parquet files in ONE micro-batch, so the watermark never
+    advances mid-replay and no late rows are dropped. Setting
+    ``maxFilesPerTrigger`` would replay time-unordered files across
+    batches and could silently drop rows below the watermark —
+    breaking the batch-oracle equivalence stream_join_left_outer (and
+    every windowed oracle here) relies on. Don't set it on replays."""
     d = _REPLAY_DIRS.get(sf_dir)
     if d is None:
         d = tempfile.mkdtemp(prefix="streamq_")
@@ -267,7 +275,7 @@ def stream_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_STATEFUL_ORACLE = """
 SELECT user_id,
        COUNT(*) AS n_events,
-       ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0, 2) AS total_value
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS total_value
 FROM events
 GROUP BY user_id
 """

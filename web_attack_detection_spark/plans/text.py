@@ -30,9 +30,9 @@ from web_attack_detection_spark.plans.registry import register
 _TOKENS_ORACLE = f"""
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(len(string_split_regex(text, '\\s+'))) AS total_tokens,
-       SUM(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))) AS total_bpe_ish,
-       SUM(length(text)) AS total_chars
+       CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS total_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))) AS BIGINT) AS total_bpe_ish,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY lang
 """
@@ -204,28 +204,37 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pass aggregates |tf| rows, not |token instances|, and the cache
     # makes the branch reuse explicit.
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")).cache()
-    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.count()
-    scored = tf.join(F.broadcast(df), "tok").select(
-        "doc_id",
-        "tok",
-        "tf",
-        (
-            F.col("tf")
-            * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + F.lit(1.0))
-        ).alias("tfidf"),
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
+    try:
+        df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+        n_docs = docs.count()
+        scored = tf.join(F.broadcast(df), "tok").select(
             "doc_id",
-            F.col("tok").alias("top_term"),
-            F.col("tf").cast("long").alias("tf"),
-            F.round("tfidf", 6).alias("tfidf"),
+            "tok",
+            "tf",
+            (
+                F.col("tf")
+                * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + F.lit(1.0))
+            ).alias("tfidf"),
         )
-    )
+        w = Window.partitionBy("doc_id").orderBy(
+            F.col("tfidf").desc(), F.col("tok").asc()
+        )
+        # eager localCheckpoint pins the (one-row-per-doc) result so the
+        # tf cache can be released before returning (ADVICE r1: repeated
+        # registry invocations must not accumulate cached relations)
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "doc_id",
+                F.col("tok").alias("top_term"),
+                F.col("tf").cast("long").alias("tf"),
+                F.round("tfidf", 6).alias("tfidf"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        tf.unpersist()
 
 
 # ---------------------------------------------------------------------------

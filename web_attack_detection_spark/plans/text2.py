@@ -205,7 +205,8 @@ vocab AS (
   QUALIFY tok_id <= 20
 )
 SELECT doc_id,
-       array_agg(COALESCE(tok_id, 0) ORDER BY ord) AS ids,
+       -- to_json: list outputs crash the driver's canonicalizer
+       CAST(to_json(array_agg(COALESCE(tok_id, 0) ORDER BY ord)) AS VARCHAR) AS ids,
        CAST(SUM(CASE WHEN tok_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
 FROM flat LEFT JOIN vocab USING (tok)
 WHERE doc_id < 50
@@ -251,16 +252,18 @@ def text_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(vocab), "tok", "left")
         .groupBy("doc_id")
         .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            F.col("pos").alias("pos"),
-                            F.coalesce("tok_id", F.lit(0)).alias("id"),
+            F.to_json(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("pos").alias("pos"),
+                                F.coalesce("tok_id", F.lit(0)).alias("id"),
+                            )
                         )
-                    )
-                ),
-                lambda s: s["id"],
+                    ),
+                    lambda s: s["id"],
+                )
             ).alias("ids"),
             F.sum(F.when(F.col("tok_id").isNull(), 1).otherwise(0))
             .cast("long")

@@ -120,27 +120,34 @@ def running_user_totals(
     Arrow-batched: each call receives ALL rows for one user in the
     micro-batch as pandas DataFrames.
     """
-    import pandas as pd  # local import: executors deserialize the closure
+    import numpy as np  # local import: executors deserialize the closure
+    import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = "user_id long, n_events long, total_value double"
-    state_schema = "n long, total double"
+    # state keeps CENTS as an exact long — no float rounding in state, so
+    # batch order / batch count can never shift the total, and the single
+    # /100.0 at emission matches the oracle's SUM(cents)/100.0 exactly
+    state_schema = "n long, total_c long"
     evict_ms = None if timeout_minutes is None else timeout_minutes * 60 * 1000
 
     def update(key, pdf_iter, state: GroupState):
         if state.hasTimedOut:
             state.remove()
             return
-        n, total = state.get if state.exists else (0, 0.0)
+        n, total_c = state.get if state.exists else (0, 0)
         for pdf in pdf_iter:
             n += len(pdf)
-            # integer-scaled sum: deterministic across batch orders
-            total += float((pdf["value"] * 100).round().astype("int64").sum()) / 100.0
-        state.update((n, round(total, 2)))
+            # half-away-from-zero per value, matching DuckDB ROUND /
+            # Spark F.round (pandas .round() is half-to-even — ADVICE r1)
+            v = pdf["value"].to_numpy(dtype="float64") * 100.0
+            cents = np.sign(v) * np.floor(np.abs(v) + 0.5)
+            total_c += int(cents.astype("int64").sum())
+        state.update((n, total_c))
         if evict_ms is not None:
             state.setTimeoutDuration(evict_ms)
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total_c / 100.0]}
         )
 
     return events.groupBy("user_id").applyInPandasWithState(
