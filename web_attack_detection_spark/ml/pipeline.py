@@ -58,6 +58,117 @@ def pca_project(model, df: DataFrame, array_col: str, out_col: str = "pca_featur
     )
 
 
+class NativePCAModel:
+    """Fitted native PCA: k principal axes + explained variance.
+
+    ``components[j]`` is the j-th axis (length d); projection follows
+    MLlib's convention (uncentered rows × components over the CENTERED
+    covariance's eigenvectors), with a fixed sign convention (the
+    largest-|loading| entry of each axis is positive) so results don't
+    flip run-to-run the way SVD-sign-ambiguous outputs can.
+    """
+
+    def __init__(self, components: list[list[float]], explained: list[float]):
+        self.components = components
+        self.explainedVariance = explained  # MLlib-compatible name
+
+    @property
+    def k(self) -> int:
+        return len(self.components)
+
+    def project(self, df: DataFrame, array_col: str, out_col: str = "pca_features") -> DataFrame:
+        """Row × axes as pure column expressions: k dot products of d
+        terms each, all inside whole-stage codegen — map-only, no UDF,
+        no vector conversion."""
+        a = F.col(array_col)
+        outs = []
+        for axis in self.components:
+            term = None
+            for i, w in enumerate(axis):
+                t = F.element_at(a, i + 1) * F.lit(float(w))
+                term = t if term is None else term + t
+            outs.append(term)
+        return df.withColumn(out_col, F.array(*outs))
+
+
+def fit_pca_native(df: DataFrame, array_col: str, k: int, dim: int | None = None) -> NativePCAModel:
+    """Distributed PCA fit: one Gramian pass, driver-side eigensolve.
+
+    MLlib's ``PCA.fit`` drops to the legacy RDD RowMatrix path
+    (DataFrame→RDD[Vector] conversion + treeAggregate) — ~4 s for
+    75k×22 at sf0.1, dominated by overhead. The obvious DataFrame
+    restatement (one ``agg`` of d(d+1)/2 product sums) is ALSO slow,
+    for a different reason: generating + janino-compiling O(d²)
+    aggregate expressions costs seconds before a single row is read.
+    This is the one spot where the Arrow path is genuinely the right
+    plan, NOT a fallback:
+
+    - ``mapInPandas`` computes a PARTIAL Gramian per Arrow batch —
+      ``AᵀA`` is one BLAS gemm over the batch matrix, plus column sums
+      and a count; each batch yields ONE constant-size row
+      (n, s[d], g[d(d+1)/2]);
+    - the driver sums the partials (numpy) and eigendecomposes the
+      d×d covariance — O(d³) scalar work, exactly how RowMatrix's own
+      ``computePrincipalComponents`` splits the labor.
+
+    Scale shape: a map-only scan emitting |batches| tiny rows — the
+    treeAggregate pattern — and it scales in d where expression-per-
+    cell cannot (d=1000 → 500k aggregates is infeasible; a gemm per
+    batch is routine).
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    if dim is None:
+        dim = len(df.select(array_col).first()[0])
+    d = dim
+    iu_r, iu_c = (x.tolist() for x in np.triu_indices(d))
+
+    def gramian_partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        iu = (np.array(iu_r), np.array(iu_c))
+        n = 0
+        s = np.zeros(d, dtype=np.float64)
+        g = np.zeros((d, d), dtype=np.float64)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            a = np.array(pdf[array_col].tolist(), dtype=np.float64)
+            n += a.shape[0]
+            s += a.sum(axis=0)
+            g += a.T @ a
+        yield pd.DataFrame({"n": [n], "s": [s.tolist()], "g": [g[iu].tolist()]})
+
+    parts = (
+        df.select(array_col)
+        .mapInPandas(gramian_partials, schema="n long, s array<double>, g array<double>")
+        .collect()
+    )
+    n = sum(p["n"] for p in parts)
+    s = np.sum([np.array(p["s"]) for p in parts], axis=0)
+    cross = np.zeros((d, d), dtype=np.float64)
+    cross[(np.array(iu_r), np.array(iu_c))] = np.sum(
+        [np.array(p["g"]) for p in parts], axis=0
+    )
+    cross = cross + cross.T - np.diag(np.diag(cross))
+    dim = d
+    # sample covariance: (Σxᵢxⱼ − ΣxᵢΣxⱼ/n) / (n−1)
+    cov = (cross - np.outer(s, s) / n) / (n - 1)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1]
+    vals, vecs = vals[order], vecs[:, order]
+    total = float(np.clip(vals, 0, None).sum()) or 1.0
+    comps = []
+    for j in range(min(k, dim)):
+        v = vecs[:, j]
+        if v[int(np.argmax(np.abs(v)))] < 0:  # sign convention
+            v = -v
+        comps.append([float(x) for x in v])
+    explained = [float(max(vals[j], 0.0)) / total for j in range(min(k, dim))]
+    return NativePCAModel(comps, explained)
+
+
 def fit_mlp(
     train: DataFrame,
     array_col: str,
