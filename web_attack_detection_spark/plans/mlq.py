@@ -313,16 +313,25 @@ def ml_minhash_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the featurization is the expensive narrow stage, the join fans
     # out from it.
     tf = tf.cache()
-    model = MinHashLSH(inputCol="fv", outputCol="hashes", numHashTables=8, seed=42).fit(tf)
-    pairs = (
-        model.approxSimilarityJoin(tf, tf, 0.25, distCol="jaccard_dist")
-        .select(
-            F.col("datasetA.doc_id").alias("id_a"),
-            F.col("datasetB.doc_id").alias("id_b"),
-            F.round(F.col("jaccard_dist"), 6).alias("jaccard_dist"),
+    try:
+        model = MinHashLSH(
+            inputCol="fv", outputCol="hashes", numHashTables=8, seed=42
+        ).fit(tf)
+        # eager localCheckpoint pins the (small) verified-pair result so
+        # the featurized cache is released before returning (ADVICE r1:
+        # registry invocations must not accumulate cached relations)
+        pairs = (
+            model.approxSimilarityJoin(tf, tf, 0.25, distCol="jaccard_dist")
+            .select(
+                F.col("datasetA.doc_id").alias("id_a"),
+                F.col("datasetB.doc_id").alias("id_b"),
+                F.round(F.col("jaccard_dist"), 6).alias("jaccard_dist"),
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .localCheckpoint()
         )
-        .filter(F.col("id_a") < F.col("id_b"))
-    )
+    finally:
+        tf.unpersist()
     return pairs.orderBy("id_a", "id_b")
 
 
