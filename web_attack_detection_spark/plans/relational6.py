@@ -211,9 +211,18 @@ def ml_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-internal. Accuracy also unit-tested in
     tests/test_sketches.py."""
     li = load_table(spark, sf_dir, "lineitem")
-    per_flag = li.groupBy("l_returnflag").agg(
-        F.hll_sketch_agg("l_partkey", 12).alias("sk"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+    # localCheckpoint the |flags|-row partial: it feeds BOTH the
+    # per-group output and the union re-aggregate — without the pin the
+    # lineage re-scans (and re-sketches) lineitem once per consumer.
+    # Total cost: 2 scans (sketch+exact per flag; global exact, which
+    # cannot derive from per-flag exacts because keys overlap).
+    per_flag = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.hll_sketch_agg("l_partkey", 12).alias("sk"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .localCheckpoint()
     )
     global_exact = li.agg(
         F.countDistinct("l_partkey").alias("exact_parts")
