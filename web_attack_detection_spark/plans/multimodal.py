@@ -123,3 +123,59 @@ def mm_resize_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_fake_media(docs, "text", "doc_id")
     feats = extract_media_features(media)
     return resize_media(feats).select("media_id", "width", "height", "out_w", "out_h")
+
+
+# chunk starts: sequence(0, max(dur-400, 0), 200) — n = floor(g/200)+1,
+# last = 200*floor(g/200), covering the short-clip (dur < window) case
+# with a single formula. Same arithmetic in both engines.
+_MM_AUDIO_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(octet_length(encode(text)) * 2 AS BIGINT) AS duration_ms
+  FROM documents
+),
+g AS (
+  SELECT media_id, duration_ms,
+         greatest(duration_ms - 400, 0) AS reach
+  FROM m
+)
+SELECT media_id, duration_ms,
+       CAST(floor(reach / 200.0) + 1 AS BIGINT) AS n_chunks,
+       CAST(200 * floor(reach / 200.0) AS BIGINT) AS last_start_ms
+FROM g
+"""
+
+
+@register(
+    "mm_audio_chunks",
+    _MM_AUDIO_ORACLE,
+    doc="audio-style sliding-window chunking (400ms window / 200ms hop) over binary media",
+)
+def mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASR-training chunking plumbing: each binary payload is treated as
+    fixed-rate audio (duration = 2 ms/byte, a portable stand-in for the
+    sample-rate metadata a real decoder provides), windowed into
+    overlapping 400 ms chunks at a 200 ms hop via ``sequence`` +
+    ``explode`` — pure column expressions, no UDF; the real byte-slice
+    per chunk swaps in where the start offsets are computed. The
+    explode factor is duration/hop: at 100 TB pick the hop the trainer
+    consumes, never re-chunk twice. Oracle recomputes the chunk count
+    and final start offset arithmetically."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_fake_media(docs, "text", "doc_id")
+    dur = (F.octet_length("payload") * 2).cast("long")
+    chunks = media.select(
+        "media_id",
+        dur.alias("duration_ms"),
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.greatest(dur - 400, F.lit(0).cast("long")),
+                F.lit(200).cast("long"),
+            )
+        ).alias("start_ms"),
+    )
+    return chunks.groupBy("media_id", "duration_ms").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.max("start_ms").alias("last_start_ms"),
+    )

@@ -341,3 +341,65 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("zipf_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus mixture weights: per-(source, lang) token shares — the number a
+# training-data pipeline feeds the sampler when mixing sources
+# ---------------------------------------------------------------------------
+
+_MIXTURE_ORACLE = """
+WITH cells AS (
+  SELECT source, lang,
+         COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS total_tokens
+  FROM documents
+  GROUP BY source, lang
+)
+SELECT source, lang, n_docs, total_tokens,
+       ROUND(total_tokens * 1000000 / CAST(SUM(total_tokens) OVER () AS DOUBLE))
+         / 1000000.0 AS token_share
+FROM cells
+"""
+
+
+@register(
+    "text_mixture_weights",
+    _MIXTURE_ORACLE,
+    doc="per-(source, lang) corpus token shares — training-mix sampling weights",
+)
+def text_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-corpus per (source, lang) cell: aggregate ONCE to the
+    cell grain (one shuffle over the corpus, map-side partials), then a
+    single-partition window over the AGGREGATED relation computes the
+    global denominator — |sources|×|langs| rows, so the unpartitioned
+    window is free at any corpus size. This is the mixture-weight table
+    a sampler consumes when composing a training set; the share is an
+    exact integer-token ratio rounded micro-scale so both engines agree
+    bit-for-bit."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        docs.select(
+            "source",
+            "lang",
+            F.size(F.split("text", r"\s+")).cast("long").alias("tc"),
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tc").alias("total_tokens"),
+        )
+    )
+    w = Window.partitionBy()
+    share = (
+        F.round(
+            F.col("total_tokens") * 1_000_000
+            / F.sum("total_tokens").over(w).cast("double")
+        )
+        / F.lit(1_000_000.0)
+    )
+    return cells.select(
+        "source", "lang", "n_docs", "total_tokens", share.alias("token_share")
+    )
