@@ -67,6 +67,32 @@ def test_no_python_eval_in_jvm_paths(spark):
         assert "EvalPython" not in plan, f"{name} fell off the JVM path"
 
 
+def test_flagship_transform_is_map_only_no_joins(spark):
+    """Round 2: the fitted pipeline's scoring path must be a pure
+    projection — literal-map indexer lookups (no join nodes at all) and
+    the PCA projection as column expressions (no Python, no vector
+    conversion). The fit may use Arrow (the Gramian pass); the
+    TRANSFORM plan must not."""
+    from pyspark.sql import functions as F
+
+    from web_attack_detection_spark.functions.feature import fit_feature_pipeline
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    events = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").cast("double").alias("k"),
+        F.pmod(F.col("user_id"), F.lit(8)).cast("string").alias("user_shard"),
+    )
+    train = events.filter(F.col("event_id") % 4 != 1)
+    model = fit_feature_pipeline(train, label_col="event_type", pca_k=5)
+    plan = plan_of(model.transform(events).select("features", "label"))
+    for node in ("Join", "EvalPython", "MapInPandas", "Exchange"):
+        assert node not in plan, f"flagship transform plan contains {node}:\n{plan}"
+
+
 def test_aggregation_uses_whole_stage_codegen(spark):
     li = load_table(spark, SF_SMOKE, "lineitem")
     agg = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
