@@ -282,3 +282,45 @@ def test_foreachbatch_scoring_reuses_batch_pipeline(spark):
     }
     assert got == want
     assert len(got) == events.count()
+
+
+def test_transform_with_state_totals_matches_classic(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas twin of running_user_totals:
+    same replay, same totals as the classic applyInPandasWithState
+    operator. The state protocol needs google.protobuf, which this
+    image lacks — skip (not xfail: the operator is complete, the
+    dependency is the boundary)."""
+    import pytest
+
+    pytest.importorskip("google.protobuf.descriptor")
+
+    from web_attack_detection_spark.io.sources import load_table
+    from web_attack_detection_spark.streaming.sources import stream_events_from_dir
+    from web_attack_detection_spark.streaming.windows import (
+        running_user_totals,
+        running_user_totals_tws,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events")
+    events.coalesce(1).write.parquet(f"{tmp_path}/in")
+
+    def replay(op, name):
+        q = (
+            op(stream_events_from_dir(spark, f"{tmp_path}/in"))
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return {
+            r["user_id"]: (r["n_events"], r["total_value"])
+            for r in spark.table(name).collect()
+        }
+
+    classic = replay(running_user_totals, "tws_classic")
+    modern = replay(running_user_totals_tws, "tws_modern")
+    assert modern == classic

