@@ -155,3 +155,56 @@ def test_int8_quantization_error_bound(spark, vec):
     step = m / 127.0
     for x, c in zip(vec, q):
         assert abs(x - c * step) <= step / 2 + 1e-9
+
+
+@given(
+    data=st.lists(
+        st.lists(
+            st.floats(min_value=-100, max_value=100, allow_nan=False, allow_infinity=False),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=6,
+        max_size=30,
+    ),
+    k=st.integers(min_value=1, max_value=4),
+)
+@_SETTINGS
+def test_native_pca_matches_mllib(spark, data, k):
+    """fit_pca_native (Arrow-batch Gramian + driver eigensolve) must
+    agree with MLlib's RowMatrix PCA on explained variance AND, up to
+    per-axis sign, on the projection — for arbitrary well-conditioned
+    inputs, not just the fixtures. Degenerate spectra (tied/zero
+    eigenvalues) make axis ORDER ambiguous between eigensolvers, so
+    axes are compared only where the variance gap is resolvable."""
+    import numpy as np
+
+    from web_attack_detection_spark.ml.pipeline import (
+        fit_pca,
+        fit_pca_native,
+        pca_project,
+    )
+
+    arr = np.array(data, dtype=np.float64)
+    if np.linalg.matrix_rank(np.cov(arr.T)) < 4:
+        return  # rank-deficient: eigenvector basis not unique
+    ev = np.linalg.eigvalsh(np.cov(arr.T))
+    if np.min(np.diff(np.sort(ev))) < 1e-6 * max(np.max(ev), 1e-12):
+        return  # near-tied eigenvalues: axis order/rotation ambiguous
+    df = spark.createDataFrame([(row,) for row in data], "feats array<double>")
+    nat = fit_pca_native(df, "feats", k, dim=4)
+    ml = fit_pca(df, "feats", k)
+    ev_nat = np.array(nat.explainedVariance)
+    ev_ml = np.array(list(ml.explainedVariance))
+    assert np.allclose(ev_nat, ev_ml, rtol=1e-6, atol=1e-9), (ev_nat, ev_ml)
+    p_nat = np.array(
+        nat.project(df, "feats").select("pca_features").toPandas()["pca_features"].tolist()
+    )
+    p_ml = np.array(
+        pca_project(ml, df, "feats").select("pca_features").toPandas()["pca_features"].tolist()
+    )
+    for j in range(k):
+        a, b = p_nat[:, j], p_ml[:, j]
+        s = 1.0 if float(np.dot(a, b)) >= 0 else -1.0
+        scale = max(float(np.abs(b).max()), 1e-9)
+        assert np.allclose(a, s * b, rtol=1e-5, atol=1e-7 * scale), (j, a, b)
