@@ -403,3 +403,119 @@ def text_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells.select(
         "source", "lang", "n_docs", "total_tokens", share.alias("token_share")
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization — the normalize-before-dedup primitive of crawl
+# pipelines: scheme/host case, default ports, tracking params, fragments.
+# ---------------------------------------------------------------------------
+
+_URL_CANON_ORACLE = """
+WITH raw AS (
+  SELECT o_orderkey,
+         unnest([
+           'HTTPS://Shop.Example.COM:443/item/' || o_orderkey
+             || '?utm_source=mail&id=' || o_orderkey % 100 || '&ref=abc#frag',
+           'https://shop.example.com/item/' || o_orderkey
+             || '?ref=abc&id=' || o_orderkey % 100
+         ]) AS url
+  FROM orders WHERE o_orderkey < 500
+),
+parts AS (
+  SELECT o_orderkey, url,
+         lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+         regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+                        ':(443|80)$', '') AS host,
+         regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+         regexp_extract(url, '\\?([^#]*)', 1) AS query
+  FROM raw
+),
+canon AS (
+  SELECT o_orderkey, url,
+         scheme || '://' || host
+           || CASE WHEN path = '' THEN '/' ELSE path END
+           || CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canon_url
+  FROM (
+    SELECT *,
+           array_to_string(
+             list_sort(list_filter(string_split(query, '&'),
+               p -> p <> '' AND NOT starts_with(p, 'utm_')
+                    AND NOT starts_with(p, 'fbclid'))),
+             '&') AS cq
+    FROM parts
+  )
+)
+SELECT canon_url,
+       CAST(COUNT(*) AS BIGINT) AS n_aliases,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_orderkey
+FROM canon
+GROUP BY canon_url
+"""
+
+
+@register(
+    "text_url_canonicalize",
+    _URL_CANON_ORACLE,
+    doc="URL canonicalization (case, default port, tracking params, fragment) → alias groups",
+)
+def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalize-then-group, the step before exact URL dedup in a
+    crawl pipeline: lowercase scheme+host, strip default ports, drop
+    the fragment, remove tracking params (utm_*, fbclid), sort the
+    remaining query params. Each order key synthesizes two aliases of
+    the same logical URL (tracking-laden uppercase vs clean); both must
+    collapse to one canonical form, so every group has exactly 2
+    aliases — the oracle recomputes the same normalization in SQL.
+    All regexp/array column expressions (one explode, one groupBy):
+    scales as a pure scan + one shuffle on the canonical key."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    k = F.col("o_orderkey").cast("string")
+    raw = o.select(
+        "o_orderkey",
+        F.explode(
+            F.array(
+                F.concat(
+                    F.lit("HTTPS://Shop.Example.COM:443/item/"), k,
+                    F.lit("?utm_source=mail&id="), (F.col("o_orderkey") % 100).cast("string"),
+                    F.lit("&ref=abc#frag"),
+                ),
+                F.concat(
+                    F.lit("https://shop.example.com/item/"), k,
+                    F.lit("?ref=abc&id="), (F.col("o_orderkey") % 100).cast("string"),
+                ),
+            )
+        ).alias("url"),
+    )
+    scheme = F.lower(F.regexp_extract("url", r"^([A-Za-z]+)://", 1))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract("url", r"^[A-Za-z]+://([^/?#]+)", 1)),
+        r":(443|80)$",
+        "",
+    )
+    path = F.regexp_extract("url", r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    query = F.regexp_extract("url", r"\?([^#]*)", 1)
+    cq = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda p: (p != "")
+                & ~p.startswith("utm_")
+                & ~p.startswith("fbclid"),
+            )
+        ),
+        "&",
+    )
+    canon = raw.select(
+        "o_orderkey",
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            F.when(path == "", "/").otherwise(path),
+            F.when(cq == "", "").otherwise(F.concat(F.lit("?"), cq)),
+        ).alias("canon_url"),
+    )
+    return canon.groupBy("canon_url").agg(
+        F.count(F.lit(1)).alias("n_aliases"),
+        F.min("o_orderkey").alias("min_orderkey"),
+    )
