@@ -59,6 +59,10 @@ try:
 except ImportError:  # pragma: no cover
     pass
 try:
+    from web_attack_detection_spark.plans import text3  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
+try:
     from web_attack_detection_spark.plans import similarity  # noqa: F401
 except ImportError:  # pragma: no cover
     pass

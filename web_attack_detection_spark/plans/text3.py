@@ -1,0 +1,278 @@
+"""Third text wave: the corpus-hygiene steps between dedup and
+training — benchmark decontamination, n-gram LM quality scoring, and
+sequence packing.
+
+North-star extensions (BASELINE.json; the reference has no text
+processing — SURVEY.md §2.7). These are the standard steps a
+pre-training data pipeline runs AFTER near-dedup:
+
+- **decontamination**: find training documents sharing word n-grams
+  with an evaluation set, so benchmark text can be excluded from the
+  training corpus (the n-gram-collision method used by GPT-3/PaLM/Llama
+  dataset reports, published openly).
+- **n-gram LM scoring**: an add-one-smoothed bigram language model fit
+  on the corpus itself; per-document average log-probability is the
+  classic CCNet-style quality signal (degenerate/boilerplate text
+  scores far from the corpus bulk).
+- **sequence packing**: concatenate documents in a deterministic order
+  and cut into fixed-length training sequences; each document maps to
+  a [first_seq, last_seq] span. Packing is per-source here — on a real
+  cluster one global concatenation order would serialize the corpus
+  through ONE window partition, so the operator partitions by a shard
+  key and packs within shards (exactly what distributed tokenizers do).
+
+All three are pure DataFrame ops — explode/join/groupBy/window, no
+Python in the data path — and every aggregate is integer-exact or
+integer-scaled per the registry determinism contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from web_attack_detection_spark.io.sources import load_table, union_by_name
+from web_attack_detection_spark.operators.dedup import shingles
+from web_attack_detection_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: 5-gram collisions between train and eval.
+#
+# Eval set = every 53rd document. The train side is the rest of the
+# corpus PLUS planted leaks (eval texts re-inserted under shifted ids),
+# so contamination is guaranteed present and the query must find it —
+# the FIXTURES.md planted-mutation pattern.
+# ---------------------------------------------------------------------------
+
+_DECON_ORACLE = """
+WITH train AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 53 <> 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 53 = 0
+),
+eval AS (SELECT doc_id AS eval_id, text FROM documents WHERE doc_id % 53 = 0),
+tr_tok AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM train),
+ev_tok AS (SELECT eval_id, string_split_regex(text, '\\s+') AS t FROM eval),
+tr_sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+  FROM tr_tok, UNNEST(range(1, greatest(len(t) - 4, 1) + 1)) AS r(i)
+),
+ev_sh AS (
+  SELECT DISTINCT eval_id, array_to_string(t[i:i+4], ' ') AS shingle
+  FROM ev_tok, UNNEST(range(1, greatest(len(t) - 4, 1) + 1)) AS r(i)
+)
+SELECT tr_sh.doc_id,
+       CAST(COUNT(DISTINCT tr_sh.shingle) AS BIGINT) AS n_hit_shingles,
+       CAST(COUNT(DISTINCT ev_sh.eval_id) AS BIGINT) AS n_eval_docs
+FROM tr_sh JOIN ev_sh USING (shingle)
+GROUP BY tr_sh.doc_id
+"""
+
+
+@register(
+    "text_decontaminate",
+    _DECON_ORACLE,
+    doc="benchmark decontamination: 5-gram train/eval collision report",
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per contaminated training doc: how many distinct 5-gram shingles
+    it shares with the eval set, and how many eval docs it hits.
+
+    Scale shape: eval sets are tiny (thousands of benchmark documents)
+    while the training corpus is the 100 TB side — so the eval shingle
+    table is BROADCAST and the train side is a map-only scan + explode;
+    no shuffle touches the corpus until the tiny post-join aggregate.
+    The planted-leak union mirrors the oracle exactly.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 53 == 0)
+    train = union_by_name(
+        docs.filter(F.col("doc_id") % 53 != 0),
+        ev.select((F.col("doc_id") + 200000).alias("doc_id"), "text"),
+    )
+    tr_sh = shingles(train, "text", "doc_id", n=5)
+    ev_sh = (
+        shingles(ev, "text", "doc_id", n=5)
+        .withColumnRenamed("id", "eval_id")
+    )
+    return (
+        tr_sh.join(F.broadcast(ev_sh), "shingle")
+        .groupBy("id")
+        .agg(
+            F.count_distinct("shingle").alias("n_hit_shingles"),
+            F.count_distinct("eval_id").alias("n_eval_docs"),
+        )
+        .withColumnRenamed("id", "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model quality scoring (add-one smoothing).
+#
+# p(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V); per-doc score is the mean
+# log-probability over the doc's bigrams. Per the determinism contract,
+# each bigram's ln(p) is rounded to 1e-6 and summed as BIGINT so the
+# result is independent of partition order and engine.
+# ---------------------------------------------------------------------------
+
+_BIGRAM_LM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+),
+docs2 AS (SELECT * FROM toks WHERE len(t) >= 2),
+big AS (
+  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS bg
+  FROM docs2, UNNEST(range(1, len(t))) AS r(i)
+),
+c12 AS (SELECT bg, COUNT(*) AS c12 FROM big GROUP BY bg),
+c1 AS (
+  SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS c1 FROM big GROUP BY 1
+),
+v AS (
+  SELECT COUNT(DISTINCT tok) AS v
+  FROM (SELECT UNNEST(t) AS tok FROM docs2)
+),
+scored AS (
+  SELECT b.doc_id,
+         CAST(ROUND(ln((c12.c12 + 1) / CAST(c1.c1 + v.v AS DOUBLE)) * 1000000)
+              AS BIGINT) AS lp
+  FROM big b
+  JOIN c12 USING (bg)
+  JOIN c1 ON split_part(b.bg, ' ', 1) = c1.w1
+  CROSS JOIN v
+  WHERE b.doc_id <= 300
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(SUM(lp) / 1000000.0 / COUNT(*), 6) AS avg_logp
+FROM scored GROUP BY doc_id
+"""
+
+
+@register(
+    "text_bigram_lm",
+    _BIGRAM_LM_ORACLE,
+    doc="bigram LM fit + per-doc mean log-prob quality score",
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit an add-one bigram LM on the corpus, score docs ≤ 300.
+
+    The 'model' is two aggregate tables (bigram counts, first-token
+    counts) plus one scalar (vocab size) — i.e. fitting is two shuffles
+    over exploded bigrams, linear in corpus tokens. Scoring joins the
+    doc's bigrams against the count tables; at 100 TB the count tables
+    are Zipf-shaped but BOUNDED by vocab², and in practice small enough
+    to broadcast after a frequency floor — here they stay shuffle joins
+    keyed by bigram, which AQE converts to broadcast when small. The
+    vocab scalar stays plan-side via a broadcast cross join (no
+    driver collect, no extra job).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", r"\s+").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    # one vectorized pass: bigram i = t[i] ' ' t[i+1]
+    bg = F.zip_with(
+        F.slice(F.col("t"), 1, F.size("t") - 1),
+        F.slice(F.col("t"), 2, F.size("t") - 1),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    big = toks.select("doc_id", F.explode(bg).alias("bg"))
+    c12 = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = (
+        big.groupBy(F.substring_index("bg", " ", 1).alias("w1"))
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = toks.select(F.explode("t").alias("tok")).agg(
+        F.count_distinct("tok").alias("v")
+    )
+    scored = (
+        big.filter(F.col("doc_id") <= 300)
+        .join(c12, "bg")
+        .join(c1, F.substring_index("bg", " ", 1) == c1.w1)
+        .join(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.round(
+                F.log((F.col("c12") + 1) / (F.col("c1") + F.col("v")).cast("double"))
+                * 1000000
+            )
+            .cast("long")
+            .alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum("lp") / F.lit(1000000.0) / F.count(F.lit(1)), 6).alias("avg_logp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: concat docs per source in doc_id order, cut into
+# 512-token training sequences. Pure integer window arithmetic — exact.
+# ---------------------------------------------------------------------------
+
+_SEQ_LEN = 512
+
+_PACK_ORACLE = f"""
+WITH toks AS (
+  SELECT source, doc_id,
+         CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tok
+  FROM documents
+),
+cum AS (
+  SELECT source, doc_id, n_tok,
+         CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_tok
+  FROM toks
+)
+SELECT source, doc_id, n_tok,
+       cum_tok - n_tok AS start_off,
+       (cum_tok - n_tok) // {_SEQ_LEN} AS first_seq,
+       (cum_tok - 1) // {_SEQ_LEN} AS last_seq,
+       (cum_tok - 1) // {_SEQ_LEN} - (cum_tok - n_tok) // {_SEQ_LEN} + 1 AS n_seqs
+FROM cum
+"""
+
+
+@register(
+    "text_pack_sequences",
+    _PACK_ORACLE,
+    doc="sequence packing: per-source concat → 512-token sequence spans",
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map each document to its span of packed 512-token training
+    sequences (concat-and-chunk packing, per source shard).
+
+    The window partitions by ``source`` — a GLOBAL packing order would
+    funnel 100 TB through one window partition, so real pipelines pack
+    within shards; the per-shard cumulative sum is one shuffle on the
+    shard key and a linear in-partition scan. All arithmetic is BIGINT
+    (token counts, offsets, integer division): bit-exact on any engine,
+    any partition order.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", r"\s+")).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.withColumn("cum_tok", F.sum("n_tok").over(w))
+    start = F.col("cum_tok") - F.col("n_tok")
+    first_seq = F.expr(f"(cum_tok - n_tok) div {_SEQ_LEN}")
+    last_seq = F.expr(f"(cum_tok - 1) div {_SEQ_LEN}")
+    return cum.select(
+        "source",
+        "doc_id",
+        "n_tok",
+        start.alias("start_off"),
+        first_seq.alias("first_seq"),
+        last_seq.alias("last_seq"),
+        (last_seq - first_seq + F.lit(1)).alias("n_seqs"),
+    )
