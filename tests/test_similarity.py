@@ -100,3 +100,21 @@ def test_ivf_partitioned_layout_prunes_cells(spark, tmp_path):
     expected = {r["vec_id"] for r in assigned.filter(F.col("cell").isin(3, 7)).collect()}
     got = {r["vec_id"] for r in probed.collect()}
     assert got == expected and got
+
+
+def test_brp_lsh_full_planted_recall(spark):
+    """ml_brp_lsh_join must find EXACTLY the planted near-duplicate
+    pairs: precision is structurally exact (approxSimilarityJoin
+    re-checks true distance), and recall over 0.005-apart pairs with
+    bucketLength=1.0 x 4 tables must be total."""
+    from web_attack_detection_spark.plans.mlq import ml_brp_lsh_join
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    planted_ids = sorted(
+        r["vec_id"] for r in emb.filter(F.col("vec_id") % 5 == 0).select("vec_id").collect()
+    )
+    out = ml_brp_lsh_join(spark, SF_SMOKE).collect()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    want = {(i, i + 10000) for i in planted_ids}
+    assert got == want
+    assert all(r["dist"] < 0.05 for r in out)

@@ -372,3 +372,60 @@ def ml_random_forest_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(float(acc), n_train, n_test)], "accuracy double, n_train long, n_test long"
     )
+
+
+@register(
+    "ml_brp_lsh_join",
+    None,
+    doc="MLlib BucketedRandomProjectionLSH euclidean near-neighbor join",
+)
+def ml_brp_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The euclidean-LSH primitive SURVEY §2.7 names
+    (BucketedRandomProjectionLSH), completing the LSH family next to
+    MinHashLSH (Jaccard): each vector is floor(proj/bucketLength)
+    bucketed per hash table and candidates equi-join on the bucket id —
+    the same linear-shuffle banding shape as operators/dedup.py, so the
+    100 TB story carries over (shuffle volume = tables x rows, never
+    all-pairs).
+
+    The embeddings fixture has no close euclidean pairs (min organic
+    pair distance ~0.99 at sf0.01), so the query plants near-duplicates
+    — every 5th vector re-inserted scaled by 0.995 (distance ~=
+    0.005 x ||v||) — and joins at threshold 0.5: exactly the planted
+    pairs qualify. approxSimilarityJoin filters candidates by TRUE
+    distance, so precision is exact and only recall is probabilistic;
+    with bucketLength=1.0 >> planted distance and 4 tables, missing a
+    planted pair needs all 4 projections to split a 0.005-apart pair —
+    tests/test_similarity.py asserts full planted recall. Rows-only
+    (projection directions are seeded but implementation-defined)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+
+    from web_attack_detection_spark.ml.pipeline import to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    planted = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("emb", lambda x: x * 0.995).alias("emb"),
+    )
+    both = to_vector(emb.unionByName(planted), "emb", "fv").select("vec_id", "fv")
+    # cache: consumed by the LSH fit pass + both sides of the self-join
+    both = both.cache()
+    try:
+        model = BucketedRandomProjectionLSH(
+            inputCol="fv", outputCol="hashes", bucketLength=1.0, numHashTables=4, seed=42
+        ).fit(both)
+        pairs = (
+            model.approxSimilarityJoin(both, both, 0.5, distCol="dist")
+            .select(
+                F.col("datasetA.vec_id").alias("id_a"),
+                F.col("datasetB.vec_id").alias("id_b"),
+                F.round(F.col("dist"), 6).alias("dist"),
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .localCheckpoint()
+        )
+    finally:
+        both.unpersist()
+    return pairs.orderBy("id_a", "id_b")

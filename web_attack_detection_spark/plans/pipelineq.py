@@ -20,7 +20,7 @@ reproducible at the row level nor rebalanceable; SURVEY.md §2.1 S2.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from web_attack_detection_spark.io.sources import load_table
@@ -133,4 +133,117 @@ def pipe_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("split", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end training-corpus build: plant -> quality filter -> exact
+# dedup -> decontaminate -> mixture manifest, in ONE query.
+# ---------------------------------------------------------------------------
+
+_CORPUS_ORACLE = """
+WITH eval AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 53 = 0
+),
+train0 AS (
+  SELECT doc_id, text, lang, source FROM documents WHERE doc_id % 53 <> 0
+  UNION ALL
+  SELECT doc_id + 300000 AS doc_id, text, lang, source
+  FROM documents WHERE doc_id % 97 = 0
+),
+q AS (
+  SELECT *, CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tok
+  FROM train0
+),
+qf AS (SELECT * FROM q WHERE n_tok >= 5),
+surv AS (SELECT MIN(doc_id) AS doc_id FROM qf GROUP BY text),
+kept AS (SELECT qf.* FROM qf JOIN surv USING (doc_id)),
+k_tok AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM kept),
+e_tok AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM eval),
+k_sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+  FROM k_tok, UNNEST(range(1, greatest(len(t) - 4, 1) + 1)) AS r(i)
+),
+e_sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+  FROM e_tok, UNNEST(range(1, greatest(len(t) - 4, 1) + 1)) AS r(i)
+),
+contam AS (SELECT DISTINCT k_sh.doc_id FROM k_sh JOIN e_sh USING (shingle)),
+clean AS (
+  SELECT * FROM kept
+  WHERE NOT EXISTS (SELECT 1 FROM contam WHERE contam.doc_id = kept.doc_id)
+)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(n_tok) AS BIGINT)
+             / CAST(CAST(SUM(SUM(n_tok)) OVER () AS BIGINT) AS DOUBLE),
+             6) AS weight
+FROM clean
+GROUP BY lang, source
+"""
+
+
+@register(
+    "pipe_training_corpus",
+    _CORPUS_ORACLE,
+    doc="end-to-end corpus build: quality -> exact dedup -> decontaminate -> mixture manifest",
+)
+def pipe_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole pre-training corpus build as one composed plan, with
+    planted hazards the stages must catch: duplicate copies (every 97th
+    doc re-inserted under a shifted id) and benchmark leakage (every
+    53rd doc is the eval set; its planted copies reach the train side
+    and must be removed by DECONTAMINATION, not dedup, because dedup's
+    survivor choice can keep the copy when the original is eval-only).
+
+    Stage shapes at 100 TB:
+
+    - quality filter: map-only scan (token count is a per-row expr);
+    - exact dedup: one shuffle on text (or its hash), min-id survivor
+      (operators/dedup.exact_dedup);
+    - decontamination: eval shingles broadcast; corpus side stays
+      map-only + one semi/anti-join (plans/text3.text_decontaminate);
+    - manifest: tiny groupBy over (lang, source) + a one-row window for
+      the weight denominator.
+
+    The mixture weights feed proportional sampling exactly like
+    text_mixture_weights; this query is the full pipeline those
+    weights normally sit at the end of.
+    """
+    from web_attack_detection_spark.operators.dedup import exact_dedup, shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 53 == 0).select("doc_id", "text")
+    train0 = docs.filter(F.col("doc_id") % 53 != 0).select(
+        "doc_id", "text", "lang", "source"
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 97 == 0).select(
+            (F.col("doc_id") + 300000).alias("doc_id"), "text", "lang", "source"
+        )
+    )
+    qf = train0.withColumn(
+        "n_tok", F.size(F.split("text", r"\s+")).cast("long")
+    ).filter(F.col("n_tok") >= 5)
+    surv = exact_dedup(qf.select("text", "doc_id"), ["text"], "doc_id").select("doc_id")
+    kept = qf.join(surv, "doc_id")
+    k_sh = shingles(kept.select("doc_id", "text"), "text", "doc_id", n=5)
+    e_sh = shingles(ev, "text", "doc_id", n=5).withColumnRenamed("id", "eval_id")
+    contam = (
+        k_sh.join(F.broadcast(e_sh), "shingle").select(F.col("id").alias("doc_id")).distinct()
+    )
+    clean = kept.join(contam, "doc_id", "left_anti")
+    grp = clean.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+    )
+    w = Window.partitionBy()
+    return grp.select(
+        "lang",
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.round(
+            F.col("total_tokens") / F.sum("total_tokens").over(w).cast("double"), 6
+        ).alias("weight"),
     )

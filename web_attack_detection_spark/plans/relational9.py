@@ -359,3 +359,42 @@ def rel_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "no_big_lines",
         F.when(F.col("line_no").isNull(), 1).otherwise(0).cast("int"),
     )
+
+
+# ---------------------------------------------------------------------------
+# approx_top_k frequency sketch (Spark 4.1) with an exact oracle
+# ---------------------------------------------------------------------------
+
+_APPROX_TOPK_ORACLE = """
+SELECT p_brand, COUNT(*) AS cnt
+FROM part
+GROUP BY p_brand
+"""
+
+
+@register(
+    "rel_approx_topk",
+    _APPROX_TOPK_ORACLE,
+    doc="approx_top_k heavy-hitter sketch, exact-count oracle (k >= NDV regime)",
+)
+def rel_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via Spark 4.1's ``approx_top_k`` sketch. The
+    sketch tracks ``maxItemsTracked`` counters and is MERGEABLE —
+    map-side partials combine like any agg, so the full scan never
+    shuffles raw values, only fixed-size counter maps (the reason this
+    beats exact GROUP BY + ORDER BY at 100 TB: the exact form shuffles
+    every distinct key).
+
+    Oracle trick: p_brand has ~25 distinct values, far below
+    maxItemsTracked=1024, so every counter is EXACT and k=200 >= NDV
+    returns the complete frequency table — the sketch's merge/explode
+    plumbing is fully value-checked against exact GROUP BY counts. At
+    real scale (NDV >> counters) the counts become estimates with the
+    documented Space-Saving error bound; the plumbing is identical.
+    """
+    p = load_table(spark, sf_dir, "part")
+    sk = p.agg(F.expr("approx_top_k(p_brand, 200, 1024)").alias("tk"))
+    return sk.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("p_brand"),
+        F.col("e.count").alias("cnt"),
+    )
