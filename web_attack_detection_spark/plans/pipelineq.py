@@ -200,8 +200,11 @@ def pipe_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     Stage shapes at 100 TB:
 
     - quality filter: map-only scan (token count is a per-row expr);
-    - exact dedup: one shuffle on text (or its hash), min-id survivor
-      (operators/dedup.exact_dedup);
+    - exact dedup: drop_exact_duplicates (window min-id survivor) —
+      ONE shuffle on text and no join-back, vs the groupBy+self-join
+      form which shuffles twice and sort-merge-joins the corpus
+      against itself (measured: the window form removes the only
+      SortMergeJoin from this plan);
     - decontamination: eval shingles broadcast; corpus side stays
       map-only + one semi/anti-join (plans/text3.text_decontaminate);
     - manifest: tiny groupBy over (lang, source) + a one-row window for
@@ -211,7 +214,10 @@ def pipe_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_mixture_weights; this query is the full pipeline those
     weights normally sit at the end of.
     """
-    from web_attack_detection_spark.operators.dedup import exact_dedup, shingles
+    from web_attack_detection_spark.operators.dedup import (
+        drop_exact_duplicates,
+        shingles,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     ev = docs.filter(F.col("doc_id") % 53 == 0).select("doc_id", "text")
@@ -225,14 +231,15 @@ def pipe_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     qf = train0.withColumn(
         "n_tok", F.size(F.split("text", r"\s+")).cast("long")
     ).filter(F.col("n_tok") >= 5)
-    surv = exact_dedup(qf.select("text", "doc_id"), ["text"], "doc_id").select("doc_id")
-    kept = qf.join(surv, "doc_id")
+    kept = drop_exact_duplicates(qf, ["text"], "doc_id")
     k_sh = shingles(kept.select("doc_id", "text"), "text", "doc_id", n=5)
     e_sh = shingles(ev, "text", "doc_id", n=5).withColumnRenamed("id", "eval_id")
     contam = (
         k_sh.join(F.broadcast(e_sh), "shingle").select(F.col("id").alias("doc_id")).distinct()
     )
-    clean = kept.join(contam, "doc_id", "left_anti")
+    # contaminated-id set is bounded by the (small) eval-reachable docs
+    # — broadcast the anti-join so the corpus is never shuffled for it
+    clean = kept.join(F.broadcast(contam), "doc_id", "left_anti")
     grp = clean.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("total_tokens"),
