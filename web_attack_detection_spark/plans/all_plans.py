@@ -59,6 +59,10 @@ try:
 except ImportError:  # pragma: no cover
     pass
 try:
+    from web_attack_detection_spark.plans import relational10  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
+try:
     from web_attack_detection_spark.plans import text3  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
@@ -68,6 +72,10 @@ except ImportError:  # pragma: no cover
     pass
 try:
     from web_attack_detection_spark.plans import similarity2  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
+try:
+    from web_attack_detection_spark.plans import similarity3  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
 try:

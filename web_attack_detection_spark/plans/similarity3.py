@@ -1,0 +1,192 @@
+"""Matryoshka two-stage retrieval: coarse search on a truncated
+embedding prefix, exact rerank on the full vector.
+
+The production ANN pattern for 100 TB vector corpora (published as
+Matryoshka Representation Learning): embeddings are trained so that a
+prefix of the vector is itself a usable lower-dim embedding. Retrieval
+then runs in two stages — a cheap wide scan scoring only the first 16
+dims (4× less memory bandwidth per candidate, the dominant cost of a
+brute-force scan), followed by exact full-dim rescoring of the small
+candidate set. Unlike hash/quantization ANN, BOTH stages here are
+deterministic arithmetic, so the whole operator is oracle-checkable —
+including the quality audit column (did the coarse stage keep the true
+top-5?).
+
+Oracle parity relies on the module-wide fold convention
+(plans/similarity.py): dot products fold left-to-right in double
+precision on both engines, so scores are bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from web_attack_detection_spark.io.sources import load_table
+from web_attack_detection_spark.operators.similarity import dot, l2_norm
+from web_attack_detection_spark.plans.registry import register
+
+_N_QUERIES = 5
+_PREFIX = 16
+_COARSE_K = 20
+_K = 5
+
+
+def _sql_dot(a: str, b: str, n: int) -> str:
+    return (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, {n + 1}), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+        "(acc, x) -> acc + x)"
+    )
+
+
+def _sql_norm(a: str) -> str:
+    return (
+        "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
+        "(acc, x) -> acc + x))"
+    )
+
+
+_MATRYOSHKA_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, embedding, embedding[1:{_PREFIX}] AS p
+  FROM embeddings
+),
+nrm AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) / {_sql_norm('embedding')}) AS u,
+         list_transform(p, x -> CAST(x AS DOUBLE) / {_sql_norm('p')}) AS u16
+  FROM base
+),
+coarse AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_sql_dot('q.u16', 'c.u16', _PREFIX)} AS coarse_score,
+         q.u AS qu, c.u AS cu
+  FROM nrm q JOIN nrm c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {_N_QUERIES}
+),
+cand AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY coarse_score DESC, neighbor_id ASC) AS crk
+  FROM coarse
+),
+rerank AS (
+  SELECT query_id, neighbor_id,
+         {_sql_dot('qu', 'cu', 64)} AS cos
+  FROM cand WHERE crk <= {_COARSE_K}
+),
+final AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM rerank
+),
+full_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_sql_dot('q.u', 'c.u', 64)} AS cos
+  FROM nrm q JOIN nrm c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {_N_QUERIES}
+),
+full_top AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id ASC) AS rk
+        FROM full_scored)
+  WHERE rk <= {_K}
+)
+SELECT f.query_id, f.neighbor_id,
+       CAST(f.rank AS INTEGER) AS rank,
+       ROUND(f.cos, 6) AS cos,
+       (ft.neighbor_id IS NOT NULL) AS in_full_topk
+FROM final f
+LEFT JOIN full_top ft
+  ON f.query_id = ft.query_id AND f.neighbor_id = ft.neighbor_id
+WHERE f.rank <= {_K}
+"""
+
+
+@register(
+    "sim_matryoshka_rerank",
+    _MATRYOSHKA_ORACLE,
+    doc="matryoshka 16-dim coarse scan -> full-dim exact rerank, with in-full-topk audit",
+)
+def sim_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval with a built-in quality audit.
+
+    Stage shapes at scale: the coarse stage is the only full-corpus
+    scan and touches {_PREFIX}/64 of the vector bytes; queries are
+    BROADCAST so the corpus never shuffles. The rerank stage touches
+    only queries × {_COARSE_K} rows. The audit join (against the exact
+    full-dim top-k, which exists here only because the fixture is
+    small) is the self-evaluation pattern of sim_ivf_quantized_topk —
+    in production you'd sample it, not compute it for every query.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.col("embedding").alias("e"),
+        F.slice("embedding", 1, _PREFIX).alias("p"),
+    )
+    nrm = base.select(
+        "vec_id",
+        F.transform("e", lambda x: x.cast("double") / l2_norm(F.col("e"))).alias("u"),
+        F.transform("p", lambda x: x.cast("double") / l2_norm(F.col("p"))).alias("u16"),
+    )
+    q = nrm.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("u").alias("qu"),
+        F.col("u16").alias("qu16"),
+    )
+    coarse = (
+        nrm.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot(F.col("qu16"), F.col("u16")).alias("coarse_score"),
+            "qu",
+            F.col("u").alias("cu"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("coarse_score").desc(), F.col("neighbor_id").asc()
+    )
+    cand = coarse.withColumn("crk", F.row_number().over(wc)).filter(
+        F.col("crk") <= _COARSE_K
+    )
+    rerank = cand.select(
+        "query_id", "neighbor_id", dot(F.col("qu"), F.col("cu")).alias("cos")
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    final = rerank.withColumn("rank", F.row_number().over(wf)).filter(
+        F.col("rank") <= _K
+    )
+    full = (
+        nrm.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot(F.col("qu"), F.col("u")).alias("cos"),
+        )
+        .withColumn("rk", F.row_number().over(wf))
+        .filter(F.col("rk") <= _K)
+        .select("query_id", F.col("neighbor_id").alias("ft_neighbor"))
+    )
+    return (
+        final.join(
+            full,
+            (final.query_id == full.query_id)
+            & (final.neighbor_id == full.ft_neighbor),
+            "left",
+        )
+        .select(
+            final.query_id,
+            final.neighbor_id,
+            F.col("rank").cast("int").alias("rank"),
+            F.round("cos", 6).alias("cos"),
+            F.col("ft_neighbor").isNotNull().alias("in_full_topk"),
+        )
+    )

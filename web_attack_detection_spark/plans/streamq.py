@@ -319,3 +319,56 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("total_value", "n_events").alias("total_value"),
     )
 
+
+
+_AVAILABLE_NOW_ORACLE = f"""
+SELECT event_type,
+       COUNT(*) AS n,
+       {sql_money_sum('value')} AS total_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "stream_available_now",
+    _AVAILABLE_NOW_ORACLE,
+    doc="Trigger.AvailableNow catch-up run == batch aggregate",
+)
+def stream_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-catchup streaming: ``trigger(availableNow=True)`` processes
+    everything currently in the source (possibly across several rate-
+    limited micro-batches), commits, and STOPS — the mode scheduled
+    backfills and cron-style incremental jobs run in, vs the always-on
+    ``processAllAvailable`` replays above. The aggregation is
+    watermark-free (global per-type totals in complete mode), so the
+    result is batch-identical regardless of how the trigger chops the
+    input into batches — which is exactly the property that makes
+    availableNow safe for backfill at 100 TB, where maxFilesPerTrigger
+    WILL split the catch-up into hundreds of batches.
+    """
+    name = f"streamq_{uuid.uuid4().hex[:8]}"
+    d = _replay_input(spark, sf_dir)
+    with _stream_conf(spark):
+        q = (
+            stream_events_from_dir(spark, f"{d}/in")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(
+                    F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0), 2
+                ).alias("total_value"),
+            )
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(timeout=300)
+        finally:
+            q.stop()
+    return spark.createDataFrame(
+        spark.table(name).collect(), spark.table(name).schema
+    )

@@ -276,3 +276,64 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         last_seq.alias("last_seq"),
         (last_seq - first_seq + F.lit(1)).alias("n_seqs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge round: the core primitive of byte-pair-encoding tokenizer
+# training, as one distributed aggregation.
+# ---------------------------------------------------------------------------
+
+_BPE_ORACLE = """
+WITH words AS (
+  SELECT UNNEST(string_split_regex(text, '\\s+')) AS w FROM documents
+),
+wc AS (
+  SELECT w, COUNT(*) AS cnt FROM words WHERE length(w) >= 2 GROUP BY w
+),
+pairs AS (
+  SELECT substr(w, i, 2) AS pair, cnt
+  FROM wc, UNNEST(range(1, length(w))) AS r(i)
+),
+agg AS (
+  SELECT pair, CAST(SUM(cnt) AS BIGINT) AS freq FROM pairs GROUP BY pair
+)
+SELECT pair, freq FROM agg ORDER BY freq DESC, pair ASC LIMIT 10
+"""
+
+
+@register(
+    "text_bpe_first_merge",
+    _BPE_ORACLE,
+    doc="BPE tokenizer training: one merge round (top adjacent char pairs)",
+)
+def text_bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first merge round of BPE training: count adjacent character
+    pairs across the corpus weighted by word frequency, rank merge
+    candidates (count desc, pair asc — the deterministic tie-break BPE
+    needs for reproducible vocab).
+
+    Distributed shape: word-count first (one shuffle, collapses the
+    corpus to its vocabulary — at 100 TB the vocab is millions of rows,
+    not billions), THEN explode each distinct word into its pairs.
+    Exploding before counting would emit one row per corpus character;
+    aggregating first makes the pair stage proportional to |vocab|.
+    Full BPE training iterates this round driver-side with the merge
+    applied between rounds — each round stays this same aggregation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", r"\s+")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    pairs = wc.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "cnt",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("pair").asc())
+        .limit(10)
+    )
