@@ -77,8 +77,25 @@ def test_viz_sinks_fallback_write_data(spark):
             F.when(F.col("value") >= 100, "high").otherwise("low").alias("prediction"),
         )
         p4 = plot_confusion(confusion_matrix(ev), run)
-        # one run dir, four artifacts, each non-empty
+        # one run dir; every sink returns a rendered SVG and leaves a
+        # CSV data sidecar next to it (4 sinks × 2 artifacts)
         for p in (p1, p2, p3, p4):
             assert p.parent == run
+            assert p.suffix == ".svg"
             assert p.stat().st_size > 0
-        assert len(list(run.iterdir())) == 4
+            assert p.with_suffix(".csv").stat().st_size > 0
+        assert len(list(run.iterdir())) == 8
+        # each SVG is well-formed XML containing the expected mark type
+        import xml.etree.ElementTree as ET
+
+        ns = "{http://www.w3.org/2000/svg}"
+        for p, mark in [
+            (p1, "polyline"),
+            (p2, "rect"),
+            (p3, "rect"),
+            (p4, "rect"),
+        ]:
+            root = ET.parse(p).getroot()
+            assert root.tag == f"{ns}svg"
+            assert root.iter(f"{ns}{mark}") is not None
+            assert any(True for _ in root.iter(f"{ns}{mark}"))

@@ -91,3 +91,58 @@ def test_evaluators_hand_computed(spark):
     assert m["a"]["recall"] == pytest.approx(2 / 3)
     assert m["b"]["precision"] == pytest.approx(1 / 2)
     assert m["b"]["recall"] == pytest.approx(1 / 2)
+
+
+def test_sequence_nets_forward_properties():
+    """Architecture forwards (ml/nets.py) are valid probability maps,
+    deterministic under reseeding, and batch-shape independent (batch
+    of 8 == two batches of 4 — the property predict_batch_udf's
+    arbitrary Arrow batching relies on)."""
+    import numpy as np
+
+    from web_attack_detection_spark.ml import nets
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((8, 64))
+    for fwd, params in [
+        (nets.cnn_forward, nets.seeded_cnn_params(64, 4)),
+        (nets.rnn_forward, nets.seeded_rnn_params(4)),
+        (nets.lstm_forward, nets.seeded_lstm_params(4)),
+    ]:
+        p = fwd(x, params)
+        assert p.shape == (8, 4)
+        assert np.allclose(p.sum(axis=1), 1.0)
+        assert (p > 0).all()
+        # batch-shape independence up to BLAS kernel choice: matmul
+        # picks different kernels for different batch shapes, so rows
+        # can differ in the last ulp — but no more (this is why the
+        # registry queries round to 1e-6 before aggregating: Arrow
+        # batch boundaries must not change the rounded output)
+        p2 = np.vstack([fwd(x[:4], params), fwd(x[4:], params)])
+        assert np.allclose(p, p2, rtol=0, atol=1e-12)
+        # seeded determinism
+        assert np.array_equal(p, fwd(x, params))
+
+
+def test_sequence_infer_queries_distributed(spark):
+    """The M2-M4 inference queries run executor-side (ArrowEvalPython
+    in the plan), produce a deterministic per-class distribution, and
+    cover every input row."""
+    import contextlib
+    import io
+
+    from web_attack_detection_spark.io.sources import load_table
+    from web_attack_detection_spark.plans.mlq import ml_cnn_infer, ml_lstm_infer, ml_rnn_infer
+    from .conftest import SF_SMOKE
+
+    n_rows = load_table(spark, SF_SMOKE, "embeddings").count()
+    for q in (ml_cnn_infer, ml_rnn_infer, ml_lstm_infer):
+        df = q(spark, SF_SMOKE)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("extended")
+        assert "ArrowEvalPython" in buf.getvalue()
+        rows = df.collect()
+        assert sum(r["n"] for r in rows) == n_rows
+        again = {(r["prediction"], r["n"], r["prob_mass"]) for r in q(spark, SF_SMOKE).collect()}
+        assert {(r["prediction"], r["n"], r["prob_mass"]) for r in rows} == again

@@ -56,6 +56,32 @@ def linear_softmax_scorer(
     )
 
 
+def sequence_scorer(forward, params: dict, seq_len: int):
+    """``predict_batch_udf`` over a sequence-model forward pass
+    (ml/nets.py: cnn_forward / rnn_forward / lstm_forward).
+
+    Same worker lifecycle as :func:`linear_softmax_scorer`: ``params``
+    ships in the closure (seeded demo weights are KBs; a real trained
+    model would be loaded inside ``make_predict_fn`` from storage), the
+    forward runs per Arrow batch on executors, and the driver never
+    sees a row. This is the reference's (n, d, 1) Keras scoring path
+    (``/root/reference/models/cnn_model.py:51``) minus the
+    collect-to-driver."""
+
+    def make_predict_fn():
+        def predict(batch: np.ndarray) -> np.ndarray:
+            return forward(batch, params)
+
+        return predict
+
+    return predict_batch_udf(
+        make_predict_fn,
+        return_type=ArrayType(DoubleType()),
+        batch_size=256,
+        input_tensor_shapes=[[seq_len]],
+    )
+
+
 def batch_score(
     df: DataFrame,
     array_col: str,

@@ -1,0 +1,180 @@
+"""Pure-numpy forward passes for the reference's Keras architectures.
+
+The reference trains four Keras models (M2-M4: Conv1D / SimpleRNN /
+LSTM stacks — ``/root/reference/models/cnn_model.py:19-40``,
+``rnn_model.py:17-34``, ``lstm_model.py:17-34``). TensorFlow is not in
+this image, so TRAINING stays out-of-engine (the documented boundary,
+ml/pipeline.py) — but INFERENCE does not need TF at all: each
+architecture's forward pass is a short sequence of matmuls and
+elementwise ops, implemented here in numpy with seeded deterministic
+weights. Plugged into ``predict_batch_udf`` (ml/inference.py), this
+gives architecture-faithful distributed scoring of the reference's
+model zoo on executors — the exact batch-in/probabilities-out calling
+convention a loaded Keras model would have, so swapping real trained
+weights in means replacing ``seeded_*_params`` with a weight file
+load and nothing else.
+
+Shapes follow the reference exactly: input rows are feature vectors
+reshaped to (seq_len, 1) sequences (``cnn_model.py:51``); conv blocks
+are Conv1D(valid)->ReLU->MaxPool(2); recurrent stacks are
+(64 units, return_sequences) -> (128 units) -> Dense(64) -> softmax.
+Dropout layers are identity at inference (as in Keras).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _rng(seed: int) -> np.random.Generator:
+    return np.random.default_rng(seed)
+
+
+def _glorot(rng: np.random.Generator, fan_in: int, shape: tuple) -> np.ndarray:
+    return rng.standard_normal(shape) / np.sqrt(max(fan_in, 1))
+
+
+def _softmax(z: np.ndarray) -> np.ndarray:
+    z = z - z.max(axis=-1, keepdims=True)
+    e = np.exp(z)
+    return e / e.sum(axis=-1, keepdims=True)
+
+
+# ---------------------------------------------------------------------------
+# Conv1D stack (reference cnn_model.py:19-40)
+# ---------------------------------------------------------------------------
+
+
+def seeded_cnn_params(seq_len: int, n_classes: int, seed: int = 42) -> dict:
+    rng = _rng(seed)
+    chans = [1, 32, 64, 128]
+    params: dict = {"convs": []}
+    length = seq_len
+    for cin, cout in zip(chans, chans[1:]):
+        params["convs"].append(
+            (_glorot(rng, 3 * cin, (3, cin, cout)), np.zeros(cout))
+        )
+        length = (length - 2) // 2  # k=3 valid conv, then maxpool 2
+    flat = length * chans[-1]
+    params["dense"] = (_glorot(rng, flat, (flat, 128)), np.zeros(128))
+    params["out"] = (_glorot(rng, 128, (128, n_classes)), np.zeros(n_classes))
+    return params
+
+
+def cnn_forward(batch: np.ndarray, params: dict) -> np.ndarray:
+    """batch (n, seq_len) -> probabilities (n, n_classes)."""
+    x = batch[:, :, None].astype(np.float64)  # (n, L, 1) — cnn_model.py:51
+    for w, b in params["convs"]:
+        k, cin, cout = w.shape
+        L = x.shape[1] - k + 1
+        # im2col: windows (n, L, k*cin) @ (k*cin, cout)
+        idx = np.arange(k)[None, :] + np.arange(L)[:, None]  # (L, k)
+        win = x[:, idx, :].reshape(x.shape[0], L, k * cin)
+        x = np.maximum(win @ w.reshape(k * cin, cout) + b, 0.0)
+        half = x.shape[1] // 2
+        x = x[:, : half * 2, :].reshape(x.shape[0], half, 2, cout).max(axis=2)
+    x = x.reshape(x.shape[0], -1)
+    w, b = params["dense"]
+    x = np.maximum(x @ w + b, 0.0)
+    w, b = params["out"]
+    return _softmax(x @ w + b)
+
+
+# ---------------------------------------------------------------------------
+# SimpleRNN stack (reference rnn_model.py:17-34)
+# ---------------------------------------------------------------------------
+
+
+def seeded_rnn_params(n_classes: int, seed: int = 42) -> dict:
+    rng = _rng(seed)
+    p = {
+        "rnn1": (_glorot(rng, 1, (1, 64)), _glorot(rng, 64, (64, 64)), np.zeros(64)),
+        "rnn2": (
+            _glorot(rng, 64, (64, 128)),
+            _glorot(rng, 128, (128, 128)),
+            np.zeros(128),
+        ),
+        "dense": (_glorot(rng, 128, (128, 64)), np.zeros(64)),
+        "out": (_glorot(rng, 64, (64, n_classes)), np.zeros(n_classes)),
+    }
+    return p
+
+
+def _simple_rnn(x: np.ndarray, w, u, b, return_seq: bool) -> np.ndarray:
+    n, L, _ = x.shape
+    units = b.shape[0]
+    h = np.zeros((n, units))
+    seq = np.empty((n, L, units)) if return_seq else None
+    for t in range(L):
+        h = np.tanh(x[:, t, :] @ w + h @ u + b)
+        if return_seq:
+            seq[:, t, :] = h
+    return seq if return_seq else h
+
+
+def rnn_forward(batch: np.ndarray, params: dict) -> np.ndarray:
+    x = batch[:, :, None].astype(np.float64)
+    s = _simple_rnn(x, *params["rnn1"], return_seq=True)
+    h = _simple_rnn(s, *params["rnn2"], return_seq=False)
+    w, b = params["dense"]
+    h = np.maximum(h @ w + b, 0.0)
+    w, b = params["out"]
+    return _softmax(h @ w + b)
+
+
+# ---------------------------------------------------------------------------
+# LSTM stack (reference lstm_model.py:17-34)
+# ---------------------------------------------------------------------------
+
+
+def seeded_lstm_params(n_classes: int, seed: int = 42) -> dict:
+    rng = _rng(seed)
+
+    def gates(din, units):
+        return (
+            _glorot(rng, din, (din, 4 * units)),
+            _glorot(rng, units, (units, 4 * units)),
+            np.zeros(4 * units),
+        )
+
+    return {
+        "lstm1": gates(1, 64),
+        "lstm2": gates(64, 128),
+        "dense": (_glorot(rng, 128, (128, 64)), np.zeros(64)),
+        "out": (_glorot(rng, 64, (64, n_classes)), np.zeros(n_classes)),
+    }
+
+
+def _sigmoid(z: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-z))
+
+
+def _lstm(x: np.ndarray, w, u, b, return_seq: bool) -> np.ndarray:
+    n, L, _ = x.shape
+    units = b.shape[0] // 4
+    h = np.zeros((n, units))
+    c = np.zeros((n, units))
+    seq = np.empty((n, L, units)) if return_seq else None
+    for t in range(L):
+        z = x[:, t, :] @ w + h @ u + b
+        i, f, g, o = (
+            _sigmoid(z[:, :units]),
+            _sigmoid(z[:, units : 2 * units]),
+            np.tanh(z[:, 2 * units : 3 * units]),
+            _sigmoid(z[:, 3 * units :]),
+        )
+        c = f * c + i * g
+        h = o * np.tanh(c)
+        if return_seq:
+            seq[:, t, :] = h
+    return seq if return_seq else h
+
+
+def lstm_forward(batch: np.ndarray, params: dict) -> np.ndarray:
+    x = batch[:, :, None].astype(np.float64)
+    s = _lstm(x, *params["lstm1"], return_seq=True)
+    h = _lstm(s, *params["lstm2"], return_seq=False)
+    w, b = params["dense"]
+    h = np.maximum(h @ w + b, 0.0)
+    w, b = params["out"]
+    return _softmax(h @ w + b)

@@ -429,3 +429,72 @@ def ml_brp_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         both.unpersist()
     return pairs.orderBy("id_a", "id_b")
+
+
+def _sequence_infer(spark: SparkSession, sf_dir: str, arch: str) -> DataFrame:
+    """Shared body of the M2-M4 distributed-inference queries: score
+    the 64-dim embedding vectors as (64, 1) sequences through the
+    architecture's numpy forward pass (ml/nets.py) on executors via
+    predict_batch_udf, then reduce to the per-class prediction
+    distribution (plus a probability checksum so the whole output
+    tensor, not just the argmax, is pinned). Deterministic: seeded
+    weights, batch-shape-independent math."""
+    from web_attack_detection_spark.ml import nets
+    from web_attack_detection_spark.ml.inference import sequence_scorer
+
+    n_classes = 4
+    if arch == "cnn":
+        scorer = sequence_scorer(
+            nets.cnn_forward, nets.seeded_cnn_params(64, n_classes), 64
+        )
+    elif arch == "rnn":
+        scorer = sequence_scorer(nets.rnn_forward, nets.seeded_rnn_params(n_classes), 64)
+    else:
+        scorer = sequence_scorer(
+            nets.lstm_forward, nets.seeded_lstm_params(n_classes), 64
+        )
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        "vec_id", scorer(F.col("embedding").cast("array<double>")).alias("probs")
+    )
+    pred = scored.select(
+        "vec_id",
+        (F.array_position(F.col("probs"), F.array_max("probs")) - 1)
+        .cast("int")
+        .alias("prediction"),
+        F.round(F.aggregate("probs", F.lit(0.0), lambda a, x: a + x), 6).alias("psum"),
+    )
+    return pred.groupBy("prediction").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.round(F.col("psum") * 1000000).cast("long")) / 1000000.0, 6).alias(
+            "prob_mass"
+        ),
+    )
+
+
+@register("ml_cnn_infer", None, doc="Conv1D stack distributed inference (numpy forward, predict_batch_udf)")
+def ml_cnn_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 (reference cnn_model.py:19-40) as architecture-faithful
+    DISTRIBUTED inference: Conv1D(32)->pool->Conv1D(64)->pool->
+    Conv1D(128)->pool->Dense(128)->softmax in pure numpy on executors.
+    Training stays out-of-engine (no TF in the image — documented
+    boundary); this query proves the scoring path needs no TF and no
+    driver collect. Rows-only (a conv stack has no SQL twin);
+    per-architecture equivalence tests in tests/test_ml.py."""
+    return _sequence_infer(spark, sf_dir, "cnn")
+
+
+@register("ml_rnn_infer", None, doc="SimpleRNN stack distributed inference (numpy forward)")
+def ml_rnn_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 (reference rnn_model.py:17-34): SimpleRNN(64, seq) ->
+    SimpleRNN(128) -> Dense(64) -> softmax, numpy forward on
+    executors. See ml_cnn_infer."""
+    return _sequence_infer(spark, sf_dir, "rnn")
+
+
+@register("ml_lstm_infer", None, doc="LSTM stack distributed inference (numpy forward)")
+def ml_lstm_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 (reference lstm_model.py:17-34): LSTM(64, seq) -> LSTM(128)
+    -> Dense(64) -> softmax, numpy forward on executors. See
+    ml_cnn_infer."""
+    return _sequence_infer(spark, sf_dir, "lstm")

@@ -11,9 +11,11 @@ directory — not one per figure (the reference quirk at
 ``visualization.py:8-13``).
 
 matplotlib is not in this image, so rendering is import-gated: with it
-installed PNGs appear, without it each sink writes the same data as a
-CSV sidecar (the plot data IS persisted either way, unlike the
-reference, which loses everything unless the GUI run is screenshotted).
+installed PNGs appear. Independently of matplotlib, every sink ALWAYS
+writes (a) the plot data as a CSV sidecar and (b) a real image via the
+dependency-free SVG renderer (``svg.py``) — so unlike the reference,
+which loses everything unless the GUI run is screenshotted, a headless
+run still produces both the data and a viewable figure.
 """
 
 from __future__ import annotations
@@ -23,6 +25,8 @@ from datetime import datetime
 from pathlib import Path
 
 from pyspark.sql import DataFrame
+
+from web_attack_detection_spark import svg as _svg
 
 try:  # pragma: no cover - matplotlib absent in this image
     import matplotlib
@@ -68,7 +72,10 @@ def plot_history(history: dict[str, list[float]], run_dir: Path, name: str) -> P
         return out
     keys = sorted(history)
     rows = [tuple([e] + [history[k][e - 1] for k in keys]) for e in epochs]
-    return _write_csv(run_dir / f"{name}_history.csv", ["epoch", *keys], rows)
+    _write_csv(run_dir / f"{name}_history.csv", ["epoch", *keys], rows)
+    out = run_dir / f"{name}_history.svg"
+    out.write_text(_svg.line_chart(history, f"{name} training history"))
+    return out
 
 
 def plot_model_comparison(accuracies: dict[str, float], run_dir: Path) -> Path:
@@ -82,7 +89,10 @@ def plot_model_comparison(accuracies: dict[str, float], run_dir: Path) -> Path:
         fig.savefig(out)
         plt.close(fig)
         return out
-    return _write_csv(run_dir / "model_comparison.csv", ["model", "accuracy"], items)
+    _write_csv(run_dir / "model_comparison.csv", ["model", "accuracy"], items)
+    out = run_dir / "model_comparison.svg"
+    out.write_text(_svg.bar_chart(items, "model accuracy", y_label="accuracy"))
+    return out
 
 
 def plot_training_times(times_s: dict[str, float], run_dir: Path) -> Path:
@@ -97,7 +107,10 @@ def plot_training_times(times_s: dict[str, float], run_dir: Path) -> Path:
         fig.savefig(out)
         plt.close(fig)
         return out
-    return _write_csv(run_dir / "training_times.csv", ["model", "seconds"], items)
+    _write_csv(run_dir / "training_times.csv", ["model", "seconds"], items)
+    out = run_dir / "training_times.svg"
+    out.write_text(_svg.bar_chart(items, "training time", y_label="seconds"))
+    return out
 
 
 def plot_confusion(cm_df: DataFrame, run_dir: Path, name: str = "confusion") -> Path:
@@ -122,6 +135,9 @@ def plot_confusion(cm_df: DataFrame, run_dir: Path, name: str = "confusion") -> 
         fig.savefig(out)
         plt.close(fig)
         return out
-    return _write_csv(
-        run_dir / f"{name}.csv", ["label", "prediction", "n"], sorted(rows)
-    )
+    _write_csv(run_dir / f"{name}.csv", ["label", "prediction", "n"], sorted(rows))
+    grid_map = {(a, p): n for a, p, n in rows}
+    grid = [[float(grid_map.get((a, p), 0)) for p in labels] for a in labels]
+    out = run_dir / f"{name}.svg"
+    out.write_text(_svg.heatmap([str(x) for x in labels], grid, "confusion matrix"))
+    return out
