@@ -414,7 +414,7 @@ def ml_brp_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = both.cache()
     try:
         model = BucketedRandomProjectionLSH(
-            inputCol="fv", outputCol="hashes", bucketLength=1.0, numHashTables=4, seed=42
+            inputCol="fv", outputCol="hashes", bucketLength=0.05, numHashTables=4, seed=42
         ).fit(both)
         pairs = (
             model.approxSimilarityJoin(both, both, 0.5, distCol="dist")
