@@ -99,3 +99,34 @@ def test_viz_sinks_fallback_write_data(spark):
             assert root.tag == f"{ns}svg"
             assert root.iter(f"{ns}{mark}") is not None
             assert any(True for _ in root.iter(f"{ns}{mark}"))
+
+
+def test_run_pipeline_reference_main_parity(spark):
+    """runner.run_pipeline = the reference's main(): both preparations,
+    timed battery, evaluation, and ALL four viz artifact families in
+    one run dir, plus the persisted summary."""
+    from web_attack_detection_spark.runner import run_pipeline
+
+    with tempfile.TemporaryDirectory() as d:
+        out = run_pipeline(
+            spark, SF_SMOKE, out_dir=d, models=("logreg", "nb")
+        ).collect()
+        assert len(out) == 4  # 2 models x 2 preparations
+        assert {(r["model"], r["prep"]) for r in out} == {
+            ("logreg", "raw"),
+            ("logreg", "processed"),
+            ("nb", "raw"),
+            ("nb", "processed"),
+        }
+        for r in out:
+            assert 0.0 <= r["accuracy"] <= 1.0
+            assert r["train_seconds"] > 0
+        run = next(Path(d).iterdir())
+        names = {p.name for p in run.iterdir()}
+        assert {
+            "battery_history.svg",
+            "model_comparison.svg",
+            "training_times.svg",
+            "confusion.svg",
+            "summary.csv",
+        } <= names

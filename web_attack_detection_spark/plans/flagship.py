@@ -29,30 +29,16 @@ from web_attack_detection_spark.functions.feature import fit_feature_pipeline
 from web_attack_detection_spark.io.sources import load_table
 
 
-def flagship_pipeline(
-    spark: SparkSession, sf_dir: str, pca_k: int | None = 20
-) -> DataFrame:
-    """Fit the feature pipeline on `events` and return (features, label),
-    where ``features`` is the PCA(k=20) projection — the reference DAG's
-    final stage (``data_preprocessing.py:47``; k clamps to the assembled
-    width when the fixture yields fewer raw dims).
-
-    ``event_type`` plays the reference's ``attack_cat`` role (FIXTURES.md
-    role mapping); ``props`` (json string) is a categorical stand-in for
-    proto/service/state-style columns; ``value`` and the id columns are
-    the numeric features. Pass ``pca_k=None`` for the pre-projection
-    features.
-    """
-    ev = load_table(spark, sf_dir, "events")
-    # Row-local featurization to reference width: the reference's input
-    # is ~44 columns wide before PCA(k=20) (UNSW-NB15; BASELINE.md §2),
-    # while the fixture has 4 usable columns — so the flagship derives
-    # the wide frame the DAG expects (json field, calendar parts,
-    # bucketed categoricals; all map-only column expressions, no
-    # shuffle). Assembled width = 6 numerics + 7+3+6 one-hot slots
-    # (drop_last) = 22 dims, so the PCA stage genuinely reduces
-    # (22 → 20).
-    events = ev.select(
+def derive_wide_events(ev: DataFrame) -> DataFrame:
+    """Row-local featurization to reference width: the reference's input
+    is ~44 columns wide before PCA(k=20) (UNSW-NB15; BASELINE.md §2),
+    while the fixture has 4 usable columns — so the flagship derives
+    the wide frame the DAG expects (json field, calendar parts,
+    bucketed categoricals; all map-only column expressions, no
+    shuffle). Assembled width = 6 numerics + 7+3+6 one-hot slots
+    (drop_last) = 22 dims, so the PCA stage genuinely reduces
+    (22 → 20). Shared by the flagship query and runner.run_pipeline."""
+    return ev.select(
         "event_id",
         "user_id",
         "event_type",
@@ -68,6 +54,24 @@ def flagship_pipeline(
         .alias("value_band"),
         F.date_format("ts", "EEE").alias("dow"),
     )
+
+
+def flagship_pipeline(
+    spark: SparkSession, sf_dir: str, pca_k: int | None = 20
+) -> DataFrame:
+    """Fit the feature pipeline on `events` and return (features, label),
+    where ``features`` is the PCA(k=20) projection — the reference DAG's
+    final stage (``data_preprocessing.py:47``; k clamps to the assembled
+    width when the fixture yields fewer raw dims).
+
+    ``event_type`` plays the reference's ``attack_cat`` role (FIXTURES.md
+    role mapping); ``props`` (json string) is a categorical stand-in for
+    proto/service/state-style columns; ``value`` and the id columns are
+    the numeric features. Pass ``pca_k=None`` for the pre-projection
+    features.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    events = derive_wide_events(ev)
     # deterministic train split (reference trains on 3 of 4 partition
     # files, main.py:28-44; we split by key instead of by file)
     train = events.filter(F.col("event_id") % 4 != 1)

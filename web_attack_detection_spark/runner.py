@@ -1,0 +1,184 @@
+"""End-to-end run: the reference's ``main()`` re-expressed on Spark.
+
+``/root/reference/main.py:132-158`` orchestrates: create session →
+load (multi-file split) → prepare raw data → preprocess (full feature
+pipeline) → train & time a model battery on both preparations →
+evaluate → visualize. :func:`run_pipeline` is that program, with each
+reference stage swapped for its engine counterpart:
+
+- file-based train/test split → deterministic key split (reproducible
+  at the row level; the reference's 3-vs-1-file split is neither);
+- per-split pipeline re-fit (the raw-path bug, ``main.py:142-143``) →
+  fit-on-train-once, transform both;
+- Keras battery on the driver → MLlib battery on the cluster (MLP =
+  the reference's own intended class, imported-but-unused at
+  ``cnn_model.py:1``; plus the convex/single-pass/ensemble baselines);
+  the Conv1D/RNN/LSTM architectures score distributed via ml/nets.py,
+  training stays out-of-engine (no TF — documented boundary);
+- matplotlib PNGs → CSV + dependency-free SVG artifacts (viz.py),
+  V1-V4 all wired (V3/V4 are dead code in the reference);
+- accuracy/time dicts printed-and-lost → returned as a summary
+  DataFrame AND persisted with the plots.
+
+A reference user's whole workflow is therefore one call:
+``run_pipeline(spark, sf_dir, out_dir)``.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from web_attack_detection_spark.functions.feature import fit_feature_pipeline
+from web_attack_detection_spark.io.sources import load_table
+from web_attack_detection_spark.ml.pipeline import (
+    accuracy,
+    confusion_matrix,
+    fit_mlp,
+    predict,
+    to_vector,
+)
+from web_attack_detection_spark.plans.flagship import derive_wide_events
+from web_attack_detection_spark.viz import (
+    make_run_dir,
+    plot_confusion,
+    plot_history,
+    plot_model_comparison,
+    plot_training_times,
+)
+
+_NUMERIC_RAW = ["value", "k", "hour", "dom"]
+
+
+def _fit_named(name: str, train_v: DataFrame, seed: int = 42):
+    """MLlib battery member by name, on vector column ``fv``."""
+    if name == "mlp":
+        return None  # handled by fit_mlp (array API) in run_pipeline
+    from pyspark.ml.classification import (
+        LogisticRegression,
+        NaiveBayes,
+        RandomForestClassifier,
+    )
+
+    if name == "logreg":
+        est = LogisticRegression(
+            featuresCol="fv", labelCol="label", maxIter=40, family="multinomial"
+        )
+    elif name == "nb":
+        est = NaiveBayes(featuresCol="fv", labelCol="label", modelType="gaussian")
+    elif name == "rf":
+        est = RandomForestClassifier(
+            featuresCol="fv", labelCol="label", numTrees=10, maxDepth=5, seed=seed
+        )
+    else:
+        raise ValueError(f"unknown model {name!r}")
+    return est.fit(train_v)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str = "plots",
+    models: tuple[str, ...] = ("mlp", "logreg", "nb", "rf"),
+    pca_k: int | None = 20,
+) -> DataFrame:
+    """The reference ``main()``: returns a summary DataFrame
+    (model, prep, accuracy, train_seconds) and writes the V1-V4
+    artifacts into one run directory under ``out_dir``.
+
+    Scale shape: ONE cached materialization of each prepared train
+    split feeds every fit (the reference instead re-collects the whole
+    DataFrame per model); evaluation and the confusion matrix are
+    engine-side aggregations; only O(models) scalars and O(classes²)
+    counts ever reach the driver.
+    """
+    run_dir = make_run_dir(base=out_dir)
+    events = derive_wide_events(load_table(spark, sf_dir, "events"))
+    train = events.filter(F.col("event_id") % 4 != 1)
+    test = events.filter(F.col("event_id") % 4 == 1)
+
+    # --- preparations -----------------------------------------------------
+    # raw: numeric columns assembled as-is + indexed label (reference
+    # prepare_raw_data, main.py:47-64) — null json fields zero-filled
+    # (the reference would crash on them; documented divergence).
+    # processed: the full 9-stage pipeline ending in PCA(k).
+    fp_label = fit_feature_pipeline(
+        train.select("event_type", "event_id"), label_col="event_type"
+    )
+
+    def prep_raw(df: DataFrame) -> DataFrame:
+        filled = df.fillna(0.0, subset=_NUMERIC_RAW)
+        arr = filled.select(
+            F.array(*[F.col(c).cast("double") for c in _NUMERIC_RAW]).alias(
+                "features"
+            ),
+            "event_type",
+            "event_id",
+        )
+        return fp_label.transform(arr).select("features", "label")
+
+    train_c = train.cache()
+    try:
+        fp_full = fit_feature_pipeline(train_c, label_col="event_type", pca_k=pca_k)
+        preps = {
+            "raw": (prep_raw(train), prep_raw(test)),
+            "processed": (
+                fp_full.transform(train_c).select("features", "label"),
+                fp_full.transform(test).select("features", "label"),
+            ),
+        }
+
+        # --- timed battery (reference main.py:69-111, M7) ----------------
+        summary: list[tuple[str, str, float, float]] = []
+        histories: dict[str, list[float]] = {}
+        best = (None, -1.0, None)  # (name, acc, scored_test)
+        for prep_name, (tr, te) in preps.items():
+            tr = tr.cache()
+            tr.count()
+            te = te.cache()
+            try:
+                for m in models:
+                    t0 = time.time()
+                    if m == "mlp":
+                        model = fit_mlp(
+                            tr, "features", "label", hidden=(16, 8), max_iter=40
+                        )
+                        scored = predict(model, te, "features")
+                    else:
+                        model = _fit_named(m, to_vector(tr, "features", "fv"))
+                        scored = model.transform(to_vector(te, "features", "fv"))
+                    dt = time.time() - t0
+                    acc = accuracy(scored).first()["accuracy"]
+                    summary.append((m, prep_name, float(acc), round(dt, 3)))
+                    if acc > best[1]:
+                        best = (f"{m}_{prep_name}", acc, scored)
+                    # V1: objective history where the optimizer has one
+                    hist = getattr(getattr(model, "summary", None), "objectiveHistory", None)
+                    if hist:
+                        histories[f"{m}_{prep_name}"] = [float(h) for h in hist]
+            finally:
+                tr.unpersist()
+                te.unpersist()
+
+        # --- artifacts (V1-V4) -------------------------------------------
+        if histories:
+            plot_history(histories, run_dir, "battery")
+        plot_model_comparison(
+            {f"{m}_{p}": a for m, p, a, _ in summary}, run_dir
+        )
+        plot_training_times({f"{m}_{p}": t for m, p, _, t in summary}, run_dir)
+        if best[2] is not None:
+            plot_confusion(confusion_matrix(best[2]), run_dir, name="confusion")
+    finally:
+        train_c.unpersist()
+
+    out = spark.createDataFrame(
+        summary, "model string, prep string, accuracy double, train_seconds double"
+    )
+    # persist the summary next to the figures (the reference only
+    # printed it — main.py:114-129 — and lost it)
+    out.toPandas().to_csv(Path(run_dir) / "summary.csv", index=False)
+    return out

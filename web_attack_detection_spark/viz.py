@@ -71,7 +71,13 @@ def plot_history(history: dict[str, list[float]], run_dir: Path, name: str) -> P
         plt.close(fig)
         return out
     keys = sorted(history)
-    rows = [tuple([e] + [history[k][e - 1] for k in keys]) for e in epochs]
+    # series may be ragged (different optimizers converge at different
+    # iteration counts) — blank-fill the CSV past each series' end
+    n = max(len(history[k]) for k in keys)
+    rows = [
+        tuple([e] + [history[k][e - 1] if e - 1 < len(history[k]) else "" for k in keys])
+        for e in range(1, n + 1)
+    ]
     _write_csv(run_dir / f"{name}_history.csv", ["epoch", *keys], rows)
     out = run_dir / f"{name}_history.svg"
     out.write_text(_svg.line_chart(history, f"{name} training history"))
