@@ -117,3 +117,30 @@ def test_observation_metrics_piggyback_on_action(spark):
         F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
     ).first()[0]
     assert got["qty_c"] == expected_qty
+
+
+def test_observation_audit_piggybacks_on_action(spark):
+    """Data-quality audits via df.observe(): null-rate and row-count
+    metrics computed DURING the main action — no second scan. This is
+    the 100 TB way to gate a pipeline stage on quality counters (a
+    separate audit query would re-read the input)."""
+    from pyspark.sql import Observation
+    from web_attack_detection_spark.io.sources import load_table
+
+    from .conftest import SF_SMOKE
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    obs = Observation("audit")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("null_qty"),
+        F.min("l_shipdate").alias("min_ship"),
+    )
+    # the main "pipeline stage": an unrelated aggregate
+    out = observed.groupBy("l_returnflag").count().collect()
+    assert len(out) > 0
+    got = obs.get
+    assert got["n_rows"] == li.count()
+    assert got["null_qty"] == 0
+    assert got["min_ship"] is not None

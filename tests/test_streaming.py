@@ -324,3 +324,53 @@ def test_transform_with_state_totals_matches_classic(spark, tmp_path):
     classic = replay(running_user_totals, "tws_classic")
     modern = replay(running_user_totals_tws, "tws_modern")
     assert modern == classic
+
+
+def test_stateful_totals_on_rocksdb_state_store(spark):
+    """The custom stateful operator must run unchanged on the RocksDB
+    state-store provider — the at-scale backend (state spills to local
+    disk instead of living on the JVM heap, changelog-checkpointed).
+    Same replay, same result as the default HDFS-backed provider."""
+    events = load_table(spark, SF_SMOKE, "events")
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    with tempfile.TemporaryDirectory() as d:
+        src = Path(d) / "in"
+        events.coalesce(1).write.parquet(str(src))
+        spark.conf.set(
+            provider_key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        try:
+            q = (
+                running_user_totals(stream_events_from_dir(spark, str(src)))
+                .writeStream.outputMode("update")
+                .format("memory")
+                .queryName("rocksdb_out")
+                .option("checkpointLocation", f"{d}/ckpt")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+                rows = spark.sql("SELECT * FROM rocksdb_out").collect()
+            finally:
+                q.stop()
+        finally:
+            if prev is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, prev)
+
+    last = {r["user_id"]: (r["n_events"], r["total_value"]) for r in rows}
+    want = {
+        r["user_id"]: (r["n"], r["tv"])
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0), 2
+            ).alias("tv"),
+        )
+        .collect()
+    }
+    assert last == want
