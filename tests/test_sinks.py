@@ -127,3 +127,36 @@ def test_dynamic_partition_pruning_from_dim_filter(spark):
         assert "dynamicpruning" in plan.lower(), plan[:2000]
         want = orders.filter(F.col("o_orderstatus") == "F").count()
         assert joined.count() == want
+
+
+def test_catalog_ddl_saveastable_insert_sql(spark, tmp_path):
+    """Catalog surface: saveAsTable -> INSERT INTO -> SQL over the
+    managed table -> DROP. The reference never touches a catalog (flat
+    CSV paths only); a real deployment manages datasets as tables, so
+    the engine must round-trip through spark_catalog."""
+    name = "wad_catalog_smoke"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    src = load_table(spark, SF_SMOKE, "region")
+    src.write.saveAsTable(name)
+    try:
+        spark.sql(
+            f"INSERT INTO {name} VALUES (99, 'added-region')"
+        )
+        got = {
+            (r["r_regionkey"], r["r_name"])
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        want = {(r["r_regionkey"], r["r_name"]) for r in src.collect()} | {
+            (99, "added-region")
+        }
+        assert got == want
+        # catalog metadata visible
+        assert any(t.name == name for t in spark.catalog.listTables())
+        # predicate over the managed table goes through the same scan path
+        assert (
+            spark.sql(f"SELECT COUNT(*) AS n FROM {name} WHERE r_regionkey = 99")
+            .first()["n"]
+            == 1
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -374,3 +374,90 @@ def test_stateful_totals_on_rocksdb_state_store(spark):
         .collect()
     }
     assert last == want
+
+
+def test_restart_from_checkpoint_exactly_once(spark):
+    """Kill-and-restart resilience: a windowed aggregation writing to a
+    parquet file sink is stopped after batch 1, a second input file
+    arrives while it is DOWN, and a NEW query object restarts from the
+    same checkpoint — the final sink contents equal the batch answer,
+    no duplicates, no gaps. This is the exactly-once contract a 100 TB
+    pipeline leans on when executors/drivers die mid-run.
+
+    The input is split by TIME, not by key: batch 1 advances the
+    watermark to (max ts of half 1 − 1h), so the restart's input must
+    lie above it or the file source would legitimately drop it as late
+    (the single-batch-assumption note at plans/streamq._replay_input)."""
+    events = load_table(spark, SF_SMOKE, "events")
+    mid = events.selectExpr(
+        "timestamp '2024-01-01 00:00:00' + (max(ts) - timestamp '2024-01-01 00:00:00') / 2"
+    ).first()[0]
+    half1 = events.filter(F.col("ts") < F.lit(mid))
+    half2 = events.filter(F.col("ts") >= F.lit(mid))
+
+    def agg(stream):
+        return (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+                "event_type",
+                "n",
+            )
+        )
+
+    with tempfile.TemporaryDirectory() as d:
+        src, sink, ckpt = f"{d}/in", f"{d}/sink", f"{d}/ckpt"
+        half1.coalesce(1).write.parquet(src)
+
+        def start():
+            return (
+                agg(stream_events_from_dir(spark, src))
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+
+        q = start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # input arrives while the query is down
+        half2.coalesce(1).write.mode("append").parquet(src)
+        q = start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # close remaining windows: append mode only emits when the
+        # watermark passes a window's end; re-run with a far-future row
+        closer = spark.createDataFrame(
+            [(999_999, events.selectExpr("max(ts) + INTERVAL 10 HOURS").first()[0],
+              0, "closer", 0.0, "{}")],
+            events.schema,
+        )
+        closer.coalesce(1).write.mode("append").parquet(src)
+        q = start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        got = {
+            (r["ws"], r["event_type"]): r["n"]
+            for r in spark.read.parquet(sink).collect()
+        }
+    want = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in events.groupBy(
+            F.date_format(F.window("ts", "1 hour").start, "yyyy-MM-dd HH:mm:ss").alias("ws"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
