@@ -192,3 +192,48 @@ def test_q21_single_lineitem_pass_per_branch(spark):
     plan = plan_of(q21_waiting_suppliers(spark, SF_SMOKE), "simple")
     assert "BroadcastHashJoin" in plan
     assert "NestedLoop" not in plan
+
+
+def test_decontamination_broadcasts_eval_shingles(spark):
+    """text_decontaminate: the eval shingle table must be broadcast —
+    a shuffled join here would move the whole corpus's shingles."""
+    from web_attack_detection_spark.plans.text3 import text_decontaminate
+
+    plan = plan_of(text_decontaminate(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_corpus_build_has_no_sort_merge_join(spark):
+    """pipe_training_corpus plan regression: dedup is the window form
+    (one shuffle, no join-back) and the contamination anti-join is
+    broadcast — the plan must stay free of SortMergeJoin."""
+    from web_attack_detection_spark.plans.pipelineq import pipe_training_corpus
+
+    plan = plan_of(pipe_training_corpus(spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan
+
+
+def test_matryoshka_queries_are_broadcast(spark):
+    """sim_matryoshka_rerank: both retrieval stages broadcast the query
+    side; the corpus scan must never shuffle before the top-k window."""
+    from web_attack_detection_spark.plans.similarity3 import sim_matryoshka_rerank
+
+    plan = plan_of(sim_matryoshka_rerank(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_zorder_interleave_is_map_side_single_exchange(spark):
+    """rel_zorder_layout: the 40-term Morton interleave is a Project
+    directly over the 2-column scan (map-side, no pre-shuffle), and the
+    ONLY exchange in the plan is the final bucket aggregate."""
+    from web_attack_detection_spark.plans.relational10 import rel_zorder_layout
+
+    plan = plan_of(rel_zorder_layout(spark, SF_SMOKE))
+    # one exchange NODE in the tree (formatted mode also repeats the
+    # name in the node-detail section, so count the tree form)
+    assert plan.count("+- Exchange") == 1
+    assert "ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>" in plan
+    # partial agg before the exchange -> map-side combine is in place
+    assert plan.index("HashAggregate") < plan.index("Exchange")

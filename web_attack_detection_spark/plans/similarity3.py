@@ -177,7 +177,8 @@ def sim_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         final.join(
-            full,
+            # queries x k rows — always broadcast the audit side
+            F.broadcast(full),
             (final.query_id == full.query_id)
             & (final.neighbor_id == full.ft_neighbor),
             "left",
