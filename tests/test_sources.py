@@ -120,3 +120,50 @@ def test_xml_source_round_trip(spark, tmp_path):
     assert sorted((r["n_nationkey"], r["n_name"]) for r in back.collect()) == sorted(
         (r["n_nationkey"], r["n_name"]) for r in nat.collect()
     )
+
+
+def test_warc_python_datasource_roundtrip(spark, tmp_path):
+    """WARC crawl-archive ingestion via the Spark 4 Python Data Source
+    API: two archives -> one input partition each (file-parallel scan),
+    records round-trip byte-exact, and the DataFrame feeds the normal
+    JVM pipeline (filter/agg) downstream."""
+    from web_attack_detection_spark.io.warc import WarcDataSource, write_warc
+
+    recs1 = [
+        {"url": "https://a.example/1", "payload": b"hello corpus one"},
+        {"url": "https://a.example/2", "payload": b"x" * 300,
+         "content_type": "application/octet-stream"},
+    ]
+    recs2 = [{"url": "https://b.example/1", "payload": "unicode éà".encode()}]
+    write_warc(str(tmp_path / "a.warc"), recs1)
+    write_warc(str(tmp_path / "b.warc"), recs2)
+
+    spark.dataSource.register(WarcDataSource)
+    df = spark.read.format("warc").load(str(tmp_path))
+    assert df.rdd.getNumPartitions() == 2
+    rows = {r["url"]: r for r in df.collect()}
+    assert len(rows) == 3
+    assert bytes(rows["https://a.example/1"]["payload"]) == b"hello corpus one"
+    assert rows["https://a.example/2"]["length"] == 300
+    assert rows["https://a.example/2"]["content_type"] == "application/octet-stream"
+    assert bytes(rows["https://b.example/1"]["payload"]).decode() == "unicode éà"
+    # downstream JVM processing over the Python-sourced frame
+    agg = df.groupBy("warc_type").count().collect()
+    assert agg[0]["count"] == 3
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Schema evolution on read: files written before and after adding
+    a column merge into one frame (mergeSchema), old rows null-filled —
+    the append-only layout reality of a long-lived 100 TB dataset."""
+    old = spark.createDataFrame([(1, "a")], "id long, v string")
+    new = spark.createDataFrame([(2, "b", 9.5)], "id long, v string, score double")
+    old.write.parquet(str(tmp_path / "t"), mode="append")
+    new.write.parquet(str(tmp_path / "t"), mode="append")
+    got = (
+        spark.read.option("mergeSchema", "true").parquet(str(tmp_path / "t"))
+        .orderBy("id")
+        .collect()
+    )
+    assert [r["score"] for r in got] == [None, 9.5]
+    assert set(got[0].asDict()) == {"id", "v", "score"}

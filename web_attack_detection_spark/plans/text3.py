@@ -337,3 +337,73 @@ def text_bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), F.col("pair").asc())
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# WARC ingestion: documents -> WARC archives -> Python data source ->
+# engine aggregation, oracle-checked against the original table.
+# ---------------------------------------------------------------------------
+
+_WARC_DIRS: dict[str, str] = {}
+
+_WARC_ORACLE = """
+SELECT 'text/plain' AS content_type,
+       CAST(COUNT(*) AS BIGINT) AS n_records,
+       CAST(SUM(octet_length(ENCODE(text))) AS BIGINT) AS total_bytes,
+       CAST(SUM(doc_id * octet_length(ENCODE(text))) AS BIGINT) AS checksum
+FROM documents WHERE doc_id <= 200
+"""
+
+
+@register(
+    "warc_ingest_stats",
+    _WARC_ORACLE,
+    doc="WARC crawl-archive ingestion (Python data source) == source-table truth",
+)
+def warc_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end crawl-archive ingestion check: the documents table is
+    archived into 4 plain WARC files once per (process, sf_dir), read
+    back through the ``warc`` Python data source (io/warc.py — one
+    input partition per archive), and reduced to byte-level totals that
+    must equal what DuckDB computes from the ORIGINAL table — proving
+    the writer, the parser, and the Arrow hop lose nothing.
+
+    The doc_id round-trips through the WARC-Target-URI, which is how
+    real crawl pipelines key provenance. (The one-time collect() here
+    MANUFACTURES the archive fixture — the measured path is the
+    read-back: file-parallel Python source -> Arrow -> JVM aggregate,
+    no driver data.)"""
+    import tempfile
+
+    from web_attack_detection_spark.io.warc import WarcDataSource, write_warc
+
+    d = _WARC_DIRS.get(sf_dir)
+    if d is None:
+        d = tempfile.mkdtemp(prefix="warc_fix_")
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") <= 200)
+            .select("doc_id", "text")
+            .collect()
+        )
+        for shard in range(4):
+            write_warc(
+                f"{d}/part-{shard}.warc",
+                [
+                    {
+                        "url": f"https://corpus.example/doc/{r['doc_id']}",
+                        "payload": r["text"].encode(),
+                    }
+                    for r in docs
+                    if r["doc_id"] % 4 == shard
+                ],
+            )
+        _WARC_DIRS[sf_dir] = d
+    spark.dataSource.register(WarcDataSource)
+    warc = spark.read.format("warc").load(d)
+    doc_id = F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long")
+    return warc.groupBy("content_type").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum("length").alias("total_bytes"),
+        F.sum(doc_id * F.col("length")).alias("checksum"),
+    )
