@@ -108,3 +108,134 @@ def rel_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("x") <= F.lit(_PRED_HI - 1)) & (F.max("x") >= F.lit(_PRED_LO))
         ).alias("pred_must_scan"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank (3 fixed iterations) over the nation trade graph — the
+# iterative-algorithm pattern with an exact integer-arithmetic oracle.
+# ---------------------------------------------------------------------------
+
+# All rank state is BIGINT scaled by 1e9 and every step is integer
+# div/mod, so the iteration is bit-exact on any engine and any
+# partition order (the registry determinism contract applied to an
+# iterative algorithm). Damping 0.85 as 85/100; dangling mass is not
+# redistributed (documented simplification, identical on both sides).
+_PR_SCALE = 1_000_000_000
+
+
+def _pr_oracle() -> str:
+    it = """
+r{n} AS (
+  SELECT nk,
+         base + (85 * COALESCE(s.contrib, 0)) // 100 AS r
+  FROM nodes
+  LEFT JOIN (
+    SELECT e.dst AS nk, CAST(SUM(p.r * e.w // o.out_w) AS BIGINT) AS contrib
+    FROM edges e JOIN r{p} p ON e.src = p.nk JOIN out_w o ON e.src = o.src
+    GROUP BY e.dst
+  ) s USING (nk)
+)"""
+    return f"""
+WITH edges AS (
+  SELECT c.c_nationkey AS src, s.s_suppkey % 25 AS _x, n2.n_nationkey AS dst,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+  WHERE c.c_nationkey <> n2.n_nationkey
+  GROUP BY 1, 2, 3
+),
+edges2 AS (SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM edges GROUP BY 1, 2),
+out_w AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM edges2 GROUP BY src),
+nodes AS (
+  SELECT n_nationkey AS nk,
+         CAST(0.15 * {_PR_SCALE} / (SELECT COUNT(*) FROM nation) AS BIGINT) AS base
+  FROM nation
+),
+r0 AS (SELECT nk, CAST({_PR_SCALE} / (SELECT COUNT(*) FROM nation) AS BIGINT) AS r FROM nodes)
+,{it.format(n=1, p=0).replace('edges e', 'edges2 e')}
+,{it.format(n=2, p=1).replace('edges e', 'edges2 e')}
+,{it.format(n=3, p=2).replace('edges e', 'edges2 e')}
+SELECT nk AS n_nationkey, r AS rank_scaled,
+       ROUND(r / CAST({_PR_SCALE} AS DOUBLE), 6) AS rank
+FROM r3
+"""
+
+
+@register(
+    "rel_pagerank_fixed",
+    _pr_oracle(),
+    doc="PageRank, 3 fixed iterations, integer-scaled — iterative algorithm with exact oracle",
+)
+def rel_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the nation trade graph (edge src→dst = customer
+    nation → supplier nation, weighted by lineitem count, the TPC-H Q7
+    join shape), run for 3 FIXED iterations in BIGINT-scaled
+    arithmetic.
+
+    The iterative pattern that matters at scale: the EDGE LIST is the
+    big derived relation — built once with the fact-table join chain,
+    aggregated down to (src, dst, w), and REUSED by every iteration
+    (cached here; checkpointed on a cluster). Each iteration is one
+    join + one aggregate over the small rank relation; the driver only
+    counts to 3. Integer div keeps every engine bit-identical — the
+    determinism contract extended to iterative state.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .filter(F.col("c_nationkey") != F.col("n_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            (F.col("s_suppkey") % 25).alias("_x"),
+            F.col("n_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint()  # edge list computed ONCE, reused 3x
+    )
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    n_nodes = n.count()
+    base = int(0.15 * _PR_SCALE / n_nodes)
+    rank = n.select(
+        F.col("n_nationkey").alias("nk"),
+        F.lit(int(_PR_SCALE / n_nodes)).cast("long").alias("r"),
+    )
+    for _ in range(3):
+        contrib = (
+            edges.join(rank, edges.src == rank.nk)
+            .join(out_w, "src")
+            .select(
+                F.col("dst").alias("nk"),
+                F.expr("r * w div out_w").alias("c"),
+            )
+            .groupBy("nk")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        rank = (
+            n.select(F.col("n_nationkey").alias("nk"))
+            .join(contrib, "nk", "left")
+            .select(
+                "nk",
+                (
+                    F.lit(base)
+                    + F.expr(f"85 * coalesce(contrib, 0) div 100")
+                ).cast("long").alias("r"),
+            )
+        )
+    return rank.select(
+        F.col("nk").alias("n_nationkey"),
+        F.col("r").alias("rank_scaled"),
+        F.round(F.col("r") / F.lit(float(_PR_SCALE)), 6).alias("rank"),
+    )
