@@ -144,3 +144,34 @@ def test_observation_audit_piggybacks_on_action(spark):
     assert got["n_rows"] == li.count()
     assert got["null_qty"] == 0
     assert got["min_ship"] is not None
+
+
+def test_corrupt_csv_records_quarantined_not_fatal(spark, tmp_path):
+    """Malformed rows must neither kill the scan (PERMISSIVE) nor leak
+    into the clean data: the corrupt-record column captures them for
+    quarantine, and DROPMALFORMED yields only the clean subset — the
+    two dirty-data policies a 100 TB CSV ingest actually uses."""
+    p = tmp_path / "dirty.csv"
+    p.write_text("id,qty\n1,10\n2,notanumber\n3,30\nbroken-line-no-comma\n4,40\n")
+    schema = "id int, qty int, _corrupt_record string"
+    df = (
+        spark.read.option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(schema)
+        .csv(str(p))
+        .cache()  # required: corrupt-record column + filter needs the raw row
+    )
+    clean = df.filter(F.col("_corrupt_record").isNull()).collect()
+    dirty = df.filter(F.col("_corrupt_record").isNotNull()).collect()
+    assert {r["id"] for r in clean} == {1, 3, 4}
+    assert len(dirty) == 2
+    dropped = (
+        spark.read.option("header", "true")
+        .option("mode", "DROPMALFORMED")
+        .schema("id int, qty int")
+        .csv(str(p))
+        .collect()
+    )
+    assert {r["id"] for r in dropped} == {1, 3, 4}
+    df.unpersist()

@@ -461,3 +461,41 @@ def test_restart_from_checkpoint_exactly_once(spark):
         .collect()
     }
     assert got == want
+
+
+def test_foreachbatch_idempotent_sink_survives_batch_replay(spark):
+    """Exactly-once via idempotent foreachBatch: the sink partitions by
+    batch_id with DYNAMIC partition overwrite, so a replayed batch
+    (Spark re-runs a batch after a sink failure before the commit)
+    overwrites its own partition instead of appending duplicates."""
+    events = load_table(spark, SF_SMOKE, "events").limit(200)
+    with tempfile.TemporaryDirectory() as d:
+        src, sink = f"{d}/in", f"{d}/sink"
+        events.coalesce(1).write.parquet(src)
+
+        def write_batch(batch_df, batch_id: int):
+            (
+                batch_df.groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(sink)
+            )
+
+        q = (
+            stream_events_from_dir(spark, src)
+            .writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        first = sorted(tuple(r) for r in spark.read.parquet(sink).collect())
+
+        # simulate the failure-replay: re-run batch 0's write directly
+        write_batch(events, 0)
+        replayed = sorted(tuple(r) for r in spark.read.parquet(sink).collect())
+    assert first == replayed
+    assert len(first) == events.select("event_type").distinct().count()

@@ -43,3 +43,28 @@ def test_sentence_split_skips_null_and_empty(spark):
     assert out == []
     out2 = spark.sql("SELECT * FROM sentence_split(2::bigint, '...')").collect()
     assert out2 == []
+
+
+def test_dynamic_schema_udtf_analyze(spark):
+    """ParseDelimited: output schema is derived from the constant
+    column-name argument at analysis time; short rows null-fill and
+    long rows truncate."""
+    from web_attack_detection_spark.functions.udtf_ops import register_dynamic_udtfs
+
+    register_dynamic_udtfs(spark)
+    out = spark.sql(
+        """
+        SELECT t.* FROM VALUES ('a|b|c'), ('x|y'), ('p|q|r|EXTRA') v(s),
+        LATERAL parse_delimited(v.s, 'c1, c2, c3') t
+        """
+    ).collect()
+    assert [tuple(r) for r in out] == [
+        ("a", "b", "c"),
+        ("x", "y", None),
+        ("p", "q", "r"),
+    ]
+    # different call site, different schema
+    cols = spark.sql(
+        "SELECT t.* FROM VALUES ('1|2') v(s), LATERAL parse_delimited(v.s, 'k,v') t"
+    ).columns
+    assert cols == ["k", "v"]

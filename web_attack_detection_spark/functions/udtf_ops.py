@@ -45,3 +45,41 @@ class SentenceSplit:
 def register_udtfs(spark) -> None:
     """Register all module UDTFs for SQL use on the given session."""
     spark.udtf.register("sentence_split", SentenceSplit)
+
+
+class ParseDelimited:
+    """Dynamic-schema Python UDTF (Spark 4 ``analyze`` API): splits a
+    delimited string into N named columns where N and the names come
+    from a CONSTANT argument at ANALYSIS time — the output schema is
+    computed per call site, not fixed at registration. This is the
+    UDTF surface CSV-ish sidecar columns and log lines need: schema
+    follows the caller's column list, rows stay lazily generated.
+
+    SQL: ``SELECT * FROM parse_delimited(col, 'a,b,c')`` yields columns
+    a, b, c (strings; missing fields NULL, extras dropped).
+    """
+
+    @staticmethod
+    def analyze(row: "AnalyzeArgument", names: "AnalyzeArgument"):
+        from pyspark.sql.functions import AnalyzeResult
+        from pyspark.sql.types import StringType, StructType
+
+        if not names.isConstantExpression:
+            raise ValueError("column-name list must be a constant string")
+        schema = StructType()
+        for c in str(names.value).split(","):
+            schema = schema.add(c.strip(), StringType())
+        return AnalyzeResult(schema=schema)
+
+    def eval(self, row: str, names: str):  # noqa: D102
+        n = len(names.split(","))
+        parts = (row or "").split("|")
+        yield tuple((parts[i] if i < len(parts) else None) for i in range(n))
+
+
+def register_dynamic_udtfs(spark) -> None:
+    """Register the analyze-API UDTFs (separate from register_udtfs so
+    environments on Spark <4 can still import the fixed-schema ones)."""
+    from pyspark.sql.functions import udtf
+
+    spark.udtf.register("parse_delimited", udtf(ParseDelimited))
