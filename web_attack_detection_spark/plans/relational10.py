@@ -239,3 +239,156 @@ def rel_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r").alias("rank_scaled"),
         F.round(F.col("r") / F.lit(float(_PR_SCALE)), 6).alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff: added / removed / changed between two table versions
+# ---------------------------------------------------------------------------
+
+_SNAPDIFF_ORACLE = """
+WITH v1 AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS tp
+  FROM orders WHERE o_orderkey % 7 <> 0
+),
+v2 AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10.0 ELSE o_totalprice END AS tp
+  FROM orders
+  WHERE o_orderkey % 11 <> 0
+)
+SELECT
+  CASE WHEN v1.k IS NULL THEN 'added'
+       WHEN v2.k IS NULL THEN 'removed'
+       ELSE 'changed' END AS change,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(COALESCE(v2.k, v1.k)) AS BIGINT) AS key_checksum
+FROM v1 FULL OUTER JOIN v2 USING (k)
+WHERE v1.k IS NULL OR v2.k IS NULL
+   OR v1.st <> v2.st OR v1.tp <> v2.tp
+GROUP BY 1
+"""
+
+
+@register(
+    "rel_snapshot_diff",
+    _SNAPDIFF_ORACLE,
+    doc="table-version diff: added/removed/changed via one full outer join",
+)
+def rel_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconcile two versions of a table (derived here by planted
+    deletes on each side and planted value updates) into an
+    added/removed/changed change-set — ONE full outer join on the key,
+    change detection as column comparison. At 100 TB both sides
+    shuffle once on the key; with bucketed layouts the exchange
+    disappears entirely (test_sinks.py proves the bucketed-join path).
+    Row-hash comparison (xxhash64 over all columns) replaces the
+    per-column predicate when schemas are wide — same plan."""
+    o = load_table(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_totalprice").alias("tp"),
+    )
+    v2 = o.filter(F.col("o_orderkey") % 11 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        # +10.0 is exact in doubles — no ROUND, whose half-up vs
+        # half-even behavior differs between engines on binary doubles
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 10.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("tp"),
+    )
+    j = v1.alias("a").join(v2.alias("b"), F.col("a.k") == F.col("b.k"), "full_outer")
+    change = (
+        F.when(F.col("a.k").isNull(), "added")
+        .when(F.col("b.k").isNull(), "removed")
+        .otherwise("changed")
+    )
+    return (
+        j.filter(
+            F.col("a.k").isNull()
+            | F.col("b.k").isNull()
+            | (F.col("a.st") != F.col("b.st"))
+            | (F.col("a.tp") != F.col("b.tp"))
+        )
+        .groupBy(change.alias("change"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce(F.col("b.k"), F.col("a.k"))).alias("key_checksum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC changelog apply: replay an I/U/D operation log into final state
+# ---------------------------------------------------------------------------
+
+_CDC_ORACLE = """
+WITH log AS (
+  SELECT o_orderkey AS k, 1 AS seq, 'I' AS op, o_totalprice AS val FROM orders
+  UNION ALL
+  SELECT o_orderkey, 2, 'U', o_totalprice + 5.0
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey, 3, 'D', NULL FROM orders WHERE o_orderkey % 13 = 0
+),
+latest AS (
+  SELECT k, op, val,
+         ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+  FROM log
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_live,
+       CAST(SUM(k) AS BIGINT) AS key_checksum,
+       ROUND(SUM(CAST(ROUND(val * 100) AS BIGINT)) / 100.0, 2) AS total_value
+FROM latest WHERE rn = 1 AND op <> 'D'
+"""
+
+
+@register(
+    "rel_cdc_apply",
+    _CDC_ORACLE,
+    doc="CDC changelog apply: last-op-wins per key, deletes drop rows",
+)
+def rel_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay a Debezium-style insert/update/delete changelog into the
+    final table state: ONE window (last op per key by sequence) and a
+    delete filter — the standard CDC materialization, strictly cheaper
+    than iterative MERGEs (compare rel_merge_upsert, which is the
+    two-table form). One shuffle on the key; the changelog derivation
+    here plants updates on every 3rd key and deletes on every 13th so
+    all three op paths are exercised and summed into an
+    integer-scaled, engine-exact total."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(F.col("o_orderkey").alias("k"), F.col("o_totalprice"))
+    log = (
+        base.select("k", F.lit(1).alias("seq"), F.lit("I").alias("op"),
+                    F.col("o_totalprice").alias("val"))
+        .unionByName(
+            base.filter(F.col("k") % 3 == 0).select(
+                "k", F.lit(2).alias("seq"), F.lit("U").alias("op"),
+                # exact +5.0, not ROUND(x*1.1): binary-double rounding
+                # at the half boundary differs between engines
+                (F.col("o_totalprice") + 5.0).alias("val"),
+            )
+        )
+        .unionByName(
+            base.filter(F.col("k") % 13 == 0).select(
+                "k", F.lit(3).alias("seq"), F.lit("D").alias("op"),
+                F.lit(None).cast("double").alias("val"),
+            )
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy(F.col("seq").desc())
+    live = (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+    )
+    return live.agg(
+        F.count(F.lit(1)).alias("n_live"),
+        F.sum("k").alias("key_checksum"),
+        F.round(
+            F.sum(F.round(F.col("val") * 100).cast("long")) / F.lit(100.0), 2
+        ).alias("total_value"),
+    )
