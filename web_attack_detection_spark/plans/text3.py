@@ -407,3 +407,157 @@ def warc_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("length").alias("total_bytes"),
         F.sum(doc_id * F.col("length")).alias("checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# repeated passages: intra-corpus exact-substring repetition (the
+# signal behind exact-substring training-data dedup).
+# ---------------------------------------------------------------------------
+
+_REPEAT_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id, array_to_string(t[i:i+9], ' ') AS win
+  FROM toks, UNNEST(range(1, greatest(len(t) - 9, 1) + 1)) AS r(i)
+),
+rep AS (
+  SELECT win,
+         CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM sh GROUP BY win
+  HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_repeated_windows,
+       CAST(COALESCE(SUM(n_occurrences), 0) AS BIGINT) AS total_occurrences,
+       CAST(COALESCE(MAX(n_docs), 0) AS BIGINT) AS max_docs_sharing
+FROM rep
+"""
+
+
+@register(
+    "text_repeated_passages",
+    _REPEAT_ORACLE,
+    doc="exact-substring repetition: 10-token windows shared across docs",
+)
+def text_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The detection half of exact-substring dedup (the published
+    suffix-array method reduces to: find token windows of length k
+    occurring in more than one document, then cut them). One explode →
+    one groupBy on the window string — linear in corpus tokens, the
+    same shuffle shape as shingle dedup; at 100 TB you hash the window
+    (xxhash64) instead of shuffling its text, identical plan.
+
+    Non-distinct windows per doc (unlike the dedup shingles): a
+    passage repeated WITHIN a doc also counts, as the dedup method
+    requires. Summary output (window count, occurrence mass, widest
+    sharing) — the per-window list is the same relation pre-aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    n = 10
+    acc = toks
+    for k in range(1, n):
+        shifted = F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(1)))
+        acc = F.zip_with(acc, shifted, lambda x, y: F.concat_ws(" ", x, y))
+    win = F.when(F.size(toks) <= n - 1, F.array(F.array_join(toks, " "))).otherwise(
+        F.slice(acc, 1, F.size(toks) - (n - 1))
+    )
+    sh = docs.select("doc_id", F.explode(win).alias("win"))
+    rep = (
+        sh.groupBy("win")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    return rep.agg(
+        F.count(F.lit(1)).alias("n_repeated_windows"),
+        F.coalesce(F.sum("n_occurrences"), F.lit(0)).cast("long").alias("total_occurrences"),
+        F.coalesce(F.max("n_docs"), F.lit(0)).cast("long").alias("max_docs_sharing"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations: top word-pair associations, integer-scaled ln.
+# ---------------------------------------------------------------------------
+
+_PMI_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+),
+docs2 AS (SELECT * FROM toks WHERE len(t) >= 2),
+big AS (
+  SELECT array_to_string(t[i:i+1], ' ') AS bg,
+         split_part(array_to_string(t[i:i+1], ' '), ' ', 1) AS w1,
+         split_part(array_to_string(t[i:i+1], ' '), ' ', 2) AS w2
+  FROM docs2, UNNEST(range(1, len(t))) AS r(i)
+),
+n_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM big),
+c12 AS (SELECT bg, w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM big GROUP BY 1, 2, 3),
+c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM big GROUP BY w1),
+c2 AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM big GROUP BY w2),
+pmi AS (
+  SELECT bg, c12,
+         CAST(ROUND(ln(c12 * n / (c1 * CAST(c2 AS DOUBLE))) * 1000000) AS BIGINT)
+           AS pmi_micro
+  FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n_tot
+  WHERE c12 >= 5
+)
+SELECT bg, c12, pmi_micro FROM pmi
+ORDER BY pmi_micro DESC, bg ASC LIMIT 20
+"""
+
+
+@register(
+    "text_pmi_topk",
+    _PMI_ORACLE,
+    doc="PMI collocations: top-20 associated adjacent word pairs",
+)
+def text_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over adjacent word pairs —
+    collocation mining, the corpus-analysis twin of the bigram LM
+    (same three count aggregates; scoring ranks association instead of
+    probability). ln is rounded to 1e-6 and carried as BIGINT so the
+    ranking is engine-exact; c12 >= 5 is the standard sparse-count
+    floor that keeps PMI from blowing up on hapax pairs. Two shuffles
+    over exploded bigrams + two broadcast-able count joins.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", r"\s+").alias("t")).filter(F.size("t") >= 2)
+    bg = F.zip_with(
+        F.slice(F.col("t"), 1, F.size("t") - 1),
+        F.slice(F.col("t"), 2, F.size("t") - 1),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    big = toks.select(F.explode(bg).alias("bg")).select(
+        "bg",
+        F.substring_index("bg", " ", 1).alias("w1"),
+        F.substring_index("bg", " ", -1).alias("w2"),
+    )
+    n_tot = big.agg(F.count(F.lit(1)).alias("n"))
+    c12 = big.groupBy("bg", "w1", "w2").agg(F.count(F.lit(1)).alias("c12")).filter(
+        F.col("c12") >= 5
+    )
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    c2 = big.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
+    pmi = (
+        c12.join(c1, "w1")
+        .join(c2, "w2")
+        .join(F.broadcast(n_tot))
+        .select(
+            "bg",
+            "c12",
+            F.round(
+                F.log(
+                    F.col("c12") * F.col("n") / (F.col("c1") * F.col("c2").cast("double"))
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("pmi_micro"),
+        )
+    )
+    return pmi.orderBy(F.col("pmi_micro").desc(), F.col("bg").asc()).limit(20)
