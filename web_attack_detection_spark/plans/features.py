@@ -333,3 +333,64 @@ def v4_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "prediction")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# F9 (extension) — feature hashing: the vocabulary-free categorical
+# encoder that replaces StringIndexer at 100 TB.
+# ---------------------------------------------------------------------------
+
+_F9_ORACLE = """
+WITH hashed AS (
+  SELECT o_orderkey,
+         CAST(('0x' || substr(md5('status=' || o_orderstatus), 1, 8)) AS BIGINT) % 64
+           AS b_status,
+         CAST(('0x' || substr(md5('prio=' || o_orderpriority), 1, 8)) AS BIGINT) % 64
+           AS b_prio
+  FROM orders WHERE o_orderkey <= 2000
+)
+SELECT b_status AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_status,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+FROM hashed GROUP BY b_status
+"""
+
+
+@register(
+    "f9_feature_hashing",
+    _F9_ORACLE,
+    doc="hashing-trick categorical encoding (md5-portable buckets, no vocabulary)",
+)
+def f9_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: categorical value → fixed bucket via a hash,
+    no fitted vocabulary at all. This is what replaces StringIndexer
+    (F1) when cardinality explodes at 100 TB — the indexer's fit is a
+    full groupBy over every distinct value and its model is
+    O(cardinality); the hashed encoder is a stateless row-local
+    expression with zero fit jobs, zero model state, and a documented
+    collision rate (n_values/64 per bucket here). Feature NAME is
+    salted into the hash ('status=' prefix) so identical values in
+    different columns land independently — the standard
+    HashingTF/VW convention.
+
+    md5 (not xxhash64) keeps the bucket assignment engine-portable, so
+    the oracle re-derives identical buckets; on a cluster xxhash64 is
+    the cheaper choice and the plan is unchanged. Output: per-bucket
+    occupancy + key checksum for the status feature (the prio feature
+    exercises the second hashed column in-plan).
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    bucket = lambda prefix, col: (
+        F.conv(F.substring(F.md5(F.concat(F.lit(prefix), F.col(col))), 1, 8), 16, 10)
+        .cast("long")
+        % 64
+    )
+    hashed = o.select(
+        "o_orderkey",
+        bucket("status=", "o_orderstatus").alias("b_status"),
+        bucket("prio=", "o_orderpriority").alias("b_prio"),
+    )
+    return hashed.groupBy(F.col("b_status").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_status"),
+        F.sum("o_orderkey").alias("key_checksum"),
+    )
