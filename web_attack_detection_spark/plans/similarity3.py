@@ -191,3 +191,83 @@ def sim_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ft_neighbor").isNotNull().alias("in_full_topk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# filtered vector search: metadata predicate + top-k in one plan
+# ---------------------------------------------------------------------------
+
+_FILTERED_ORACLE = f"""
+WITH nrm AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) / {_sql_norm('embedding')}) AS u
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+         {_sql_dot('q.u', 'c.u', 64)} AS cos
+  FROM nrm q JOIN nrm c
+    ON c.vec_id <> q.vec_id AND c.label = q.label
+  WHERE q.vec_id < {_N_QUERIES}
+)
+SELECT query_id, neighbor_id, CAST(label AS INTEGER) AS label,
+       ROUND(cos, 6) AS cos, CAST(rk AS INTEGER) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id ASC) AS rk
+  FROM scored
+)
+WHERE rk <= {_K}
+"""
+
+
+@register(
+    "sim_filtered_topk",
+    _FILTERED_ORACLE,
+    doc="filtered vector search: same-label predicate + exact top-k in one plan",
+)
+def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate + vector search fused in one plan — the hybrid query
+    every vector store is asked for ('nearest neighbors WHERE ...').
+    The filter lives in the JOIN CONDITION, so Catalyst prunes
+    non-matching candidates BEFORE the dot product is evaluated —
+    pre-filtering, not post-filtering, which matters because
+    post-filtering a top-k can return fewer than k survivors. Queries
+    broadcast; corpus map-scanned; at IVF scale the same predicate
+    simply rides along into the cell-pruned candidate scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding", lambda x: x.cast("double") / l2_norm(F.col("embedding"))
+        ).alias("u"),
+    )
+    q = nrm.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("u").alias("qu"),
+    )
+    scored = nrm.join(
+        F.broadcast(q),
+        (F.col("vec_id") != F.col("query_id")) & (F.col("label") == F.col("qlabel")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").cast("int").alias("label"),
+        dot(F.col("qu"), F.col("u")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "label",
+            F.round("cos", 6).alias("cos"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
