@@ -208,3 +208,76 @@ def test_native_pca_matches_mllib(spark, data, k):
         s = 1.0 if float(np.dot(a, b)) >= 0 else -1.0
         scale = max(float(np.abs(b).max()), 1e-9)
         assert np.allclose(a, s * b, rtol=1e-5, atol=1e-7 * scale), (j, a, b)
+
+
+def test_morton_interleave_is_a_bijection():
+    """The Z-order interleave must be invertible: distinct (x, y) pairs
+    map to distinct z-values across the full 10-bit × 10-bit keyspace
+    corners and a dense sub-grid — otherwise bucket stats would merge
+    unrelated rectangles."""
+    from web_attack_detection_spark.plans.relational10 import _BITS
+
+    def z(x, y):
+        out = 0
+        for i in range(_BITS):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    pts = [(x, y) for x in range(32) for y in range(32)]
+    pts += [(x, y) for x in (0, 511, 1023) for y in (0, 511, 1023)]
+    zs = {z(x, y) for x, y in pts}
+    assert len(zs) == len(set(pts))
+    # locality: adjacent x at fixed y differ only in x-bits
+    assert z(5, 9) ^ z(4, 9) == z(5, 0) ^ z(4, 0)
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=2000), min_size=1, max_size=30)
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+def test_sequence_packing_spans_are_gapless(spark, toks):
+    """Packing invariants on arbitrary token counts: spans tile the
+    concatenated stream with no gaps or overlaps, and n_seqs counts
+    exactly the 512-token sequences each doc touches."""
+    rows = [(i, "w " * (n - 1) + "w", "s0") for i, n in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    import web_attack_detection_spark.plans.text3 as t3
+    from web_attack_detection_spark.io.sources import load_table as real_load
+
+    t3.load_table = lambda *_a, **_k: df
+    try:
+        out = sorted(
+            (r["doc_id"], r["n_tok"], r["start_off"], r["first_seq"], r["last_seq"], r["n_seqs"])
+            for r in t3.text_pack_sequences(spark, "ignored").collect()
+        )
+    finally:
+        t3.load_table = real_load
+    cum = 0
+    for doc_id, n_tok, start, first, last, nseq in out:
+        assert n_tok == toks[doc_id]
+        assert start == cum  # gapless tiling
+        assert first == start // 512
+        assert last == (start + n_tok - 1) // 512
+        assert nseq == last - first + 1
+        cum += n_tok
+
+
+def test_pagerank_mass_bounded_and_positive(spark):
+    """Rank sanity on the real fixture: every node's rank is positive,
+    total rank mass cannot exceed 1 (dangling mass is dropped, not
+    redistributed), and at least one node beats the teleport floor."""
+    from web_attack_detection_spark.plans.relational10 import (
+        _PR_SCALE,
+        rel_pagerank_fixed,
+    )
+    from .conftest import SF_SMOKE
+
+    rows = rel_pagerank_fixed(spark, SF_SMOKE).collect()
+    total = sum(r["rank_scaled"] for r in rows)
+    n = len(rows)
+    floor = int(0.15 * _PR_SCALE / n)
+    assert all(r["rank_scaled"] >= floor for r in rows)
+    assert total <= _PR_SCALE
+    assert max(r["rank_scaled"] for r in rows) > floor
