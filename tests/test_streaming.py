@@ -499,3 +499,39 @@ def test_foreachbatch_idempotent_sink_survives_batch_replay(spark):
         replayed = sorted(tuple(r) for r in spark.read.parquet(sink).collect())
     assert first == replayed
     assert len(first) == events.select("event_type").distinct().count()
+
+
+def test_rate_source_drives_engine_transforms(spark):
+    """The built-in rate source (the canonical always-on test source)
+    must drive the same transform surface as the file replays: read a
+    few micro-batches, derive event-shaped columns, aggregate."""
+    q = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 500)
+        .load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            (F.col("value") % 5).alias("bucket"),
+            (F.col("value") % 100).cast("double").alias("metric"),
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("metric").alias("m"))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("rate_out")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            q.processAllAvailable()
+            rows = spark.sql("SELECT * FROM rate_out").collect()
+            if sum(r["n"] for r in rows) >= 100:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert len(rows) == 5  # all buckets seen
+    assert sum(r["n"] for r in rows) >= 100
