@@ -211,3 +211,94 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_fake_media(union_by_name(base, planted), "text", "doc_id")
     hashed = phash_media(media)
     return phash_near_dup_pairs(hashed, max_hamming=2).orderBy("id_a", "id_b")
+
+
+_CONTRASTIVE_ORACLE = """
+WITH pos AS (
+  SELECT d.doc_id, e.vec_id,
+         CAST(len(string_split_regex(d.text, '\\s+')) AS BIGINT) AS n_tok
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+),
+n_emb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+negs AS (
+  SELECT pos.doc_id, pos.vec_id, pos.n_tok, j,
+         (pos.doc_id * 2654435761 + j * 40503) % n_emb.n AS neg_idx
+  FROM pos CROSS JOIN n_emb, UNNEST(range(0, 3)) AS r(j)
+),
+resolved AS (
+  SELECT negs.doc_id, negs.vec_id, negs.n_tok, negs.j,
+         e2.vec_id AS neg_vec_id
+  FROM negs
+  JOIN (SELECT vec_id,
+               ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS idx
+        FROM embeddings) e2
+    ON negs.neg_idx = e2.idx
+  WHERE e2.vec_id <> negs.vec_id
+)
+SELECT doc_id, vec_id, n_tok,
+       CAST(COUNT(*) AS BIGINT) AS n_negatives,
+       CAST(SUM(neg_vec_id) AS BIGINT) AS neg_checksum
+FROM resolved
+GROUP BY doc_id, vec_id, n_tok
+"""
+
+
+@register(
+    "mm_contrastive_pairs",
+    _CONTRASTIVE_ORACLE,
+    doc="contrastive training pairs: positives by id join + deterministic negative mining",
+)
+def mm_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build (text, embedding) contrastive training pairs: positives by
+    id equality, plus 3 mined negatives per positive chosen by a
+    Knuth-hash index into the embedding corpus — DETERMINISTIC negative
+    sampling (the rel_stratified_sample portability argument: a rand()
+    here would unreproducibly change the training set every run).
+
+    Scale shape: the positive join is co-partitioned id-equality; the
+    negative join resolves hash indices against a ROW_NUMBER index
+    relation — at 100 TB you'd materialize that index once per corpus
+    snapshot (it is the same relation an IVF/ANN index build already
+    produces) and the mining stays a pair of shuffles, no random
+    access. Self-collisions (hash landing on the positive) are dropped
+    rather than re-drawn — both engines agree exactly, and the
+    n_negatives column exposes the resulting 2-or-3 count honestly."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id",
+        "vec_id",
+        F.size(F.split("text", r"\s+")).cast("long").alias("n_tok"),
+    )
+    n_emb = emb.agg(F.count(F.lit(1)).alias("n"))
+    negs = (
+        pos.join(F.broadcast(n_emb))
+        .select(
+            "doc_id",
+            "vec_id",
+            "n_tok",
+            F.explode(F.sequence(F.lit(0), F.lit(2))).alias("j"),
+            F.col("n"),
+        )
+        .withColumn(
+            "neg_idx",
+            (F.col("doc_id") * F.lit(2654435761) + F.col("j") * F.lit(40503)) % F.col("n"),
+        )
+    )
+    from pyspark.sql import Window
+
+    idx = emb.select(
+        F.col("vec_id").alias("idx_vec_id"),
+        (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("idx"),
+    )
+    resolved = (
+        negs.join(idx, negs.neg_idx == idx.idx)
+        .filter(F.col("idx_vec_id") != F.col("vec_id"))
+        .select(
+            "doc_id", "vec_id", "n_tok", F.col("idx_vec_id").alias("neg_vec_id")
+        )
+    )
+    return resolved.groupBy("doc_id", "vec_id", "n_tok").agg(
+        F.count(F.lit(1)).alias("n_negatives"),
+        F.sum("neg_vec_id").alias("neg_checksum"),
+    )
