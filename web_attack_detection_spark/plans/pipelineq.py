@@ -254,3 +254,122 @@ def pipe_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_tokens") / F.sum("total_tokens").over(w).cast("double"), 6
         ).alias("weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dataset card: the per-source audit datasheet a corpus release ships
+# ---------------------------------------------------------------------------
+
+_CARD_ORACLE = """
+WITH base AS (
+  SELECT source, doc_id, text,
+         CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tok
+  FROM documents
+),
+eval AS (SELECT doc_id, text FROM documents WHERE doc_id % 53 = 0),
+e_tok AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM eval),
+e_sh AS (
+  SELECT DISTINCT array_to_string(t[i:i+4], ' ') AS shingle
+  FROM e_tok, UNNEST(range(1, greatest(len(t) - 4, 1) + 1)) AS r(i)
+),
+b_tok AS (SELECT source, doc_id, string_split_regex(text, '\\s+') AS t FROM base),
+b_sh AS (
+  SELECT DISTINCT source, doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+  FROM b_tok, UNNEST(range(1, greatest(len(t) - 4, 1) + 1)) AS r(i)
+),
+contam AS (
+  SELECT DISTINCT source, doc_id FROM b_sh JOIN e_sh USING (shingle)
+),
+per_source AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+         CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+         CAST(SUM(CASE WHEN n_tok < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+         list_sort(list(n_tok))[CAST(ceil(0.5 * COUNT(*)) AS INTEGER)] AS p50_tokens
+  FROM base GROUP BY source
+),
+contam_n AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+  FROM contam GROUP BY source
+)
+SELECT p.source, n_docs, n_distinct_texts, total_tokens, n_short, p50_tokens,
+       CAST(COALESCE(c.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       ROUND(total_tokens /
+             CAST(CAST(SUM(total_tokens) OVER () AS BIGINT) AS DOUBLE), 6)
+         AS token_share
+FROM per_source p LEFT JOIN contam_n c ON p.source = c.source
+"""
+
+
+@register(
+    "pipe_dataset_card",
+    _CARD_ORACLE,
+    doc="per-source dataset card: docs/tokens/dups/short/median/contamination/share",
+)
+def pipe_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit datasheet a corpus release ships, per source: volume
+    (docs, tokens, token share), integrity (distinct texts vs docs —
+    the exact-dup signal), quality (short-doc count, exact median
+    length), and benchmark contamination (docs sharing a 5-gram with
+    the eval set). One scan for the per-source stats + the broadcast
+    eval-shingle contamination join from text_decontaminate; exact
+    median over BIGINT token counts is engine-deterministic (both
+    engines take the lower middle element via the same count parity).
+
+    This is the composition users actually run nightly over a corpus;
+    every component column is individually oracle-checked elsewhere
+    (dedup_exact, text_token_count, text_decontaminate,
+    text_mixture_weights) — the card proves they compose in one plan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        "doc_id",
+        "text",
+        F.size(F.split("text", r"\s+")).cast("long").alias("n_tok"),
+    )
+    from web_attack_detection_spark.operators.dedup import shingles
+
+    ev = docs.filter(F.col("doc_id") % 53 == 0).select("doc_id", "text")
+    e_sh = shingles(ev, "text", "doc_id", n=5).select("shingle").distinct()
+    b_sh = shingles(base.select("doc_id", "text"), "text", "doc_id", n=5)
+    contam = (
+        b_sh.join(F.broadcast(e_sh), "shingle")
+        .select(F.col("id").alias("doc_id"))
+        .distinct()
+        .join(base.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    per_source = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("text").alias("n_distinct_texts"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum(F.when(F.col("n_tok") < 5, 1).otherwise(0)).cast("long").alias("n_short"),
+        # pinned element-at-ceil(p*n) formula (rel_percentile_disc):
+        # engine-native median/percentile_disc disagree on even groups
+        F.element_at(
+            F.array_sort(F.collect_list("n_tok")),
+            F.ceil(F.count(F.lit(1)) * 0.5).cast("int"),
+        ).alias("p50_tokens"),
+    )
+    from pyspark.sql import Window
+
+    return (
+        per_source.join(F.broadcast(contam), "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_distinct_texts",
+            "total_tokens",
+            "n_short",
+            "p50_tokens",
+            F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated"),
+            F.round(
+                F.col("total_tokens")
+                / F.sum("total_tokens").over(Window.partitionBy()).cast("double"),
+                6,
+            ).alias("token_share"),
+        )
+    )
