@@ -392,3 +392,53 @@ def rel_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("val") * 100).cast("long")) / F.lit(100.0), 2
         ).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bitmap aggregation: presence bitmaps for small-domain set membership
+# ---------------------------------------------------------------------------
+
+_BITMAP_ORACLE = """
+WITH m AS (
+  SELECT o_custkey,
+         bit_or(1::BIGINT << (CAST(strftime(o_orderdate, '%m') AS INTEGER) - 1))
+           AS month_bitmap
+  FROM orders
+  GROUP BY o_custkey
+)
+SELECT CAST(bit_count(month_bitmap) AS INTEGER) AS n_active_months,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(o_custkey) AS BIGINT) AS key_checksum
+FROM m
+GROUP BY 1
+"""
+
+
+@register(
+    "rel_bitmap_membership",
+    _BITMAP_ORACLE,
+    doc="presence bitmaps: bit_or(1<<value) per key + bit_count histogram",
+)
+def rel_bitmap_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-domain set membership as a BIGINT bitmap — bit i of the
+    per-customer bitmap marks activity in month i. One bit_or aggregate
+    replaces a count-distinct-months subquery AND keeps the full member
+    set queryable afterwards with pure bit math (bit_count, AND for
+    intersection, OR for union across groups) — the roaring-bitmap idea
+    at word size, and the standard trick for funnel/retention cubes at
+    100 TB: bitmaps are mergeable, so rollups across time partitions
+    are bit_or's, never re-scans. Output: distribution of active-month
+    counts with an exact key checksum."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy("o_custkey").agg(
+        # expr form: the Python shiftleft binding takes a literal bit
+        # count, the SQL function accepts a column
+        F.expr("bit_or(shiftleft(1L, month(o_orderdate) - 1))").alias("month_bitmap")
+    )
+    return (
+        m.groupBy(F.bit_count("month_bitmap").alias("n_active_months"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("o_custkey").alias("key_checksum"),
+        )
+    )

@@ -271,3 +271,87 @@ def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding drift monitor: per-dimension distribution shift between
+# two corpus slices (deployment observability for vector pipelines).
+# ---------------------------------------------------------------------------
+
+_DRIFT_ORACLE = """
+WITH tagged AS (
+  SELECT vec_id, embedding,
+         CASE WHEN vec_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS slice
+  FROM embeddings
+),
+dims AS (
+  SELECT slice, i AS dim,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS v
+  FROM tagged, UNNEST(range(1, 65)) AS r(i)
+),
+stats AS (
+  SELECT slice, dim,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v) AS BIGINT) AS sv
+  FROM dims GROUP BY slice, dim
+),
+paired AS (
+  SELECT r.dim,
+         ROUND(r.sv / CAST(r.n AS DOUBLE) / 1000000.0, 6) AS mean_ref,
+         ROUND(c.sv / CAST(c.n AS DOUBLE) / 1000000.0, 6) AS mean_cur
+  FROM (SELECT * FROM stats WHERE slice = 'ref') r
+  JOIN (SELECT * FROM stats WHERE slice = 'cur') c USING (dim)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_dims,
+       ROUND(MAX(ABS(mean_cur - mean_ref)), 6) AS max_mean_shift,
+       CAST(SUM(CASE WHEN ABS(mean_cur - mean_ref) > 0.05 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_drifted_dims
+FROM paired
+"""
+
+
+@register(
+    "ml_drift_monitor",
+    _DRIFT_ORACLE,
+    doc="embedding drift: per-dim mean shift between reference and current slices",
+)
+def ml_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deployment observability for vector pipelines: compare per-
+    dimension embedding means between a reference slice and a current
+    slice (deterministic id-parity split stands in for
+    yesterday-vs-today), report the max shift and the count of
+    dimensions past an alert threshold. posexplode fans each vector to
+    (dim, value) rows — 64× row inflation but map-only; the per-
+    (slice, dim) aggregate is one shuffle over 128 tiny groups with
+    map-side combine, so at 100 TB the cost is the scan, exactly like
+    profiling. Values integer-scaled at 1e-6 before summing
+    (determinism contract); float32→double widening is exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    tagged = emb.select(
+        F.when(F.col("vec_id") % 2 == 0, "ref").otherwise("cur").alias("slice"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "v"),
+    ).select(
+        "slice",
+        (F.col("dim0") + 1).alias("dim"),
+        F.round(F.col("v") * 1000000).cast("long").alias("v"),
+    )
+    stats = tagged.groupBy("slice", "dim").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+    )
+    ref = stats.filter(F.col("slice") == "ref").select(
+        "dim", (F.col("sv") / F.col("n").cast("double") / 1000000.0).alias("m_ref")
+    )
+    cur = stats.filter(F.col("slice") == "cur").select(
+        "dim", (F.col("sv") / F.col("n").cast("double") / 1000000.0).alias("m_cur")
+    )
+    paired = ref.join(cur, "dim").select(
+        "dim",
+        F.round("m_ref", 6).alias("mean_ref"),
+        F.round("m_cur", 6).alias("mean_cur"),
+    )
+    diff = F.abs(F.col("mean_cur") - F.col("mean_ref"))
+    return paired.agg(
+        F.count(F.lit(1)).alias("n_dims"),
+        F.round(F.max(diff), 6).alias("max_mean_shift"),
+        F.sum(F.when(diff > 0.05, 1).otherwise(0)).cast("long").alias("n_drifted_dims"),
+    )
