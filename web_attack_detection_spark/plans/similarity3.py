@@ -355,3 +355,83 @@ def ml_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(diff), 6).alias("max_mean_shift"),
         F.sum(F.when(diff > 0.05, 1).otherwise(0)).cast("long").alias("n_drifted_dims"),
     )
+
+
+# ---------------------------------------------------------------------------
+# nearest-centroid classifier: class prototypes + integer-exact
+# assignment, evaluated as a confusion matrix.
+# ---------------------------------------------------------------------------
+
+_NCC_ORACLE = """
+WITH elems AS (
+  SELECT vec_id, label, i AS pos,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS v
+  FROM embeddings, UNNEST(range(1, 65)) AS r(i)
+),
+cent AS (
+  SELECT label AS cent_label, pos,
+         CAST(ROUND(SUM(v) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS m
+  FROM elems GROUP BY label, pos
+),
+d2 AS (
+  SELECT e.vec_id, e.label, c.cent_label,
+         CAST(SUM((e.v - c.m) * (e.v - c.m)) AS BIGINT) AS dist2
+  FROM elems e JOIN cent c USING (pos)
+  GROUP BY 1, 2, 3
+),
+assigned AS (
+  SELECT vec_id, label, cent_label,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY dist2 ASC, cent_label ASC) AS rn
+  FROM d2
+)
+SELECT CAST(label AS INTEGER) AS true_label,
+       CAST(cent_label AS INTEGER) AS assigned_label,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM assigned WHERE rn = 1
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "sim_centroid_classifier",
+    _NCC_ORACLE,
+    doc="nearest-centroid classification: integer-exact prototypes + confusion counts",
+)
+def sim_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-class-mean classification without MLlib: fit = the
+    per-label centroid aggregate (sim_label_centroids' integer-scaled
+    micro-unit means), predict = argmin of an ALL-INTEGER squared
+    distance (micro-unit diffs squared sum within int64), evaluated
+    in-plan as the confusion matrix. Everything after the centroid
+    aggregate is map-only once centroids broadcast — the cheapest
+    deployable classifier over embeddings and a bit-exact one: no
+    float accumulation anywhere, so engines and partition orders agree
+    on every assignment including ties (broken by label order)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "e"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("e") * 1000000).cast("long").alias("v"),
+    )
+    cent = elems.groupBy(F.col("label").alias("cent_label"), "pos").agg(
+        F.round(F.sum("v") / F.count(F.lit(1)).cast("double")).cast("long").alias("m")
+    )
+    d2 = (
+        elems.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "cent_label")
+        .agg(F.sum((F.col("v") - F.col("m")) * (F.col("v") - F.col("m"))).alias("dist2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("dist2").asc(), F.col("cent_label").asc()
+    )
+    assigned = d2.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return assigned.groupBy(
+        F.col("label").cast("int").alias("true_label"),
+        F.col("cent_label").cast("int").alias("assigned_label"),
+    ).agg(F.count(F.lit(1)).alias("n"))

@@ -561,3 +561,59 @@ def text_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pmi.orderBy(F.col("pmi_micro").desc(), F.col("bg").asc()).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# linear quality classifier: fastText-shaped scoring as exact SQL
+# ---------------------------------------------------------------------------
+
+_QCLF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split_regex(text, '\\s+')) AS tok
+  FROM documents WHERE doc_id <= 400
+),
+feats AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 256 AS b
+  FROM toks
+),
+scored AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tok,
+         CAST(SUM((b * 2654435761) % 1001 - 500) AS BIGINT) AS score
+  FROM feats GROUP BY doc_id
+)
+SELECT doc_id, n_tok, score, (score > 0) AS accept
+FROM scored
+"""
+
+
+@register(
+    "text_quality_classifier",
+    _QCLF_ORACLE,
+    doc="fastText-shaped linear quality classifier: hashed features, integer weights",
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A linear bag-of-hashed-tokens classifier — the fastText/CCNet
+    quality-filter SHAPE — run as pure column arithmetic: token →
+    md5 bucket (the f9 hashing trick) → integer weight lookup computed
+    from the bucket id (a stand-in for trained weights; real weights
+    broadcast as a 256-row table with the identical plan) → per-doc
+    integer score and accept decision. Inference is one explode + one
+    groupBy, no model runtime, no floats anywhere — the 100 TB quality
+    gate is literally a SQL query. Weights-as-expression keeps the
+    oracle exact; the expression and a weight-table join produce the
+    same plan shape either way."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 400)
+    toks = docs.select("doc_id", F.explode(F.split("text", r"\s+")).alias("tok"))
+    feats = toks.select(
+        "doc_id",
+        (F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % 256).alias("b"),
+    )
+    scored = feats.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.sum((F.col("b") * F.lit(2654435761)) % 1001 - 500).alias("score"),
+    )
+    return scored.select(
+        "doc_id", "n_tok", "score", (F.col("score") > 0).alias("accept")
+    )
