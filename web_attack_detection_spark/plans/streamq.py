@@ -372,3 +372,64 @@ def stream_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         spark.table(name).collect(), spark.table(name).schema
     )
+
+
+_SLIDING_STREAM_ORACLE = """
+WITH e AS (
+  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+),
+starts AS (
+  SELECT event_type, ts,
+         UNNEST([date_trunc('hour', ts),
+                 date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS w_start
+  FROM e
+)
+SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM starts
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "stream_sliding_counts",
+    _SLIDING_STREAM_ORACLE,
+    doc="streaming sliding windows (2h window, 1h slide) == overlap-expanded batch SQL",
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping windows on a real stream: ``window(ts, '2 hours',
+    '1 hour')`` assigns every event to TWO windows; state is
+    2 × |open windows| × |types| and the watermark closes both copies
+    together. The batch twin expands each event into its two window
+    starts explicitly (truncate-to-hour and the hour before) — the
+    decomposition that makes sliding windows oracle-checkable, and the
+    identity real streaming engines exploit (sliding agg = tumbling
+    pane agg merged across offsets)."""
+    name = f"streamq_{uuid.uuid4().hex[:8]}"
+    d = _replay_input(spark, sf_dir)
+    with _stream_conf(spark):
+        q = (
+            stream_events_from_dir(spark, f"{d}/in")
+            .withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "window_start"
+                ),
+                "event_type",
+                "n",
+            )
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.createDataFrame(
+        spark.table(name).collect(), spark.table(name).schema
+    )
