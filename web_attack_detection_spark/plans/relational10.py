@@ -442,3 +442,53 @@ def rel_bitmap_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_custkey").alias("key_checksum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# exact mode with a pinned tie-break (engine-native mode() is
+# unspecified under ties)
+# ---------------------------------------------------------------------------
+
+_MODE_ORACLE = """
+WITH counts AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q, COUNT(*) AS cnt
+  FROM lineitem GROUP BY 1, 2
+),
+ranked AS (
+  SELECT l_returnflag, q, cnt,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY cnt DESC, q ASC) AS rn
+  FROM counts
+)
+SELECT l_returnflag, q AS mode_qty, CAST(cnt AS BIGINT) AS mode_count
+FROM ranked WHERE rn = 1
+"""
+
+
+@register(
+    "rel_mode_agg",
+    _MODE_ORACLE,
+    doc="exact mode per group, tie-break pinned (count desc, value asc)",
+)
+def rel_mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-frequent value per group via count + rank — NOT the
+    engine-native mode(), whose tie choice is unspecified and differs
+    between engines; pinning (count desc, value asc) makes the answer
+    a property of the data. Two shuffles (value counts, then the
+    per-group rank over |distinct values| rows — tiny); at 100 TB with
+    heavy-hitter domains, approx_top_k(1) gives the same answer from a
+    mergeable sketch (rel_approx_topk)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("q")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("cnt").desc(), F.col("q").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("q").alias("mode_qty"), F.col("cnt").alias("mode_count"))
+    )

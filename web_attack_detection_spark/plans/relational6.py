@@ -308,3 +308,88 @@ def ml_hll_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.08) * F.col("exact_custkeys").cast("double")
         ).alias("est_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# approximate set intersection by sketch inclusion-exclusion
+# ---------------------------------------------------------------------------
+
+_HLL_INTERSECT_ORACLE = """
+WITH a AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'
+),
+b AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+)
+SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS exact_a,
+       CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS exact_b,
+       CAST((SELECT COUNT(*) FROM a JOIN b USING (o_custkey)) AS BIGINT)
+         AS exact_intersection,
+       TRUE AS est_in_bound
+"""
+
+
+@register(
+    "ml_hll_intersection",
+    _HLL_INTERSECT_ORACLE,
+    doc="approx set intersection: |A|+|B|-|A∪B| on HLL sketches, bound-checked",
+)
+def ml_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set overlap without materializing either set: sketch A, sketch
+    B, union-merge them, and estimate |A∩B| = est(A)+est(B)-est(A∪B) —
+    audience-overlap / retention arithmetic at 100 TB, where A and B
+    are distinct-key sets from different time ranges and the exact
+    join (shipped here as the oracle's ground truth) would shuffle
+    both key sets. Inclusion-exclusion ERROR grows with |A∪B|, not
+    |A∩B| — the known caveat, so the in-bound boolean is written
+    against the union size (±10%), which is the honest contract.
+    ONE scan builds both sketches (conditional sketch aggs)."""
+    o = load_table(spark, sf_dir, "orders")
+    in_a = F.when(
+        F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"), F.col("o_custkey")
+    )
+    in_b = F.when(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"), F.col("o_custkey")
+    )
+    sk = o.agg(
+        F.hll_sketch_agg(in_a, 12).alias("sk_a"),
+        F.hll_sketch_agg(in_b, 12).alias("sk_b"),
+    )
+    # exact ground truth: a key is in A∩B when it has SOME order in A
+    # and SOME order in B — not necessarily the same order, so the
+    # intersection needs per-key membership flags, not a conditional
+    # distinct over single rows
+    flags = o.groupBy("o_custkey").agg(
+        F.max(
+            F.when(F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"), 1).otherwise(0)
+        ).alias("ia"),
+        F.max(
+            F.when(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"), 1).otherwise(0)
+        ).alias("ib"),
+    )
+    exact = flags.agg(
+        F.sum("ia").cast("long").alias("exact_a"),
+        F.sum("ib").cast("long").alias("exact_b"),
+        F.sum(F.col("ia") * F.col("ib")).cast("long").alias("exact_intersection"),
+    )
+    est = sk.crossJoin(F.broadcast(exact)).select(
+        "exact_a",
+        "exact_b",
+        "exact_intersection",
+        F.hll_sketch_estimate("sk_a").alias("ea"),
+        F.hll_sketch_estimate("sk_b").alias("eb"),
+        F.hll_sketch_estimate(
+            F.hll_union("sk_a", "sk_b")
+        ).alias("eu"),
+    )
+    approx_inter = F.col("ea") + F.col("eb") - F.col("eu")
+    union_exact = F.col("exact_a") + F.col("exact_b") - F.col("exact_intersection")
+    return est.select(
+        "exact_a",
+        "exact_b",
+        "exact_intersection",
+        (
+            F.abs(approx_inter.cast("double") - F.col("exact_intersection"))
+            <= F.lit(0.10) * union_exact.cast("double")
+        ).alias("est_in_bound"),
+    )
