@@ -167,3 +167,53 @@ def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
     )
     assert [r["score"] for r in got] == [None, 9.5]
     assert set(got[0].asDict()) == {"id", "v", "score"}
+
+
+def test_jsonl_source_reads_with_explicit_schema(spark, tmp_path):
+    """JSON-lines ingestion (the other common corpus interchange format
+    next to parquet and WARC): explicit schema (no inference pass),
+    nested field access, and corrupt-line tolerance."""
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"id": 1, "text": "hello world", "meta": {"lang": "en", "score": 0.9}}\n'
+        '{"id": 2, "text": "bonjour", "meta": {"lang": "fr", "score": 0.7}}\n'
+        "this line is not json\n"
+        '{"id": 3, "text": "ok", "meta": {"lang": "en", "score": 0.5}}\n'
+    )
+    schema = (
+        "id long, text string, meta struct<lang: string, score: double>, "
+        "_corrupt_record string"
+    )
+    df = spark.read.schema(schema).json(str(p)).cache()
+    good = df.filter(F.col("_corrupt_record").isNull())
+    assert good.count() == 3
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in good.groupBy(F.col("meta.lang").alias("lang"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert by_lang == {"en": 2, "fr": 1}
+    assert df.filter(F.col("_corrupt_record").isNotNull()).count() == 1
+    df.unpersist()
+
+
+def test_csv_roundtrip_preserves_quotes_newlines_delims(spark, tmp_path):
+    """CSV writer/reader round-trip with hostile content: embedded
+    quotes, commas, and newlines must survive (multiLine read)."""
+    rows = [
+        (1, 'say "hi", ok?'),
+        (2, "line1\nline2"),
+        (3, "plain"),
+        (4, 'both, "quoted"\nand split'),
+    ]
+    df = spark.createDataFrame(rows, "id long, v string")
+    out = str(tmp_path / "csv")
+    df.coalesce(1).write.option("header", "true").csv(out)
+    back = (
+        spark.read.option("header", "true")
+        .option("multiLine", "true")
+        .schema("id long, v string")
+        .csv(out)
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(rows)

@@ -535,3 +535,33 @@ def test_rate_source_drives_engine_transforms(spark):
         q.stop()
     assert len(rows) == 5  # all buckets seen
     assert sum(r["n"] for r in rows) >= 100
+
+
+def test_stream_progress_exposes_watermark_and_state_metrics(spark):
+    """Observability contract: lastProgress must report an advancing
+    event-time watermark and state-operator metrics (rows in state,
+    memory) — what a production monitor alerts on."""
+    events = load_table(spark, SF_SMOKE, "events")
+    with tempfile.TemporaryDirectory() as d:
+        events.coalesce(1).write.parquet(f"{d}/in")
+        q = (
+            stream_events_from_dir(spark, f"{d}/in")
+            .withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .count()
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("progress_out")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            prog = q.lastProgress
+        finally:
+            q.stop()
+    wm = prog["eventTime"].get("watermark")
+    assert wm is not None and wm.startswith("2024-")
+    ops = prog["stateOperators"]
+    assert len(ops) == 1
+    assert ops[0]["numRowsTotal"] > 0
+    assert ops[0]["memoryUsedBytes"] > 0
