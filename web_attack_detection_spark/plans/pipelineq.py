@@ -373,3 +373,109 @@ def pipe_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("token_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted corpus sampling: spend a token budget per (lang, source) in
+# deterministic hash order — the APPLICATION of mixture weights.
+# ---------------------------------------------------------------------------
+
+_WSAMPLE_ORACLE = """
+WITH base AS (
+  SELECT lang, source, doc_id,
+         CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tok,
+         (doc_id * 2654435761) % 4294967296 AS h
+  FROM documents
+),
+totals AS (
+  SELECT lang, source, CAST(SUM(n_tok) AS BIGINT) AS grp_tok
+  FROM base GROUP BY lang, source
+),
+grand AS (SELECT CAST(SUM(grp_tok) AS BIGINT) AS all_tok FROM totals),
+budgets AS (
+  SELECT lang, source, grp_tok,
+         (grp_tok * (all_tok // 4)) // all_tok AS budget
+  FROM totals CROSS JOIN grand
+),
+ordered AS (
+  SELECT b.lang, b.source, b.doc_id, b.n_tok,
+         CAST(SUM(b.n_tok) OVER (PARTITION BY b.lang, b.source
+                                 ORDER BY b.h, b.doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_tok
+  FROM base b
+),
+picked AS (
+  SELECT o.lang, o.source, o.doc_id, o.n_tok
+  FROM ordered o JOIN budgets USING (lang, source)
+  WHERE o.cum_tok <= budgets.budget
+)
+SELECT b.lang, b.source, b.budget,
+       CAST(COUNT(p.doc_id) AS BIGINT) AS n_selected,
+       CAST(COALESCE(SUM(p.n_tok), 0) AS BIGINT) AS tokens_selected,
+       CAST(COALESCE(SUM(p.doc_id), 0) AS BIGINT) AS id_checksum
+FROM budgets b LEFT JOIN picked p USING (lang, source)
+GROUP BY b.lang, b.source, b.budget
+"""
+
+
+@register(
+    "pipe_weighted_sample",
+    _WSAMPLE_ORACLE,
+    doc="mixture-weight application: fill per-group token budgets in deterministic hash order",
+)
+def pipe_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn mixture weights into an actual sample: each (lang, source)
+    group gets an integer token budget (its share of a quarter-size
+    target corpus, exact integer division) and spends it on documents
+    in Knuth-hash order until the running token total would exceed the
+    budget. Deterministic end-to-end — rerunning, repartitioning, or
+    switching engines selects the SAME documents (the
+    rel_stratified_sample portability argument applied to budgeted
+    sampling; id_checksum pins the selection, not just its size).
+    One window per group + two tiny aggregates; at 100 TB the window
+    partitions by the mixture key, so no global ordering exists
+    anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        "source",
+        "doc_id",
+        F.size(F.split("text", r"\s+")).cast("long").alias("n_tok"),
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)).alias("h"),
+    )
+    totals = base.groupBy("lang", "source").agg(F.sum("n_tok").alias("grp_tok"))
+    grand = totals.agg(F.sum("grp_tok").alias("all_tok"))
+    budgets = totals.join(F.broadcast(grand)).select(
+        "lang",
+        "source",
+        F.expr("(grp_tok * (all_tok div 4)) div all_tok").alias("budget"),
+    )
+    w = (
+        Window.partitionBy("lang", "source")
+        .orderBy(F.col("h").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ordered = base.withColumn("cum_tok", F.sum("n_tok").over(w))
+    picked = ordered.join(F.broadcast(budgets), ["lang", "source"]).filter(
+        F.col("cum_tok") <= F.col("budget")
+    )
+    return (
+        budgets.join(
+            picked.groupBy("lang", "source").agg(
+                F.count(F.lit(1)).alias("n_selected"),
+                F.sum("n_tok").alias("tokens_selected"),
+                F.sum("doc_id").alias("id_checksum"),
+            ),
+            ["lang", "source"],
+            "left",
+        )
+        .select(
+            "lang",
+            "source",
+            "budget",
+            F.coalesce("n_selected", F.lit(0)).cast("long").alias("n_selected"),
+            F.coalesce("tokens_selected", F.lit(0)).cast("long").alias("tokens_selected"),
+            F.coalesce("id_checksum", F.lit(0)).cast("long").alias("id_checksum"),
+        )
+    )
