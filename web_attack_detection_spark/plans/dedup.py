@@ -362,3 +362,56 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("exact").isNull() & F.col("n_near").isNull()).alias("kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup report: cluster-size distribution + reduction accounting
+# ---------------------------------------------------------------------------
+
+_CLUSTER_STATS_ORACLE = f"""
+WITH RECURSIVE jp AS ({_JACCARD_ORACLE}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM jp
+  UNION
+  SELECT id_b AS u, id_a AS v FROM jp
+),
+reach(src, dst) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+),
+comp AS (
+  SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src
+),
+sizes AS (
+  SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM comp GROUP BY component
+)
+SELECT cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+       CAST(SUM(cluster_size - 1) AS BIGINT) AS n_removable
+FROM sizes GROUP BY cluster_size
+"""
+
+
+@register(
+    "dedup_cluster_stats",
+    _CLUSTER_STATS_ORACLE,
+    doc="dedup report: near-dup cluster-size histogram + removable-doc accounting",
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The report a dedup run ships: how many clusters of each size the
+    pair graph collapses into, how many documents they cover, and the
+    dedup dividend (size−1 removable docs per cluster, the number an
+    end-to-end pipeline like dedup_pipeline_survivors actually drops).
+    Two tiny aggregates on top of connected components — the histogram
+    is O(distinct sizes) rows however large the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs_exact(docs, "text", "doc_id", n=3, threshold=0.2)
+    cc = connected_components(pairs)
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+        F.sum(F.col("cluster_size") - 1).alias("n_removable"),
+    )
