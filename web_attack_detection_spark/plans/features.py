@@ -394,3 +394,72 @@ def f9_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_status"),
         F.sum("o_orderkey").alias("key_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M5b — per-class precision / recall / F1 (the evaluation battery
+# beyond scalar accuracy)
+# ---------------------------------------------------------------------------
+
+_M5B_ORACLE = """
+WITH scored AS (
+  SELECT event_type AS label,
+         CASE WHEN value >= 100 THEN 'high' ELSE 'low' END AS prediction
+  FROM events
+),
+tp AS (
+  SELECT label AS cls,
+         SUM(CASE WHEN prediction = label THEN 1 ELSE 0 END) AS n_tp,
+         COUNT(*) AS n_actual
+  FROM scored GROUP BY label
+),
+pp AS (
+  SELECT prediction AS cls, COUNT(*) AS n_predicted
+  FROM scored GROUP BY prediction
+)
+SELECT tp.cls AS label,
+       CAST(tp.n_tp AS BIGINT) AS n_tp,
+       CAST(tp.n_actual AS BIGINT) AS n_actual,
+       CAST(COALESCE(pp.n_predicted, 0) AS BIGINT) AS n_predicted,
+       ROUND(tp.n_tp / CAST(NULLIF(pp.n_predicted, 0) AS DOUBLE), 6) AS precision,
+       ROUND(tp.n_tp / CAST(tp.n_actual AS DOUBLE), 6) AS recall
+FROM tp LEFT JOIN pp ON tp.cls = pp.cls
+"""
+
+
+@register(
+    "m5b_per_class_metrics",
+    _M5B_ORACLE,
+    doc="per-class precision/recall from the confusion counts (M5 extension)",
+)
+def m5b_per_class_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class evaluation beyond the reference's single accuracy
+    scalar (M5): precision = TP / predicted-positive, recall =
+    TP / actual-positive, from two tiny aggregates over the scored
+    frame — |classes| output rows regardless of data size, the same
+    scale shape as the confusion matrix (V4). NULL precision for a
+    class never predicted is surfaced as NULL, not 0 — the honest
+    undefined case. Ratios are one double division of exact longs +
+    one round, engine-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.select(
+        F.col("event_type").alias("label"),
+        F.when(F.col("value") >= 100, "high").otherwise("low").alias("prediction"),
+    )
+    tp = scored.groupBy(F.col("label").alias("cls")).agg(
+        F.sum(F.when(F.col("prediction") == F.col("label"), 1).otherwise(0)).alias("n_tp"),
+        F.count(F.lit(1)).alias("n_actual"),
+    )
+    pp = scored.groupBy(F.col("prediction").alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_predicted")
+    )
+    return tp.join(pp, "cls", "left").select(
+        F.col("cls").alias("label"),
+        F.col("n_tp").cast("long").alias("n_tp"),
+        F.col("n_actual").cast("long").alias("n_actual"),
+        F.coalesce("n_predicted", F.lit(0)).cast("long").alias("n_predicted"),
+        F.round(
+            F.col("n_tp") / F.nullif(F.col("n_predicted"), F.lit(0)).cast("double"), 6
+        ).alias("precision"),
+        F.round(F.col("n_tp") / F.col("n_actual").cast("double"), 6).alias("recall"),
+    )
