@@ -492,3 +492,102 @@ def rel_mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("l_returnflag", F.col("q").alias("mode_qty"), F.col("cnt").alias("mode_count"))
     )
+
+
+# ---------------------------------------------------------------------------
+# interval union: total covered time from overlapping intervals
+# (window sweep-line — the merge-overlaps pattern)
+# ---------------------------------------------------------------------------
+
+_INTERVAL_ORACLE = """
+WITH iv AS (
+  SELECT user_id,
+         CAST(ts AS TIMESTAMP) AS s,
+         CAST(ts AS TIMESTAMP) + INTERVAL 1 MINUTE * (event_id % 120) AS e
+  FROM events
+),
+marked AS (
+  SELECT user_id, s, e,
+         CASE WHEN s > COALESCE(
+                MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                TIMESTAMP '1900-01-01')
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+islands AS (
+  SELECT user_id, s, e,
+         CAST(SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS island
+  FROM marked
+),
+merged AS (
+  SELECT user_id, island, MIN(s) AS island_s, MAX(e) AS island_e
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(epoch_us(island_e) - epoch_us(island_s)) AS BIGINT) // 1000000
+         AS covered_seconds
+FROM merged GROUP BY user_id
+"""
+
+
+@register(
+    "rel_interval_union",
+    _INTERVAL_ORACLE,
+    doc="interval union: merge overlapping spans per key, total coverage (sweep-line)",
+)
+def rel_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total covered time from overlapping per-user intervals — the
+    merge-overlaps sweep as windows: an interval starts a new island
+    when its start exceeds the running max end of everything before it;
+    island ids are the cumulative sum of those starts; coverage is the
+    sum of island extents. Distinct from sessionization (which merges
+    by GAP between points; this merges by OVERLAP of spans) and the
+    standard shape for utilization/billing/SLA math. One shuffle on the
+    key, two ordered window passes, exact integer microseconds."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (
+            F.col("ts")
+            + F.make_interval(mins=(F.col("event_id") % 120).cast("int"))
+        ).alias("e"),
+    )
+    from pyspark.sql import Window
+
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("s").asc(), F.col("e").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.withColumn(
+        "new_island",
+        F.when(
+            F.col("s")
+            > F.coalesce(
+                F.max("e").over(w_prev), F.lit("1900-01-01").cast("timestamp")
+            ),
+            1,
+        ).otherwise(0),
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("s").asc(), F.col("e").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = marked.withColumn("island", F.sum("new_island").over(w_cum))
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("island_s"), F.max("e").alias("island_e")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        # integer division on the summed microseconds: double '/' then
+        # cast would round on one engine and truncate on the other
+        F.expr(
+            "sum(unix_micros(island_e) - unix_micros(island_s)) div 1000000"
+        ).alias("covered_seconds"),
+    )
