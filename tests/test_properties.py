@@ -281,3 +281,65 @@ def test_pagerank_mass_bounded_and_positive(spark):
     assert all(r["rank_scaled"] >= floor for r in rows)
     assert total <= _PR_SCALE
     assert max(r["rank_scaled"] for r in rows) > floor
+
+
+@given(
+    st.dictionaries(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs", "Cc")),
+            min_size=1,
+            max_size=12,
+        ),
+        st.lists(st.floats(allow_nan=False, allow_infinity=False,
+                           min_value=-1e6, max_value=1e6),
+                 min_size=1, max_size=20),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(max_examples=50, deadline=None, suppress_health_check=list(HealthCheck))
+def test_svg_renderer_always_well_formed(series):
+    """svg.py must emit parseable XML for arbitrary series names
+    (including XML-hostile characters) and value ranges, with at least
+    one polyline mark per series."""
+    import xml.etree.ElementTree as ET
+
+    from web_attack_detection_spark import svg
+
+    out = svg.line_chart(series, "t<i&tle>")
+    root = ET.fromstring(out)
+    ns = "{http://www.w3.org/2000/svg}"
+    assert root.tag == f"{ns}svg"
+    assert sum(1 for _ in root.iter(f"{ns}polyline")) == len(series)
+    bar = svg.bar_chart([(k, abs(v[0]) + 1) for k, v in series.items()], "b&ars")
+    broot = ET.fromstring(bar)
+    assert sum(1 for _ in broot.iter(f"{ns}rect")) >= len(series)
+
+
+def test_interval_union_bounds(spark):
+    """Coverage invariants on the fixture: per-user covered time is at
+    most the sum of interval lengths (equality iff no overlaps) and at
+    least the longest single interval; island count never exceeds the
+    interval count."""
+    from web_attack_detection_spark.io.sources import load_table
+    from web_attack_detection_spark.plans.relational10 import rel_interval_union
+    from .conftest import SF_SMOKE
+
+    got = {r["user_id"]: r for r in rel_interval_union(spark, SF_SMOKE).collect()}
+    ev = load_table(spark, SF_SMOKE, "events")
+    per_user = {
+        r["user_id"]: r
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_iv"),
+            F.sum((F.col("event_id") % 120) * 60).alias("sum_len_s"),
+            F.max((F.col("event_id") % 120) * 60).alias("max_len_s"),
+        )
+        .collect()
+    }
+    assert set(got) == set(per_user)
+    for uid, r in got.items():
+        p = per_user[uid]
+        assert r["covered_seconds"] <= p["sum_len_s"]
+        assert r["covered_seconds"] >= p["max_len_s"]
+        assert 1 <= r["n_islands"] <= p["n_iv"]
