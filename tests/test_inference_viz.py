@@ -101,6 +101,47 @@ def test_viz_sinks_fallback_write_data(spark):
             assert any(True for _ in root.iter(f"{ns}{mark}"))
 
 
+def test_viz_sinks_total_on_degenerate_input():
+    """svg charts never raise on empty input (ADVICE r2): axes-only
+    SVG comes back for empty/zero-length series and empty bar lists."""
+    import xml.etree.ElementTree as ET
+
+    from web_attack_detection_spark.svg import bar_chart, line_chart
+
+    for doc in (
+        line_chart({}, "empty"),
+        line_chart({"a": []}, "empty series"),
+        bar_chart([], "empty"),
+    ):
+        root = ET.fromstring(doc)
+        assert root.tag == "{http://www.w3.org/2000/svg}svg"
+
+
+def test_prepare_raw_keeps_full_numeric_array(spark):
+    """ADVICE r2 high regression: the raw preparation must emit the
+    hand-built len(_NUMERIC_RAW)-dim array (value, k, hour, dom), not a
+    pipeline-reassembled 1-dim vector, with labels from the given map."""
+    from web_attack_detection_spark.plans.flagship import derive_wide_events
+    from web_attack_detection_spark.runner import _NUMERIC_RAW, prepare_raw
+
+    ev = derive_wide_events(load_table(spark, SF_SMOKE, "events"))
+    label_map = {"view": 0.0, "click": 1.0, "purchase": 2.0, "refund": 3.0}
+    out = prepare_raw(ev, label_map)
+    assert out.columns == ["features", "label"]
+    widths = out.select(F.size("features").alias("w")).distinct().collect()
+    assert [r["w"] for r in widths] == [len(_NUMERIC_RAW)]
+    # features are the raw (zero-filled) columns, bit-exact
+    # (multiset compare — row order is plan-dependent)
+    raw = ev.fillna(0.0, subset=_NUMERIC_RAW).collect()
+    want = sorted(
+        (tuple(float(r[c]) for c in _NUMERIC_RAW), label_map[r["event_type"]])
+        for r in raw
+        if r["event_type"] in label_map
+    )
+    got = sorted((tuple(r["features"]), r["label"]) for r in out.collect())
+    assert got == want
+
+
 def test_run_pipeline_reference_main_parity(spark):
     """runner.run_pipeline = the reference's main(): both preparations,
     timed battery, evaluation, and ALL four viz artifact families in

@@ -394,8 +394,10 @@ def ml_brp_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.005 x ||v||) — and joins at threshold 0.5: exactly the planted
     pairs qualify. approxSimilarityJoin filters candidates by TRUE
     distance, so precision is exact and only recall is probabilistic;
-    with bucketLength=1.0 >> planted distance and 4 tables, missing a
-    planted pair needs all 4 projections to split a 0.005-apart pair —
+    with bucketLength=0.05 — still ~10× the planted ~0.005·||v||
+    distance — and 4 tables, missing a planted pair needs all 4
+    projections to land the two points in different buckets (per-table
+    split probability ≲ d/L ≈ 0.1), i.e. ~1e-4 per pair —
     tests/test_similarity.py asserts full planted recall. Rows-only
     (projection directions are seeded but implementation-defined)."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH

@@ -187,9 +187,9 @@ def mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="perceptual-hash image dedup: DCT phash + banded Hamming pairs (stub decode)",
 )
 def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image near-dup detection end-to-end: fake-decode → 4×4 DCT
-    pHash (mapInPandas, batched einsum) → nibble-banded candidate join
-    → exact Hamming verify. The corpus is the documents-derived fake
+    """Image near-dup detection end-to-end: fake-decode → 8×8 DCT
+    64-bit pHash (mapInPandas, batched einsum) → 16-bit-banded
+    candidate join → exact Hamming verify. The corpus is the documents-derived fake
     media plus planted byte-identical copies (shifted ids) — the only
     duplicates the non-locality-sensitive stand-in decode can surface;
     a real decoder slots into the same pipeline and the banding then

@@ -53,6 +53,24 @@ from web_attack_detection_spark.viz import (
 _NUMERIC_RAW = ["value", "k", "hour", "dom"]
 
 
+def prepare_raw(df: DataFrame, label_map: dict[str, float]) -> DataFrame:
+    """The reference's ``prepare_raw_data`` (``main.py:47-64``): numeric
+    columns zero-filled and assembled AS-IS + the train-fitted label
+    index — and nothing else. Label indexing is a literal-map lookup
+    ONLY: running the fitted feature pipeline's transform here would
+    re-assemble ``features`` from the pipeline's fitted numeric columns
+    and silently discard the raw 4-column array (ADVICE r2 high;
+    regression-tested: tests/test_inference_viz.py asserts the raw prep
+    emits exactly ``len(_NUMERIC_RAW)``-dim features)."""
+    from web_attack_detection_spark.functions.feature import FeaturePipelineModel
+
+    filled = df.fillna(0.0, subset=_NUMERIC_RAW)
+    return filled.select(
+        F.array(*[F.col(c).cast("double") for c in _NUMERIC_RAW]).alias("features"),
+        FeaturePipelineModel._lookup("event_type", label_map).alias("label"),
+    ).filter(F.col("label").isNotNull())
+
+
 def _fit_named(name: str, train_v: DataFrame, seed: int = 42):
     """MLlib battery member by name, on vector column ``fv``."""
     if name == "mlp":
@@ -105,26 +123,16 @@ def run_pipeline(
     # prepare_raw_data, main.py:47-64) — null json fields zero-filled
     # (the reference would crash on them; documented divergence).
     # processed: the full 9-stage pipeline ending in PCA(k).
-    fp_label = fit_feature_pipeline(
-        train.select("event_type", "event_id"), label_col="event_type"
-    )
-
-    def prep_raw(df: DataFrame) -> DataFrame:
-        filled = df.fillna(0.0, subset=_NUMERIC_RAW)
-        arr = filled.select(
-            F.array(*[F.col(c).cast("double") for c in _NUMERIC_RAW]).alias(
-                "features"
-            ),
-            "event_type",
-            "event_id",
-        )
-        return fp_label.transform(arr).select("features", "label")
-
     train_c = train.cache()
     try:
         fp_full = fit_feature_pipeline(train_c, label_col="event_type", pca_k=pca_k)
+        # label map fitted on train by fp_full — raw and processed preps
+        # index classes identically without a second indexer fit
+        lm = fp_full.label_model
         preps = {
-            "raw": (prep_raw(train), prep_raw(test)),
+            # prepare_raw(train_c): reuse the cached materialization for
+            # the raw fit path too (ADVICE r2 low) — test stays lazy.
+            "raw": (prepare_raw(train_c, lm), prepare_raw(test, lm)),
             "processed": (
                 fp_full.transform(train_c).select("features", "label"),
                 fp_full.transform(test).select("features", "label"),

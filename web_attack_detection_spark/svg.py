@@ -75,8 +75,17 @@ def line_chart(
     x_label: str = "epoch",
     y_label: str = "value",
 ) -> str:
-    """Multi-series line chart; x is the 1-based index (epochs)."""
+    """Multi-series line chart; x is the 1-based index (epochs).
+
+    Total on degenerate input (ADVICE r2): an empty series dict or
+    all-empty series renders an axes-only chart instead of raising —
+    sinks must never crash a pipeline run over a no-history model."""
+    series = {k: v for k, v in series.items() if v}
     all_vals = [v for vals in series.values() for v in vals]
+    if not all_vals:
+        parts = _header(title) + _axes(x_label, y_label)
+        parts.append("</svg>")
+        return "\n".join(parts)
     lo, hi, to_y = _y_scale(min(all_vals), max(all_vals))
     n = max(len(v) for v in series.values())
     parts = _header(title) + _axes(x_label, y_label) + _y_ticks(lo, hi, to_y)
@@ -110,7 +119,12 @@ def line_chart(
 def bar_chart(
     items: list[tuple[str, float]], title: str, y_label: str = "value"
 ) -> str:
-    """Categorical bar chart (model-comparison / training-time sinks)."""
+    """Categorical bar chart (model-comparison / training-time sinks).
+    Total on an empty items list: renders an axes-only chart."""
+    if not items:
+        parts = _header(title) + _axes("", y_label)
+        parts.append("</svg>")
+        return "\n".join(parts)
     lo, hi, to_y = _y_scale(0.0, max(v for _, v in items))
     parts = _header(title) + _axes("", y_label) + _y_ticks(lo, hi, to_y)
     n = len(items)
