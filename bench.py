@@ -122,27 +122,40 @@ def main() -> None:
 
     import gc
 
+    # median-of-N per query (VERDICT r2 #7): local-mode per-query
+    # swings are ±3× run-to-run (BASELINE.md) — one cold pass + N-1
+    # warm passes, record the MEDIAN so round-over-round deltas are
+    # attributable to code, not JIT/GC noise. Spread (min/max) rides
+    # along so the noise itself stays visible.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
+
+    def timed(name: str, fn) -> None:
+        runs: list[float] = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            n = df.count()
+            runs.append(round(time.perf_counter() - t0, 4))
+            assert n >= 0
+            # release localCheckpoint block references between queries
+            # (ContextCleaner frees them once Python lets go) — otherwise
+            # 70 queries of accumulated blocks pressure the block manager
+            # and late queries measure eviction churn, not their own cost
+            del df
+            gc.collect()
+        timings[name] = sorted(runs)[len(runs) // 2]
+        spread[name] = [min(runs), max(runs)]
+
     for name in sorted(QUERIES):
-        fn = QUERIES[name].fn
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        assert n >= 0
-        # release localCheckpoint block references between queries
-        # (ContextCleaner frees them once Python lets go) — otherwise 70
-        # queries of accumulated blocks pressure the block manager and
-        # late queries measure eviction churn, not their own cost
-        del df
-        gc.collect()
+        timed(name, QUERIES[name].fn)
 
     # flagship pipeline end-to-end
     from web_attack_detection_spark.plans.flagship import flagship_pipeline
 
-    t0 = time.perf_counter()
-    flagship_pipeline(spark, SF_DIR).count()
-    timings["flagship_pipeline"] = round(time.perf_counter() - t0, 4)
+    timed("flagship_pipeline", lambda s, d: flagship_pipeline(s, d))
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -150,6 +163,8 @@ def main() -> None:
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "reps": reps,
+        "spread": spread,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))
