@@ -68,11 +68,11 @@ def test_no_python_eval_in_jvm_paths(spark):
 
 
 def test_flagship_transform_is_map_only_no_joins(spark):
-    """Round 2: the fitted pipeline's scoring path must be a pure
-    projection — literal-map indexer lookups (no join nodes at all) and
-    the PCA projection as column expressions (no Python, no vector
-    conversion). The fit may use Arrow (the Gramian pass); the
-    TRANSFORM plan must not."""
+    """Round 2/3: the fitted pipeline's scoring path must be a pure
+    map stage — literal-map indexer lookups (no join nodes, no
+    shuffle). With PCA fitted, the projection is ONE Arrow-vectorized
+    gemm node (ArrowEvalPython) — never a per-row BatchEvalPython;
+    without PCA the plan contains no Python at all."""
     from pyspark.sql import functions as F
 
     from web_attack_detection_spark.functions.feature import fit_feature_pipeline
@@ -89,8 +89,18 @@ def test_flagship_transform_is_map_only_no_joins(spark):
     train = events.filter(F.col("event_id") % 4 != 1)
     model = fit_feature_pipeline(train, label_col="event_type", pca_k=5)
     plan = plan_of(model.transform(events).select("features", "label"))
-    for node in ("Join", "EvalPython", "MapInPandas", "Exchange"):
+    for node in ("Join", "BatchEvalPython", "MapInPandas", "Exchange"):
         assert node not in plan, f"flagship transform plan contains {node}:\n{plan}"
+    # exactly one vectorized-gemm node (formatted plans name each node
+    # twice: once in the tree, once in the details section)
+    import re
+
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
+
+    model.pca_model = None
+    plan_nopca = plan_of(model.transform(events).select("features", "label"))
+    for node in ("Join", "EvalPython", "MapInPandas", "Exchange"):
+        assert node not in plan_nopca, f"pre-PCA transform contains {node}"
 
 
 def test_aggregation_uses_whole_stage_codegen(spark):

@@ -38,6 +38,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -264,13 +266,24 @@ class FeaturePipelineModel:
         assemble [→ PCA-project]. Map-only except the broadcast joins
         for indexers.
 
-        With PCA fitted, the projection is computed STRUCTURALLY: the
-        one-hot blocks are never materialized, because one-hot × dense
-        axis is just a lookup — ``CASE idx WHEN i THEN w[offset+i]`` —
-        so each output dim is 6 multiply-adds + one small CASE per
-        categorical instead of a dot over the assembled array
-        (which would re-inline the whole assembly expression per axis:
-        measured 2-3× slower via pure codegen size)."""
+        With PCA fitted, the assembled array is projected by an
+        Arrow-vectorized ``pandas_udf`` gemm (one ``X @ Wᵀ`` per Arrow
+        batch) — the SAME judgment call as the Gramian fit pass
+        (ml/pipeline.fit_pca_native): the expression-tree alternatives
+        were both measured SLOWER at sf0.1 (100 k × 22 → 20), because
+        a k·d dense product per row is BLAS work, not expression work:
+
+        - structural (one-hot never materialized, per-categorical
+          ``zip_with`` axis merge): 1.3–1.8 s — higher-order functions
+          evaluate interpreted, outside whole-stage codegen;
+        - per-axis codegen sums (k×d multiply-adds + element_at over
+          constant literal arrays): 2.3–2.5 s — 700 codegen'd nodes
+          per row still lose to one gemm;
+        - assemble + Arrow gemm: 0.64–0.69 s, within noise of the
+          assemble-only (no PCA) plan — the projection is ~free.
+
+        The plan stays map-only (no join, no shuffle); the single
+        ArrowEvalPython node is asserted by tests/test_explain.py."""
         out = apply_imputer(df, self.means)
         out = apply_scaler(out, self.scaler_stats)
         feature_cols = [f"{c}_scaled" for c in self.numeric_cols]
@@ -284,55 +297,32 @@ class FeaturePipelineModel:
             out = out.withColumn(
                 "label", self._lookup(self.label_col, self.label_model)
             ).filter(F.col("label").isNotNull())
+        for c in self.categorical_cols:
+            out = apply_one_hot(out, f"{c}_idx", f"{c}_vec", self.cat_sizes[c])
+        out = assemble_array(out, feature_cols, "numeric_features")
+        # final assembly: scaled numerics ++ one-hot indicator arrays
+        final = F.col("numeric_features")
+        for c in self.categorical_cols:
+            final = F.concat(final, F.col(f"{c}_vec"))
         if self.pca_model is None:
-            for c in self.categorical_cols:
-                out = apply_one_hot(out, f"{c}_idx", f"{c}_vec", self.cat_sizes[c])
-            out = assemble_array(out, feature_cols, "numeric_features")
-            # final assembly: scaled numerics ++ one-hot indicator arrays
-            final = F.col("numeric_features")
-            for c in self.categorical_cols:
-                final = F.concat(final, F.col(f"{c}_vec"))
             return out.withColumn(features_col, final)
         # reference parity: the core pipeline ends with PCA(k=20)
-        # (/root/reference/utils/data_preprocessing.py:47) — VERDICT r1
-        # "What's missing" §1. Axis layout matches the assembled order:
-        # scaled numerics, then per-categorical one-hot slots (size-1,
-        # drop_last), so a fit on assembled arrays projects identically.
-        #
-        # Per-axis formulation (k copies of every term) compiles O(k·d)
-        # expression nodes; instead each categorical contributes a
-        # k-VECTOR selected by idx from a constant array-of-arrays
-        # literal, and the axes combine with k·|numeric| multiply-adds
-        # + one zip_with per categorical — an order of magnitude fewer
-        # nodes for janino, same math, same float-op order.
-        comps = self.pca_model.components
-        k = len(comps)
-        pos = 0
-        num_axes = []
-        for j in range(k):
-            term = F.lit(0.0)
-            for i, c in enumerate(self.numeric_cols):
-                term = term + F.col(f"{c}_scaled") * F.lit(float(comps[j][pos + i]))
-            num_axes.append(term)
-        pos += len(self.numeric_cols)
-        acc = F.array(*num_axes)
-        for c in self.categorical_cols:
-            width = self.cat_sizes[c] - 1  # drop_last slots
-            # vectors[i][j] = axis j's weight for slot i; the drop_last
-            # category (idx == width) selects the all-zero vector
-            vectors = F.array(
-                *[
-                    F.array(*[F.lit(float(comps[j][pos + i])) for j in range(k)])
-                    for i in range(width)
-                ],
-                F.array(*[F.lit(0.0)] * k),
-            )
-            contrib = F.element_at(
-                vectors, F.least(F.col(f"{c}_idx").cast("int"), F.lit(width)) + 1
-            )
-            acc = F.zip_with(acc, contrib, lambda a, b: a + b)
-            pos += width
-        return out.withColumn(features_col, acc)
+        # (/root/reference/utils/data_preprocessing.py:47). Axis layout
+        # matches the assembled order: scaled numerics, then
+        # per-categorical one-hot slots (size-1, drop_last).
+        import numpy as np
+        from pyspark.sql.functions import pandas_udf
+
+        comps_t = np.array(self.pca_model.components, dtype=np.float64).T  # d×k
+
+        @pandas_udf("array<double>")
+        def _pca_project(a: pd.Series) -> pd.Series:
+            if not len(a):
+                return pd.Series([], dtype=object)
+            x = np.array(a.tolist(), dtype=np.float64)
+            return pd.Series(list(x @ comps_t))
+
+        return out.withColumn(features_col, _pca_project(final))
 
 
 def fit_feature_pipeline(
@@ -348,24 +338,23 @@ def fit_feature_pipeline(
     Job layout — the part that matters at 100 TB, where every fit job
     is a full scan of the train split:
 
-    1. ONE aggregation computes every numeric statistic: imputer means
-       AND post-impute scaler stddevs. Imputing a column with its own
-       mean leaves the mean unchanged and contributes zero squared
-       deviation, so the imputed sample variance is exactly
+    1. ONE fused melt scan computes EVERY fit statistic: imputer means,
+       post-impute scaler stddevs, and all string-indexer counts
+       (categoricals and the label) — one pass, one tiny partially-
+       aggregated shuffle. Imputing a column with its own mean leaves
+       the mean unchanged and contributes zero squared deviation, so
+       the imputed sample variance is exactly
        ``var_nonnull · (n_nonnull − 1) / (n_total − 1)`` — no second
-       pass over imputed data needed.
-    2. ONE melt scan (explode to (col, value) pairs → count) fits ALL
-       string indexers — categoricals and the label — instead of one
-       groupBy job per column. The per-column frequencyDesc/value-asc
-       rank is applied driver-side over the collected (tiny,
-       Σ cardinalities) count set; model relations are rebuilt as
-       driver-local DataFrames, broadcast at transform exactly like
-       the per-column fit would be.
-    3. ``pca_k`` (the reference's final stage, ``data_preprocessing
-       .py:47``, k=20) adds the flat-projection checkpoint + the d²/2
-       covariance aggregation (ml/pipeline.fit_pca_native). Width is
-       known from fitted metadata (scaled numerics + size-1 one-hot
-       slots per categorical); k clamps to it.
+       pass over imputed data needed. The per-column frequencyDesc/
+       value-asc rank is applied driver-side over the collected (tiny,
+       Σ cardinalities) count set.
+    2. ``pca_k`` (the reference's final stage, ``data_preprocessing
+       .py:47``, k=20) adds ONE more pass: the d²/2 Gramian
+       aggregation over the assembled projection
+       (ml/pipeline.fit_pca_native). Width is known from fitted
+       metadata (scaled numerics + size-1 one-hot slots per
+       categorical); k clamps to it. Total fit cost: two input passes
+       with PCA, one without.
 
     The standalone F1/F3/F5 operators (fit_string_indexer,
     fit_imputer_mean, fit_scaler) keep their one-job-per-stage form —
@@ -374,20 +363,77 @@ def fit_feature_pipeline(
     """
     categorical, numeric = classify_columns(train, label_col, reference_compat)
 
-    # --- job 1: fused numeric statistics ---------------------------------
-    aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in numeric:
-        aggs += [
-            F.avg(c).alias(f"__m_{c}"),
-            F.var_samp(c).alias(f"__v_{c}"),
-            F.count(c).alias(f"__c_{c}"),
-        ]
-    row = train.agg(*aggs).first()
-    n_total = row["__n"]
-    means = {c: row[f"__m_{c}"] for c in numeric}
+    # --- ONE fused fit scan: numeric moments + every indexer count -------
+    # Melt each row into one (kind, col, sval, dval) struct per fitted
+    # column and aggregate by (kind, col, sval):
+    #   - a numeric column's single group (sval NULL) carries its
+    #     count/avg/var_samp — bit-identical to the per-column agg;
+    #   - a categorical/label column's groups carry per-value counts.
+    # One scan, one partially-aggregated shuffle whose keys are
+    # Σ cardinalities + |numerics| — tiny at any data scale. The melt
+    # multiplies rows ×|fitted columns| BEFORE the map-side combine
+    # collapses them, trading CPU for a whole extra input pass vs the
+    # unfused 2-job layout — the right trade when the input is a scan
+    # (IO-bound) and still fine on a cached train (measured: fused one
+    # pass ≈ the cheaper of the two unfused jobs at sf0.1). The
+    # standalone F1/F3/F5 operators keep their one-job-per-stage form.
+    fit_cols = list(categorical) + ([label_col] if label_col is not None else [])
+    structs = [
+        F.struct(
+            F.lit("num").alias("kind"),
+            F.lit(c).alias("col"),
+            F.lit(None).cast("string").alias("sval"),
+            F.col(c).cast("double").alias("dval"),
+        )
+        for c in numeric
+    ] + [
+        F.struct(
+            F.lit("cat").alias("kind"),
+            F.lit(c).alias("col"),
+            # cast keeps the melt array homogeneous; the pipeline's
+            # categoricals/labels are strings by classification, so
+            # this is a no-op for them
+            F.col(c).cast("string").alias("sval"),
+            F.lit(None).cast("double").alias("dval"),
+        )
+        for c in fit_cols
+    ]
+    stats_rows = []
+    if structs:
+        stats_rows = (
+            train.select(F.explode(F.array(*structs)).alias("p"))
+            .select("p.*")
+            .groupBy("kind", "col", "sval")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count("dval").alias("n_nonnull"),
+                F.avg("dval").alias("mean"),
+                F.var_samp("dval").alias("var"),
+            )
+            .collect()
+        )
+
+    n_total = None
+    num_rows = {}
+    by_col: dict[str, list] = {c: [] for c in fit_cols}
+    for r in stats_rows:
+        if r["kind"] == "num":
+            n_total = r["n_rows"]  # every row emits one struct per column
+            num_rows[r["col"]] = r
+        elif r["sval"] is not None:  # NULL categorical values unindexed
+            by_col[r["col"]].append((r["sval"], r["n_rows"]))
+    if n_total is None and fit_cols:
+        # no numeric columns: recover the total from one categorical
+        # column's groups (they partition all rows, NULL group included)
+        c0 = fit_cols[0]
+        n_total = sum(
+            r["n_rows"] for r in stats_rows if r["kind"] == "cat" and r["col"] == c0
+        )
+
+    means = {c: num_rows[c]["mean"] for c in numeric}
     scaler_stats: dict[str, tuple[float, float]] = {}
     for c in numeric:
-        var_nn, n_nn = row[f"__v_{c}"], row[f"__c_{c}"]
+        var_nn, n_nn = num_rows[c]["var"], num_rows[c]["n_nonnull"]
         if var_nn is None or n_total <= 1:
             scaler_stats[c] = (means[c], None)
         else:
@@ -402,45 +448,17 @@ def fit_feature_pipeline(
         label_col=label_col,
     )
 
-    # --- job 2: all string indexers in one melt scan ---------------------
-    fit_cols = list(categorical) + ([label_col] if label_col is not None else [])
-    if fit_cols:
-        pairs = train.select(
-            F.explode(
-                F.array(
-                    *[
-                        # cast keeps the melt array homogeneous; the
-                        # pipeline's categoricals/labels are strings by
-                        # classification, so this is a no-op for them
-                        F.struct(
-                            F.lit(c).alias("col"),
-                            F.col(c).cast("string").alias("value"),
-                        )
-                        for c in fit_cols
-                    ]
-                )
-            ).alias("p")
-        ).select("p.col", "p.value")
-        counts = (
-            pairs.filter(F.col("value").isNotNull())
-            .groupBy("col", "value")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .collect()
-        )
-        by_col: dict[str, list] = {c: [] for c in fit_cols}
-        for r in counts:
-            by_col[r["col"]].append((r["value"], r["cnt"]))
-        for c in fit_cols:
-            # frequencyDesc, ties value-asc — same total order as the
-            # fit_string_indexer window, applied driver-side over the
-            # tiny per-column count set
-            ordered = sorted(by_col[c], key=lambda vc: (-vc[1], vc[0]))
-            mapping = {v: float(i) for i, (v, _) in enumerate(ordered)}
-            if c == label_col:
-                model.label_model = mapping
-            else:
-                model.cat_models[c] = mapping
-                model.cat_sizes[c] = len(ordered)
+    for c in fit_cols:
+        # frequencyDesc, ties value-asc — same total order as the
+        # fit_string_indexer window, applied driver-side over the
+        # tiny per-column count set
+        ordered = sorted(by_col[c], key=lambda vc: (-vc[1], vc[0]))
+        mapping = {v: float(i) for i, (v, _) in enumerate(ordered)}
+        if c == label_col:
+            model.label_model = mapping
+        else:
+            model.cat_models[c] = mapping
+            model.cat_sizes[c] = len(ordered)
 
     # --- job 3 (optional): PCA final stage -------------------------------
     if pca_k is not None:

@@ -71,16 +71,24 @@ def flagship_pipeline(
     features.
     """
     ev = load_table(spark, sf_dir, "events")
+    # The fixture parquet is ONE row group, so the scan is one task and
+    # every downstream map stage would run single-threaded on local[32]
+    # (measured: the whole pipeline 2.4 s → 1.6 s at sf0.1 once spread
+    # over cores). Boost only when the source under-partitions relative
+    # to the cluster — a well-laid-out 100 TB table (thousands of row
+    # groups) takes the `if` branch and never pays this shuffle.
+    target = max(spark.sparkContext.defaultParallelism // 2, 1)
+    if ev.rdd.getNumPartitions() < target:
+        ev = ev.repartition(target)
     events = derive_wide_events(ev)
     # deterministic train split (reference trains on 3 of 4 partition
     # files, main.py:28-44; we split by key instead of by file)
     train = events.filter(F.col("event_id") % 4 != 1)
     # fit-time caching (what MLlib Pipeline.fit does internally): the
-    # fit runs ~7 jobs (imputer agg, scaler agg, 4 indexer fits, PCA
-    # Gramian) — without the cache each re-scans the source AND
-    # re-derives the featurization (JSON parse, date_format) per job.
-    # At 100 TB this is the "materialize the projected train once"
-    # step; here it cuts the flagship fit ~3×.
+    # fit is 2 passes (fused stats melt + PCA Gramian) — without the
+    # cache each re-scans the source AND re-derives the featurization
+    # (JSON parse, date_format) per pass. At 100 TB this is the
+    # "materialize the projected train once" step.
     train = train.cache()
     try:
         model = fit_feature_pipeline(train, label_col="event_type", pca_k=pca_k)
