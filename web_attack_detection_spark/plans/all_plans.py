@@ -94,3 +94,7 @@ try:
     from web_attack_detection_spark.plans import streamq  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
+try:
+    from web_attack_detection_spark.plans import refshape  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass

@@ -1,0 +1,179 @@
+"""The reference's ACTUAL workload shape, end to end (VERDICT r2 #1).
+
+``/root/reference/main.py:28-44`` + ``utils/data_preprocessing.py`` is
+a 49-column UNSW-NB15 CSV program: four headerless partition files,
+files 1/3/4 unioned into train, file 2 as test, dtype-whitelist column
+classification, and the 9-stage fit-on-train pipeline. These queries
+push exactly that shape through the engine — the fixture CSVs are
+synthesized deterministically from ``events`` (io/unsw.py) so the
+DuckDB oracle can recompute the prepared output from first principles.
+
+Scale shape: the CSV loaders are one scan per file (explicit schema —
+no inference pass); the fit is the standard 2-pass fused pipeline; the
+transform is map-only. Nothing here adds a shuffle beyond the fit's
+tiny stats aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from web_attack_detection_spark.functions.feature import (
+    classify_columns,
+    fit_feature_pipeline,
+)
+from web_attack_detection_spark.io.unsw import (
+    UNSW_SQL_DERIVE,
+    load_unsw,
+    unsw_fixture_dir,
+)
+from web_attack_detection_spark.plans.registry import register
+
+# width of the assembled feature vector with the leaky binary `label`
+# column DROPPED (the documented divergence): 42 whitelist numerics +
+# one-hot slots (size-1 each) for srcip(8) dstip(8) proto(5) state(4)
+# service(5) = 42 + 7+7+4+3+4 = 67
+_PREPARED_WIDTH = 67
+
+_UNSW_PREPARED_ORACLE = f"""
+WITH unsw AS ({UNSW_SQL_DERIVE}),
+train AS (SELECT * FROM unsw WHERE __file <> 1),
+test  AS (SELECT * FROM unsw WHERE __file = 1),
+stats AS (
+  SELECT COUNT(*) AS n_tot,
+         VAR_SAMP(dur) AS v_dur, COUNT(dur) AS c_dur,
+         AVG(ct_flw_http_mthd) AS m_h, VAR_SAMP(ct_flw_http_mthd) AS v_h,
+         COUNT(ct_flw_http_mthd) AS c_h
+  FROM train
+),
+labels AS (
+  SELECT attack_cat,
+         CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, attack_cat ASC) - 1
+              AS DOUBLE) AS lbl
+  FROM train GROUP BY attack_cat
+),
+scaled AS (
+  SELECT l.lbl AS label,
+         t.dur / SQRT(s.v_dur * (s.c_dur - 1) / (s.n_tot - 1)) AS dur_scaled,
+         COALESCE(t.ct_flw_http_mthd, s.m_h)
+           / SQRT(s.v_h * (s.c_h - 1) / (s.n_tot - 1)) AS h_scaled
+  FROM test t JOIN labels l USING (attack_cat) CROSS JOIN stats s
+)
+SELECT label,
+       COUNT(*) AS n,
+       {_PREPARED_WIDTH} AS width,
+       CAST(SUM(CAST(ROUND(dur_scaled * 1000000) AS BIGINT)) AS BIGINT) AS sdur_scaled,
+       CAST(SUM(CAST(ROUND(h_scaled * 1000000) AS BIGINT)) AS BIGINT) AS shttp_scaled
+FROM scaled GROUP BY label
+"""
+
+
+@register(
+    "ref_unsw_prepared",
+    _UNSW_PREPARED_ORACLE,
+    doc="reference-shaped UNSW CSV workload: 4-file ingest -> fit-on-train pipeline, prepared test split checked per class",
+)
+def ref_unsw_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's real preparation (``data_preprocessing.py``) on
+    its real input shape: write/read the four headerless 49-column
+    partition CSVs, union files 1/3/4 into train, fit the pipeline on
+    train with the REFERENCE dtype whitelist, transform the test file,
+    and summarize per indexed class: row count, assembled width, and
+    integer-scaled sums of two scaled columns (``dur`` exercises the
+    scaler; nullable ``ct_flw_http_mthd`` exercises imputer+scaler).
+
+    Divergence (documented, SURVEY.md §1.3): the leaky binary ``label``
+    column is dropped before the fit — the reference PCA's it into the
+    features. The oracle recomputes everything from first principles
+    (freq-desc label indexing, imputed sample variance) in SQL.
+    """
+    d = unsw_fixture_dir(spark, sf_dir)
+    train, test = load_unsw(spark, d)
+    model = fit_feature_pipeline(
+        train.drop("label"), label_col="attack_cat", reference_compat=True
+    )
+    prep = model.transform(test.drop("label"))
+    return prep.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.size("features")).cast("int").alias("width"),
+        F.sum(F.round(F.col("dur_scaled") * 1000000).cast("long")).alias(
+            "sdur_scaled"
+        ),
+        F.sum(
+            F.round(F.col("ct_flw_http_mthd_scaled") * 1000000).cast("long")
+        ).alias("shttp_scaled"),
+    )
+
+
+_UNSW_CLASSIFY_ORACLE = """
+SELECT 'categorical' AS kind, 5 AS n_cols, TRUE AS ok
+UNION ALL
+SELECT 'numeric_ref_whitelist', 43, TRUE
+UNION ALL
+SELECT 'numeric_clean', 42, TRUE
+"""
+
+
+@register(
+    "ref_unsw_classify",
+    _UNSW_CLASSIFY_ORACLE,
+    doc="reference dtype-whitelist classification on the UNSW shape, incl. the label-leak count",
+)
+def ref_unsw_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 on the reference's real schema: the integer/double whitelist
+    sweeps the binary ``label`` into the 43 numerics (the leak —
+    SURVEY.md §1.3); dropping it first gives the clean 42. Checked as
+    structural counts so the oracle is schema-derived, not data-derived.
+    """
+    d = unsw_fixture_dir(spark, sf_dir)
+    train, _ = load_unsw(spark, d)
+    cats, nums = classify_columns(train, "attack_cat", reference_compat=True)
+    _, nums_clean = classify_columns(
+        train.drop("label"), "attack_cat", reference_compat=True
+    )
+    rows = [
+        ("categorical", len(cats), sorted(cats) == ["dstip", "proto", "service", "srcip", "state"]),
+        ("numeric_ref_whitelist", len(nums), "label" in nums),
+        ("numeric_clean", len(nums_clean), "label" not in nums_clean),
+    ]
+    return spark.createDataFrame(rows, "kind string, n_cols int, ok boolean")
+
+
+@register(
+    "ref_unsw_battery",
+    None,
+    doc="runner.run_pipeline over the UNSW-shaped CSVs: the reference's whole main() on its real input (rows-only)",
+)
+def ref_unsw_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 on the reference's real workload shape: the full program —
+    4-CSV ingest, raw + processed preparations, timed model battery,
+    evaluation, artifacts — via the SAME ``runner.run_pipeline`` code
+    path the events workload uses, parameterized by loader/label/
+    numeric columns. Rows-only: train_seconds is wall-clock and the
+    NB accuracy depends on MLlib internals, but the summary shape
+    (model × prep) and accuracy bounds are pytested.
+    """
+    import tempfile
+
+    from web_attack_detection_spark.runner import run_pipeline
+
+    def loader(s: SparkSession, sd: str):
+        d = unsw_fixture_dir(s, sd)
+        train, test = load_unsw(s, d)
+        return train.drop("label"), test.drop("label")
+
+    train, _ = loader(spark, sf_dir)
+    _, nums = classify_columns(train, "attack_cat", reference_compat=True)
+    with tempfile.TemporaryDirectory() as out:
+        return run_pipeline(
+            spark,
+            sf_dir,
+            out_dir=out,
+            models=("nb",),
+            pca_k=20,
+            loader=loader,
+            label_col="attack_cat",
+            numeric_raw=nums,
+            reference_compat=True,
+        )

@@ -53,21 +53,27 @@ from web_attack_detection_spark.viz import (
 _NUMERIC_RAW = ["value", "k", "hour", "dom"]
 
 
-def prepare_raw(df: DataFrame, label_map: dict[str, float]) -> DataFrame:
+def prepare_raw(
+    df: DataFrame,
+    label_map: dict[str, float],
+    numeric_cols: list[str] | None = None,
+    label_col: str = "event_type",
+) -> DataFrame:
     """The reference's ``prepare_raw_data`` (``main.py:47-64``): numeric
     columns zero-filled and assembled AS-IS + the train-fitted label
     index — and nothing else. Label indexing is a literal-map lookup
     ONLY: running the fitted feature pipeline's transform here would
     re-assemble ``features`` from the pipeline's fitted numeric columns
-    and silently discard the raw 4-column array (ADVICE r2 high;
+    and silently discard the raw array (ADVICE r2 high;
     regression-tested: tests/test_inference_viz.py asserts the raw prep
-    emits exactly ``len(_NUMERIC_RAW)``-dim features)."""
+    emits exactly ``len(numeric_cols)``-dim features)."""
     from web_attack_detection_spark.functions.feature import FeaturePipelineModel
 
-    filled = df.fillna(0.0, subset=_NUMERIC_RAW)
+    cols = numeric_cols if numeric_cols is not None else _NUMERIC_RAW
+    filled = df.fillna(0.0, subset=cols)
     return filled.select(
-        F.array(*[F.col(c).cast("double") for c in _NUMERIC_RAW]).alias("features"),
-        FeaturePipelineModel._lookup("event_type", label_map).alias("label"),
+        F.array(*[F.col(c).cast("double") for c in cols]).alias("features"),
+        FeaturePipelineModel._lookup(label_col, label_map).alias("label"),
     ).filter(F.col("label").isNotNull())
 
 
@@ -102,10 +108,23 @@ def run_pipeline(
     out_dir: str = "plots",
     models: tuple[str, ...] = ("mlp", "logreg", "nb", "rf"),
     pca_k: int | None = 20,
+    *,
+    loader=None,
+    label_col: str = "event_type",
+    numeric_raw: list[str] | None = None,
+    reference_compat: bool = False,
 ) -> DataFrame:
     """The reference ``main()``: returns a summary DataFrame
     (model, prep, accuracy, train_seconds) and writes the V1-V4
     artifacts into one run directory under ``out_dir``.
+
+    By default the workload is the events-derived wide frame; pass
+    ``loader`` — ``(spark, sf_dir) -> (train, test)`` — with
+    ``label_col``/``numeric_raw`` to run the SAME program over any
+    input shape (plans/refshape.py drives the reference's actual
+    UNSW-NB15 49-column CSV shape through here). ``reference_compat``
+    narrows dtype classification to the reference's integer/double
+    whitelist (functions/feature.classify_columns).
 
     Scale shape: ONE cached materialization of each prepared train
     split feeds every fit (the reference instead re-collects the whole
@@ -114,9 +133,13 @@ def run_pipeline(
     counts ever reach the driver.
     """
     run_dir = make_run_dir(base=out_dir)
-    events = derive_wide_events(load_table(spark, sf_dir, "events"))
-    train = events.filter(F.col("event_id") % 4 != 1)
-    test = events.filter(F.col("event_id") % 4 == 1)
+    if loader is None:
+        events = derive_wide_events(load_table(spark, sf_dir, "events"))
+        train = events.filter(F.col("event_id") % 4 != 1)
+        test = events.filter(F.col("event_id") % 4 == 1)
+    else:
+        train, test = loader(spark, sf_dir)
+    raw_cols = numeric_raw if numeric_raw is not None else _NUMERIC_RAW
 
     # --- preparations -----------------------------------------------------
     # raw: numeric columns assembled as-is + indexed label (reference
@@ -125,14 +148,22 @@ def run_pipeline(
     # processed: the full 9-stage pipeline ending in PCA(k).
     train_c = train.cache()
     try:
-        fp_full = fit_feature_pipeline(train_c, label_col="event_type", pca_k=pca_k)
+        fp_full = fit_feature_pipeline(
+            train_c,
+            label_col=label_col,
+            pca_k=pca_k,
+            reference_compat=reference_compat,
+        )
         # label map fitted on train by fp_full — raw and processed preps
         # index classes identically without a second indexer fit
         lm = fp_full.label_model
         preps = {
             # prepare_raw(train_c): reuse the cached materialization for
             # the raw fit path too (ADVICE r2 low) — test stays lazy.
-            "raw": (prepare_raw(train_c, lm), prepare_raw(test, lm)),
+            "raw": (
+                prepare_raw(train_c, lm, raw_cols, label_col),
+                prepare_raw(test, lm, raw_cols, label_col),
+            ),
             "processed": (
                 fp_full.transform(train_c).select("features", "label"),
                 fp_full.transform(test).select("features", "label"),
