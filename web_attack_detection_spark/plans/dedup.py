@@ -141,6 +141,28 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_connected_components_dist",
+    _CC_ORACLE,
+    doc="connected components, DISTRIBUTED min-label propagation path forced (driver_threshold=0)",
+)
+def dedup_connected_components_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same collapse with the driver union-find DISABLED
+    (``driver_threshold=0``), forcing the iterative min-label
+    propagation the 100 TB story rests on (VERDICT r2 #4): doubled
+    edge list → per-round neighbor-min join + groupBy, two hops per
+    localCheckpoint, convergence by changed-label count. Identical
+    labels to the driver path — both are checked against the same
+    recursive-CTE oracle, so the equivalence is driver-verified, not
+    just pytested."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs_exact(docs, "text", "doc_id", n=3, threshold=0.2)
+    cc = connected_components(pairs, driver_threshold=0)
+    return cc.select(
+        F.col("id").cast("long").alias("doc_id"), F.col("component").cast("long")
+    )
+
+
 # ---------------------------------------------------------------------------
 # end-to-end dedup: pairs → components → surviving corpus
 # ---------------------------------------------------------------------------

@@ -59,19 +59,44 @@ def _replay_input(spark: SparkSession, sf_dir: str) -> str:
     stream replay input — the input is immutable, so every streaming
     query replays the same files instead of re-writing them.
 
-    SINGLE-BATCH ASSUMPTION (ADVICE r1): the default file source takes
-    all 4 parquet files in ONE micro-batch, so the watermark never
-    advances mid-replay and no late rows are dropped. Setting
-    ``maxFilesPerTrigger`` would replay time-unordered files across
-    batches and could silently drop rows below the watermark —
-    breaking the batch-oracle equivalence stream_join_left_outer (and
-    every windowed oracle here) relies on. Don't set it on replays."""
+    The four files are TIME-RANGED (exact event-time quartiles) and
+    written with both lexicographic names and strictly increasing
+    modification times in chronological order (VERDICT r2 #5, replacing
+    the r2 single-batch assumption). The file source processes files in
+    (modTime, path) order, so under ANY ``maxFilesPerTrigger`` every
+    micro-batch's minimum event time is ≥ the previous batch's maximum:
+    the watermark can never drop a row mid-replay, and stream results
+    stay exactly batch-equivalent however the replay is chopped
+    (tests/test_streaming.py replays with maxFilesPerTrigger=1). This
+    mirrors production transports — log-rotated / date-partitioned
+    drops are naturally time-ordered files."""
+    import os
+    import shutil
+
     d = _REPLAY_DIRS.get(sf_dir)
     if d is None:
         d = tempfile.mkdtemp(prefix="streamq_")
-        load_table(spark, sf_dir, "events").coalesce(4).write.mode("overwrite").parquet(
-            f"{d}/in"
-        )
+        os.makedirs(f"{d}/in")
+        ev = load_table(spark, sf_dir, "events")
+        t = F.unix_micros(F.col("ts"))
+        # exact quartile cut points (relativeError=0) — any monotone
+        # 4-way cut works; exact keeps file sizes balanced
+        qs = ev.select(t.alias("t")).approxQuantile("t", [0.25, 0.5, 0.75], 0.0)
+        bounds = [None, *qs, None]
+        for i in range(4):
+            part = ev
+            if bounds[i] is not None:
+                part = part.filter(t >= F.lit(bounds[i]))
+            if bounds[i + 1] is not None:
+                part = part.filter(t < F.lit(bounds[i + 1]))
+            tmp = f"{d}/__w{i}"
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            dst = f"{d}/in/part-{i:04d}.parquet"
+            shutil.move(os.path.join(tmp, src), dst)
+            shutil.rmtree(tmp)
+            base = 1_600_000_000 + i  # strictly increasing mtimes
+            os.utime(dst, (base, base))
         _REPLAY_DIRS[sf_dir] = d
     return d
 

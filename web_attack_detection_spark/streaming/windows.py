@@ -247,10 +247,18 @@ def deduped_event_counts(events: DataFrame, watermark: str = "1 hour") -> DataFr
     )
 
 
-def stream_events_from_dir(spark: SparkSession, path: str) -> DataFrame:
+def stream_events_from_dir(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source stream: each new parquet file in ``path`` becomes a
-    micro-batch — the deterministic test transport."""
-    return spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+    micro-batch — the deterministic test transport.
+    ``max_files_per_trigger`` rate-limits the replay into multiple
+    micro-batches (exact iff the input files are time-ranged — see
+    plans/streamq._replay_input)."""
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
 
 
 def stream_events_from_kafka(
