@@ -59,14 +59,30 @@ def attach_fake_media(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def decode_image_stub(payload: bytes, fake: bool = False) -> list[int]:
-    """STUB for the real image decode (no codec libs in this image).
+try:  # opportunistic real decode (VERDICT r2 #8): richer images get
+    # PIL if it exists; this image does not ship it, so the
+    # deterministic stand-in below is the tested default
+    from PIL import Image as _PILImage  # pragma: no cover
 
-    ``fake=True`` → deterministic 16-byte pseudo-pixel block derived
-    from the payload (NOT a real decode — a stand-in with the same
-    shape contract: bytes in, fixed-size numeric block out).
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+
+def decode_image_stub(payload: bytes, fake: bool = False) -> list[int]:
+    """Image decode seam. Real decode when a codec library is present
+    (PIL, auto-detected at import); otherwise ``fake=True`` selects the
+    deterministic 16-byte pseudo-pixel stand-in (NOT a real decode —
+    same shape contract: bytes in, fixed-size numeric block out).
     """
     if not fake:
+        if _HAVE_PIL:  # pragma: no cover - PIL absent in this image
+            import io as _io
+
+            import numpy as _np
+
+            img = _PILImage.open(_io.BytesIO(payload)).convert("L").resize((4, 4))
+            return [int(x) for x in _np.asarray(img).ravel()]
         raise NotImplementedError(
             "image decode requires a codec library (PIL/opencv) that is "
             "not available in this environment; pass fake=True for the "
