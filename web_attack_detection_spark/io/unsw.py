@@ -197,6 +197,8 @@ UNSW_SQL_DERIVE = """
     value / 100.0 AS dur,
     CASE WHEN event_id % 10 = 0 THEN NULL
          ELSE CAST(event_id % 7 AS INTEGER) END AS ct_flw_http_mthd,
+    value * 8.0 AS sload,
+    CAST(31 + event_id % 224 AS INTEGER) AS sttl,
     CAST(event_id % 4 AS INTEGER) AS __file
   FROM events
 """

@@ -140,6 +140,85 @@ def ref_unsw_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "kind string, n_cols int, ok boolean")
 
 
+# fixed-weight linear scorer for the streaming detection query: plain
+# double arithmetic in a FIXED order so Spark and DuckDB produce
+# bit-identical logits, with first-max tie-break on both sides
+_SCORE_FEATURES = "dur, sload / 1000.0, sttl / 100.0"
+
+_UNSW_STREAM_ORACLE = f"""
+WITH unsw AS ({UNSW_SQL_DERIVE}),
+test AS (SELECT * FROM unsw WHERE __file = 1),
+logits AS (
+  SELECT 0.3 - 0.5 * dur + 0.2 * (sttl / 100.0) AS l_normal,
+         -0.1 + 0.4 * dur + 0.3 * (sload / 1000.0) AS l_attack,
+         0.05 * (sload / 1000.0) + 0.1 * (sttl / 100.0) AS l_suspicious
+  FROM test
+)
+SELECT CASE WHEN l_normal >= l_attack AND l_normal >= l_suspicious THEN 'normal'
+            WHEN l_attack >= l_suspicious THEN 'attack'
+            ELSE 'suspicious' END AS prediction,
+       COUNT(*) AS n
+FROM logits GROUP BY 1
+"""
+
+
+@register(
+    "ref_unsw_stream_score",
+    _UNSW_STREAM_ORACLE,
+    doc="streaming attack detection over the UNSW CSV shape: CSV file-source -> map-only scoring -> class counts, oracle-checked",
+)
+def ref_unsw_stream_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's PURPOSE — web attack detection — run the way it
+    would deploy: flows arrive as CSV drops (the latent Kafka seam,
+    SURVEY §2.1 S3), a fixed fitted model scores each micro-batch
+    map-side, and per-class counts aggregate in complete mode. The
+    scorer is a fixed-weight linear model over (dur, sload, sttl) so
+    the DuckDB oracle reproduces predictions BIT-EXACTLY (same double
+    ops in the same order, same first-max tie-break) — streaming
+    inference with a full value-level oracle, not rows-only. Scale
+    shape: scoring is a stateless projection (no shuffle); the only
+    state is |classes| running counts."""
+    import uuid as _uuid
+
+    from web_attack_detection_spark.io.unsw import unsw_schema
+
+    d = unsw_fixture_dir(spark, sf_dir)
+    # the file stream source wants a directory; glob-filter it down to
+    # the test partition file
+    stream = (
+        spark.readStream.schema(unsw_schema())
+        .option("header", "false")
+        .option("pathGlobFilter", "UNSW-NB15_2.csv")
+        .csv(d)
+    )
+    dur, sload, sttl = F.col("dur"), F.col("sload"), F.col("sttl")
+    l_normal = F.lit(0.3) - F.lit(0.5) * dur + F.lit(0.2) * (sttl / F.lit(100.0))
+    l_attack = F.lit(-0.1) + F.lit(0.4) * dur + F.lit(0.3) * (sload / F.lit(1000.0))
+    l_susp = F.lit(0.05) * (sload / F.lit(1000.0)) + F.lit(0.1) * (sttl / F.lit(100.0))
+    scored = stream.select(
+        F.when((l_normal >= l_attack) & (l_normal >= l_susp), "normal")
+        .when(l_attack >= l_susp, "attack")
+        .otherwise("suspicious")
+        .alias("prediction")
+    )
+    name = f"unsw_score_{_uuid.uuid4().hex[:8]}"
+    q = (
+        scored.groupBy("prediction")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.createDataFrame(
+        spark.table(name).collect(), spark.table(name).schema
+    )
+
+
 @register(
     "ref_unsw_battery",
     None,

@@ -99,6 +99,55 @@ def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs_blocked(emb, threshold=0.45)
 
 
+_EMB_DEDUP_ORACLE = f"""
+WITH RECURSIVE {_SQL_UNIT_CTE},
+jp AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM unit a
+  JOIN unit b ON a.vec_id < b.vec_id
+  WHERE {_SQL_DOT.format(a='a.u', b='b.u')} >= 0.45
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM jp
+  UNION
+  SELECT id_b AS u, id_a AS v FROM jp
+),
+reach(src, dst) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+),
+cc AS (SELECT src, MIN(dst) AS component FROM reach GROUP BY src)
+SELECT CAST(component AS BIGINT) AS component,
+       CAST(COUNT(*) AS BIGINT) AS n_members
+FROM cc GROUP BY component
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    _EMB_DEDUP_ORACLE,
+    doc="embedding-cosine near-dup groups: exact cosine pairs -> connected components",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding half of the dedup family end to end: exact cosine
+    pair graph (blocked numpy kernel, bit-identical to the SQL fold)
+    collapsed into near-dup GROUPS by the same connected-components
+    operator the shingle pipelines use — semantic dedup the way
+    training-data pipelines run it (text ≈ text catches rewording that
+    MinHash misses). Oracle: recursive CTE over the identical cosine
+    pair graph. At scale the exact pair stage swaps for ivf/LSH
+    candidates; the collapse is unchanged."""
+    from web_attack_detection_spark.operators.dedup import near_dup_groups
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs_blocked(emb, threshold=0.45)
+    groups = near_dup_groups(pairs)
+    return groups.select(
+        F.col("component").cast("long"), F.col("n_members").cast("long")
+    )
+
+
 _CENTROID_ORACLE = """
 WITH elems AS (
   SELECT label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
