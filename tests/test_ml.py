@@ -146,3 +146,98 @@ def test_sequence_infer_queries_distributed(spark):
         assert sum(r["n"] for r in rows) == n_rows
         again = {(r["prediction"], r["n"], r["prob_mass"]) for r in q(spark, SF_SMOKE).collect()}
         assert {(r["prediction"], r["n"], r["prob_mass"]) for r in rows} == again
+
+
+def test_fused_fit_matches_standalone_primitives(spark):
+    """The round-3 single-scan fused fit must produce bit-identical
+    statistics to the oracle-checked standalone F1/F3/F5 operators,
+    including the degenerate shapes (numeric-only, categorical-only,
+    all-null column)."""
+    from web_attack_detection_spark.functions.feature import (
+        fit_feature_pipeline,
+        fit_imputer_mean,
+        fit_scaler,
+        fit_string_indexer,
+    )
+    from web_attack_detection_spark.io.sources import load_table
+    from .conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id",
+        "value",
+        F.get_json_object("props", "$.k").cast("double").alias("k"),
+        "event_type",
+        F.lit(None).cast("double").alias("all_null"),
+    )
+
+    fp = fit_feature_pipeline(ev, label_col="event_type")
+    # imputer means match the standalone fit exactly
+    means = fit_imputer_mean(ev, ["event_id", "value", "k", "all_null"])
+    for c in ["event_id", "value", "k"]:
+        assert fp.means[c] == means[c]
+    assert fp.means["all_null"] is None
+    assert fp.scaler_stats["all_null"][1] is None
+    # label mapping matches the standalone frequencyDesc indexer
+    si = {r["value"]: r["idx"] for r in fit_string_indexer(ev, "event_type").collect()}
+    assert fp.label_model == si
+    # scaler: no-null column ⇒ imputed stddev == plain sample stddev
+    plain = fit_scaler(ev, ["value"])["value"]
+    assert abs(fp.scaler_stats["value"][1] - plain[1]) < 1e-12
+
+    # numeric-only frame (no categoricals, no label)
+    num_only = fit_feature_pipeline(ev.select("event_id", "value"))
+    assert num_only.cat_models == {} and num_only.label_model is None
+    assert set(num_only.means) == {"event_id", "value"}
+
+    # categorical-only frame (no numerics): n_total recovered from the
+    # categorical groups, transform still total
+    cat_only = fit_feature_pipeline(
+        ev.select("event_type", F.pmod("event_id", F.lit(3)).cast("string").alias("shard")),
+        label_col="event_type",
+    )
+    assert cat_only.numeric_cols == []
+    assert set(cat_only.cat_models) == {"shard"}
+    out = cat_only.transform(
+        ev.select("event_type", F.pmod("event_id", F.lit(3)).cast("string").alias("shard"))
+    )
+    assert out.count() > 0 and "label" in out.columns
+
+
+def test_analytic_pca_matches_gramian(spark):
+    """The single-scan analytic PCA (one-hot algebra + NULL
+    decomposition over the fused fit stats) must agree with the
+    explicit Arrow-Gramian pass to float tolerance — including planted
+    numeric nulls (imputer path) and null categoricals/labels (the
+    full-row gating that mirrors the transform's lookup filters)."""
+    import numpy as np
+
+    from web_attack_detection_spark.functions.feature import fit_feature_pipeline
+    from web_attack_detection_spark.io.sources import load_table
+    from web_attack_detection_spark.plans.flagship import derive_wide_events
+    from .conftest import SF_SMOKE
+
+    ev = derive_wide_events(load_table(spark, SF_SMOKE, "events"))
+    train = ev.filter(F.col("event_id") % 4 != 1)
+    hostile = (
+        train.withColumn(
+            "k", F.when(F.col("event_id") % 5 == 0, None).otherwise(F.col("k"))
+        )
+        .withColumn(
+            "dow", F.when(F.col("event_id") % 7 == 0, None).otherwise(F.col("dow"))
+        )
+        .withColumn(
+            "event_type",
+            F.when(F.col("event_id") % 11 == 0, None).otherwise(F.col("event_type")),
+        )
+    )
+    for df in (train, hostile):
+        ma = fit_feature_pipeline(df, label_col="event_type", pca_k=10,
+                                  pca_method="analytic")
+        mg = fit_feature_pipeline(df, label_col="event_type", pca_k=10,
+                                  pca_method="gramian")
+        ca = np.array(ma.pca_model.components)
+        cg = np.array(mg.pca_model.components)
+        assert np.abs(ca - cg).max() < 1e-9
+        ea = np.array(ma.pca_model.explainedVariance)
+        eg = np.array(mg.pca_model.explainedVariance)
+        assert np.abs(ea - eg).max() < 1e-12

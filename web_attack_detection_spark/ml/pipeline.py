@@ -152,7 +152,19 @@ def fit_pca_native(df: DataFrame, array_col: str, k: int, dim: int | None = None
         [np.array(p["g"]) for p in parts], axis=0
     )
     cross = cross + cross.T - np.diag(np.diag(cross))
-    dim = d
+    return pca_from_moments(n, s, cross, k)
+
+
+def pca_from_moments(n: int, s, cross, k: int) -> NativePCAModel:
+    """Eigensolve from first/second moments: ``s = Σx`` (length d),
+    ``cross = Σ x xᵀ`` (d×d), over n rows. Shared by the Arrow Gramian
+    pass above and the analytic single-scan fit
+    (functions/feature.fit_feature_pipeline) — O(d³) driver work."""
+    import numpy as np
+
+    s = np.asarray(s, dtype=np.float64)
+    cross = np.asarray(cross, dtype=np.float64)
+    dim = len(s)
     # sample covariance: (Σxᵢxⱼ − ΣxᵢΣxⱼ/n) / (n−1)
     cov = (cross - np.outer(s, s) / n) / (n - 1)
     vals, vecs = np.linalg.eigh(cov)  # ascending
