@@ -669,3 +669,54 @@ def rel_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum(unix_micros(island_e) - unix_micros(island_s)) div 1000000"
         ).alias("covered_seconds"),
     )
+
+
+# ---------------------------------------------------------------------------
+# retention cohorts: the classic cohort-week × offset activity grid
+# ---------------------------------------------------------------------------
+
+_RETENTION_ORACLE = """
+WITH weekly AS (
+  SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS w
+  FROM events
+),
+cohorts AS (
+  SELECT user_id, MIN(w) AS cohort_w FROM weekly GROUP BY user_id
+)
+SELECT strftime(c.cohort_w, '%Y-%m-%d') AS cohort_week,
+       CAST((epoch(a.w) - epoch(c.cohort_w)) // 604800 AS INTEGER) AS week_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+FROM weekly a JOIN cohorts c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "rel_retention_cohorts",
+    _RETENTION_ORACLE,
+    doc="cohort retention grid: first-activity week x week offset -> distinct active users",
+)
+def rel_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention — the analysis every event warehouse runs:
+    users grouped by first-activity week, then for each later week the
+    count still active. Two shuffles, both on user_id (dedup to weekly
+    activity, then min-week cohort assignment), and AQE reuses the
+    partitioning for the self-join because both sides hash on the same
+    key; the final grid is |cohorts|×|offsets| — tiny at any scale.
+    Week truncation is ISO-Monday in both engines; the offset is exact
+    integer arithmetic on epoch seconds."""
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("w")
+    ).distinct()
+    cohorts = weekly.groupBy("user_id").agg(F.min("w").alias("cohort_w"))
+    joined = weekly.join(cohorts, "user_id")
+    return joined.groupBy(
+        F.date_format("cohort_w", "yyyy-MM-dd").alias("cohort_week"),
+        (
+            (F.unix_timestamp("w") - F.unix_timestamp("cohort_w"))
+            / F.lit(604800)
+        )
+        .cast("int")
+        .alias("week_offset"),
+    ).agg(F.countDistinct("user_id").cast("long").alias("n_active"))
