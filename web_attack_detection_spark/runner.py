@@ -139,6 +139,12 @@ def run_pipeline(
         test = events.filter(F.col("event_id") % 4 == 1)
     else:
         train, test = loader(spark, sf_dir)
+    # No scan-repartition boost here, unlike the flagship: measured at
+    # sf0.1 the battery is dominated by MLlib fits and per-model
+    # orchestration, and the extra full-row shuffle LOSES (events path
+    # 4.9 s → 5.9 s, UNSW path ~10 s → ~11 s). The flagship's map-heavy
+    # transform is the shape that profits from the boost; this one
+    # is not — measure, don't guess.
     raw_cols = numeric_raw if numeric_raw is not None else _NUMERIC_RAW
 
     # --- preparations -----------------------------------------------------
