@@ -98,3 +98,7 @@ try:
     from web_attack_detection_spark.plans import refshape  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
+try:
+    from web_attack_detection_spark.plans import text4  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
