@@ -102,3 +102,7 @@ try:
     from web_attack_detection_spark.plans import text4  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
+try:
+    from web_attack_detection_spark.plans import graphq  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass

@@ -1,0 +1,178 @@
+"""Graph analytics over the trade graph (triangles, degrees).
+
+The nation trade graph (customer nation ↔ supplier nation, weighted by
+lineitem count — the TPC-H Q7 join shape, same derivation as
+rel_pagerank_fixed) is small in NODES but derived from the full fact
+table, which is exactly how production graph workloads look: the
+expensive part is the edge derivation (joins + aggregation over the
+fact table, one shuffle), and the graph algorithms run over the tiny
+aggregated edge list.
+
+Triangle counting uses the degree-ordered orientation (each undirected
+edge directed from its lower-degree endpoint, ties by id): with
+orientation, every triangle is found exactly ONCE by a 2-hop join, and
+the join fan-out per node is bounded by its ORIENTED out-degree —
+O(sqrt(|E|)) on skewed power-law graphs instead of the max raw degree.
+That orientation trick is what makes the same plan viable on a
+billion-edge graph. The triangle SET is orientation-independent, so
+the DuckDB oracle verifies with the simpler id-orientation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from web_attack_detection_spark.io.sources import load_table
+from web_attack_detection_spark.plans.registry import register
+
+# undirected distinct nation-pair edges from the fact-table join chain
+_EDGE_SQL = """
+  SELECT DISTINCT LEAST(c.c_nationkey, n2.n_nationkey) AS u,
+                  GREATEST(c.c_nationkey, n2.n_nationkey) AS v
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+  WHERE c.c_nationkey <> n2.n_nationkey
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .filter(c.c_nationkey != n.n_nationkey)
+    )
+    return j.select(
+        F.least(c.c_nationkey, n.n_nationkey).alias("u"),
+        F.greatest(c.c_nationkey, n.n_nationkey).alias("v"),
+    ).distinct()
+
+
+_TRIANGLE_ORACLE = f"""
+WITH e AS ({_EDGE_SQL}),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e1.v = e2.u
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+member AS (
+  SELECT a AS nk FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+)
+SELECT CAST(nk AS BIGINT) AS n_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM member GROUP BY nk
+"""
+
+
+@register(
+    "graph_triangle_count",
+    _TRIANGLE_ORACLE,
+    doc="per-node triangle counts via degree-ordered orientation join",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation. The edge list derives once
+    from the fact table; orientation by (degree, id) bounds the 2-hop
+    join fan-out (see module docstring); each triangle contributes one
+    membership row per corner. The oracle enumerates the identical
+    triangle set with id-orientation — the count per node is
+    orientation-independent, so the two formulations must agree
+    exactly."""
+    e = _edges(spark, sf_dir).localCheckpoint()
+    deg = (
+        e.select(F.col("u").alias("nk"))
+        .unionByName(e.select(F.col("v").alias("nk")))
+        .groupBy("nk")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("nk").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("nk").alias("v"), F.col("deg").alias("deg_v"))
+    ed = e.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    # orient low-(degree, id) endpoint → high
+    fwd = ed.select(
+        F.when(
+            (F.col("deg_u") < F.col("deg_v"))
+            | ((F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))),
+            F.col("u"),
+        )
+        .otherwise(F.col("v"))
+        .alias("src"),
+        F.when(
+            (F.col("deg_u") < F.col("deg_v"))
+            | ((F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))),
+            F.col("v"),
+        )
+        .otherwise(F.col("u"))
+        .alias("dst"),
+    )
+    e1 = fwd.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = fwd.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    # wedges a→b→c, closed by edge {a,c} in EITHER orientation
+    wedge = e1.join(e2, "b")
+    closer = fwd.select("src", "dst").unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    tri = wedge.join(
+        closer,
+        (wedge.a == closer.src) & (wedge.c == closer.dst),
+    ).select("a", "b", "c")
+    member = (
+        tri.select(F.col("a").alias("nk"))
+        .unionByName(tri.select(F.col("b").alias("nk")))
+        .unionByName(tri.select(F.col("c").alias("nk")))
+    )
+    return member.groupBy("nk").agg(F.count(F.lit(1)).alias("n_triangles")).select(
+        F.col("nk").cast("long").alias("n_nationkey"),
+        F.col("n_triangles").cast("long"),
+    )
+
+
+_DEGREE_ORACLE = f"""
+WITH e AS ({_EDGE_SQL}),
+deg AS (
+  SELECT nk, COUNT(*) AS degree FROM (
+    SELECT u AS nk FROM e UNION ALL SELECT v FROM e
+  ) GROUP BY nk
+)
+SELECT CAST(degree AS BIGINT) AS degree,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(nk) AS BIGINT) AS key_checksum
+FROM deg GROUP BY degree
+"""
+
+
+@register(
+    "graph_degree_distribution",
+    _DEGREE_ORACLE,
+    doc="degree histogram of the trade graph with exact key checksum",
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution — the first diagnostic run on any graph
+    (skew here decides salting/orientation strategy downstream). One
+    aggregation over the derived edge list; output is |distinct
+    degrees| rows."""
+    e = _edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("u").alias("nk"))
+        .unionByName(e.select(F.col("v").alias("nk")))
+        .groupBy("nk")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("nk").alias("key_checksum"),
+    ).select(
+        F.col("degree").cast("long"),
+        F.col("n_nodes").cast("long"),
+        F.col("key_checksum").cast("long"),
+    )

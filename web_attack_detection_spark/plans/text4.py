@@ -88,3 +88,82 @@ def text_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "g"
         )
     ).select("g.threshold", "g.n_kept", "g.chars_kept", "g.n_sources_surviving")
+
+
+# ---------------------------------------------------------------------------
+# cross-source contamination matrix: who shares text with whom
+# ---------------------------------------------------------------------------
+
+_XSOURCE_ORACLE = """
+WITH toks AS (
+  SELECT source, string_split_regex(text, '\\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT source,
+         CASE WHEN len(t) <= 4 THEN array_to_string(t, ' ')
+              ELSE array_to_string(t[i:i+4], ' ') END AS shingle
+  FROM toks, UNNEST(range(1, greatest(len(t) - 4, 1) + 1)) AS r(i)
+),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.source < b.source
+  GROUP BY 1, 2
+),
+sizes AS (SELECT source, COUNT(*) AS sz FROM sh GROUP BY source)
+SELECT source_a, source_b,
+       CAST(n_shared AS BIGINT) AS shared_shingles,
+       ROUND(n_shared / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE), 6) AS containment
+FROM pairs
+JOIN sizes sa ON source_a = sa.source
+JOIN sizes sb ON source_b = sb.source
+"""
+
+
+@register(
+    "text_cross_source_contamination",
+    _XSOURCE_ORACLE,
+    doc="source x source 5-gram overlap matrix: shared shingles + containment",
+)
+def text_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Who copies whom: for every pair of corpus sources, the count of
+    distinct 5-gram shingles they share and the containment ratio
+    (shared / smaller source's shingle set) — the pre-training audit
+    that catches a source mirroring another (or an eval set) before
+    mixture weights are chosen. Same inverted-index shape as the dedup
+    pair join, but keyed at SOURCE granularity, so the join input is
+    |distinct (source, shingle)| and the output |sources|² — both tiny
+    relative to the corpus. The skew guard for corpus-wide boilerplate
+    shingles (max document frequency) applies unchanged at scale."""
+    from web_attack_detection_spark.operators.dedup import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        shingles(docs.select("source", "text"), "text", "source", n=5)
+        .select(F.col("id").alias("source"), "shingle")
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("sz").alias("sz_b"))
+    return (
+        pairs.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_shared").cast("long").alias("shared_shingles"),
+            F.round(
+                F.col("n_shared") / F.least("sz_a", "sz_b").cast("double"), 6
+            ).alias("containment"),
+        )
+    )
