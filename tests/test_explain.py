@@ -271,3 +271,49 @@ def test_change_data_plans_read_bucketed_no_key_exchange(spark):
     import re
 
     assert len(re.findall(r"Scan parquet spark_catalog.default.orders_bkt", diff)) >= 2
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Runtime filtering at 100 TB: a selective dim-side predicate
+    should inject a bloom filter (bloom_filter_agg -> might_contain)
+    onto the FACT side of a shuffle join, pruning fact rows before the
+    exchange. Locally the size thresholds are far above fixture scale,
+    so the test pins them down — on a real cluster the defaults fire
+    for exactly the big-fact/selective-dim shape this asserts."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        o = load_table(spark, SF_SMOKE, "orders").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        plan = plan_of(j, "extended").lower()
+        assert "might_contain" in plan  # the fact-side probe
+        assert "bloom_filter_agg" in plan  # the dim-side build
+        # and the result still matches the unfiltered-plan answer
+        rows_bf = {(r["o_orderstatus"], float(r["q"])) for r in j.collect()}
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    o = load_table(spark, SF_SMOKE, "orders").filter(F.col("o_totalprice") > 400000)
+    plain = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    assert rows_bf == {(r["o_orderstatus"], float(r["q"])) for r in plain.collect()}
