@@ -371,7 +371,8 @@ def connected_components(
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .localCheckpoint()
     )
-    if raw.count() <= driver_threshold:
+    n_raw = raw.count()
+    if n_raw <= driver_threshold:
         edges = raw
         parent: dict = {}
 
@@ -383,7 +384,17 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for r in edges.toLocalIterator():
+        # fetch strategy: toLocalIterator schedules ~ONE JOB PER
+        # PARTITION — over a 136-partition pair plan that is seconds of
+        # pure scheduler overhead for a hundred edges (measured 7 s).
+        # Small edge lists (≤200k pairs ≈ a few MB of longs) collect in
+        # one job; larger ones stream, but over a coalesced handful of
+        # partitions so the job count stays bounded.
+        if n_raw <= 200_000:
+            edge_iter = edges.collect()
+        else:
+            edge_iter = edges.coalesce(16).toLocalIterator()
+        for r in edge_iter:
             u, v = r.u, r.v
             parent.setdefault(u, u)
             parent.setdefault(v, v)
