@@ -343,3 +343,32 @@ def test_interval_union_bounds(spark):
         assert r["covered_seconds"] <= p["sum_len_s"]
         assert r["covered_seconds"] >= p["max_len_s"]
         assert 1 <= r["n_islands"] <= p["n_iv"]
+
+
+def test_triangle_count_hand_cases(spark):
+    """graph_triangle_count's orientation join on known graphs: K4
+    (every node in 3 triangles), a path (no triangles), and a graph
+    where the high-degree hub closes wedges in both edge orientations."""
+    from pyspark.sql import functions as F
+
+    from web_attack_detection_spark.plans import graphq
+
+    def count_triangles(edge_pairs):
+        e = spark.createDataFrame(edge_pairs, "u long, v long")
+        orig = graphq._edges
+        graphq._edges = lambda s, d: e
+        try:
+            rows = graphq.graph_triangle_count(spark, "unused").collect()
+        finally:
+            graphq._edges = orig
+        return {r["n_nationkey"]: r["n_triangles"] for r in rows}
+
+    # K4: 4 triangles total, each node on 3
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert count_triangles(k4) == {0: 3, 1: 3, 2: 3, 3: 3}
+    # path 0-1-2-3: no triangles
+    assert count_triangles([(0, 1), (1, 2), (2, 3)]) == {}
+    # hub 0 connected to 1..4, plus edge (1,2) and (3,4):
+    # triangles {0,1,2} and {0,3,4}; hub participates in both
+    hub = [(0, i) for i in range(1, 5)] + [(1, 2), (3, 4)]
+    assert count_triangles(hub) == {0: 2, 1: 1, 2: 1, 3: 1, 4: 1}
