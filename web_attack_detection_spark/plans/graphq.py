@@ -89,9 +89,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     orientation-independent, so the two formulations must agree
     exactly."""
     e = _edges(spark, sf_dir).localCheckpoint()
+    # explode, not union-of-selects: a union re-evaluates the child per
+    # branch — one endpoint pass instead of two
     deg = (
-        e.select(F.col("u").alias("nk"))
-        .unionByName(e.select(F.col("v").alias("nk")))
+        e.select(F.explode(F.array("u", "v")).alias("nk"))
         .groupBy("nk")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
@@ -162,9 +163,11 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation over the derived edge list; output is |distinct
     degrees| rows."""
     e = _edges(spark, sf_dir)
+    # explode both endpoints in ONE pass over the derived edge list — a
+    # union of two selects would re-run the whole fact-table join chain
+    # per branch (caught by tools/plan_audit.py: 10 scans → 5)
     deg = (
-        e.select(F.col("u").alias("nk"))
-        .unionByName(e.select(F.col("v").alias("nk")))
+        e.select(F.explode(F.array("u", "v")).alias("nk"))
         .groupBy("nk")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
