@@ -302,3 +302,69 @@ def mm_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_negatives"),
         F.sum("neg_vec_id").alias("neg_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# scene-cut detection: per-frame signature diffs, zero explode
+# ---------------------------------------------------------------------------
+
+# Query-local deterministic stand-ins (a real decoder swaps in at the
+# signature step, nothing else changes): frame count 12..59 from the
+# payload size, per-frame signature from (media_id, frame index)
+# arithmetic, a cut when adjacent signatures differ by > 96.
+_MM_SCENES_ORACLE = """
+WITH m AS (
+  SELECT doc_id,
+         octet_length(encode(text)) % 48 + 12 AS n_frames
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         1 + len(list_filter(range(1, n_frames), f ->
+               abs((doc_id*31 + f*f*7) % 256
+                   - (doc_id*31 + (f-1)*(f-1)*7) % 256) > 96)) AS n_scenes
+  FROM m
+)
+SELECT CAST(n_scenes AS BIGINT) AS n_scenes,
+       CAST(COUNT(*) AS BIGINT) AS n_media,
+       CAST(SUM(doc_id) AS BIGINT) AS key_checksum
+FROM s GROUP BY n_scenes
+"""
+
+
+@register(
+    "mm_scene_cuts",
+    _MM_SCENES_ORACLE,
+    doc="video scene segmentation: adjacent-frame signature diffs folded per media, zero explode",
+)
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene segmentation the scale-correct way: the per-media scene
+    count folds over the frame sequence with ``F.aggregate`` — no
+    frame explosion, no window, no shuffle until the final |scenes|-row
+    histogram. A corpus of billion-frame videos stays one map-only pass
+    because frames never become rows; a real decoder replaces the
+    arithmetic signature per frame and the fold is unchanged. The
+    oracle re-derives the identical integer arithmetic with
+    list_filter/range."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    n = F.octet_length("text") % 48 + F.lit(12)
+
+    def sig(f):
+        return (did * 31 + f * f * 7) % 256
+
+    cuts = F.aggregate(
+        F.sequence(F.lit(1), n - 1),
+        F.lit(0),
+        lambda acc, f: acc
+        + F.when(F.abs(sig(f) - sig(f - 1)) > 96, 1).otherwise(0),
+    )
+    scenes = docs.select(did.alias("doc_id"), (cuts + F.lit(1)).alias("n_scenes"))
+    return scenes.groupBy("n_scenes").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("doc_id").alias("key_checksum"),
+    ).select(
+        F.col("n_scenes").cast("long"),
+        F.col("n_media").cast("long"),
+        F.col("key_checksum").cast("long"),
+    )
