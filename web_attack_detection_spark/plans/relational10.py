@@ -720,3 +720,106 @@ def rel_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("week_offset"),
     ).agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+
+
+# ---------------------------------------------------------------------------
+# incremental view maintenance: merge partial aggregate states, never rescan
+# ---------------------------------------------------------------------------
+
+_IVM_ORACLE = """
+WITH base AS (SELECT * FROM orders WHERE o_orderkey % 5 <> 0),
+delta AS (SELECT * FROM orders WHERE o_orderkey % 5 = 0),
+pb AS (
+  SELECT o_orderstatus AS st, COUNT(*) AS n,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS s,
+         MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
+  FROM base GROUP BY 1
+),
+pd AS (
+  SELECT o_orderstatus AS st, COUNT(*) AS n,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS s,
+         MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
+  FROM delta GROUP BY 1
+),
+merged AS (
+  SELECT st, CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(s) AS BIGINT) AS s,
+         MIN(mn) AS mn, MAX(mx) AS mx
+  FROM (SELECT * FROM pb UNION ALL SELECT * FROM pd) GROUP BY st
+),
+full_v AS (
+  SELECT o_orderstatus AS st, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s,
+         MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
+  FROM orders GROUP BY 1
+)
+SELECT m.st AS o_orderstatus, m.n, m.s AS total_scaled,
+       ROUND(m.s / CAST(m.n AS DOUBLE) / 100.0, 4) AS mean_price,
+       m.mn AS min_price, m.mx AS max_price,
+       (m.n = f.n AND m.s = f.s AND m.mn = f.mn AND m.mx = f.mx)
+         AS matches_full_recompute
+FROM merged m JOIN full_v f ON m.st = f.st
+"""
+
+
+@register(
+    "rel_ivm_aggregate_merge",
+    _IVM_ORACLE,
+    doc="incremental view maintenance: merged partial aggregate states == full recompute, self-evaluated",
+)
+def rel_ivm_aggregate_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The algebraic core of every incremental pipeline: an aggregate
+    view maintained by MERGING partial states (count/scaled-sum/min/max
+    — each exactly mergeable) from the existing view and a new delta
+    batch, instead of rescanning history. The query carries its own
+    audit: ``matches_full_recompute`` compares the merged state against
+    a full recompute per group, so the driver records the IVM property
+    itself, not just plausible numbers. At 100 TB the base partials are
+    the stored view (O(groups) rows) — the only scan is the delta;
+    derived means divide merged exact integers, deterministic on any
+    engine. Non-mergeable aggregates (exact medians) are the ones that
+    force rescans — use the sketch twins (t-digest/HLL) there."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def partial(df):
+        return df.groupBy(F.col("o_orderstatus").alias("st")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("s"),
+            F.min("o_totalprice").alias("mn"),
+            F.max("o_totalprice").alias("mx"),
+        )
+
+    pb = partial(o.filter(F.col("o_orderkey") % 5 != 0))
+    pd_ = partial(o.filter(F.col("o_orderkey") % 5 == 0))
+    merged = (
+        pb.unionByName(pd_)
+        .groupBy("st")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("s").cast("long").alias("s"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+    )
+    full_v = partial(o).select(
+        "st",
+        F.col("n").cast("long").alias("fn"),
+        F.col("s").cast("long").alias("fs"),
+        F.col("mn").alias("fmn"),
+        F.col("mx").alias("fmx"),
+    )
+    return merged.join(full_v, "st").select(
+        F.col("st").alias("o_orderstatus"),
+        "n",
+        F.col("s").alias("total_scaled"),
+        F.round(F.col("s") / F.col("n").cast("double") / F.lit(100.0), 4).alias(
+            "mean_price"
+        ),
+        F.col("mn").alias("min_price"),
+        F.col("mx").alias("max_price"),
+        (
+            (F.col("n") == F.col("fn"))
+            & (F.col("s") == F.col("fs"))
+            & (F.col("mn") == F.col("fmn"))
+            & (F.col("mx") == F.col("fmx"))
+        ).alias("matches_full_recompute"),
+    )
