@@ -509,3 +509,70 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         spark.table(name).collect(), spark.table(name).schema
     )
+
+
+_JSON_DECODE_ORACLE = f"""
+SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       {sql_money_sum('value')} AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+_JSON_REPLAY_DIRS: dict[str, str] = {}
+
+
+@register(
+    "stream_json_value_decode",
+    _JSON_DECODE_ORACLE,
+    doc="Kafka value-decode seam: JSON-lines stream -> from_json(EVENT_SCHEMA) -> watermarked windows == batch SQL",
+)
+def stream_json_value_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact transformation the Kafka source applies
+    (streaming/windows.stream_events_from_kafka: value bytes →
+    ``from_json(EVENT_SCHEMA)`` → typed columns), driven end to end
+    minus the broker: events serialize to JSON lines once per
+    (process, sf_dir), replay through a text file-source stream, decode
+    with the SAME schema the Kafka path uses, and aggregate under a
+    watermark. The result must equal batch SQL over the original table
+    — proving the decode seam loses nothing (shortest-round-trip
+    doubles, UTC timestamps). Swap the text source for the broker and
+    nothing downstream changes."""
+    import os
+
+    from web_attack_detection_spark.streaming.windows import (
+        EVENT_SCHEMA,
+        windowed_event_counts,
+    )
+
+    d = _JSON_REPLAY_DIRS.get(sf_dir)
+    if d is None:
+        d = tempfile.mkdtemp(prefix="streamq_json_")
+        ev = load_table(spark, sf_dir, "events")
+        ev.select(F.to_json(F.struct(*ev.columns)).alias("value")).coalesce(
+            2
+        ).write.mode("overwrite").text(f"{d}/in")
+        _JSON_REPLAY_DIRS[sf_dir] = d
+    name = f"streamq_{uuid.uuid4().hex[:8]}"
+    decoded = (
+        spark.readStream.schema("value string")
+        .text(f"{d}/in")
+        .select(F.from_json(F.col("value"), EVENT_SCHEMA).alias("e"))
+        .select("e.*")
+    )
+    with _stream_conf(spark):
+        q = (
+            windowed_event_counts(decoded, "1 hour", "30 minutes")
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.createDataFrame(
+        spark.table(name).collect(), spark.table(name).schema
+    )
