@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -146,7 +147,9 @@ def main() -> None:
             # and late queries measure eviction churn, not their own cost
             del df
             gc.collect()
-        timings[name] = sorted(runs)[len(runs) // 2]
+        # statistics.median averages the two middle elements for even
+        # rep counts (ADVICE r3: upper-middle biased recorded timings up)
+        timings[name] = round(statistics.median(runs), 4)
         spread[name] = [min(runs), max(runs)]
 
     for name in sorted(QUERIES):
@@ -158,16 +161,36 @@ def main() -> None:
     timed("flagship_pipeline", lambda s, d: flagship_pipeline(s, d))
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    out = {
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full = {
         "metric": "total_query_wall_clock",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
         "reps": reps,
         "spread": spread,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
     }
-    print(json.dumps(out))
+    # The driver captures only a ~2 KB stdout tail; a 200-query map is
+    # ~14 KB and has never parsed (BENCH_r01..03 all "parsed": null —
+    # VERDICT r3 #1). Print a COMPACT line (totals + slowest 10) that
+    # fits the tail, and write the full per-query map to a sidecar.
+    (REPO / "BENCH_full.json").write_text(json.dumps(full, indent=1))
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    compact = {
+        "metric": "total_query_wall_clock",
+        "value": full["value"],
+        "unit": "sec",
+        "queries": {k: timings[k] for k in slowest},
+        "n_queries": len(timings),
+        "reps": reps,
+        "sf": sf_val,
+        "full": "BENCH_full.json",
+    }
+    line = json.dumps(compact)
+    # hard guarantee: stay inside the driver's capture window
+    assert len(line) < 1800, f"compact bench line too long: {len(line)}"
+    print(line)
     spark.stop()
 
 

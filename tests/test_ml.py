@@ -203,6 +203,30 @@ def test_fused_fit_matches_standalone_primitives(spark):
     assert out.count() > 0 and "label" in out.columns
 
 
+def test_fused_fit_empty_train_split(spark):
+    """ADVICE r3: an EMPTY train split produces no 'row' group in the
+    analytic fused-fit melt; the fit must degrade to None stats (like
+    the old train.agg().first() path) instead of raising TypeError."""
+    from web_attack_detection_spark.functions.feature import fit_feature_pipeline
+    from web_attack_detection_spark.io.sources import load_table
+    from .conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "value", "event_type"
+    )
+    empty = ev.filter(F.lit(False))
+    for method in ("analytic", "gramian"):
+        fp = fit_feature_pipeline(
+            empty, label_col="event_type", pca_k=3, pca_method=method
+        )
+        assert fp.means["value"] is None
+        assert fp.scaler_stats["value"][1] is None
+        assert fp.label_model == {}
+        # transform of the full frame stays runnable (lookups drop all
+        # rows — the label has no fitted vocabulary)
+        assert fp.transform(ev).count() == 0
+
+
 def test_analytic_pca_matches_gramian(spark):
     """The single-scan analytic PCA (one-hot algebra + NULL
     decomposition over the fused fit stats) must agree with the

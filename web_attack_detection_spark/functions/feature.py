@@ -506,12 +506,19 @@ def fit_feature_pipeline(
                 cp_grps.append(r)
         for c in fit_cols:
             cat_counts[c] = [(r["sval"], r["cnt"]) for r in cat_grps[c]]
+        # An empty train split yields NO "row" group (groupBy over zero
+        # rows): degrade to None stats like the old train.agg().first()
+        # path did, instead of subscripting None (ADVICE r3).
         n_total = row_grp["cnt"] if row_grp is not None else 0
-        means = {c: row_grp[f"avg{j}"] for j, c in enumerate(numeric)}
-        var_rows = {
-            c: (row_grp[f"var{j}"], row_grp[f"nn{j}"])
-            for j, c in enumerate(numeric)
-        }
+        if row_grp is not None:
+            means = {c: row_grp[f"avg{j}"] for j, c in enumerate(numeric)}
+            var_rows = {
+                c: (row_grp[f"var{j}"], row_grp[f"nn{j}"])
+                for j, c in enumerate(numeric)
+            }
+        else:
+            means = {c: None for c in numeric}
+            var_rows = {c: (None, 0) for c in numeric}
     else:
         # gramian / no-PCA layout: the numeric moments ride the
         # categorical-count scan as OBSERVED metrics (CollectMetrics —
@@ -554,10 +561,21 @@ def fit_feature_pipeline(
                 cat_counts[r["col"]].append((r["sval"], r["cnt"]))
         else:
             observed.select(F.lit(1)).count()  # drive the metrics
-        g = obs.get
-        n_total = g["cnt"]
-        means = {c: g[f"avg{j}"] for j, c in enumerate(numeric)}
-        var_rows = {c: (g[f"var{j}"], g[f"nn{j}"]) for j, c in enumerate(numeric)}
+        try:
+            g = obs.get
+        except Exception:
+            # an empty train (e.g. filter(lit(False))) optimizes to an
+            # empty LocalRelation and the CollectMetrics node never
+            # fires — degrade to None stats (ADVICE r3 empty-train
+            # guard, same contract as the analytic branch)
+            g = None
+        n_total = g["cnt"] if g is not None else 0
+        if g is not None:
+            means = {c: g[f"avg{j}"] for j, c in enumerate(numeric)}
+            var_rows = {c: (g[f"var{j}"], g[f"nn{j}"]) for j, c in enumerate(numeric)}
+        else:
+            means = {c: None for c in numeric}
+            var_rows = {c: (None, 0) for c in numeric}
 
     scaler_stats: dict[str, tuple[float, float]] = {}
     for c in numeric:

@@ -204,16 +204,35 @@ UNSW_SQL_DERIVE = """
 """
 
 
-_FIXTURE_DIRS: dict[str, str] = {}
+_FIXTURE_DIRS: dict[tuple, str] = {}
 
 
 def unsw_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Write the 4 headerless partition CSVs once per (process, sf_dir)
-    and return the directory holding ``UNSW-NB15_{1..4}.csv``."""
-    d = _FIXTURE_DIRS.get(sf_dir)
+    """Write the 4 headerless partition CSVs once per (process, input)
+    and return the directory holding ``UNSW-NB15_{1..4}.csv``.
+
+    Keyed on (sf_dir, events row count) — consistent with the
+    bucketed-table caches in plans/relational10.py — so scale probes
+    that patch ``load_table`` get a FRESH fixture instead of silently
+    replaying the stale unpatched one; the mkdtemp dirs are removed at
+    process exit (ADVICE r3)."""
+    from web_attack_detection_spark.io.sources import load_table
+
+    n_events = load_table(spark, sf_dir, "events").count()
+    key = (sf_dir, n_events)
+    d = _FIXTURE_DIRS.get(key)
     if d is not None:
         return d
     d = tempfile.mkdtemp(prefix="unsw_")
+    if not _FIXTURE_DIRS:
+        import atexit
+
+        atexit.register(
+            lambda: [
+                shutil.rmtree(p, ignore_errors=True)
+                for p in _FIXTURE_DIRS.values()
+            ]
+        )
     full = synthesize_unsw(spark, sf_dir)
     for file_no in range(1, 5):
         part = full.filter(F.col("__file") == file_no - 1).drop("__file")
@@ -222,7 +241,7 @@ def unsw_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
         csv = next(p for p in os.listdir(tmp) if p.endswith(".csv"))
         shutil.move(os.path.join(tmp, csv), os.path.join(d, f"UNSW-NB15_{file_no}.csv"))
         shutil.rmtree(tmp)
-    _FIXTURE_DIRS[sf_dir] = d
+    _FIXTURE_DIRS[key] = d
     return d
 
 

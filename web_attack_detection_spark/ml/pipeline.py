@@ -145,6 +145,11 @@ def fit_pca_native(df: DataFrame, array_col: str, k: int, dim: int | None = None
         .mapInPandas(gramian_partials, schema="n long, s array<double>, g array<double>")
         .collect()
     )
+    if not parts:
+        # an empty input can plan to ZERO partitions (empty
+        # LocalRelation): no partials at all — degenerate model, same
+        # as the n<=1 case below (ADVICE r3 empty-train guard)
+        return pca_from_moments(0, np.zeros(d), np.zeros((d, d)), min(k, d))
     n = sum(p["n"] for p in parts)
     s = np.sum([np.array(p["s"]) for p in parts], axis=0)
     cross = np.zeros((d, d), dtype=np.float64)
@@ -165,6 +170,14 @@ def pca_from_moments(n: int, s, cross, k: int) -> NativePCAModel:
     s = np.asarray(s, dtype=np.float64)
     cross = np.asarray(cross, dtype=np.float64)
     dim = len(s)
+    if n <= 1:
+        # degenerate fit (empty/singleton train): identity-prefix
+        # components, zero explained variance — transform stays runnable
+        comps = [
+            [1.0 if i == j else 0.0 for i in range(dim)]
+            for j in range(min(k, dim))
+        ]
+        return NativePCAModel(comps, [0.0] * min(k, dim))
     # sample covariance: (Σxᵢxⱼ − ΣxᵢΣxⱼ/n) / (n−1)
     cov = (cross - np.outer(s, s) / n) / (n - 1)
     vals, vecs = np.linalg.eigh(cov)  # ascending

@@ -1,108 +1,62 @@
 """Import every plan module so its queries register (plans.registry).
 
 ``__spark_entry__.py`` imports this single module; adding a new plan
-file means adding one import line here.
+file means adding its name to ``PLAN_MODULES``.
+
+VERDICT r3 #2: the old per-module ``try/except ImportError: pass``
+meant a module-level regression silently dropped dozens of queries
+from ``queries()`` — the driver would just see a shorter registry.
+Imports now fail LOUDLY, and a post-import floor assertion catches
+any other silent-shrink path (e.g. a module whose registration loop
+is skipped).  ``tests/test_registry_integrity.py`` pins the exact
+query-name set.
 """
 
-from web_attack_detection_spark.plans import features, relational  # noqa: F401
+import importlib
 
-try:
-    from web_attack_detection_spark.plans import relational2  # noqa: F401
-except ImportError:  # pragma: no cover
-    pass
+PLAN_MODULES = [
+    "features",
+    "relational",
+    "relational2",
+    "relational3",
+    "relational4",
+    "relational5",
+    "relational6",
+    "relational7",
+    "relational8",
+    "relational9",
+    "relational10",
+    "dedup",
+    "text",
+    "text2",
+    "text3",
+    "text4",
+    "similarity",
+    "similarity2",
+    "similarity3",
+    "pipelineq",
+    "mlq",
+    "multimodal",
+    "streamq",
+    "refshape",
+    "graphq",
+]
 
-try:
-    from web_attack_detection_spark.plans import relational3  # noqa: F401
-except ImportError:  # pragma: no cover
-    pass
+for _mod in PLAN_MODULES:
+    importlib.import_module(f"web_attack_detection_spark.plans.{_mod}")
 
-try:
-    from web_attack_detection_spark.plans import relational4  # noqa: F401
-except ImportError:  # pragma: no cover
-    pass
+# Registry floor: round-3 closed at 209 queries / 190 oracles.  A
+# registry smaller than that means a plan module loaded but failed to
+# register (the one silent-shrink path imports can't catch).
+EXPECTED_MIN_QUERIES = 209
+EXPECTED_MIN_ORACLES = 190
 
-try:
-    from web_attack_detection_spark.plans import relational5  # noqa: F401
-except ImportError:  # pragma: no cover
-    pass
+from web_attack_detection_spark.plans.registry import QUERIES as _Q  # noqa: E402
 
-try:
-    from web_attack_detection_spark.plans import relational6  # noqa: F401
-except ImportError:  # pragma: no cover
-    pass
-
-try:
-    from web_attack_detection_spark.plans import relational7  # noqa: F401
-except ImportError:  # pragma: no cover
-    pass
-
-try:
-    from web_attack_detection_spark.plans import relational8  # noqa: F401
-except ImportError:  # pragma: no cover
-    pass
-
-try:
-    from web_attack_detection_spark.plans import relational9  # noqa: F401
-except ImportError:  # pragma: no cover
-    pass
-
-try:  # modules added in later phases — keep entry importable mid-build
-    from web_attack_detection_spark.plans import dedup  # noqa: F401
-except ImportError:  # pragma: no cover
-    pass
-try:
-    from web_attack_detection_spark.plans import text  # noqa: F401
-except ImportError:  # pragma: no cover
-    pass
-try:
-    from web_attack_detection_spark.plans import text2  # noqa: F401
-except ImportError:  # pragma: no cover
-    pass
-try:
-    from web_attack_detection_spark.plans import relational10  # noqa: F401
-except ImportError:  # pragma: no cover
-    pass
-try:
-    from web_attack_detection_spark.plans import text3  # noqa: F401
-except ImportError:  # pragma: no cover
-    pass
-try:
-    from web_attack_detection_spark.plans import similarity  # noqa: F401
-except ImportError:  # pragma: no cover
-    pass
-try:
-    from web_attack_detection_spark.plans import similarity2  # noqa: F401
-except ImportError:  # pragma: no cover
-    pass
-try:
-    from web_attack_detection_spark.plans import similarity3  # noqa: F401
-except ImportError:  # pragma: no cover
-    pass
-try:
-    from web_attack_detection_spark.plans import pipelineq  # noqa: F401
-except ImportError:  # pragma: no cover
-    pass
-try:
-    from web_attack_detection_spark.plans import mlq  # noqa: F401
-except ImportError:  # pragma: no cover
-    pass
-try:
-    from web_attack_detection_spark.plans import multimodal  # noqa: F401
-except ImportError:  # pragma: no cover
-    pass
-try:
-    from web_attack_detection_spark.plans import streamq  # noqa: F401
-except ImportError:  # pragma: no cover
-    pass
-try:
-    from web_attack_detection_spark.plans import refshape  # noqa: F401
-except ImportError:  # pragma: no cover
-    pass
-try:
-    from web_attack_detection_spark.plans import text4  # noqa: F401
-except ImportError:  # pragma: no cover
-    pass
-try:
-    from web_attack_detection_spark.plans import graphq  # noqa: F401
-except ImportError:  # pragma: no cover
-    pass
+_n_oracles = sum(1 for q in _Q.values() if q.oracle is not None)
+if len(_Q) < EXPECTED_MIN_QUERIES or _n_oracles < EXPECTED_MIN_ORACLES:
+    raise RuntimeError(
+        f"plan registry shrank: {len(_Q)} queries / {_n_oracles} oracles "
+        f"(expected >= {EXPECTED_MIN_QUERIES}/{EXPECTED_MIN_ORACLES}) — "
+        "a plan module imported but did not register its queries"
+    )

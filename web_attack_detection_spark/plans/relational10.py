@@ -246,7 +246,49 @@ def rel_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _BUCKETED_ORDERS: dict[tuple, str] = {}
-_BKT_SEQ = [0]
+_CLEANUP_LOCS: list[str] = []
+
+
+def _register_cleanup(loc: str) -> None:
+    """Remove written bucketed-table dirs at process exit so the shared
+    warehouse does not accumulate one layout per bench/test/audit run
+    (ADVICE r3).  Idempotent; the in-memory catalog dies with the
+    session anyway, so only the directory needs reclaiming."""
+    import atexit
+    import shutil
+
+    if not _CLEANUP_LOCS:
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _CLEANUP_LOCS]
+        )
+    _CLEANUP_LOCS.append(loc)
+
+
+def _stable_table(spark, df, base: str, sf_dir: str, n_rows: int,
+                  bucket_col: str, sort_col: str | None = None):
+    """Write ``df`` as a bucketed catalog table under a CONTENT-KEYED
+    stable name (``{base}_{sf-hash}_{n_rows}``) — the same logical
+    input always maps to the same warehouse location, so concurrent
+    rounds overwrite one directory instead of accumulating pid-unique
+    copies (ADVICE r3).  A fresh session's in-memory catalog does not
+    know the table even when the location exists on disk, so the
+    drop+rmtree before saveAsTable stays necessary; the location is
+    also registered for atexit removal."""
+    import hashlib
+    import os
+    import shutil
+
+    from web_attack_detection_spark.io.sinks import write_bucketed
+
+    sfh = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    name = f"{base}_{sfh}_{n_rows}"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(wh.removeprefix("file:"), name.lower())
+    shutil.rmtree(loc, ignore_errors=True)
+    write_bucketed(df, name, bucket_col, n_buckets=8, sort_col=sort_col)
+    _register_cleanup(loc)
+    return name
 
 
 def _orders_bucketed(spark: SparkSession, sf_dir: str):
@@ -258,29 +300,22 @@ def _orders_bucketed(spark: SparkSession, sf_dir: str):
     full outer join runs with ZERO Exchange (asserted in
     tests/test_explain.py). This is io/sinks.write_bucketed doing its
     actual job — at 100 TB the change-data tables are stored bucketed
-    on the key precisely so every diff/apply skips the shuffle."""
-    from web_attack_detection_spark.io.sinks import write_bucketed
+    on the key precisely so every diff/apply skips the shuffle.
 
-    import os
-    import shutil
-
+    NOTE this makes ``rel_snapshot_diff`` eager at query-construction
+    time (one count job + the one-time bucketed write per process) —
+    it is in tools/plan_audit.py's executing skip list for that reason.
+    """
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
     key = (sf_dir, o.count())
     name = _BUCKETED_ORDERS.get(key)
     if name is None:
-        _BKT_SEQ[0] += 1
-        # pid-unique name + explicit location cleanup: a FRESH session's
-        # catalog does not know tables other processes left in the
-        # shared warehouse dir, so saveAsTable would refuse the
-        # existing location (LOCATION_ALREADY_EXISTS) without this
-        name = f"orders_bkt_r10_{os.getpid()}_{_BKT_SEQ[0]}"
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        loc = os.path.join(wh.removeprefix("file:"), name.lower())
-        shutil.rmtree(loc, ignore_errors=True)
-        write_bucketed(o, name, "o_orderkey", n_buckets=8, sort_col="o_orderkey")
+        name = _stable_table(
+            spark, o, "orders_bkt_r10", sf_dir, key[1],
+            "o_orderkey", sort_col="o_orderkey",
+        )
         _BUCKETED_ORDERS[key] = name
     return spark.table(name)
 
@@ -376,12 +411,10 @@ def _cdc_log_bucketed(spark: SparkSession, sf_dir: str):
     the key distribution straight off storage (groupBy(k) with zero
     Exchange — asserted in tests/test_explain.py). Keyed by sf_dir +
     source row count so scale probes that patch ``load_table`` get
-    their own layout."""
-    import os
-    import shutil
+    their own layout.
 
-    from web_attack_detection_spark.io.sinks import write_bucketed
-
+    NOTE this makes ``rel_cdc_apply`` eager at query-construction time
+    — it is in tools/plan_audit.py's executing skip list."""
     o = load_table(spark, sf_dir, "orders")
     base = o.select(F.col("o_orderkey").alias("k"), F.col("o_totalprice"))
     key = (sf_dir, o.count())
@@ -405,15 +438,7 @@ def _cdc_log_bucketed(spark: SparkSession, sf_dir: str):
                 )
             )
         )
-        _BKT_SEQ[0] += 1
-        name = f"cdc_log_{os.getpid()}_{_BKT_SEQ[0]}"
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        shutil.rmtree(
-            os.path.join(wh.removeprefix("file:"), name.lower()),
-            ignore_errors=True,
-        )
-        write_bucketed(log, name, "k", n_buckets=8)
+        name = _stable_table(spark, log, "cdc_log", sf_dir, key[1], "k")
         _CDC_LOGS[key] = name
     return spark.table(name)
 

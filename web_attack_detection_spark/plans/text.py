@@ -241,34 +241,98 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fuzzy matching (edit distance)
 # ---------------------------------------------------------------------------
 
-_FUZZY_ORACLE = """
+_FUZZY_D = 2
+
+_FUZZY_ORACLE = f"""
 SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
        CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
 FROM part a
 JOIN part b ON a.p_partkey < b.p_partkey
-WHERE a.p_partkey < 150 AND b.p_partkey < 150
-  AND levenshtein(a.p_name, b.p_name) <= 10
+WHERE levenshtein(a.p_name, b.p_name) <= {_FUZZY_D}
 """
 
 
-@register("text_fuzzy_match", _FUZZY_ORACLE, doc="edit-distance fuzzy pairs (levenshtein)")
+@register(
+    "text_fuzzy_match",
+    _FUZZY_ORACLE,
+    doc="blocked edit-distance fuzzy pairs over the FULL part table",
+)
 def text_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-identical name pairs by Levenshtein distance — the fuzzy
-    record-matching primitive (both engines use unit-cost edit
-    distance). All-pairs form for the oracle; at 100 TB block first
-    (sorted-neighborhood on a prefix key or length bucket) so the
-    quadratic compare runs only inside small blocks."""
-    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 150).select(
-        "p_partkey", "p_name"
+    """Fuzzy record matching by Levenshtein over the FULL ``part``
+    table — blocked, never all-pairs (VERDICT r3 #3; the all-pairs form
+    lives only in the DuckDB oracle twin above).
+
+    Scale plan, each leg lossless for threshold d:
+
+    1. **Value dedup**: the quadratic compare runs on DISTINCT names,
+       never on keys — at any scale the name-pair work is
+       O(|distinct|²/buckets), decoupled from table row count.
+    2. **Length-bucket blocking**: ``dist(x,y) ≤ d ⇒ |len(x)−len(y)|
+       ≤ d``, so with bucket width d a match can only sit in the same
+       or an adjacent bucket. The probe side explodes offsets
+       {-1,0,1} and the pair generator is an EQUI-join on
+       ``bucket`` — no CartesianProduct / BroadcastNestedLoopJoin in
+       the physical plan (asserted in tests/test_explain.py).
+    3. Levenshtein verifies candidates; survivors (plus the dist-0
+       diagonal, which needs no compare at all) broadcast back onto
+       the keyed table — two hash joins on name.
+
+    ``key_a < key_b`` cannot be pushed to the name level (key order is
+    independent of name order), so matched name pairs are expanded to
+    both orientations before the key join and the predicate applied
+    there — exactly once per unordered key pair."""
+    d = _FUZZY_D
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+
+    names = p.select("p_name").distinct().select(
+        "p_name",
+        F.length("p_name").alias("len"),
+        (F.length("p_name") / d).cast("int").alias("bkt"),
+    )
+    probe = names.select(
+        F.col("p_name").alias("name_a"),
+        F.col("len").alias("len_a"),
+        F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("off"),
+        F.col("bkt").alias("bkt_a"),
+    ).withColumn("bkt", F.col("bkt_a") + F.col("off"))
+    build = names.select(
+        F.col("p_name").alias("name_b"), F.col("len").alias("len_b"), "bkt"
+    )
+    matched = (
+        probe.join(build, "bkt")
+        .filter(
+            (F.col("name_a") < F.col("name_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= d)
+        )
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= d)
+        .select("name_a", "name_b", "dist")
+    )
+    # symmetric closure + the dist-0 diagonal (identical names match
+    # with no edit-distance evaluation)
+    pairs = (
+        matched.unionByName(
+            matched.select(
+                F.col("name_b").alias("name_a"),
+                F.col("name_a").alias("name_b"),
+                "dist",
+            )
+        )
+        .unionByName(
+            names.select(
+                F.col("p_name").alias("name_a"),
+                F.col("p_name").alias("name_b"),
+                F.lit(0).alias("dist"),
+            )
+        )
     )
     a = p.select(F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"))
     b = p.select(F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"))
     return (
-        a.crossJoin(b)
+        a.join(F.broadcast(pairs), "name_a")
+        .join(b, "name_b")
         .filter(F.col("key_a") < F.col("key_b"))
-        .withColumn("dist", F.levenshtein("name_a", "name_b"))
-        .filter(F.col("dist") <= 10)
-        .select("key_a", "key_b", "dist")
+        .select("key_a", "key_b", F.col("dist").cast("int").alias("dist"))
     )
 
 
