@@ -99,7 +99,8 @@ def test_minhash_lsh_agrees_with_mllib_at_sf01(spark):
     implementation's similarity estimate is biased."""
     from tests.conftest import SF_ORACLE
 
-    from web_attack_detection_spark.plans.all_plans import mlq
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans import mlq
 
     sf01 = SF_ORACLE.replace("sf0.01", "sf0.1")
     docs = load_table(spark, sf01, "documents")
@@ -131,7 +132,8 @@ def test_mllib_minhash_lsh_finds_exact_duplicates(spark, tmp_path):
     from pyspark.sql import functions as F
 
     from web_attack_detection_spark.io.sources import load_table
-    from web_attack_detection_spark.plans.all_plans import mlq
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans import mlq
 
     docs = load_table(spark, SF_SMOKE, "documents")
     copies = docs.limit(20).withColumn("doc_id", F.col("doc_id") + F.lit(100000))

@@ -328,3 +328,43 @@ def test_fuzzy_match_plan_is_blocked_no_cartesian(spark):
     plan = plan_of(text_fuzzy_match(spark, SF_SMOKE), "formatted")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_indexed_no_index_side_exchange(spark):
+    """VERDICT r3 #6: dedup against the STORED shingle index must not
+    shuffle index rows — the batch side broadcasts, the index tables
+    stream map-only. The only allowed exchanges partition CANDIDATE
+    rows (b_id/c_id tuples), never the index join keys."""
+    from web_attack_detection_spark.plans.dedup import (
+        _corpus_index,
+        dedup_incremental_indexed,
+    )
+
+    plan = plan_of(dedup_incremental_indexed(spark, SF_SMOKE))
+    assert "Scan parquet spark_catalog.default.docsh_idx" in plan
+    assert "Scan parquet spark_catalog.default.doctext_idx" in plan
+    # no Exchange on the index join keys
+    assert "hashpartitioning(shingle#" not in plan
+    assert "hashpartitioning(text#" not in plan
+    assert "BroadcastHashJoin" in plan
+
+    # the bucketed layout also serves index MAINTENANCE shuffle-free:
+    # a per-shingle posting-list aggregation consumes the storage
+    # distribution directly (no Exchange at all in the plan)
+    sh_name, _ = _corpus_index(spark, SF_SMOKE)
+    agg_plan = plan_of(
+        spark.table(sh_name).groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    )
+    assert "Exchange" not in agg_plan
+
+
+def test_ivf_indexed_scan_is_dpp_pruned(spark):
+    """Round 4: ANN against the STORED cell-partitioned IVF index must
+    prune to the probed cells — the index scan carries a
+    dynamicpruningexpression on the partition column, so per-batch
+    query cost is |probed partitions|, not |corpus|."""
+    from web_attack_detection_spark.plans.similarity3 import sim_ivf_indexed
+
+    plan = plan_of(sim_ivf_indexed(spark, SF_SMOKE), "formatted")
+    assert "Scan parquet spark_catalog.default.ivf_cells" in plan
+    assert "dynamicpruningexpression(cell#" in plan

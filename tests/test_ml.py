@@ -265,3 +265,37 @@ def test_analytic_pca_matches_gramian(spark):
         ea = np.array(ma.pca_model.explainedVariance)
         eg = np.array(mg.pca_model.explainedVariance)
         assert np.abs(ea - eg).max() < 1e-12
+
+
+def test_mlp_weights_roundtrip_parity(spark):
+    """VERDICT r3 #4: train-in-MLlib → export layer weights → numpy
+    forward via predict_batch_udf must agree with model.transform
+    row-for-row (argmax) and bit-tightly on probabilities."""
+    from web_attack_detection_spark.plans.mlq import ml_mlp_weights_roundtrip
+    from .conftest import SF_SMOKE
+
+    r = ml_mlp_weights_roundtrip(spark, SF_SMOKE).collect()[0]
+    assert r["n_rows"] > 0
+    assert r["n_pred_agree"] == r["n_rows"]
+    assert r["max_abs_prob_delta"] < 1e-12
+
+
+def test_mlp_params_unpack_shapes(spark):
+    """The unpacked (W, b) shapes must tile the flat MLlib weight
+    vector exactly (the in-function assert), and the forward must be
+    deterministic for a fixed batch."""
+    import numpy as np
+
+    from web_attack_detection_spark.ml.nets import mlp_forward
+
+    params = {
+        "layers": [4, 3, 2],
+        "affine": [
+            (np.ones((3, 4)), np.zeros(3)),
+            (np.ones((2, 3)), np.zeros(2)),
+        ],
+    }
+    out = mlp_forward(np.ones((5, 4)), params)
+    assert out.shape == (5, 2)
+    assert np.allclose(out.sum(axis=1), 1.0)
+    assert np.allclose(out, mlp_forward(np.ones((5, 4)), params))

@@ -118,3 +118,17 @@ def test_brp_lsh_full_planted_recall(spark):
     want = {(i, i + 10000) for i in planted_ids}
     assert got == want
     assert all(r["dist"] < 0.05 for r in out)
+
+
+def test_ivf_indexed_equals_in_query_build(spark):
+    """The persisted-index path (sim_ivf_indexed) must return
+    row-for-row the same top-k as the in-query build (sim_ivf_topk) —
+    same centroid seeding, same probes, same ranking."""
+    from web_attack_detection_spark.plans.similarity import sim_ivf_topk
+    from web_attack_detection_spark.plans.similarity3 import sim_ivf_indexed
+    from .conftest import SF_SMOKE
+
+    a = sim_ivf_indexed(spark, SF_SMOKE).collect()
+    b = sim_ivf_topk(spark, SF_SMOKE).collect()
+    assert len(a) > 0
+    assert a == b

@@ -99,3 +99,86 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     directory-derived columns and filters on them prune directories
     before any file I/O."""
     return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# content-keyed stable bucketed tables (persistent index shape)
+# ---------------------------------------------------------------------------
+
+_STABLE_CLEANUP: list[str] = []
+
+
+def _register_stable_cleanup(loc: str) -> None:
+    """Remove written table dirs at process exit so the shared
+    warehouse does not accumulate one layout per run (ADVICE r3)."""
+    import atexit
+    import shutil
+
+    if not _STABLE_CLEANUP:
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _STABLE_CLEANUP]
+        )
+    _STABLE_CLEANUP.append(loc)
+
+
+def stable_bucketed_table(
+    spark: SparkSession,
+    df: DataFrame,
+    base: str,
+    content_key: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    sort_col: str | None = None,
+) -> str:
+    """Write ``df`` as a bucketed catalog table under a CONTENT-KEYED
+    stable name (``{base}_{md5(content_key)[:8]}``): the same logical
+    input always maps to the same warehouse location, so repeated
+    bench/test/audit processes overwrite ONE directory instead of
+    accumulating pid-unique copies. A fresh session's in-memory
+    catalog does not know a table even when its location exists on
+    disk, so the drop+rmtree before saveAsTable is required; the
+    location is also registered for atexit removal. Returns the table
+    name."""
+    import hashlib
+    import os
+    import shutil
+
+    h = hashlib.md5(content_key.encode()).hexdigest()[:8]
+    name = f"{base}_{h}"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(wh.removeprefix("file:"), name.lower())
+    shutil.rmtree(loc, ignore_errors=True)
+    write_bucketed(df, name, bucket_col, n_buckets=n_buckets, sort_col=sort_col)
+    _register_stable_cleanup(loc)
+    return name
+
+
+def stable_partitioned_table(
+    spark: SparkSession,
+    df: DataFrame,
+    base: str,
+    content_key: str,
+    partition_cols: list[str],
+) -> str:
+    """Partitioned sibling of :func:`stable_bucketed_table`: a
+    content-keyed catalog table partitioned by ``partition_cols`` —
+    the layout whose directory structure IS the index (queries
+    filtering/joining on the partition column read only matching
+    directories, statically or via dynamic partition pruning).
+    Same overwrite + atexit-cleanup contract."""
+    import hashlib
+    import os
+    import shutil
+
+    h = hashlib.md5(content_key.encode()).hexdigest()[:8]
+    name = f"{base}_{h}"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(wh.removeprefix("file:"), name.lower())
+    shutil.rmtree(loc, ignore_errors=True)
+    df.write.mode("overwrite").partitionBy(*partition_cols).format(
+        "parquet"
+    ).saveAsTable(name)
+    _register_stable_cleanup(loc)
+    return name

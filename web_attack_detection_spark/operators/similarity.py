@@ -315,6 +315,28 @@ def ivf_topk(
     top-k window over ~|corpus|·n_probe/k_centroids candidate rows.
     """
     centroids, assigned = ivf_assign(corpus, k_centroids, id_col, vec_col)
+    return ivf_topk_from_index(
+        centroids, assigned, queries, k, n_probe, id_col, vec_col
+    )
+
+
+def ivf_topk_from_index(
+    centroids: DataFrame,
+    assigned: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The probe+score half of :func:`ivf_topk`, taking a PRE-BUILT
+    index — ``centroids`` (cell, c_vec) and ``assigned`` (id, vec,
+    cell) — so a PERSISTED index (the deployment shape: ``assigned``
+    stored partitioned by ``cell``) serves queries without refitting.
+    When ``assigned`` is a cell-partitioned catalog table, the
+    broadcast probe join triggers dynamic partition pruning: only the
+    probed cells' files are read (asserted in tests/test_explain.py).
+    """
     cents = centroids.agg(F.collect_list(F.struct("cell", "c_vec")).alias("cents"))
     q = unit_normalize(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),

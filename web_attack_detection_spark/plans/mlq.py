@@ -277,6 +277,75 @@ def ml_mlp_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ml_mlp_weights_roundtrip",
+    None,
+    doc="fit MLlib MLP, export weights, score via numpy predict_batch_udf, assert parity",
+)
+def ml_mlp_weights_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained-weights seam, exercised end to end (VERDICT r3 #4).
+
+    ``ml/nets.py`` claims real weights can replace ``seeded_*_params``
+    with a weight-file load and nothing else. Proof: fit the MLlib MLP
+    (M1), export its layer weights (``mlp_params_from_mllib``), score
+    the held-out split BOTH ways — ``model.transform`` (JVM) and the
+    exported numpy forward through ``predict_batch_udf`` (Arrow,
+    distributed, driver-free) — and audit agreement IN-QUERY: argmax
+    predictions must match row-for-row and probabilities bit-tightly.
+    This is train-in-MLlib → score-anywhere, the closest this image
+    gets to closing the reference's Keras save/load boundary
+    (``/root/reference/models/cnn_model.py:74-81``).
+
+    Returns one row: (n_rows, n_pred_agree, max_abs_prob_delta).
+    Rows-only driver check; the hard parity assertions live in
+    tests/test_ml.py::test_mlp_weights_roundtrip_parity."""
+    from pyspark.ml.functions import vector_to_array
+
+    from web_attack_detection_spark.functions.feature import fit_feature_pipeline
+    from web_attack_detection_spark.ml.inference import mllib_mlp_scorer
+    from web_attack_detection_spark.ml.nets import mlp_params_from_mllib
+
+    events = load_table(spark, sf_dir, "events").drop("props", "ts")
+    train = events.filter(F.col("event_id") % 4 != 1)
+    test = events.filter(F.col("event_id") % 4 == 1)
+    fp = fit_feature_pipeline(train, label_col="event_type")
+    tr = fp.transform(train).select("features", "label").cache()
+    tr.count()
+    model = fit_mlp(tr, "features", "label", hidden=(16, 8), seed=42, max_iter=15)
+    tr.unpersist()
+
+    params = mlp_params_from_mllib(model)
+    scorer = mllib_mlp_scorer(params)
+
+    te = fp.transform(test).select("features")
+    jvm = predict(model, te, "features").select(
+        vector_to_array(F.col("probability")).alias("jvm_prob"),
+        F.col("prediction").alias("jvm_pred"),
+        "features",
+    )
+    both = jvm.withColumn(
+        "np_prob", scorer(F.col("features").cast("array<double>"))
+    ).withColumn(
+        # ties broken toward the first maximum on both sides
+        "np_pred",
+        (F.array_position(F.col("np_prob"), F.array_max("np_prob")) - 1).cast(
+            "double"
+        ),
+    )
+    delta = F.aggregate(
+        F.zip_with("jvm_prob", "np_prob", lambda a, b: F.abs(a - b)),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    return both.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("jvm_pred") == F.col("np_pred")).cast("long")).alias(
+            "n_pred_agree"
+        ),
+        F.max(delta).alias("max_abs_prob_delta"),
+    )
+
+
+@register(
     "ml_minhash_lsh_join",
     None,
     doc="MLlib MinHashLSH approxSimilarityJoin over token sets",

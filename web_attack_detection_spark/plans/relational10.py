@@ -246,49 +246,19 @@ def rel_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _BUCKETED_ORDERS: dict[tuple, str] = {}
-_CLEANUP_LOCS: list[str] = []
-
-
-def _register_cleanup(loc: str) -> None:
-    """Remove written bucketed-table dirs at process exit so the shared
-    warehouse does not accumulate one layout per bench/test/audit run
-    (ADVICE r3).  Idempotent; the in-memory catalog dies with the
-    session anyway, so only the directory needs reclaiming."""
-    import atexit
-    import shutil
-
-    if not _CLEANUP_LOCS:
-        atexit.register(
-            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _CLEANUP_LOCS]
-        )
-    _CLEANUP_LOCS.append(loc)
 
 
 def _stable_table(spark, df, base: str, sf_dir: str, n_rows: int,
                   bucket_col: str, sort_col: str | None = None):
-    """Write ``df`` as a bucketed catalog table under a CONTENT-KEYED
-    stable name (``{base}_{sf-hash}_{n_rows}``) — the same logical
-    input always maps to the same warehouse location, so concurrent
-    rounds overwrite one directory instead of accumulating pid-unique
-    copies (ADVICE r3).  A fresh session's in-memory catalog does not
-    know the table even when the location exists on disk, so the
-    drop+rmtree before saveAsTable stays necessary; the location is
-    also registered for atexit removal."""
-    import hashlib
-    import os
-    import shutil
+    """Content-keyed stable bucketed table (ADVICE r3): same logical
+    input → same warehouse location, overwritten rather than
+    accumulated, removed at process exit. Delegates to
+    io/sinks.stable_bucketed_table."""
+    from web_attack_detection_spark.io.sinks import stable_bucketed_table
 
-    from web_attack_detection_spark.io.sinks import write_bucketed
-
-    sfh = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    name = f"{base}_{sfh}_{n_rows}"
-    spark.sql(f"DROP TABLE IF EXISTS {name}")
-    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    loc = os.path.join(wh.removeprefix("file:"), name.lower())
-    shutil.rmtree(loc, ignore_errors=True)
-    write_bucketed(df, name, bucket_col, n_buckets=8, sort_col=sort_col)
-    _register_cleanup(loc)
-    return name
+    return stable_bucketed_table(
+        spark, df, base, f"{sf_dir}|{n_rows}", bucket_col, sort_col=sort_col
+    )
 
 
 def _orders_bucketed(spark: SparkSession, sf_dir: str):

@@ -435,3 +435,71 @@ def sim_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("int").alias("true_label"),
         F.col("cent_label").cast("int").alias("assigned_label"),
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF index: stored cell-partitioned layout + DPP-pruned probes
+# (round 4 — completes the persistent-index story sim_ivf_topk documents)
+# ---------------------------------------------------------------------------
+
+_IVF_STORE: dict[tuple, tuple[str, str]] = {}
+
+
+def _ivf_store(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build the IVF index ONCE and persist it the way a deployment
+    would: ``assigned`` (vec_id, embedding, cell) as a catalog table
+    PARTITIONED BY cell — the directory structure is the index — and
+    the 16 centroids as a tiny sibling table. Query-time probes then
+    read only the probed cells' directories (dynamic partition
+    pruning via the broadcast probe join; asserted in
+    tests/test_explain.py). Cached per (sf_dir, corpus row count);
+    content-keyed stable names + atexit cleanup (ADVICE r3)."""
+    from web_attack_detection_spark.io.sinks import (
+        stable_bucketed_table,
+        stable_partitioned_table,
+    )
+    from web_attack_detection_spark.operators.similarity import ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = (sf_dir, emb.count())
+    cached = _IVF_STORE.get(key)
+    if cached is not None:
+        return cached
+    centroids, assigned = ivf_assign(emb, k_centroids=16)
+    ck = f"{sf_dir}|{key[1]}"
+    a_name = stable_partitioned_table(spark, assigned, "ivf_cells", ck, ["cell"])
+    c_name = stable_bucketed_table(spark, centroids, "ivf_cents", ck, "cell")
+    _IVF_STORE[key] = (a_name, c_name)
+    return _IVF_STORE[key]
+
+
+@register(
+    "sim_ivf_indexed",
+    None,
+    doc="ANN top-k against a STORED cell-partitioned IVF index (DPP-pruned probes)",
+)
+def sim_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sim_ivf_topk`` semantics served from the PERSISTED index
+    (``_ivf_store``): identical output — tests assert row-for-row
+    equality with the in-query build — but the corpus side reads the
+    stored cell-partitioned layout, so each query batch touches only
+    its probed cells' files instead of rescanning and re-clustering
+    the corpus. This is the ANN deployment shape at 100 TB: the index
+    build (clustering + assignment) is paid once at ingest; per-batch
+    query cost is |probed partitions|, enforced by partition pruning
+    rather than trust. Rows-only driver check (xxhash64 centroid
+    seeding is not expressible in the oracle engine), same as
+    sim_ivf_topk; recall is asserted against the exact baseline in
+    tests/test_similarity.py."""
+    from web_attack_detection_spark.operators.similarity import ivf_topk_from_index
+
+    a_name, c_name = _ivf_store(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk_from_index(
+        spark.table(c_name),
+        spark.table(a_name),
+        queries,
+        k=5,
+        n_probe=4,
+    ).orderBy("query_id", "rank")

@@ -576,3 +576,62 @@ def stream_json_value_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         spark.table(name).collect(), spark.table(name).schema
     )
+
+
+# ---------------------------------------------------------------------------
+# stream-static enrichment join (round 4)
+# ---------------------------------------------------------------------------
+
+_STREAM_ENRICH_ORACLE = f"""
+SELECT c.c_mktsegment AS segment,
+       COUNT(*) AS n,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       {sql_money_sum('e.value')} AS total_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+"""
+
+
+@register(
+    "stream_static_enrichment",
+    _STREAM_ENRICH_ORACLE,
+    doc="stream-static broadcast enrichment join, aggregated per dimension value",
+)
+def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical production enrichment shape: a micro-batched event
+    stream joined against a STATIC dimension table (customer segment),
+    then aggregated per segment. Stream-static joins are stateless —
+    no watermark, no state store: each micro-batch hash-joins against
+    the broadcast dimension and feeds the running aggregate, which is
+    why this is the cheapest (and first) join every streaming pipeline
+    deploys. At 100 TB/day the dimension broadcast is refreshed per
+    batch window; the stream side never shuffles for the join.
+    Replay == batch on this input, so the DuckDB twin is the plain
+    batch join."""
+    dim = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        )
+    )
+    enriched = _replay(
+        spark,
+        sf_dir,
+        lambda s: (
+            s.join(dim, "user_id")
+            .groupBy(F.col("c_mktsegment").alias("segment"), F.col("user_id"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("value") * 100.0).cast("long")).alias("v_scaled"),
+            )
+        ),
+    )
+    # per-(segment, user) partials come out of the stream; the exact
+    # distinct-user count and money sum finish batch-side (streaming
+    # complete-mode cannot express COUNT(DISTINCT) directly — the
+    # partial-then-finalize split is the standard workaround)
+    return enriched.groupBy("segment").agg(
+        F.sum("n").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.round(F.sum("v_scaled") / 100.0, 2).alias("total_value"),
+    )
