@@ -3,8 +3,10 @@
 The reference trains four Keras models (M2-M4: Conv1D / SimpleRNN /
 LSTM stacks — ``/root/reference/models/cnn_model.py:19-40``,
 ``rnn_model.py:17-34``, ``lstm_model.py:17-34``). TensorFlow is not in
-this image, so TRAINING stays out-of-engine (the documented boundary,
-ml/pipeline.py) — but INFERENCE does not need TF at all: each
+this image; since round 4 that no longer leaves training out-of-engine:
+:mod:`ml.train` implements each architecture's backward pass and trains
+with distributed gradient aggregation (plans/deepq.py). INFERENCE needs
+no TF either: each
 architecture's forward pass is a short sequence of matmuls and
 elementwise ops, implemented here in numpy with seeded deterministic
 weights. Plugged into ``predict_batch_udf`` (ml/inference.py), this

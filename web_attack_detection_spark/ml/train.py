@@ -1,0 +1,498 @@
+"""In-engine distributed training for the reference's sequence models.
+
+The reference trains its Conv1D / SimpleRNN / LSTM stacks with Keras
+(``/root/reference/models/cnn_model.py:19-40``, ``rnn_model.py:17-34``,
+``lstm_model.py:17-34``).  TensorFlow has no install path in this image,
+so rounds 1-3 drew the boundary at "inference in-engine, training
+out-of-engine".  This module removes that boundary: each architecture's
+BACKWARD pass is implemented in numpy (exactly mirroring the forward
+passes in :mod:`ml.nets`), and training runs as the classic Spark
+iterate-with-distributed-gradient loop — the same dataflow MLlib's own
+L-BFGS uses:
+
+    per epoch:
+      broadcast current parameter vector
+      mapInPandas   -> per-partition gradient PARTIALS (sum over rows),
+                       chunked into fixed-size array slices
+      groupBy(chunk).applyInPandas -> chunk-wise reduce (sorted by
+                       partition id, so the fp sum order is stable)
+      collect the ~dozen chunk rows, reassemble the flat gradient
+      driver applies a momentum-SGD step
+
+Scale notes (100 TB): the train set is scanned once per epoch from an
+executor-cached DataFrame; the shuffle per epoch moves only
+``n_partitions × n_params`` doubles (the partials), never rows; the
+second-stage reduce parallelizes over chunks, so the driver collects
+``n_chunks`` rows of ``chunk`` doubles each — O(model), independent of
+data volume.  Full-batch gradients keep the loop deterministic (no
+per-worker RNG); minibatch SGD at scale is the same loop over a
+``TABLESAMPLE`` of the cached set.
+
+Dropout layers in the reference are active only in training; they are
+omitted here (equivalent to Keras ``training=False`` regularization-free
+fitting) — documented, deterministic, and irrelevant to the
+architecture-parity claim.  Trained parameter dicts are IDENTICAL in
+shape to ``nets.seeded_*_params`` output, so they plug straight into
+``nets.*_forward`` / ``inference.sequence_scorer`` for distributed
+scoring: train-in-engine -> score-anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import numpy as np
+
+from web_attack_detection_spark.ml import nets
+
+# ---------------------------------------------------------------------------
+# canonical parameter <-> flat-vector codec
+# ---------------------------------------------------------------------------
+
+
+def _walk(tree) -> Iterator[np.ndarray]:
+    """Yield every array in a params/grads tree in canonical order:
+    dict keys sorted, list/tuple elements in index order."""
+    if isinstance(tree, dict):
+        for k in sorted(tree):
+            yield from _walk(tree[k])
+    elif isinstance(tree, (list, tuple)):
+        for v in tree:
+            yield from _walk(v)
+    else:
+        yield np.asarray(tree, dtype=np.float64)
+
+
+def flatten_params(tree) -> np.ndarray:
+    return np.concatenate([a.ravel() for a in _walk(tree)])
+
+
+def unflatten_params(template, flat: np.ndarray):
+    """Rebuild a tree shaped like ``template`` from ``flat`` (the
+    inverse of :func:`flatten_params` over the same template)."""
+    off = 0
+
+    def rebuild(node):
+        nonlocal off
+        if isinstance(node, dict):
+            # same canonical (sorted) order as _walk/flatten_params
+            return {k: rebuild(node[k]) for k in sorted(node)}
+        if isinstance(node, (list, tuple)):
+            built = [rebuild(v) for v in node]
+            return type(node)(built) if isinstance(node, tuple) else built
+        a = np.asarray(node, dtype=np.float64)
+        out = flat[off : off + a.size].reshape(a.shape).copy()
+        off += a.size
+        return out
+
+    out = rebuild(template)
+    if off != flat.size:
+        raise ValueError(f"flat vector length {flat.size} != template size {off}")
+    return out
+
+
+def _zeros_like_tree(tree):
+    if isinstance(tree, dict):
+        return {k: _zeros_like_tree(v) for k, v in tree.items()}
+    if isinstance(tree, (list, tuple)):
+        z = [_zeros_like_tree(v) for v in tree]
+        return type(tree)(z) if isinstance(tree, tuple) else z
+    return np.zeros_like(np.asarray(tree, dtype=np.float64))
+
+
+def _softmax_ce(logits: np.ndarray, y: np.ndarray):
+    """Softmax cross-entropy: returns (loss_sum, dlogits) where
+    dlogits is the UNAVERAGED gradient (probs - onehot)."""
+    z = logits - logits.max(axis=1, keepdims=True)
+    e = np.exp(z)
+    probs = e / e.sum(axis=1, keepdims=True)
+    n = logits.shape[0]
+    loss_sum = -np.log(np.clip(probs[np.arange(n), y], 1e-12, None)).sum()
+    d = probs.copy()
+    d[np.arange(n), y] -= 1.0
+    return loss_sum, d
+
+
+# ---------------------------------------------------------------------------
+# Conv1D stack: forward-with-cache + backward (mirrors nets.cnn_forward)
+# ---------------------------------------------------------------------------
+
+
+def cnn_loss_grads(x: np.ndarray, y: np.ndarray, params: dict):
+    """x (n, L) raw sequences, y (n,) int labels ->
+    (loss_sum, grads tree shaped like params)."""
+    a = x[:, :, None].astype(np.float64)
+    caches = []
+    for w, b in params["convs"]:
+        k, cin, cout = w.shape
+        L = a.shape[1] - k + 1
+        idx = np.arange(k)[None, :] + np.arange(L)[:, None]
+        win = a[:, idx, :].reshape(a.shape[0], L, k * cin)  # (n, L, k*cin)
+        z = win @ w.reshape(k * cin, cout) + b
+        r = np.maximum(z, 0.0)
+        half = r.shape[1] // 2
+        r4 = r[:, : half * 2, :].reshape(r.shape[0], half, 2, cout)
+        am = r4.argmax(axis=2)  # (n, half, cout)
+        pooled = np.take_along_axis(r4, am[:, :, None, :], axis=2)[:, :, 0, :]
+        caches.append((a.shape, win, z, r.shape, am, (w, b)))
+        a = pooled
+    pooled_shape = a.shape
+    flat = a.reshape(a.shape[0], -1)
+    wd, bd = params["dense"]
+    zd = flat @ wd + bd
+    hd = np.maximum(zd, 0.0)
+    wo, bo = params["out"]
+    loss_sum, dlog = _softmax_ce(hd @ wo + bo, y)
+
+    grads = _zeros_like_tree(params)
+    grads["out"] = (hd.T @ dlog, dlog.sum(axis=0))
+    dh = dlog @ wo.T
+    dzd = dh * (zd > 0)
+    grads["dense"] = (flat.T @ dzd, dzd.sum(axis=0))
+    da = (dzd @ wd.T).reshape(pooled_shape)
+
+    for li in range(len(caches) - 1, -1, -1):
+        a_shape, win, z, r_shape, am, (w, b) = caches[li]
+        k, cin, cout = w.shape
+        n, L, _ = z.shape
+        half = am.shape[1]
+        # unpool: route each pooled grad to its argmax slot
+        dr4 = np.zeros((n, half, 2, cout))
+        np.put_along_axis(dr4, am[:, :, None, :], da[:, :, None, :], axis=2)
+        dr = np.zeros(r_shape)
+        dr[:, : half * 2, :] = dr4.reshape(n, half * 2, cout)
+        dz = dr * (z > 0)
+        wr = w.reshape(k * cin, cout)
+        dW = np.tensordot(win, dz, axes=([0, 1], [0, 1]))  # (k*cin, cout)
+        grads["convs"][li] = (dW.reshape(k, cin, cout), dz.sum(axis=(0, 1)))
+        dwin = dz @ wr.T  # (n, L, k*cin)
+        dx = np.zeros(a_shape)
+        dwin3 = dwin.reshape(n, L, k, cin)
+        for j in range(k):  # col2im scatter-add, k is 3
+            dx[:, j : j + L, :] += dwin3[:, :, j, :]
+        da = dx
+    return loss_sum, grads
+
+
+# ---------------------------------------------------------------------------
+# SimpleRNN stack: BPTT (mirrors nets.rnn_forward)
+# ---------------------------------------------------------------------------
+
+
+def _rnn_layer_forward(x, w, u, b):
+    n, L, _ = x.shape
+    units = b.shape[0]
+    hs = np.zeros((n, L + 1, units))  # hs[:, 0] is h_{-1} = 0
+    for t in range(L):
+        hs[:, t + 1] = np.tanh(x[:, t, :] @ w + hs[:, t] @ u + b)
+    return hs
+
+
+def _rnn_layer_backward(x, hs, w, u, dseq, dlast):
+    """dseq (n, L, units) grads on every output step (or None),
+    dlast (n, units) grad on the final step only (or None)."""
+    n, L, _ = x.shape
+    units = w.shape[1]
+    dW = np.zeros_like(w)
+    dU = np.zeros_like(u)
+    db = np.zeros(units)
+    dx = np.zeros_like(x)
+    dh = np.zeros((n, units)) if dlast is None else dlast.copy()
+    for t in range(L - 1, -1, -1):
+        if dseq is not None:
+            dh = dh + dseq[:, t, :]
+        h = hs[:, t + 1]
+        dz = dh * (1.0 - h * h)
+        dW += x[:, t, :].T @ dz
+        dU += hs[:, t].T @ dz
+        db += dz.sum(axis=0)
+        dx[:, t, :] = dz @ w.T
+        dh = dz @ u.T
+    return dx, (dW, dU, db)
+
+
+def rnn_loss_grads(x: np.ndarray, y: np.ndarray, params: dict):
+    xi = x[:, :, None].astype(np.float64)
+    w1, u1, b1 = params["rnn1"]
+    hs1 = _rnn_layer_forward(xi, w1, u1, b1)
+    s1 = hs1[:, 1:, :]
+    w2, u2, b2 = params["rnn2"]
+    hs2 = _rnn_layer_forward(s1, w2, u2, b2)
+    h2 = hs2[:, -1, :]
+    wd, bd = params["dense"]
+    zd = h2 @ wd + bd
+    hd = np.maximum(zd, 0.0)
+    wo, bo = params["out"]
+    loss_sum, dlog = _softmax_ce(hd @ wo + bo, y)
+
+    grads = _zeros_like_tree(params)
+    grads["out"] = (hd.T @ dlog, dlog.sum(axis=0))
+    dh = dlog @ wo.T
+    dzd = dh * (zd > 0)
+    grads["dense"] = (h2.T @ dzd, dzd.sum(axis=0))
+    dh2 = dzd @ wd.T
+    ds1, grads["rnn2"] = _rnn_layer_backward(s1, hs2, w2, u2, None, dh2)
+    _, grads["rnn1"] = _rnn_layer_backward(xi, hs1, w1, u1, ds1, None)
+    return loss_sum, grads
+
+
+# ---------------------------------------------------------------------------
+# LSTM stack: BPTT (mirrors nets._lstm)
+# ---------------------------------------------------------------------------
+
+
+def _lstm_layer_forward(x, w, u, b):
+    n, L, _ = x.shape
+    units = b.shape[0] // 4
+    hs = np.zeros((n, L + 1, units))
+    cs = np.zeros((n, L + 1, units))
+    gates = np.empty((n, L, 4 * units))
+    for t in range(L):
+        z = x[:, t, :] @ w + hs[:, t] @ u + b
+        i = nets._sigmoid(z[:, :units])
+        f = nets._sigmoid(z[:, units : 2 * units])
+        g = np.tanh(z[:, 2 * units : 3 * units])
+        o = nets._sigmoid(z[:, 3 * units :])
+        cs[:, t + 1] = f * cs[:, t] + i * g
+        hs[:, t + 1] = o * np.tanh(cs[:, t + 1])
+        gates[:, t, :units] = i
+        gates[:, t, units : 2 * units] = f
+        gates[:, t, 2 * units : 3 * units] = g
+        gates[:, t, 3 * units :] = o
+    return hs, cs, gates
+
+
+def _lstm_layer_backward(x, hs, cs, gates, w, u, dseq, dlast):
+    n, L, _ = x.shape
+    units = w.shape[1] // 4
+    dW = np.zeros_like(w)
+    dU = np.zeros_like(u)
+    db = np.zeros(4 * units)
+    dx = np.zeros_like(x)
+    dh = np.zeros((n, units)) if dlast is None else dlast.copy()
+    dc = np.zeros((n, units))
+    for t in range(L - 1, -1, -1):
+        if dseq is not None:
+            dh = dh + dseq[:, t, :]
+        i = gates[:, t, :units]
+        f = gates[:, t, units : 2 * units]
+        g = gates[:, t, 2 * units : 3 * units]
+        o = gates[:, t, 3 * units :]
+        tc = np.tanh(cs[:, t + 1])
+        dc = dc + dh * o * (1.0 - tc * tc)
+        do = dh * tc
+        di = dc * g
+        dg = dc * i
+        df = dc * cs[:, t]
+        dz = np.concatenate(
+            [
+                di * i * (1.0 - i),
+                df * f * (1.0 - f),
+                dg * (1.0 - g * g),
+                do * o * (1.0 - o),
+            ],
+            axis=1,
+        )
+        dW += x[:, t, :].T @ dz
+        dU += hs[:, t].T @ dz
+        db += dz.sum(axis=0)
+        dx[:, t, :] = dz @ w.T
+        dh = dz @ u.T
+        dc = dc * f
+    return dx, (dW, dU, db)
+
+
+def lstm_loss_grads(x: np.ndarray, y: np.ndarray, params: dict):
+    xi = x[:, :, None].astype(np.float64)
+    w1, u1, b1 = params["lstm1"]
+    hs1, cs1, g1 = _lstm_layer_forward(xi, w1, u1, b1)
+    s1 = hs1[:, 1:, :]
+    w2, u2, b2 = params["lstm2"]
+    hs2, cs2, g2 = _lstm_layer_forward(s1, w2, u2, b2)
+    h2 = hs2[:, -1, :]
+    wd, bd = params["dense"]
+    zd = h2 @ wd + bd
+    hd = np.maximum(zd, 0.0)
+    wo, bo = params["out"]
+    loss_sum, dlog = _softmax_ce(hd @ wo + bo, y)
+
+    grads = _zeros_like_tree(params)
+    grads["out"] = (hd.T @ dlog, dlog.sum(axis=0))
+    dh = dlog @ wo.T
+    dzd = dh * (zd > 0)
+    grads["dense"] = (h2.T @ dzd, dzd.sum(axis=0))
+    dh2 = dzd @ wd.T
+    ds1, grads["lstm2"] = _lstm_layer_backward(s1, hs2, cs2, g2, w2, u2, None, dh2)
+    _, grads["lstm1"] = _lstm_layer_backward(xi, hs1, cs1, g1, w1, u1, ds1, None)
+    return loss_sum, grads
+
+
+GRAD_FNS: dict[str, Callable] = {
+    "cnn": cnn_loss_grads,
+    "rnn": rnn_loss_grads,
+    "lstm": lstm_loss_grads,
+}
+
+FORWARD_FNS: dict[str, Callable] = {
+    "cnn": nets.cnn_forward,
+    "rnn": nets.rnn_forward,
+    "lstm": nets.lstm_forward,
+}
+
+
+def init_params(arch: str, seq_len: int, n_classes: int, seed: int = 42) -> dict:
+    if arch == "cnn":
+        return nets.seeded_cnn_params(seq_len, n_classes, seed)
+    if arch == "rnn":
+        return nets.seeded_rnn_params(n_classes, seed)
+    if arch == "lstm":
+        return nets.seeded_lstm_params(n_classes, seed)
+    raise ValueError(f"unknown arch {arch!r}")
+
+
+# ---------------------------------------------------------------------------
+# distributed full-batch gradient (mapInPandas partials -> chunked reduce)
+# ---------------------------------------------------------------------------
+
+_GRAD_CHUNK = 32768
+
+
+def distributed_loss_grad(
+    train_df,
+    arch: str,
+    params: dict,
+    seq_col: str = "seq",
+    label_col: str = "label",
+    batch_rows: int = 4096,
+    chunk: int = _GRAD_CHUNK,
+):
+    """One distributed gradient evaluation: scan ``train_df`` once,
+    sum per-row gradients inside each partition (numpy, Arrow batches
+    capped at ``batch_rows``), shuffle only chunked partial vectors,
+    reduce per chunk in partition-id order (stable fp sum), and return
+    ``(loss_mean, flat_grad_mean, n_rows)``.
+
+    The per-epoch shuffle volume is ``n_partitions × n_params`` doubles
+    — independent of the number of training rows, which is what makes
+    the loop viable on a 1000-executor cluster.
+    """
+    import pandas as pd
+    from pyspark import TaskContext
+    from pyspark.sql import functions as F  # noqa: F401  (kept for callers)
+
+    spark = train_df.sparkSession
+    flat = flatten_params(params)
+    template = params
+    bc = spark.sparkContext.broadcast(flat)
+    n_params = flat.size
+    n_chunks = (n_params + chunk - 1) // chunk
+    grad_fn = GRAD_FNS[arch]
+
+    def part_grads(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        p = unflatten_params(template, bc.value)
+        g_acc = np.zeros(n_params)
+        loss_acc = 0.0
+        n_acc = 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            seqs = np.stack(pdf[seq_col].to_numpy())
+            ys = pdf[label_col].to_numpy().astype(np.int64)
+            for s in range(0, len(ys), batch_rows):
+                ls, g = grad_fn(seqs[s : s + batch_rows], ys[s : s + batch_rows], p)
+                g_acc += flatten_params(g)
+                loss_acc += ls
+                n_acc += len(ys[s : s + batch_rows])
+        if n_acc == 0:
+            return
+        pid = TaskContext.get().partitionId()
+        yield pd.DataFrame(
+            {
+                "chunk_id": np.arange(n_chunks, dtype=np.int32),
+                "part_id": np.full(n_chunks, pid, dtype=np.int32),
+                "grad": [g_acc[c * chunk : (c + 1) * chunk] for c in range(n_chunks)],
+                "loss": [loss_acc] + [0.0] * (n_chunks - 1),
+                "n": [n_acc] + [0] * (n_chunks - 1),
+            }
+        )
+
+    partial_schema = (
+        "chunk_id int, part_id int, grad array<double>, loss double, n long"
+    )
+    partials = train_df.select(seq_col, label_col).mapInPandas(
+        part_grads, partial_schema
+    )
+
+    def reduce_chunk(key, pdf):
+        pdf = pdf.sort_values("part_id")
+        s = np.zeros(len(pdf["grad"].iloc[0]))
+        for g in pdf["grad"]:
+            s += np.asarray(g)
+        return pd.DataFrame(
+            {
+                "chunk_id": [key[0]],
+                "grad": [s],
+                "loss": [float(pdf["loss"].sum())],
+                "n": [int(pdf["n"].sum())],
+            }
+        )
+
+    reduced = partials.groupBy("chunk_id").applyInPandas(
+        reduce_chunk, "chunk_id int, grad array<double>, loss double, n long"
+    )
+    rows = reduced.collect()
+    bc.unpersist()
+    if not rows:
+        return 0.0, np.zeros(n_params), 0
+    rows.sort(key=lambda r: r["chunk_id"])
+    g = np.concatenate([np.asarray(r["grad"]) for r in rows])
+    n = sum(r["n"] for r in rows)
+    loss = sum(r["loss"] for r in rows)
+    return loss / n, g / n, n
+
+
+def fit_sequence_net(
+    train_df,
+    arch: str,
+    seq_len: int,
+    n_classes: int,
+    seq_col: str = "seq",
+    label_col: str = "label",
+    epochs: int = 8,
+    lr: float = 0.2,
+    momentum: float = 0.9,
+    clip_norm: float = 5.0,
+    seed: int = 42,
+):
+    """Train a reference-architecture net in-engine with distributed
+    full-batch momentum SGD.  Returns ``(params, history)`` where
+    ``history`` is the per-epoch mean training loss (epoch 0 is the
+    loss at initialization).  ``params`` has the exact shape of
+    ``nets.seeded_*_params`` and plugs into ``sequence_scorer``.
+
+    For the LSTM, the forget-gate bias is initialized to 1.0 — the
+    Keras ``unit_forget_bias=True`` default the reference trains under
+    (``lstm_model.py:17-34``); without it the gates start half-closed
+    and early BPTT signal dies."""
+    params = init_params(arch, seq_len, n_classes, seed)
+    if arch == "lstm":
+        for key in ("lstm1", "lstm2"):
+            _, _, b = params[key]
+            units = b.shape[0] // 4
+            b[units : 2 * units] = 1.0
+    flat = flatten_params(params)
+    vel = np.zeros_like(flat)
+    history = []
+    for _ in range(epochs):
+        loss, grad, n = distributed_loss_grad(
+            train_df, arch, unflatten_params(params, flat), seq_col, label_col
+        )
+        if n == 0:
+            raise ValueError("empty training set")
+        history.append(loss)
+        gn = float(np.linalg.norm(grad))
+        if clip_norm and gn > clip_norm:  # recurrent nets: bound BPTT spikes
+            grad = grad * (clip_norm / gn)
+        vel = momentum * vel - lr * grad
+        flat = flat + vel
+    return unflatten_params(params, flat), history

@@ -548,9 +548,9 @@ def ml_cnn_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M2 (reference cnn_model.py:19-40) as architecture-faithful
     DISTRIBUTED inference: Conv1D(32)->pool->Conv1D(64)->pool->
     Conv1D(128)->pool->Dense(128)->softmax in pure numpy on executors.
-    Training stays out-of-engine (no TF in the image — documented
-    boundary); this query proves the scoring path needs no TF and no
-    driver collect. Rows-only (a conv stack has no SQL twin);
+    Training runs in-engine too since round 4 (ml/train.py,
+    ml_cnn_train_dist); this query proves the scoring path needs no TF
+    and no driver collect. Rows-only (a conv stack has no SQL twin);
     per-architecture equivalence tests in tests/test_ml.py."""
     return _sequence_infer(spark, sf_dir, "cnn")
 
