@@ -198,3 +198,50 @@ def test_train_queries_report_learning(spark, qname):
     assert row["n_train"] > 0 and row["n_test"] > 0
     assert row["final_loss"] < row["init_loss"], row
     assert row["test_accuracy"] > row["majority_share"], row
+
+
+def test_params_save_load_bit_exact(tmp_path):
+    p = train.init_params("lstm", 8, 3, seed=7)
+    f = str(tmp_path / "w.json")
+    train.save_params(p, f)
+    p2 = train.load_params(f)
+    assert np.array_equal(train.flatten_params(p), train.flatten_params(p2))
+    # structure: tuples stay tuples (nets.* unpack (w, u, b))
+    assert isinstance(p2["lstm1"], tuple)
+    x = RNG.standard_normal((5, 8))
+    assert np.array_equal(nets.lstm_forward(x, p), nets.lstm_forward(x, p2))
+
+
+def test_trained_then_saved_scores_identically(spark, tmp_path):
+    """Full seam: fit in-engine -> save -> load -> same predictions."""
+    n, L, C = 80, 10, 3
+    X = RNG.standard_normal((n, L))
+    y = RNG.integers(0, C, n)
+    df = spark.createDataFrame(
+        [(X[i].tolist(), int(y[i])) for i in range(n)],
+        "seq array<double>, label int",
+    ).cache()
+    df.count()
+    params, _ = train.fit_sequence_net(df, "rnn", L, C, epochs=2, lr=0.1, seed=3)
+    f = str(tmp_path / "rnn.json")
+    train.save_params(params, f)
+    loaded = train.load_params(f)
+    assert np.array_equal(nets.rnn_forward(X, params), nets.rnn_forward(X, loaded))
+    df.unpersist()
+
+
+def test_transpiled_scoring_plan_is_pure_jvm(spark):
+    """transpile_linear_softmax output must contain no Python eval
+    node: the whole point is serving without a Python worker."""
+    from web_attack_detection_spark.plans.deepq import transpile_linear_softmax
+
+    df = spark.range(100).selectExpr(
+        "array(cast(id as double), cast(id % 7 as double)) as features"
+    )
+    coef = [[0.5, -1.0], [0.25, 2.0], [-0.75, 0.1]]
+    intercept = [0.1, -0.2, 0.3]
+    _, pred = transpile_linear_softmax(coef, intercept, "features")
+    plan = df.select(pred.alias("p"))._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # "*(n)" prefixes = operators fused into a WholeStageCodegen stage
+    assert plan.lstrip().startswith("*("), plan[:200]

@@ -327,6 +327,54 @@ def lstm_loss_grads(x: np.ndarray, y: np.ndarray, params: dict):
     return loss_sum, grads
 
 
+# ---------------------------------------------------------------------------
+# weight persistence (the reference's model.save/load_model boundary —
+# cnn_model.py:74-81 — re-expressed as a portable JSON weight file)
+# ---------------------------------------------------------------------------
+
+
+def save_params(params: dict, path: str) -> None:
+    """Serialize a trained parameter tree losslessly (float64 hex) so
+    a model trained in one session scores identically in another.
+    The file is O(model) — KBs to MBs — and engine-agnostic."""
+    import json
+
+    def enc(node):
+        if isinstance(node, dict):
+            return {"_t": "dict", "v": {k: enc(v) for k, v in node.items()}}
+        if isinstance(node, (list, tuple)):
+            return {
+                "_t": "tuple" if isinstance(node, tuple) else "list",
+                "v": [enc(v) for v in node],
+            }
+        a = np.asarray(node, dtype=np.float64)
+        return {
+            "_t": "arr",
+            "shape": list(a.shape),
+            "hex": [x.hex() for x in a.ravel().tolist()],
+        }
+
+    with open(path, "w") as f:
+        json.dump(enc(params), f)
+
+
+def load_params(path: str) -> dict:
+    """Inverse of :func:`save_params`; bit-exact roundtrip."""
+    import json
+
+    def dec(node):
+        if node["_t"] == "dict":
+            return {k: dec(v) for k, v in node["v"].items()}
+        if node["_t"] in ("list", "tuple"):
+            vals = [dec(v) for v in node["v"]]
+            return tuple(vals) if node["_t"] == "tuple" else vals
+        a = np.array([float.fromhex(h) for h in node["hex"]], dtype=np.float64)
+        return a.reshape(node["shape"])
+
+    with open(path) as f:
+        return dec(json.load(f))
+
+
 GRAD_FNS: dict[str, Callable] = {
     "cnn": cnn_loss_grads,
     "rnn": rnn_loss_grads,

@@ -49,8 +49,8 @@ for _mod in PLAN_MODULES:
 # Registry floor: round-4: 211 queries / 191 oracles (bumped as queries land).  A
 # registry smaller than that means a plan module loaded but failed to
 # register (the one silent-shrink path imports can't catch).
-EXPECTED_MIN_QUERIES = 214
-EXPECTED_MIN_ORACLES = 191
+EXPECTED_MIN_QUERIES = 216
+EXPECTED_MIN_ORACLES = 192
 
 from web_attack_detection_spark.plans.registry import QUERIES as _Q  # noqa: E402
 

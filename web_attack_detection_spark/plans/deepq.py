@@ -197,3 +197,91 @@ def ml_lstm_train_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     through LSTM(64, seq) -> LSTM(128) -> Dense(64) -> softmax, Keras
     unit-forget-bias init. See ml_cnn_train_dist."""
     return _train_eval(spark, sf_dir, "lstm")
+
+
+# ---------------------------------------------------------------------------
+# model transpilation: trained weights compiled into Catalyst expressions
+# ---------------------------------------------------------------------------
+
+
+def transpile_linear_softmax(coef, intercept, features_col: str):
+    """Compile a fitted linear multiclass model into pure Catalyst
+    expressions: per-class margin columns ``intercept_k + sum_j
+    coef[k][j] * features[j]`` and an argmax prediction.  The scoring
+    subplan is whole-stage-codegen JVM — no Python worker, no Arrow
+    hop, no model object on the executors; the model ships as literals
+    INSIDE the plan (asserted in tests/test_train.py).  This is the
+    production serving shape for linear models at 100 TB: scoring
+    cost is the same as any projection, and predicate pushdown /
+    column pruning still apply around it."""
+    margins = F.array(
+        *[
+            sum(
+                [F.lit(float(c)) * F.element_at(features_col, j + 1) for j, c in enumerate(row)],
+                F.lit(float(b)),
+            )
+            for row, b in zip(coef, intercept)
+        ]
+    )
+    pred = (F.array_position(margins, F.array_max(margins)) - 1).cast("double")
+    return margins, pred
+
+
+@register(
+    "ml_logreg_transpiled",
+    None,
+    doc="fitted logreg transpiled to Catalyst expressions; in-query parity vs MLlib transform",
+)
+def ml_logreg_transpiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-transpile: fit MLlib multinomial logistic regression
+    (the reference battery's convex baseline), then compile its
+    coefficient matrix into the plan via
+    :func:`transpile_linear_softmax` and score the held-out split
+    twice — MLlib ``model.transform`` (JVM vector path) and the
+    transpiled expressions (codegen path) — auditing argmax agreement
+    IN-QUERY.  Proves the serving story end to end: a model fitted by
+    the engine can be served by ANY Spark cluster as plain SQL
+    expressions, no MLlib runtime or Python needed at score time.
+    Returns one row: (n_rows, n_agree, accuracy_mllib,
+    accuracy_transpiled)."""
+    from pyspark.ml.classification import LogisticRegression
+
+    from web_attack_detection_spark.functions.feature import fit_feature_pipeline
+    from web_attack_detection_spark.ml.pipeline import to_vector
+
+    events = load_table(spark, sf_dir, "events").drop("props", "ts")
+    train = events.filter(F.col("event_id") % 4 != 1)
+    test = events.filter(F.col("event_id") % 4 == 1)
+    fp = fit_feature_pipeline(train, label_col="event_type")
+    tr = to_vector(
+        fp.transform(train).select("features", "label"), "features", "fv"
+    ).cache()
+    tr.count()
+    model = LogisticRegression(
+        featuresCol="fv", labelCol="label", maxIter=25, regParam=0.01,
+        family="multinomial",
+    ).fit(tr)
+    tr.unpersist()
+
+    coef = model.coefficientMatrix.toArray()
+    intercept = model.interceptVector.toArray()
+    margins, pred_t = transpile_linear_softmax(coef, intercept, "features")
+
+    te = to_vector(fp.transform(test).select("features", "label"), "features", "fv")
+    both = (
+        model.transform(te)
+        .select("label", "features", F.col("prediction").alias("pred_mllib"))
+        .withColumn("pred_transpiled", pred_t)
+    )
+    return both.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("pred_mllib") == F.col("pred_transpiled")).cast("long")).alias(
+            "n_agree"
+        ),
+        F.round(
+            F.avg((F.col("pred_mllib") == F.col("label")).cast("double")), 6
+        ).alias("accuracy_mllib"),
+        F.round(
+            F.avg((F.col("pred_transpiled") == F.col("label")).cast("double")), 6
+        ).alias("accuracy_transpiled"),
+    )

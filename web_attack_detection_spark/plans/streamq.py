@@ -635,3 +635,63 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_users"),
         F.round(F.sum("v_scaled") / 100.0, 2).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming model scoring — the model compiled INTO the plan
+# ---------------------------------------------------------------------------
+
+_STREAM_SCORE_ORACLE = """
+WITH scored AS (
+  SELECT event_type,
+         (7 * LENGTH(event_type)
+          + 3 * (user_id % 97)
+          - (CAST(ROUND(value * 100) AS BIGINT) // 50)) AS margin
+  FROM events
+)
+SELECT event_type,
+       margin > 0 AS flagged,
+       COUNT(*) AS n,
+       CAST(SUM(margin) AS BIGINT) AS margin_sum
+FROM scored
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "stream_model_scoring",
+    _STREAM_SCORE_ORACLE,
+    doc="quantized linear scorer compiled into the streaming plan (zero Python)",
+)
+def stream_model_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-time model serving, the way it should ship at 100 TB/day:
+    the model is TRANSPILED into Catalyst expressions, so scoring runs
+    inside whole-stage codegen on the stream — no Python worker, no
+    batch handoff, no state store (stateless projection + running agg).
+
+    The model here is an integer-QUANTIZED linear scorer (the
+    deployment trick sim_quantized_topk uses for ANN): weights and
+    features are integers, so margins are BIGINT-exact and the DuckDB
+    twin matches bit-for-bit — which is exactly why quantized serving
+    is audit-friendly. The float->Catalyst version of the same idea is
+    ml_logreg_transpiled (mlq.py); the trained-weights version of
+    per-row scoring is ml/inference.py. Replay == batch on this input,
+    so the oracle is the batch formulation of the same expressions."""
+    margin = (
+        7 * F.length("event_type")
+        + 3 * (F.col("user_id") % 97)
+        - F.expr("CAST(ROUND(value * 100) AS BIGINT) DIV 50")
+    ).cast("long")
+    scored = _replay(
+        spark,
+        sf_dir,
+        lambda s: (
+            s.select("event_type", margin.alias("margin"))
+            .groupBy("event_type", (F.col("margin") > 0).alias("flagged"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("margin").alias("margin_sum"),
+            )
+        ),
+    )
+    return scored.select("event_type", "flagged", "n", "margin_sum")
