@@ -245,3 +245,31 @@ def test_transpiled_scoring_plan_is_pure_jvm(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # "*(n)" prefixes = operators fused into a WholeStageCodegen stage
     assert plan.lstrip().startswith("*("), plan[:200]
+
+
+def test_driver_and_tree_reduce_identical(spark):
+    """The adaptive reduce must be invisible: both depths produce the
+    SAME floats (sums run in (part_id, chunk_id) order on both)."""
+    n, L, C = 150, 28, 3
+    X = RNG.standard_normal((n, L))
+    y = RNG.integers(0, C, n)
+    df = (
+        spark.createDataFrame(
+            [(X[i].tolist(), int(y[i])) for i in range(n)],
+            "seq array<double>, label int",
+        )
+        .repartition(6)
+        .cache()
+    )
+    df.count()
+    params = train.init_params("cnn", L, C, seed=5)
+    l1, g1, n1 = train.distributed_loss_grad(
+        df, "cnn", params, chunk=4096, reduce_mode="driver"
+    )
+    l2, g2, n2 = train.distributed_loss_grad(
+        df, "cnn", params, chunk=4096, reduce_mode="tree"
+    )
+    assert n1 == n2 == n
+    assert l1 == l2
+    assert np.array_equal(g1, g2)
+    df.unpersist()

@@ -413,6 +413,7 @@ def distributed_loss_grad(
     label_col: str = "label",
     batch_rows: int = 4096,
     chunk: int = _GRAD_CHUNK,
+    reduce_mode: str = "auto",
 ):
     """One distributed gradient evaluation: scan ``train_df`` once,
     sum per-row gradients inside each partition (numpy, Arrow batches
@@ -470,6 +471,33 @@ def distributed_loss_grad(
     partials = train_df.select(seq_col, label_col).mapInPandas(
         part_grads, partial_schema
     )
+
+    # Reduce-side depth choice, same trade MLlib's treeAggregate makes:
+    # with few partitions the chunk shuffle costs more than it saves,
+    # so collect the partials straight to the driver (one stage per
+    # epoch); past the threshold, insert the chunk-parallel shuffle
+    # reduce so the driver only ever sees n_chunks rows.  Both paths
+    # sum in (part_id, chunk_id) order — identical fp results
+    # (asserted in tests/test_train.py).
+    n_parts = train_df.rdd.getNumPartitions()
+    if reduce_mode == "auto":
+        reduce_mode = "driver" if n_parts <= 64 else "tree"
+
+    if reduce_mode == "driver":
+        rows = partials.collect()
+        bc.unpersist()
+        if not rows:
+            return 0.0, np.zeros(n_params), 0
+        rows.sort(key=lambda r: (r["chunk_id"], r["part_id"]))
+        g = np.zeros(n_params)
+        loss = 0.0
+        n = 0
+        for r in rows:
+            c = r["chunk_id"]
+            g[c * chunk : c * chunk + len(r["grad"])] += np.asarray(r["grad"])
+            loss += r["loss"]
+            n += r["n"]
+        return loss / n, g / n, n
 
     def reduce_chunk(key, pdf):
         pdf = pdf.sort_values("part_id")
