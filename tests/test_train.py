@@ -273,3 +273,54 @@ def test_driver_and_tree_reduce_identical(spark):
     assert l1 == l2
     assert np.array_equal(g1, g2)
     df.unpersist()
+
+
+def test_resume_from_checkpoint_continues_learning(spark, tmp_path):
+    """Weights-only checkpoint/resume: save after a few epochs, load in
+    a 'new run', keep training — loss keeps falling from where it was."""
+    n, L, C = 300, 16, 3
+    templates = RNG.standard_normal((C, L)) * 2.0
+    y = RNG.integers(0, C, n)
+    X = templates[y] + 0.3 * RNG.standard_normal((n, L))
+    df = (
+        spark.createDataFrame(
+            [(X[i].tolist(), int(y[i])) for i in range(n)],
+            "seq array<double>, label int",
+        )
+        .repartition(4)
+        .cache()
+    )
+    df.count()
+    p1, h1 = train.fit_sequence_net(df, "rnn", L, C, epochs=3, lr=0.2, seed=4)
+    ckpt = str(tmp_path / "ckpt.json")
+    train.save_params(p1, ckpt)
+    p2, h2 = train.fit_sequence_net(
+        df, "rnn", L, C, epochs=3, lr=0.2, init=train.load_params(ckpt)
+    )
+    # the resumed run starts at the checkpoint's loss, not at init
+    assert h2[0] < h1[0], (h1, h2)
+    assert h2[-1] < h2[0], h2
+    df.unpersist()
+
+
+def test_distributed_grad_handles_empty_partitions(spark):
+    """Over-partitioned tiny input: empty partitions emit no partials
+    and the gradient is unchanged."""
+    n, L, C = 40, 28, 3
+    X = RNG.standard_normal((n, L))
+    y = RNG.integers(0, C, n)
+    df = (
+        spark.createDataFrame(
+            [(X[i].tolist(), int(y[i])) for i in range(n)],
+            "seq array<double>, label int",
+        )
+        .repartition(63)  # far more partitions than rows
+        .cache()
+    )
+    df.count()
+    params = train.init_params("rnn", L, C, seed=5)
+    loss_d, grad_d, n_d = train.distributed_loss_grad(df, "rnn", params)
+    ls, g = train.GRAD_FNS["rnn"](X, y, params)
+    assert n_d == n
+    assert np.allclose(grad_d, train.flatten_params(g) / n, atol=1e-9)
+    df.unpersist()

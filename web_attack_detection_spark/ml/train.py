@@ -539,6 +539,7 @@ def fit_sequence_net(
     momentum: float = 0.9,
     clip_norm: float = 5.0,
     seed: int = 42,
+    init: dict | None = None,
 ):
     """Train a reference-architecture net in-engine with distributed
     full-batch momentum SGD.  Returns ``(params, history)`` where
@@ -546,16 +547,24 @@ def fit_sequence_net(
     loss at initialization).  ``params`` has the exact shape of
     ``nets.seeded_*_params`` and plugs into ``sequence_scorer``.
 
+    ``init`` resumes from a previous parameter dict (e.g. one loaded
+    via :func:`load_params` from a checkpoint) instead of seeding
+    fresh — momentum restarts at zero, the standard
+    weights-only-checkpoint semantics.
+
     For the LSTM, the forget-gate bias is initialized to 1.0 — the
     Keras ``unit_forget_bias=True`` default the reference trains under
     (``lstm_model.py:17-34``); without it the gates start half-closed
     and early BPTT signal dies."""
-    params = init_params(arch, seq_len, n_classes, seed)
-    if arch == "lstm":
-        for key in ("lstm1", "lstm2"):
-            _, _, b = params[key]
-            units = b.shape[0] // 4
-            b[units : 2 * units] = 1.0
+    if init is not None:
+        params = init
+    else:
+        params = init_params(arch, seq_len, n_classes, seed)
+        if arch == "lstm":
+            for key in ("lstm1", "lstm2"):
+                _, _, b = params[key]
+                units = b.shape[0] // 4
+                b[units : 2 * units] = 1.0
     flat = flatten_params(params)
     vel = np.zeros_like(flat)
     history = []

@@ -46,11 +46,11 @@ PLAN_MODULES = [
 for _mod in PLAN_MODULES:
     importlib.import_module(f"web_attack_detection_spark.plans.{_mod}")
 
-# Registry floor: round-4: 211 queries / 191 oracles (bumped as queries land).  A
-# registry smaller than that means a plan module loaded but failed to
-# register (the one silent-shrink path imports can't catch).
-EXPECTED_MIN_QUERIES = 216
-EXPECTED_MIN_ORACLES = 192
+# Registry floor (bumped as queries land).  A registry smaller than
+# this means a plan module loaded but failed to register (the one
+# silent-shrink path imports can't catch).
+EXPECTED_MIN_QUERIES = 217
+EXPECTED_MIN_ORACLES = 193
 
 from web_attack_detection_spark.plans.registry import QUERIES as _Q  # noqa: E402
 

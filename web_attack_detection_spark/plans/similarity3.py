@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from web_attack_detection_spark.io.sources import load_table
 from web_attack_detection_spark.operators.similarity import dot, l2_norm
+from web_attack_detection_spark.plans.similarity import _SQL_DOT, _SQL_NORM
 from web_attack_detection_spark.plans.registry import register
 
 _N_QUERIES = 5
@@ -503,3 +504,123 @@ def sim_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         n_probe=4,
     ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# cluster-then-dedup (the SemDeDup shape)
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_ORACLE = f"""
+WITH RECURSIVE nrm AS (
+  SELECT vec_id, embedding, {_SQL_NORM.format(a='embedding')} AS n FROM embeddings
+),
+unit AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / n) AS u FROM nrm
+),
+cells AS (
+  SELECT vec_id, u,
+         (CASE WHEN u[1]  > 0 THEN 1 ELSE 0 END
+        + CASE WHEN u[11] > 0 THEN 2 ELSE 0 END
+        + CASE WHEN u[21] > 0 THEN 4 ELSE 0 END
+        + CASE WHEN u[31] > 0 THEN 8 ELSE 0 END) AS cell
+  FROM unit
+),
+jp AS (
+  SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {_SQL_DOT.format(a='a.u', b='b.u')} >= 0.35
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM jp
+  UNION SELECT id_b, id_a FROM jp
+),
+reach(src, dst) AS (
+  SELECT u, u FROM edges
+  UNION SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+),
+cc AS (SELECT src, MIN(dst) AS component FROM reach GROUP BY src),
+per_cell AS (SELECT cell, COUNT(*) AS n_vectors FROM cells GROUP BY cell),
+pair_cell AS (SELECT cell, COUNT(*) AS n_dup_pairs FROM jp GROUP BY cell),
+rm AS (
+  SELECT cl.cell, COUNT(*) - COUNT(DISTINCT c.component) AS n_removed
+  FROM cc c JOIN cells cl ON cl.vec_id = c.src
+  GROUP BY cl.cell
+)
+SELECT CAST(g.cell AS INT) AS cell,
+       CAST(g.n_vectors AS BIGINT) AS n_vectors,
+       CAST(COALESCE(p.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+       CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed
+FROM per_cell g
+LEFT JOIN pair_cell p USING (cell)
+LEFT JOIN rm r USING (cell)
+"""
+
+
+@register(
+    "dedup_semantic_clustered",
+    _SEMDEDUP_ORACLE,
+    doc="cluster-then-dedup (SemDeDup shape): sign-bit cells, within-cell cosine CC",
+)
+def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup at corpus scale, the SemDeDup way (Abbas et al.
+    2023, arXiv:2303.09540): cluster the embedding space first, then
+    search for near-duplicates ONLY within clusters — pair volume
+    drops from n² to Σ|cell|², and every stage stays embarrassingly
+    parallel (the pair generator is an EQUI-join on the cell id, never
+    a cross join).
+
+    The cluster assignment here is a deterministic 4-bit sign
+    quantization of fixed unit-vector dimensions, so the whole
+    operator — cells, within-cell cosine pairs (module fold
+    convention, bit-identical), duplicate-group collapse, per-cell
+    removal counts — is SQL-expressible and oracle-checked; swap the
+    cell function for trained k-means centroids (``sim_ivf_topk``'s
+    assignment) and the plan is unchanged. Returns one row per cell:
+    (cell, n_vectors, n_dup_pairs, n_removed); removed = members of
+    dup groups minus one survivor (min id) per group."""
+    from web_attack_detection_spark.operators.dedup import connected_components
+    from web_attack_detection_spark.operators.similarity import dot, unit_normalize
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    unit = unit_normalize(emb, "embedding", "u")
+    cell = sum(
+        F.when(F.element_at("u", d + 1) > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        for k, d in enumerate((0, 10, 20, 30))
+    ).cast("int")
+    cells = unit.select("vec_id", "u", cell.alias("cell"))
+
+    a = cells.select(
+        "cell", F.col("vec_id").alias("id_a"), F.col("u").alias("ua")
+    )
+    b = cells.select(
+        "cell", F.col("vec_id").alias("id_b"), F.col("u").alias("ub")
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", dot(F.col("ua"), F.col("ub")))
+        .filter(F.col("cos") >= 0.35)
+        .select("cell", "id_a", "id_b")
+    )
+    pairs = pairs.localCheckpoint()  # feeds three consumers below
+
+    cc = connected_components(pairs)
+    per_cell = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
+    pair_cell = pairs.groupBy("cell").agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    rm = (
+        cc.join(cells.select(F.col("vec_id").alias("id"), "cell"), "id")
+        .groupBy("cell")
+        .agg(
+            (F.count(F.lit(1)) - F.countDistinct("component")).alias("n_removed")
+        )
+    )
+    return (
+        per_cell.join(pair_cell, "cell", "left")
+        .join(rm, "cell", "left")
+        .select(
+            "cell",
+            F.col("n_vectors").cast("long"),
+            F.coalesce("n_dup_pairs", F.lit(0)).cast("long").alias("n_dup_pairs"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+        )
+    )
