@@ -299,3 +299,37 @@ def test_mlp_params_unpack_shapes(spark):
     assert out.shape == (5, 2)
     assert np.allclose(out.sum(axis=1), 1.0)
     assert np.allclose(out, mlp_forward(np.ones((5, 4)), params))
+
+
+def test_roc_auc_matches_pair_counting(spark):
+    """The rank-sum AUC must equal brute-force pair counting
+    (wins + 0.5*ties) / (P*N) — the definition — on real fixture data."""
+    import numpy as np
+    import pandas as pd
+
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    row = QUERIES["ml_roc_auc"].fn(spark, sf).collect()[0]
+    ks_row = QUERIES["ml_ks_statistic"].fn(spark, sf).collect()[0]
+
+    pdf = pd.read_parquet(f"{sf}/events.parquet")
+    pos = pdf["event_type"] == "error"
+    s = (
+        3 * (pdf["user_id"] % 97)
+        - (pdf["value"] * 100).round().astype("int64") // 50
+    ).to_numpy()
+    sp, sn = s[pos.to_numpy()], s[~pos.to_numpy()]
+    wins = (sp[:, None] > sn[None, :]).sum()
+    ties = (sp[:, None] == sn[None, :]).sum()
+    auc = (wins + 0.5 * ties) / (len(sp) * len(sn))
+    assert row["n_pos"] == len(sp) and row["n_neg"] == len(sn)
+    assert abs(row["auc"] - round(auc, 6)) < 1e-9, (row["auc"], auc)
+
+    # KS from brute-force CDFs over all observed thresholds
+    thr = np.unique(s)
+    cp = (sp[:, None] <= thr[None, :]).mean(axis=0)
+    cn = (sn[:, None] <= thr[None, :]).mean(axis=0)
+    ks = np.abs(cp - cn).max()
+    assert abs(ks_row["ks"] - round(ks, 6)) < 1e-9, (ks_row["ks"], ks)

@@ -28,6 +28,14 @@ Rows-only driver check (trained weights have no SQL twin — SURVEY.md §5
 item 2); the hard assertions (gradient checks, distributed==local
 gradient parity, learnability above the majority baseline) live in
 tests/test_train.py.
+
+Cost note (bench): these are the slowest registry entries after
+ref_unsw_battery, and for the same reason — the wall is model compute
+(10 sequential epochs; LSTM BPTT measured ~1.5 s/epoch at 1 200 rows
+regardless of 8/16/32-way partitioning) plus the per-epoch job floor,
+not plan waste. The Spark side per epoch is one cached scan and an
+O(model) partial reduce; `tools/scale_probe_train.py` shows 50× rows →
+3.5× epoch wall.
 """
 
 from __future__ import annotations

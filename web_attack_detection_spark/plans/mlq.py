@@ -569,3 +569,147 @@ def ml_lstm_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> Dense(64) -> softmax, numpy forward on executors. See
     ml_cnn_infer."""
     return _sequence_infer(spark, sf_dir, "lstm")
+
+
+# ---------------------------------------------------------------------------
+# detection-evaluation metrics: ROC-AUC and KS, exact and oracle-checked
+# ---------------------------------------------------------------------------
+
+# Binary detection setup shared by both metrics: label = error events,
+# score = the integer-quantized margin over NON-label fields (exact
+# BIGINT, so ranks/cumulative counts are engine-identical; the only
+# float op in each metric is ONE final division + round).
+_DETECT_CTE = """
+scored AS (
+  SELECT (event_type = 'error') AS pos,
+         (3 * (user_id % 97) - (CAST(ROUND(value * 100) AS BIGINT) // 50)) AS s
+  FROM events
+),
+by_score AS (
+  SELECT s,
+         SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
+         SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS nn
+  FROM scored GROUP BY s
+),
+cum AS (
+  SELECT s, np, nn,
+         SUM(nn) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cneg_below,
+         SUM(np) OVER (ORDER BY s) AS cpos,
+         SUM(nn) OVER (ORDER BY s) AS cneg
+  FROM by_score
+),
+tot AS (SELECT SUM(np) AS P, SUM(nn) AS N FROM by_score)
+"""
+
+_AUC_ORACLE = f"""
+WITH {_DETECT_CTE}
+SELECT CAST(t.P AS BIGINT) AS n_pos,
+       CAST(t.N AS BIGINT) AS n_neg,
+       ROUND(SUM(c.np * (2 * COALESCE(c.cneg_below, 0) + c.nn))
+             / (2.0 * t.P * t.N), 6) AS auc
+FROM cum c, tot t
+GROUP BY t.P, t.N
+"""
+
+
+@register(
+    "ml_roc_auc",
+    _AUC_ORACLE,
+    doc="exact ROC-AUC (rank-sum over grouped scores, tie-aware), full oracle",
+)
+def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC for the attack-detection setting, computed EXACTLY as a
+    relational plan: group by (integer) score, one window cumulative
+    over the grouped scores, then AUC = Σ np·(cneg_below + nn/2) / (P·N)
+    — the Mann-Whitney rank-sum identity with tie correction. All
+    arithmetic stays BIGINT until one final division (the
+    sim_label_centroids determinism trick), so Spark and DuckDB agree
+    bit-for-bit. Scale: the shuffle is |distinct scores| rows — the
+    metric costs one groupBy + one tiny window regardless of corpus
+    size (no per-pair work, no sort of raw rows)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    scored = e.select(
+        (F.col("event_type") == "error").alias("pos"),
+        (
+            3 * (F.col("user_id") % 97)
+            - F.expr("CAST(ROUND(value * 100) AS BIGINT) DIV 50")
+        ).alias("s"),
+    )
+    by_score = scored.groupBy("s").agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("np"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1)).alias("nn"),
+    )
+    w = Window.orderBy("s")
+    cum = by_score.withColumn(
+        "cneg_below",
+        F.coalesce(
+            F.sum("nn").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    return cum.agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("nn").cast("long").alias("n_neg"),
+        F.round(
+            F.sum(F.col("np") * (2 * F.col("cneg_below") + F.col("nn")))
+            / (2.0 * F.sum("np") * F.sum("nn")),
+            6,
+        ).alias("auc"),
+    )
+
+
+_KS_ORACLE = f"""
+WITH {_DETECT_CTE}
+SELECT CAST(t.P AS BIGINT) AS n_pos,
+       CAST(t.N AS BIGINT) AS n_neg,
+       ROUND(MAX(ABS(c.cpos * t.N - c.cneg * t.P)) / (1.0 * t.P * t.N), 6) AS ks
+FROM cum c, tot t
+GROUP BY t.P, t.N
+"""
+
+
+@register(
+    "ml_ks_statistic",
+    _KS_ORACLE,
+    doc="Kolmogorov-Smirnov separation between class score CDFs, exact BIGINT max",
+)
+def ml_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS statistic — max vertical gap between the positive and
+    negative score CDFs, the standard detector-separation score. The
+    maximization runs on |cpos·N − cneg·P| (exact BIGINT cross-scaled
+    counts) and divides by P·N once at the end, so no float ever
+    enters a comparison. Same grouped-score plan shape as ml_roc_auc:
+    one groupBy(score) + one window, cost independent of row count
+    past the group-by."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    scored = e.select(
+        (F.col("event_type") == "error").alias("pos"),
+        (
+            3 * (F.col("user_id") % 97)
+            - F.expr("CAST(ROUND(value * 100) AS BIGINT) DIV 50")
+        ).alias("s"),
+    )
+    by_score = scored.groupBy("s").agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("np"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1)).alias("nn"),
+    )
+    w = Window.orderBy("s")
+    cum = by_score.select(
+        F.sum("np").over(w).alias("cpos"), F.sum("nn").over(w).alias("cneg")
+    )
+    tot = by_score.agg(
+        F.sum("np").alias("P"), F.sum("nn").alias("N")
+    )
+    return cum.crossJoin(F.broadcast(tot)).agg(
+        F.max(F.col("P")).cast("long").alias("n_pos"),
+        F.max(F.col("N")).cast("long").alias("n_neg"),
+        F.round(
+            F.max(F.abs(F.col("cpos") * F.col("N") - F.col("cneg") * F.col("P")))
+            / (1.0 * F.max("P") * F.max("N")),
+            6,
+        ).alias("ks"),
+    )
