@@ -333,3 +333,29 @@ def test_roc_auc_matches_pair_counting(spark):
     cn = (sn[:, None] <= thr[None, :]).mean(axis=0)
     ks = np.abs(cp - cn).max()
     assert abs(ks_row["ks"] - round(ks, 6)) < 1e-9, (ks_row["ks"], ks)
+
+
+def test_winnowing_guarantee_and_oracle(spark):
+    """Winnowing's matching guarantee: any shared run of >= w+k-1 = 6
+    tokens between two documents yields at least one shared selected
+    fingerprint. Planted: doc pairs share a 6-token phrase embedded in
+    otherwise-distinct text; unrelated docs share nothing."""
+    from pyspark.sql import functions as F
+
+    from web_attack_detection_spark.plans.text4 import winnow_pair_report
+
+    shared = "alpha bravo charlie delta echo foxtrot"
+    rows = [
+        (1, f"one unique opening {shared} and a tail of words here"),
+        (2, f"totally different preamble text {shared} closing remarks now"),
+        (3, "no overlap at all in this document body whatsoever truly"),
+        (4, "another disjoint text with its own vocabulary entirely separate"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in winnow_pair_report(docs, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs, pairs  # the guarantee
+    assert (3, 4) not in pairs, pairs
+    assert all(a in (1, 2) and b in (1, 2) for a, b in pairs), pairs

@@ -167,3 +167,151 @@ def text_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFra
             ).alias("containment"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (MOSS) — local fingerprint selection with a
+# matching guarantee, then doc-pair overlap
+# ---------------------------------------------------------------------------
+
+_WINNOW_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, i AS pos,
+         (CAST(length(t[i]) AS BIGINT) * 131 + ascii(t[i]) * 31
+          + ascii(substr(t[i], length(t[i]), 1))) AS th
+  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+       UNNEST(range(1, len(t) + 1)) AS r(i)
+),
+grams AS (
+  SELECT doc_id, pos,
+         ((th * 1000003 + LEAD(th, 1) OVER w) % 2147483647 * 1000003
+           + LEAD(th, 2) OVER w) % 2147483647 AS g
+  FROM toks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY LEAD(th, 2) OVER w IS NOT NULL
+),
+wins AS (
+  SELECT doc_id, pos AS p,
+         MIN(g) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh,
+         COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wlen
+  FROM grams
+  QUALIFY wlen = 4
+),
+sel AS (
+  SELECT g.doc_id, MAX(g.pos) AS pos, w.mh AS g
+  FROM wins w JOIN grams g
+    ON g.doc_id = w.doc_id AND g.pos BETWEEN w.p AND w.p + 3 AND g.g = w.mh
+  GROUP BY g.doc_id, w.p, w.mh
+),
+fp AS (SELECT DISTINCT doc_id, g FROM sel)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM fp a JOIN fp b ON a.g = b.g AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 3
+"""
+
+
+@register(
+    "text_winnow_fingerprints",
+    _WINNOW_ORACLE,
+    doc="winnowing (MOSS) fingerprint selection + doc-pair overlap report",
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (Schleimer, Wilkerson & Aiken, SIGMOD 2003 — the MOSS
+    algorithm): hash every token 3-gram, slide a window of 4 hashes,
+    keep the RIGHTMOST minimum of each window. The selected
+    fingerprints carry the winnowing guarantee — any shared substring
+    of >= w+k-1 = 6 tokens produces at least one shared fingerprint —
+    while storing only ~2/(w+1) of the grams, which is what makes
+    all-corpus overlap detection joinable at scale: the pair report is
+    an EQUI-join on fingerprint hash over the thinned set, never a
+    document cross join.
+
+    Everything is integer arithmetic (token hash = len·131 +
+    31·first-char + last-char; gram hash = a base-1000003 polynomial
+    mod 2^31−1), so the DuckDB twin matches exactly. The rightmost-min
+    selection is expressed relationally: a forward window MIN per
+    window start, then argmax(pos) among the window's rows at that
+    minimum — at 100 TB the same selection runs as the identical
+    window plan (one sort-within-doc, no shuffle beyond the doc
+    repartition), and only the thinned fingerprint set ever joins.
+    Returns (doc_a, doc_b, n_shared) for pairs sharing >= 3 selected
+    fingerprints."""
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_pair_report(docs)
+
+
+def winnow_pair_report(
+    docs: DataFrame, k: int = 3, w: int = 4, min_shared: int = 3
+) -> DataFrame:
+    """The winnowing core over any (doc_id, text) DataFrame, factored
+    out so tests can assert the w+k-1-token matching guarantee on
+    planted data.  NOTE: k is fixed at 3 by the gram construction
+    below; it is a parameter only for documentation."""
+    from pyspark.sql import Window
+
+    M = 2147483647
+    B = 1000003
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", r"\s+")).alias("pos", "t")
+    ).select(
+        "doc_id",
+        "pos",
+        (
+            F.length("t").cast("long") * 131
+            + F.ascii("t").cast("long") * 31
+            + F.expr("ascii(substr(t, length(t), 1))").cast("long")
+        ).alias("th"),
+    )
+    lw = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        toks.select(
+            "doc_id",
+            "pos",
+            "th",
+            F.lead("th", 1).over(lw).alias("th1"),
+            F.lead("th", 2).over(lw).alias("th2"),
+        )
+        .filter(F.col("th2").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            (
+                ((F.col("th") * B + F.col("th1")) % M * B + F.col("th2")) % M
+            ).alias("g"),
+        )
+    )
+    fwd = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    wins = (
+        grams.select(
+            "doc_id",
+            F.col("pos").alias("p"),
+            F.min("g").over(fwd).alias("mh"),
+            F.count(F.lit(1)).over(fwd).alias("wlen"),
+        )
+        .filter(F.col("wlen") == w)
+        .drop("wlen")
+    )
+    sel = (
+        wins.join(grams, "doc_id")
+        .filter(
+            (F.col("pos") >= F.col("p"))
+            & (F.col("pos") <= F.col("p") + w - 1)
+            & (F.col("g") == F.col("mh"))
+        )
+        .groupBy("doc_id", "p", "mh")
+        .agg(F.max("pos").alias("pos"))
+    )
+    fp = sel.select("doc_id", F.col("mh").alias("g")).distinct()
+    a = fp.select(F.col("doc_id").alias("doc_a"), "g")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "g")
+    return (
+        a.join(b, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
