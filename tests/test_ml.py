@@ -359,3 +359,24 @@ def test_winnowing_guarantee_and_oracle(spark):
     assert (1, 2) in pairs, pairs  # the guarantee
     assert (3, 4) not in pairs, pairs
     assert all(a in (1, 2) and b in (1, 2) for a, b in pairs), pairs
+
+
+def test_roc_curve_integrates_to_auc(spark):
+    """Trapezoidal area under the (fpr, tpr) curve equals the
+    tie-corrected rank-sum AUC — an exact mathematical identity, so
+    they must agree to rounding noise; curves must be monotone."""
+    import numpy as np
+
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    auc = QUERIES["ml_roc_auc"].fn(spark, sf).collect()[0]["auc"]
+    curve = (
+        QUERIES["ml_roc_curve"].fn(spark, sf).orderBy("threshold").collect()
+    )
+    tpr = np.array([1.0] + [r["tpr"] for r in curve])  # t=-inf endpoint
+    fpr = np.array([1.0] + [r["fpr"] for r in curve])
+    assert np.all(np.diff(tpr) <= 0) and np.all(np.diff(fpr) <= 0)
+    area = float(np.trapz(tpr[::-1], fpr[::-1]))
+    assert abs(area - auc) < 1e-4, (area, auc)

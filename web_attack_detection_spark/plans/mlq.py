@@ -713,3 +713,79 @@ def ml_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ks"),
     )
+
+
+_ROC_CURVE_ORACLE = f"""
+WITH {_DETECT_CTE}
+SELECT c.s AS threshold,
+       CAST(t.P - c.cpos AS BIGINT) AS tp,
+       CAST(t.N - c.cneg AS BIGINT) AS fp,
+       ROUND((t.P - c.cpos) / (1.0 * t.P), 6) AS tpr,
+       ROUND((t.N - c.cneg) / (1.0 * t.N), 6) AS fpr,
+       CASE WHEN (t.P - c.cpos) + (t.N - c.cneg) > 0
+            THEN ROUND((t.P - c.cpos) / (1.0 * ((t.P - c.cpos) + (t.N - c.cneg))), 6)
+            ELSE 0.0 END AS precision,
+       CASE WHEN (t.P - c.cpos) + (t.N - c.cneg) + t.P > 0
+            THEN ROUND(2.0 * (t.P - c.cpos) / (1.0 * ((t.P - c.cpos) + (t.N - c.cneg) + t.P)), 6)
+            ELSE 0.0 END AS f1
+FROM cum c, tot t
+"""
+
+
+@register(
+    "ml_roc_curve",
+    _ROC_CURVE_ORACLE,
+    doc="full ROC / operating-point sweep (tp, fp, tpr, fpr, precision, F1 per threshold), one scan",
+)
+def ml_roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operating-point sweep behind every detector deployment
+    decision: for EVERY distinct score threshold t (rule: flag when
+    score > t), the exact confusion counts and derived TPR / FPR /
+    precision / F1 — the full ROC and PR curves in one result. Same
+    one-scan grid philosophy as text_quality_threshold_sweep: one
+    groupBy(score) + one cumulative window computes the entire curve;
+    the naive per-threshold loop would re-scan the corpus |thresholds|
+    times. All counts exact BIGINT; each derived rate is one division
+    of exact integers + round, so both engines agree bit-for-bit.
+    Scale: output and window size are |distinct scores|, independent of
+    row count past the group-by."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    scored = e.select(
+        (F.col("event_type") == "error").alias("pos"),
+        (
+            3 * (F.col("user_id") % 97)
+            - F.expr("CAST(ROUND(value * 100) AS BIGINT) DIV 50")
+        ).alias("s"),
+    )
+    by_score = scored.groupBy("s").agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("np"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1)).alias("nn"),
+    )
+    w = Window.orderBy("s")
+    cum = by_score.select(
+        "s",
+        F.sum("np").over(w).alias("cpos"),
+        F.sum("nn").over(w).alias("cneg"),
+    )
+    tot = by_score.agg(F.sum("np").alias("P"), F.sum("nn").alias("N"))
+    c = cum.crossJoin(F.broadcast(tot))
+    tp = F.col("P") - F.col("cpos")
+    fp = F.col("N") - F.col("cneg")
+    return c.select(
+        F.col("s").alias("threshold"),
+        tp.cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        F.round(tp / (1.0 * F.col("P")), 6).alias("tpr"),
+        F.round(fp / (1.0 * F.col("N")), 6).alias("fpr"),
+        F.when(tp + fp > 0, F.round(tp / (1.0 * (tp + fp)), 6))
+        .otherwise(F.lit(0.0))
+        .alias("precision"),
+        F.when(
+            tp + fp + F.col("P") > 0,
+            F.round(2.0 * tp / (1.0 * (tp + fp + F.col("P"))), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("f1"),
+    )
