@@ -380,3 +380,132 @@ def test_roc_curve_integrates_to_auc(spark):
     assert np.all(np.diff(tpr) <= 0) and np.all(np.diff(fpr) <= 0)
     area = float(np.trapz(tpr[::-1], fpr[::-1]))
     assert abs(area - auc) < 1e-4, (area, auc)
+
+
+def test_average_precision_matches_step_rule(spark):
+    """AP from the grouped-score relation must equal the brute-force
+    step rule AP = sum_k (R_k - R_{k-1}) * P_k over thresholds taken
+    in descending score order (the sklearn definition)."""
+    import numpy as np
+    import pandas as pd
+
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    row = QUERIES["ml_average_precision"].fn(spark, sf).collect()[0]
+
+    pdf = pd.read_parquet(f"{sf}/events.parquet")
+    pos = (pdf["event_type"] == "error").to_numpy()
+    s = (
+        3 * (pdf["user_id"] % 97)
+        - (pdf["value"] * 100).round().astype("int64") // 50
+    ).to_numpy()
+    P = int(pos.sum())
+    ap, r_prev = 0.0, 0.0
+    for t in np.unique(s)[::-1]:  # descending thresholds
+        flag = s >= t
+        tp = int((flag & pos).sum())
+        fp = int((flag & ~pos).sum())
+        r, p = tp / P, tp / (tp + fp)
+        ap += (r - r_prev) * p
+        r_prev = r
+    assert row["n_pos"] == P
+    assert abs(row["average_precision"] - round(ap, 6)) < 1e-9, (
+        row["average_precision"],
+        ap,
+    )
+    assert abs(row["prevalence"] - round(P / len(s), 6)) < 1e-9
+
+
+def test_calibration_bins_exact_and_ece(spark):
+    """Bin populations partition the corpus; per-bin values match a
+    float recomputation; sum(ece_part) IS the expected calibration
+    error of the min-max-normalized score."""
+    import pandas as pd
+
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    bins = QUERIES["ml_calibration_bins"].fn(spark, sf).collect()
+
+    pdf = pd.read_parquet(f"{sf}/events.parquet")
+    pos = (pdf["event_type"] == "error").to_numpy()
+    s = (
+        3 * (pdf["user_id"] % 97)
+        - (pdf["value"] * 100).round().astype("int64") // 50
+    ).to_numpy()
+    smin, smax = int(s.min()), int(s.max())
+    nt, rng = len(s), smax - smin
+    b = (s - smin) * 10 // (rng + 1)
+    ece = 0.0
+    assert sum(r["n"] for r in bins) == nt
+    for r in bins:
+        mask = b == r["bin"]
+        n = int(mask.sum())
+        assert r["n"] == n and r["n_pos"] == int(pos[mask].sum())
+        avg_pred = (s[mask] - smin).sum() / (n * rng)
+        assert abs(r["avg_pred"] - round(avg_pred, 6)) < 1e-9
+        gap = abs(avg_pred - pos[mask].mean()) * n / nt
+        ece += gap
+        assert abs(r["ece_part"] - gap) < 2e-6
+    assert 0.0 <= sum(r["ece_part"] for r in bins) <= 1.0
+    assert abs(sum(r["ece_part"] for r in bins) - ece) < 1e-4
+
+
+def test_chi2_matches_contingency(spark):
+    """The binary-label collapse chi2 = sum D^2/row / (P*N) must equal
+    the textbook sum over (O-E)^2/E cells of the 2 x k table."""
+    import pandas as pd
+
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["feature"]: r for r in QUERIES["ml_chi2_features"].fn(spark, sf).collect()}
+
+    pdf = pd.read_parquet(f"{sf}/events.parquet")
+    y = (pdf["event_type"] == "error").astype(int)
+    feats = {
+        "u_mod7": (pdf["user_id"] % 7).astype(str),
+        "value_bin": ((pdf["value"] * 100).round().astype("int64") // 5000).astype(str),
+        "props_len_mod8": (pdf["props"].str.len() % 8).astype(str),
+    }
+    for name, cat in feats.items():
+        tab = pd.crosstab(cat, y)
+        n_tot = tab.values.sum()
+        chi2 = 0.0
+        for c in tab.index:
+            row_tot = tab.loc[c].sum()
+            for lab in tab.columns:
+                o = tab.loc[c, lab]
+                e = row_tot * tab[lab].sum() / n_tot
+                chi2 += (o - e) ** 2 / e
+        r = rows[name]
+        assert r["n_cats"] == len(tab.index) and r["dof"] == len(tab.index) - 1
+        assert abs(r["chi2"] - round(chi2, 6)) < 1e-4, (name, r["chi2"], chi2)
+
+
+def test_anomaly_zscore_matches_exact_int(spark):
+    """The DECIMAL(38,0) rearrangement must reproduce arbitrary-
+    precision python-int evaluation of (n*v-S)^2*(n-1) > 9*n*(n*Q-S^2),
+    and agree with the float 3-sigma rule away from knife edges."""
+    import pandas as pd
+
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["user_id"]: r for r in QUERIES["ml_anomaly_zscore"].fn(spark, sf).collect()}
+
+    pdf = pd.read_parquet(f"{sf}/events.parquet")
+    v = (pdf["value"] * 100).round().astype("int64")
+    for uid, grp in v.groupby(pdf["user_id"]):
+        vals = [int(x) for x in grp]
+        n, S, Q = len(vals), sum(vals), sum(x * x for x in vals)
+        n_anom = sum(
+            1 for x in vals if (n * x - S) ** 2 * (n - 1) > 9 * n * (n * Q - S * S)
+        )
+        assert got[uid]["n"] == n and got[uid]["n_anom"] == n_anom, uid
+        assert abs(got[uid]["anomaly_rate"] - round(n_anom / n, 6)) < 1e-9

@@ -36,6 +36,7 @@ PLAN_MODULES = [
     "similarity3",
     "pipelineq",
     "mlq",
+    "mlq2",
     "deepq",
     "multimodal",
     "streamq",
@@ -49,8 +50,8 @@ for _mod in PLAN_MODULES:
 # Registry floor (bumped as queries land).  A registry smaller than
 # this means a plan module loaded but failed to register (the one
 # silent-shrink path imports can't catch).
-EXPECTED_MIN_QUERIES = 221
-EXPECTED_MIN_ORACLES = 197
+EXPECTED_MIN_QUERIES = 227
+EXPECTED_MIN_ORACLES = 202
 
 from web_attack_detection_spark.plans.registry import QUERIES as _Q  # noqa: E402
 

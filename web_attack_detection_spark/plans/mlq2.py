@@ -1,0 +1,381 @@
+"""Detection-evaluation metrics, round 2: average precision (PR-AUC),
+calibration / expected-calibration-error bins, chi-squared feature
+screening, and exact-arithmetic z-score anomaly flagging.
+
+These extend the reference's evaluation story (reference
+``model_evaluation.py`` computes accuracy only; SURVEY.md §2 M5) with
+the metrics an attack-detection deployment actually tunes on: the
+precision-recall operating envelope (``ml_average_precision``),
+probability calibration (``ml_calibration_bins``), univariate feature
+screening (``ml_chi2_features``), and per-entity statistical anomaly
+flagging (``ml_anomaly_zscore``).
+
+Determinism contract (plans/registry.py): every metric keeps its
+arithmetic in exact integers (BIGINT, or DECIMAL(38,0)/HUGEINT where
+products overflow 63 bits) until a final division + ROUND(_, 6), so
+Spark and DuckDB agree bit-for-bit regardless of partition order. The
+two float-sum exceptions (AP's per-threshold precision terms, chi2's
+per-cell terms) sum O(|distinct scores|) ~ O(10) well-conditioned
+terms and round at 6 digits — ~1e-13 accumulated error against a
+5e-7 rounding boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from web_attack_detection_spark.io.sources import load_table
+from web_attack_detection_spark.plans.mlq import _DETECT_CTE
+from web_attack_detection_spark.plans.registry import register
+
+
+def _detect_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of mlq._DETECT_CTE's ``scored``: binary label = error
+    events, integer-quantized margin score (exact BIGINT)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        (F.col("event_type") == "error").alias("pos"),
+        (
+            3 * (F.col("user_id") % 97)
+            - F.expr("CAST(ROUND(value * 100) AS BIGINT) DIV 50")
+        ).alias("s"),
+    )
+
+
+def _by_score(scored: DataFrame) -> DataFrame:
+    return scored.groupBy("s").agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("np"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1)).alias("nn"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# average precision (area under the precision-recall curve, step rule)
+# ---------------------------------------------------------------------------
+
+_AP_ORACLE = f"""
+WITH {_DETECT_CTE}
+SELECT CAST(t.P AS BIGINT) AS n_pos,
+       CAST(t.N AS BIGINT) AS n_neg,
+       ROUND(t.P / (1.0 * (t.P + t.N)), 6) AS prevalence,
+       ROUND(SUM(CASE WHEN c.np > 0 THEN
+                   c.np * (t.P - (c.cpos - c.np))
+                   / (1.0 * ((t.P - (c.cpos - c.np)) + (t.N - COALESCE(c.cneg_below, 0))))
+                 ELSE 0.0 END) / t.P, 6) AS average_precision
+FROM cum c, tot t
+GROUP BY t.P, t.N
+"""
+
+
+@register(
+    "ml_average_precision",
+    _AP_ORACLE,
+    doc="PR-AUC (step-rule average precision) over grouped scores, full oracle",
+)
+def ml_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision — the PR-curve area under the step
+    interpolation AP = sum_k (R_k - R_{k-1}) * P_k, the metric that
+    matters when positives are rare (attack detection: ~20% error
+    prevalence here, often <0.1% in production, where ROC-AUC looks
+    deceptively good). Computed on the grouped-score relation shared
+    with ml_roc_auc: at threshold "flag when score >= s" the exact
+    confusion counts are tp = P - cpos_below and fp = N - cneg_below,
+    and each distinct score contributes (np/P) * precision. One
+    groupBy(score) + one tiny window — no per-pair work, cost
+    independent of corpus size past the group-by. The baseline to beat
+    is ``prevalence`` (a random scorer's AP)."""
+    by_score = _by_score(_detect_scored(spark, sf_dir))
+    w = Window.orderBy("s")
+    cum = by_score.select(
+        "np",
+        F.sum("np").over(w).alias("cpos"),
+        F.coalesce(
+            F.sum("nn").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("cneg_below"),
+    )
+    tot = by_score.agg(F.sum("np").alias("P"), F.sum("nn").alias("N"))
+    c = cum.crossJoin(F.broadcast(tot))
+    tp = F.col("P") - (F.col("cpos") - F.col("np"))
+    fp = F.col("N") - F.col("cneg_below")
+    return c.agg(
+        F.max("P").cast("long").alias("n_pos"),
+        F.max("N").cast("long").alias("n_neg"),
+        F.round(F.max("P") / (1.0 * (F.max("P") + F.max("N"))), 6).alias(
+            "prevalence"
+        ),
+        F.round(
+            F.sum(
+                F.when(F.col("np") > 0, F.col("np") * tp / (1.0 * (tp + fp)))
+                .otherwise(F.lit(0.0))
+            )
+            / F.max("P"),
+            6,
+        ).alias("average_precision"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# calibration bins + expected calibration error (exact-BIGINT)
+# ---------------------------------------------------------------------------
+
+# Normalized prediction p = (s - smin) / (smax - smin) per row; decile
+# bins on the integer score; per-bin mean prediction and empirical
+# positive rate stay exact:
+#   avg_pred_b = (sum(s)_b - n_b*smin) / (n_b * R)
+#   ece_part_b = |sum(s)_b - n_b*smin - pos_b*R| / (N_total * R)
+# -- every numerator/denominator is one exact BIGINT expression, so
+# each output value is one deterministic division.
+_CALIB_ORACLE = f"""
+WITH {_DETECT_CTE},
+mm AS (SELECT MIN(s) AS smin, MAX(s) AS smax FROM scored),
+b AS (
+  SELECT CAST(((sc.s - mm.smin) * 10) // (mm.smax - mm.smin + 1) AS BIGINT) AS bin,
+         sc.s, CASE WHEN sc.pos THEN 1 ELSE 0 END AS p
+  FROM scored sc, mm
+),
+agg AS (
+  SELECT bin, COUNT(*) AS n, CAST(SUM(p) AS BIGINT) AS n_pos,
+         CAST(SUM(s) AS BIGINT) AS ssum
+  FROM b GROUP BY bin
+)
+SELECT a.bin,
+       CAST(a.n AS BIGINT) AS n,
+       a.n_pos,
+       ROUND((a.ssum - a.n * mm.smin) / (1.0 * a.n * (mm.smax - mm.smin)), 6) AS avg_pred,
+       ROUND(a.n_pos / (1.0 * a.n), 6) AS pos_rate,
+       ROUND(ABS(a.ssum - a.n * mm.smin - a.n_pos * (mm.smax - mm.smin))
+             / (1.0 * t.P + 1.0 * t.N) / (mm.smax - mm.smin), 6) AS ece_part
+FROM agg a, mm, tot t
+"""
+
+
+@register(
+    "ml_calibration_bins",
+    _CALIB_ORACLE,
+    doc="decile calibration bins + per-bin ECE contribution, exact BIGINT, full oracle",
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the detector score: min-max-normalize
+    the integer margin to a [0,1] pseudo-probability, decile-bin it,
+    and per bin report mean predicted probability vs the empirical
+    positive rate, plus the bin's weighted |gap| contribution —
+    summing ``ece_part`` IS the expected calibration error. The trick
+    is that with an integer score, mean-prediction and the ECE
+    numerator are exact BIGINT expressions (sum(s) - n*smin etc.), so
+    every reported value is ONE division of exact integers — engine-
+    and partition-order-identical, the sim_label_centroids trick
+    applied to calibration. Scale: one groupBy(bin) over a map-side
+    10-ary key; the min/max pre-pass is a 1-row broadcast."""
+    scored = _detect_scored(spark, sf_dir)
+    mm = scored.agg(F.min("s").alias("smin"), F.max("s").alias("smax"))
+    tot = scored.agg(F.count(F.lit(1)).alias("nt"))
+    b = scored.crossJoin(F.broadcast(mm)).select(
+        (
+            ((F.col("s") - F.col("smin")) * 10)
+            / (F.col("smax") - F.col("smin") + 1)
+        )
+        .cast("long")
+        .alias("bin"),
+        "s",
+        F.when(F.col("pos"), 1).otherwise(0).alias("p"),
+        "smin",
+        "smax",
+    )
+    agg = b.groupBy("bin", "smin", "smax").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("p").cast("long").alias("n_pos"),
+        F.sum("s").cast("long").alias("ssum"),
+    )
+    r = F.col("smax") - F.col("smin")
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        F.col("n").cast("long").alias("n"),
+        "n_pos",
+        F.round(
+            (F.col("ssum") - F.col("n") * F.col("smin")) / (1.0 * F.col("n") * r),
+            6,
+        ).alias("avg_pred"),
+        F.round(F.col("n_pos") / (1.0 * F.col("n")), 6).alias("pos_rate"),
+        F.round(
+            F.abs(F.col("ssum") - F.col("n") * F.col("smin") - F.col("n_pos") * r)
+            / (1.0 * F.col("nt"))
+            / r,
+            6,
+        ).alias("ece_part"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# chi-squared univariate feature screening (2 x k contingency per feature)
+# ---------------------------------------------------------------------------
+
+# For a binary label, the 2 x k Pearson chi2 collapses to
+#   chi2 = (1 / (P*N)) * sum_cat D_cat^2 / rowtot_cat,
+# with D = pos*N - neg*P per category -- exact BIGINT counts; D is
+# cast to DOUBLE before squaring only because D^2 can exceed 63 bits.
+_CHI2_CELLS = """
+feat AS (
+  SELECT 'u_mod7' AS feature, 'u' || CAST(user_id % 7 AS VARCHAR) AS cat,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y
+  FROM events
+  UNION ALL
+  SELECT 'value_bin', 'v' || CAST(CAST(ROUND(value * 100) AS BIGINT) // 5000 AS VARCHAR),
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END
+  FROM events
+  UNION ALL
+  SELECT 'props_len_mod8', 'l' || CAST(LENGTH(props) % 8 AS VARCHAR),
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END
+  FROM events
+),
+cells AS (
+  SELECT feature, cat,
+         CAST(SUM(y) AS BIGINT) AS pos,
+         CAST(SUM(1 - y) AS BIGINT) AS neg
+  FROM feat GROUP BY feature, cat
+),
+tots AS (
+  SELECT feature, CAST(SUM(pos) AS BIGINT) AS P, CAST(SUM(neg) AS BIGINT) AS N
+  FROM cells GROUP BY feature
+)
+"""
+
+_CHI2_ORACLE = f"""
+WITH {_CHI2_CELLS}
+SELECT c.feature,
+       CAST(COUNT(*) AS BIGINT) AS n_cats,
+       CAST(COUNT(*) - 1 AS BIGINT) AS dof,
+       ROUND(SUM(CAST(c.pos * t.N - c.neg * t.P AS DOUBLE)
+                 * CAST(c.pos * t.N - c.neg * t.P AS DOUBLE)
+                 / (c.pos + c.neg))
+             / (1.0 * t.P * t.N), 6) AS chi2
+FROM cells c JOIN tots t USING (feature)
+GROUP BY c.feature, t.P, t.N
+"""
+
+
+@register(
+    "ml_chi2_features",
+    _CHI2_ORACLE,
+    doc="chi-squared screening of categorical features vs the attack label, full oracle",
+)
+def ml_chi2_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Univariate chi-squared feature screening — which derived
+    categorical features carry signal about the error label (the
+    relational form of sklearn's chi2 / MLlib's ChiSqSelector,
+    reference feature step SURVEY §2 F-family). Three candidate
+    features are unpivoted with one stack() (one scan, no self-union),
+    counted into 2 x k contingency cells, and scored with the binary-
+    label collapse chi2 = sum_cat D^2/rowtot / (P*N), D = pos*N-neg*P
+    — all counts exact BIGINT; D is squared in DOUBLE only because
+    D^2 exceeds 63 bits at scale. Scale: the shuffle after the stack
+    carries (feature, cat) pairs — O(cardinality), not O(rows) — and
+    the per-feature totals are a broadcast join."""
+    e = load_table(spark, sf_dir, "events")
+    feat = e.select(
+        F.expr(
+            "stack(3, "
+            "'u_mod7', concat('u', CAST(user_id % 7 AS STRING)), "
+            "'value_bin', concat('v', CAST(CAST(ROUND(value * 100) AS BIGINT) DIV 5000 AS STRING)), "
+            "'props_len_mod8', concat('l', CAST(LENGTH(props) % 8 AS STRING))"
+            ") AS (feature, cat)"
+        ),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("y"),
+    )
+    cells = feat.groupBy("feature", "cat").agg(
+        F.sum("y").cast("long").alias("pos"),
+        F.sum(1 - F.col("y")).cast("long").alias("neg"),
+    )
+    tots = cells.groupBy("feature").agg(
+        F.sum("pos").cast("long").alias("P"), F.sum("neg").cast("long").alias("N")
+    )
+    d = (F.col("pos") * F.col("N") - F.col("neg") * F.col("P")).cast("double")
+    return (
+        cells.join(F.broadcast(tots), "feature")
+        .groupBy("feature", "P", "N")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cats"),
+            (F.count(F.lit(1)) - 1).cast("long").alias("dof"),
+            F.round(
+                F.sum(d * d / (F.col("pos") + F.col("neg")))
+                / (1.0 * F.col("P") * F.col("N")),
+                6,
+            ).alias("chi2"),
+        )
+        .select("feature", "n_cats", "dof", "chi2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# z-score anomaly flagging with EXACT integer arithmetic (no float z)
+# ---------------------------------------------------------------------------
+
+# |v - mean| > 3*stddev_sample, rearranged so no float ever enters a
+# comparison:  (n*v - S)^2 * (n-1)  >  9 * n * (n*Q - S^2)
+# with S = sum(v), Q = sum(v^2) over the group (v integer-scaled).
+# The products exceed 63 bits, so both engines widen: HUGEINT in
+# DuckDB, DECIMAL(38,0) in Spark -- exact to 38 digits, enough
+# headroom for ~1e9 rows per group at this value scale.
+_ZSCORE_ORACLE = """
+WITH v AS (
+  SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS v FROM events
+),
+st AS (
+  SELECT user_id, CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(v) AS HUGEINT) AS S, CAST(SUM(v * v) AS HUGEINT) AS Q
+  FROM v GROUP BY user_id
+),
+f AS (
+  SELECT v.user_id,
+         CASE WHEN (st.n * v.v - st.S) * (st.n * v.v - st.S) * (st.n - 1)
+                   > 9 * st.n * (st.n * st.Q - st.S * st.S)
+              THEN 1 ELSE 0 END AS a
+  FROM v JOIN st USING (user_id)
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(a) AS BIGINT) AS n_anom,
+       ROUND(SUM(a) / (1.0 * COUNT(*)), 6) AS anomaly_rate
+FROM f GROUP BY user_id
+"""
+
+
+@register(
+    "ml_anomaly_zscore",
+    _ZSCORE_ORACLE,
+    doc="3-sigma per-entity anomaly flags via exact integer rearrangement, full oracle",
+)
+def ml_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 3-sigma anomaly flagging — the classic per-entity
+    outlier monitor a web-attack pipeline runs on request volumes.
+    The novelty is determinism: |v - mean| > 3*sd compares FLOATS and
+    a last-ulp stddev difference (Welford vs sum-of-squares) can flip
+    boundary rows between engines; rearranged to
+    (n*v - S)^2 * (n-1) > 9*n*(n*Q - S^2) every comparison is exact
+    integer arithmetic (DECIMAL(38,0) here, HUGEINT in the oracle) —
+    bit-identical flags everywhere, retry-safe. Scale: one groupBy for
+    the 3 moments, stats broadcast back onto the event scan (the
+    per-user stats relation is tiny), one more groupBy for the rates;
+    zero-variance groups correctly flag nothing."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "user_id", F.round(F.col("value") * 100).cast("long").alias("v")
+    )
+    dec = "decimal(38,0)"
+    st = v.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("v").cast(dec).alias("S"),
+        F.sum(F.col("v") * F.col("v")).cast(dec).alias("Q"),
+    )
+    j = v.join(F.broadcast(st), "user_id")
+    dev = F.col("n") * F.col("v").cast(dec) - F.col("S")
+    lhs = dev * dev * (F.col("n") - 1)
+    rhs = 9 * F.col("n") * (F.col("n") * F.col("Q") - F.col("S") * F.col("S"))
+    f = j.select(
+        "user_id", F.when(lhs > rhs, 1).otherwise(0).alias("a")
+    )
+    return f.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("a").cast("long").alias("n_anom"),
+        F.round(F.sum("a") / (1.0 * F.count(F.lit(1))), 6).alias("anomaly_rate"),
+    )
