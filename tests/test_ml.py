@@ -509,3 +509,110 @@ def test_anomaly_zscore_matches_exact_int(spark):
         )
         assert got[uid]["n"] == n and got[uid]["n_anom"] == n_anom, uid
         assert abs(got[uid]["anomaly_rate"] - round(n_anom / n, 6)) < 1e-9
+
+
+def test_psi_drift_near_zero_on_parity_split(spark):
+    """An interleaved rank-parity split draws both halves from the
+    same distribution, so PSI must be tiny (and non-negative — PSI is
+    a symmetrized KL)."""
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    row = QUERIES["ml_psi_drift"].fn(spark, "/root/testdata/sf0.001").collect()[0]
+    assert abs(row["n_ref"] - row["n_cur"]) <= 1
+    assert row["n_bins"] >= 5
+    assert 0.0 <= row["psi"] < 0.05, row["psi"]
+
+
+def test_markov_transitions_stochastic(spark):
+    """Each from_type row of the transition matrix must sum to
+    probability ~1 and to exactly (transitions out of that type);
+    total transitions = n_events - n_users."""
+    import pandas as pd
+
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["rel_markov_transitions"].fn(spark, sf).collect()
+    pdf = pd.read_parquet(f"{sf}/events.parquet")
+    assert sum(r["n"] for r in rows) == len(pdf) - pdf["user_id"].nunique()
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r["from_type"], []).append(r)
+    assert set(by_from) == set(pdf["event_type"].unique())
+    for ft, rs in by_from.items():
+        assert abs(sum(r["p"] for r in rs) - 1.0) < 1e-4, ft
+
+
+def test_cost_threshold_is_argmin(spark):
+    """The chosen operating point must have the minimum cost over the
+    full brute-force threshold sweep (cost = 1*fp + 5*fn), with the
+    smallest-threshold tie-break."""
+    import numpy as np
+    import pandas as pd
+
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    row = QUERIES["ml_cost_threshold"].fn(spark, sf).collect()[0]
+
+    pdf = pd.read_parquet(f"{sf}/events.parquet")
+    pos = (pdf["event_type"] == "error").to_numpy()
+    s = (
+        3 * (pdf["user_id"] % 97)
+        - (pdf["value"] * 100).round().astype("int64") // 50
+    ).to_numpy()
+    best = None
+    for t in np.unique(s):
+        flag = s > t
+        fp = int((flag & ~pos).sum())
+        fn = int((~flag & pos).sum())
+        cost = 1 * fp + 5 * fn
+        if best is None or cost < best[1]:
+            best = (int(t), cost, fp, fn)
+    assert row["cost"] == best[1]
+    assert row["threshold"] == best[0]
+    assert row["fp"] == best[2] and row["fn"] == best[3]
+    assert row["tp"] + row["fn"] == int(pos.sum())
+    assert row["fp"] + row["tn"] == int((~pos).sum())
+
+
+def test_mixture_schedule_apportions_exactly(spark):
+    """Largest-remainder allocations are integers summing exactly to
+    the epoch size, each within 1 of the real-valued quota."""
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    rows = QUERIES["pipe_mixture_schedule"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 20
+    assert sum(r["alloc"] for r in rows) == 1000
+    wt = sum(r["weight"] for r in rows)
+    for r in rows:
+        exact = 1000 * r["weight"] / wt
+        assert r["quota"] == int(exact)
+        assert abs(r["alloc"] - exact) < 1.0
+        assert r["extra"] in (0, 1)
+
+
+def test_sequence_motifs_totals(spark):
+    """Trigram counts across ALL motifs equal sum over users of
+    max(0, n_events - 2); the top-15 is rank-consistent."""
+    import pandas as pd
+
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(
+        QUERIES["rel_sequence_motifs"].fn(spark, sf).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    ns = [r["n"] for r in rows]
+    assert all(a >= b for a, b in zip(ns, ns[1:]))
+    pdf = pd.read_parquet(f"{sf}/events.parquet")
+    total_tri = sum(max(0, n - 2) for n in pdf.groupby("user_id").size())
+    assert sum(ns) <= total_tri  # top-15 is a subset of all motifs
+    assert len(rows) == 15

@@ -132,3 +132,103 @@ def test_ivf_indexed_equals_in_query_build(spark):
     b = sim_ivf_topk(spark, SF_SMOKE).collect()
     assert len(a) > 0
     assert a == b
+
+
+def test_tfidf_topk_retrieval_shape(spark):
+    """Every query doc gets exactly 5 ranked neighbors, never itself,
+    cosine in [0, 1] and non-increasing down the ranking."""
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    rows = QUERIES["sim_tfidf_topk_text"].fn(spark, "/root/testdata/sf0.001").collect()
+    by_q = {}
+    for r in rows:
+        assert r["doc_id"] != r["query_id"]
+        assert 0.0 <= r["cos"] <= 1.0 + 1e-9
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert by_q, "no query docs matched the doc_id % 250 == 0 rule"
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rn"])
+        assert [r["rn"] for r in rs] == [1, 2, 3, 4, 5]
+        cs = [r["cos"] for r in rs]
+        assert all(a >= b for a, b in zip(cs, cs[1:])), (q, cs)
+
+
+def test_dsir_importance_prefers_target_source(spark):
+    """Importance weights must rank the target domain (src0) first:
+    src0's average log-ratio is the maximum across sources, and its
+    selection rate is at least that of every other source."""
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    rows = {
+        r["source"]: r
+        for r in QUERIES["text_dsir_importance"].fn(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert "src0" in rows and len(rows) == 20
+    tgt = rows["src0"]
+    assert all(tgt["avg_log_ratio"] >= r["avg_log_ratio"] for r in rows.values())
+    tgt_rate = tgt["n_selected"] / tgt["n_docs"]
+    assert all(
+        tgt_rate >= r["n_selected"] / r["n_docs"] for r in rows.values()
+    ), {k: (r["n_selected"], r["n_docs"]) for k, r in rows.items()}
+
+
+def test_perplexity_filter_held_out_semantics(spark):
+    """The filter scores only the odd-doc_id half, per-source doc
+    counts match the fixture, scores are negative log-probs, and the
+    flag count never exceeds the scored count."""
+    import pandas as pd
+
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["source"]: r for r in QUERIES["text_perplexity_filter"].fn(spark, sf).collect()}
+    pdf = pd.read_parquet(f"{sf}/documents.parquet")
+    held = pdf[(pdf["doc_id"] % 2 == 1) & (pdf["text"].str.split().str.len() >= 2)]
+    want = held.groupby("source").size().to_dict()
+    assert {k: r["n_docs"] for k, r in rows.items()} == want
+    for r in rows.values():
+        assert r["corpus_avg_logp"] < 0
+        assert 0 <= r["n_flagged"] <= r["n_docs"]
+
+
+def test_jaccard_neighbors_bounds(spark):
+    """Neighbor Jaccard lives in (0, 1]; the intersection can never
+    exceed either degree; support floor holds."""
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    rows = QUERIES["graph_jaccard_neighbors"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "trade graph should produce overlapping neighborhoods"
+    for r in rows:
+        assert r["u"] < r["v"]
+        assert r["n_common"] >= 3
+        assert r["n_common"] <= min(r["deg_u"], r["deg_v"])
+        assert 0.0 < r["jaccard"] <= 1.0
+
+
+def test_hybrid_rrf_fusion_properties(spark):
+    """RRF output: 10 per query, ranks within fusion depth, rrf
+    consistent with the reported component ranks, descending."""
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    rows = QUERIES["sim_hybrid_rrf"].fn(spark, "/root/testdata/sf0.001").collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert by_q
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rn"])
+        assert [r["rn"] for r in rs] == list(range(1, 11))
+        vals = [r["rrf"] for r in rs]
+        assert all(a >= b for a, b in zip(vals, vals[1:]))
+        for r in rs:
+            assert 0 <= r["r_sparse"] <= 50 and 0 <= r["r_dense"] <= 50
+            assert r["r_sparse"] > 0 or r["r_dense"] > 0
+            want = (1 / (60 + r["r_sparse"]) if r["r_sparse"] else 0.0) + (
+                1 / (60 + r["r_dense"]) if r["r_dense"] else 0.0
+            )
+            assert abs(r["rrf"] - round(want, 6)) < 1e-9

@@ -629,3 +629,22 @@ def test_replay_exact_under_max_files_per_trigger(spark):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_stream_psi_windows_consecutive_pairs(spark):
+    """Every output row compares a window to the previous OBSERVED
+    window: n_prev of row k equals n_cur of row k-1 in window order,
+    and PSI is finite and non-negative."""
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    rows = sorted(
+        QUERIES["stream_psi_windows"].fn(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["window_start"],
+    )
+    assert len(rows) > 100
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_prev"] == prev["n_cur"]
+    for r in rows:
+        assert r["psi"] >= 0.0
+        assert r["n_prev"] > 0 and r["n_cur"] > 0

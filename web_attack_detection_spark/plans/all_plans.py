@@ -26,11 +26,13 @@ PLAN_MODULES = [
     "relational8",
     "relational9",
     "relational10",
+    "relational11",
     "dedup",
     "text",
     "text2",
     "text3",
     "text4",
+    "text5",
     "similarity",
     "similarity2",
     "similarity3",
@@ -50,8 +52,8 @@ for _mod in PLAN_MODULES:
 # Registry floor (bumped as queries land).  A registry smaller than
 # this means a plan module loaded but failed to register (the one
 # silent-shrink path imports can't catch).
-EXPECTED_MIN_QUERIES = 227
-EXPECTED_MIN_ORACLES = 202
+EXPECTED_MIN_QUERIES = 239
+EXPECTED_MIN_ORACLES = 214
 
 from web_attack_detection_spark.plans.registry import QUERIES as _Q  # noqa: E402
 

@@ -463,3 +463,91 @@ def m5b_per_class_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("precision"),
         F.round(F.col("n_tp") / F.col("n_actual").cast("double"), 6).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F10 — exact-quantile bucketizer (QuantileDiscretizer with exact splits)
+# ---------------------------------------------------------------------------
+
+_F10_ORACLE = """
+WITH v AS (
+  SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v FROM orders
+),
+s AS (SELECT list_sort(list(v)) AS vals, COUNT(*) AS n FROM v),
+q AS (
+  SELECT vals[CAST(ceil(0.25 * n) AS INTEGER)] AS q1,
+         vals[CAST(ceil(0.50 * n) AS INTEGER)] AS q2,
+         vals[CAST(ceil(0.75 * n) AS INTEGER)] AS q3
+  FROM s
+),
+b AS (
+  SELECT CASE WHEN v.v <= q.q1 THEN 0
+              WHEN v.v <= q.q2 THEN 1
+              WHEN v.v <= q.q3 THEN 2
+              ELSE 3 END AS bucket, v.v
+  FROM v, q
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(MIN(v) / 100.0, 2) AS min_price,
+       ROUND(MAX(v) / 100.0, 2) AS max_price
+FROM b GROUP BY bucket
+"""
+
+
+@register(
+    "f10_quantile_bucketize",
+    _F10_ORACLE,
+    doc="QuantileDiscretizer twin with EXACT quartile splits (percentile_disc rule)",
+)
+def f10_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib's QuantileDiscretizer binned on APPROXIMATE quantiles
+    (relativeError > 0), which an oracle can't pin; this is the exact
+    twin — quartile boundaries are real data values at ceil(p*n) of
+    the sorted column (the rel_percentile_disc rule), then a
+    stateless CASE bucketing. The boundary pass here is one global
+    sort + row_number (fine to ~1e8 rows); at 100 TB you'd swap the
+    boundary pass for approx_percentile(err=1e-6) or a two-pass
+    histogram refine and keep the identical CASE apply side — the
+    apply side (the part that touches every row) is map-only either
+    way. Bucket populations are NOT n/4 exactly: duplicate boundary
+    values all fall in the lower bucket, which is exactly what the
+    <= split rule promises."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(F.round(F.col("o_totalprice") * 100).cast("long").alias("v"))
+    w = Window.orderBy("v")
+    ranked = v.select(
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("n"),
+    )
+    q = (
+        ranked.filter(
+            (F.col("rn") == F.ceil(0.25 * F.col("n")))
+            | (F.col("rn") == F.ceil(0.50 * F.col("n")))
+            | (F.col("rn") == F.ceil(0.75 * F.col("n")))
+        )
+        .groupBy()
+        .agg(
+            F.min(F.when(F.col("rn") == F.ceil(0.25 * F.col("n")), F.col("v"))).alias("q1"),
+            F.min(F.when(F.col("rn") == F.ceil(0.50 * F.col("n")), F.col("v"))).alias("q2"),
+            F.min(F.when(F.col("rn") == F.ceil(0.75 * F.col("n")), F.col("v"))).alias("q3"),
+        )
+    )
+    b = v.crossJoin(F.broadcast(q)).select(
+        F.when(F.col("v") <= F.col("q1"), 0)
+        .when(F.col("v") <= F.col("q2"), 1)
+        .when(F.col("v") <= F.col("q3"), 2)
+        .otherwise(3)
+        .alias("bucket"),
+        "v",
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.min("v") / 100.0, 2).alias("min_price"),
+        F.round(F.max("v") / 100.0, 2).alias("max_price"),
+    )

@@ -190,3 +190,80 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nodes").cast("long"),
         F.col("key_checksum").cast("long"),
     )
+
+
+# ---------------------------------------------------------------------------
+# link prediction: neighbor-set Jaccard over the trade graph
+# ---------------------------------------------------------------------------
+
+_JACCARD_NEIGHBORS_ORACLE = f"""
+WITH e AS ({_EDGE_SQL}),
+adj AS (
+  SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e
+),
+deg AS (SELECT a, COUNT(*) AS d FROM adj GROUP BY a),
+wedge AS (
+  SELECT x.a AS u, y.a AS v, COUNT(*) AS inter
+  FROM adj x JOIN adj y ON x.b = y.b AND x.a < y.a
+  GROUP BY x.a, y.a
+)
+SELECT CAST(w.u AS BIGINT) AS u, CAST(w.v AS BIGINT) AS v,
+       CAST(w.inter AS BIGINT) AS n_common,
+       CAST(du.d AS BIGINT) AS deg_u, CAST(dv.d AS BIGINT) AS deg_v,
+       ROUND(w.inter / (1.0 * (du.d + dv.d - w.inter)), 6) AS jaccard
+FROM wedge w
+JOIN deg du ON du.a = w.u
+JOIN deg dv ON dv.a = w.v
+WHERE w.inter >= 3
+"""
+
+
+@register(
+    "graph_jaccard_neighbors",
+    _JACCARD_NEIGHBORS_ORACLE,
+    doc="link prediction: neighbor-set Jaccard per node pair (wedge join), full oracle",
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbors / Jaccard link prediction over the nation
+    trade graph: for every node pair with >= 3 shared neighbors,
+    |N(u) ∩ N(v)| / |N(u) ∪ N(v)|. The intersection comes from a
+    WEDGE join (adj ⋈ adj on the shared midpoint, u < v to emit each
+    pair once) — the same 2-hop shape as graph_triangle_count, so the
+    per-node fan-out is bounded by degree and the candidate set is
+    pairs-that-share-a-neighbor, never all node pairs. The union size
+    is derived (deg_u + deg_v - inter), not recomputed. All counts
+    exact BIGINT; jaccard is one division + round. At scale the wedge
+    join takes the same degree-ordered orientation + hub-cap guards
+    as the triangle plan; the >= 3 support floor is what keeps
+    power-law hubs from flooding the output."""
+    e = _edges(spark, sf_dir).localCheckpoint()
+    adj = e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        e.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = adj.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    x = adj.alias("x")
+    y = adj.alias("y")
+    wedge = (
+        x.join(y, (F.col("x.b") == F.col("y.b")) & (F.col("x.a") < F.col("y.a")))
+        .groupBy(F.col("x.a").alias("u"), F.col("y.a").alias("v"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .filter(F.col("inter") >= 3)
+    )
+    du = deg.select(F.col("a").alias("u"), F.col("d").alias("deg_u"))
+    dv = deg.select(F.col("a").alias("v"), F.col("d").alias("deg_v"))
+    return (
+        wedge.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            F.col("u").cast("long").alias("u"),
+            F.col("v").cast("long").alias("v"),
+            F.col("inter").cast("long").alias("n_common"),
+            F.col("deg_u").cast("long").alias("deg_u"),
+            F.col("deg_v").cast("long").alias("deg_v"),
+            F.round(
+                F.col("inter")
+                / (1.0 * (F.col("deg_u") + F.col("deg_v") - F.col("inter"))),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -379,3 +379,161 @@ def ml_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("a").cast("long").alias("n_anom"),
         F.round(F.sum("a") / (1.0 * F.count(F.lit(1))), 6).alias("anomaly_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# population stability index (score-distribution drift between slices)
+# ---------------------------------------------------------------------------
+
+_PSI_ORACLE = f"""
+WITH {_DETECT_CTE},
+sliced AS (
+  SELECT s, (ROW_NUMBER() OVER (ORDER BY s) % 2) AS half
+  FROM (SELECT s FROM scored) x
+),
+mm AS (SELECT MIN(s) AS smin, MAX(s) AS smax FROM scored),
+binned AS (
+  SELECT CAST(((sl.s - mm.smin) * 10) // (mm.smax - mm.smin + 1) AS BIGINT) AS bin,
+         sl.half
+  FROM sliced sl, mm
+),
+cnts AS (
+  SELECT bin,
+         CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+  FROM binned GROUP BY bin
+),
+tots AS (SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb FROM cnts)
+SELECT t.na AS n_ref, t.nb AS n_cur,
+       CAST(COUNT(*) AS BIGINT) AS n_bins,
+       ROUND(SUM(((c.a + 1.0) / (t.na + 10) - (c.b + 1.0) / (t.nb + 10))
+                 * ln(((c.a + 1.0) * (t.nb + 10)) / ((c.b + 1.0) * (t.na + 10)))), 6) AS psi
+FROM cnts c, tots t
+GROUP BY t.na, t.nb
+"""
+
+
+@register(
+    "ml_psi_drift",
+    _PSI_ORACLE,
+    doc="population stability index between score-distribution slices, full oracle",
+)
+def ml_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index — the standard between-deployment
+    drift alarm on a model score distribution (PSI > 0.25 = retrain).
+    The corpus is split into two interleaved halves (rank parity — a
+    deterministic stand-in for yesterday/today), decile-binned on the
+    global score range (the ml_calibration_bins rule), and
+    PSI = sum_b (p_b - q_b) * ln(p_b / q_b) with +1 Laplace smoothing
+    so empty bins stay finite. Each ln argument is a ratio of exact
+    integers evaluated in one expression — engine-identical — and the
+    10-term float sum rounds at 6 digits. Scale: one groupBy over 20
+    (bin, half) cells after a map-only binning pass; the rank-parity
+    split is the only sort, replaceable by any timestamp predicate in
+    production (complements ml_drift_monitor, which watches embedding
+    means; this watches the OUTPUT score)."""
+    scored = _detect_scored(spark, sf_dir)
+    w = Window.orderBy("s")
+    sliced = scored.select("s").select(
+        "s", (F.row_number().over(w) % 2).alias("half")
+    )
+    mm = scored.agg(F.min("s").alias("smin"), F.max("s").alias("smax"))
+    binned = sliced.crossJoin(F.broadcast(mm)).select(
+        (
+            ((F.col("s") - F.col("smin")) * 10)
+            / (F.col("smax") - F.col("smin") + 1)
+        )
+        .cast("long")
+        .alias("bin"),
+        "half",
+    )
+    cnts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long").alias("b"),
+    )
+    tots = cnts.agg(
+        F.sum("a").cast("long").alias("na"), F.sum("b").cast("long").alias("nb")
+    )
+    c = cnts.crossJoin(F.broadcast(tots))
+    p = (F.col("a") + 1.0) / (F.col("na") + 10)
+    q = (F.col("b") + 1.0) / (F.col("nb") + 10)
+    term = (p - q) * F.log(
+        ((F.col("a") + 1.0) * (F.col("nb") + 10))
+        / ((F.col("b") + 1.0) * (F.col("na") + 10))
+    )
+    return c.groupBy("na", "nb").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.round(F.sum(term), 6).alias("psi"),
+    ).select(
+        F.col("na").alias("n_ref"), F.col("nb").alias("n_cur"), "n_bins", "psi"
+    )
+
+
+# ---------------------------------------------------------------------------
+# cost-optimal operating threshold (integer-exact argmin over the sweep)
+# ---------------------------------------------------------------------------
+
+_FP_COST = 1
+_FN_COST = 5
+
+_COST_THRESHOLD_ORACLE = f"""
+WITH {_DETECT_CTE},
+costs AS (
+  SELECT c.s AS threshold,
+         CAST(t.P - c.cpos AS BIGINT) AS tp,
+         CAST(t.N - c.cneg AS BIGINT) AS fp,
+         CAST(c.cpos AS BIGINT) AS fn,
+         CAST(c.cneg AS BIGINT) AS tn,
+         CAST({_FP_COST} * (t.N - c.cneg) + {_FN_COST} * c.cpos AS BIGINT) AS cost
+  FROM cum c, tot t
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY cost ASC, threshold ASC) AS rk FROM costs
+)
+SELECT threshold, tp, fp, fn, tn, cost FROM ranked WHERE rk = 1
+"""
+
+
+@register(
+    "ml_cost_threshold",
+    _COST_THRESHOLD_ORACLE,
+    doc="cost-optimal detector threshold: integer-exact argmin over the operating sweep",
+)
+def ml_cost_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deployment thresholding with asymmetric costs — a missed attack
+    (FN) costs 5x a false alarm (FP), the typical security calculus —
+    solved exactly: reuse ml_roc_curve's grouped-score cumulative
+    relation to get every threshold's exact confusion counts, score
+    each with cost = 1*fp + 5*fn in BIGINT, and take the argmin with
+    a smallest-threshold tie-break. Because the costs are integers,
+    the argmin is exact — no float comparison anywhere, so the chosen
+    operating point can never flip between engines or retries. Scale:
+    everything after the groupBy(score) touches |distinct scores|
+    rows; the argmin is one tiny window."""
+    by_score = _by_score(_detect_scored(spark, sf_dir))
+    w = Window.orderBy("s")
+    cum = by_score.select(
+        "s",
+        F.sum("np").over(w).alias("cpos"),
+        F.sum("nn").over(w).alias("cneg"),
+    )
+    tot = by_score.agg(F.sum("np").alias("P"), F.sum("nn").alias("N"))
+    c = cum.crossJoin(F.broadcast(tot))
+    costs = c.select(
+        F.col("s").alias("threshold"),
+        (F.col("P") - F.col("cpos")).cast("long").alias("tp"),
+        (F.col("N") - F.col("cneg")).cast("long").alias("fp"),
+        F.col("cpos").cast("long").alias("fn"),
+        F.col("cneg").cast("long").alias("tn"),
+        (
+            _FP_COST * (F.col("N") - F.col("cneg")) + _FN_COST * F.col("cpos")
+        )
+        .cast("long")
+        .alias("cost"),
+    )
+    rw = Window.orderBy(F.col("cost").asc(), F.col("threshold").asc())
+    return (
+        costs.withColumn("rk", F.row_number().over(rw))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )

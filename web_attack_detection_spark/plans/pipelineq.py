@@ -479,3 +479,83 @@ def pipe_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("id_checksum", F.lit(0)).cast("long").alias("id_checksum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# training-mixture scheduling: largest-remainder apportionment
+# ---------------------------------------------------------------------------
+
+_EPOCH_DOCS = 1000
+
+_MIXTURE_SCHEDULE_ORACLE = f"""
+WITH w AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS weight FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS wt FROM w),
+quotas AS (
+  SELECT w.source, w.weight,
+         CAST(({_EPOCH_DOCS} * w.weight) // t.wt AS BIGINT) AS quota,
+         CAST({_EPOCH_DOCS} * w.weight - (({_EPOCH_DOCS} * w.weight) // t.wt) * t.wt
+              AS BIGINT) AS remainder_scaled
+  FROM w, tot t
+),
+short AS (
+  SELECT CAST({_EPOCH_DOCS} - SUM(quota) AS BIGINT) AS n_extra FROM quotas
+),
+ranked AS (
+  SELECT q.*, s.n_extra,
+         ROW_NUMBER() OVER (ORDER BY q.remainder_scaled DESC, q.source ASC) AS rk
+  FROM quotas q, short s
+)
+SELECT source, weight, quota,
+       CAST(CASE WHEN rk <= n_extra THEN 1 ELSE 0 END AS BIGINT) AS extra,
+       CAST(quota + CASE WHEN rk <= n_extra THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM ranked
+"""
+
+
+@register(
+    "pipe_mixture_schedule",
+    _MIXTURE_SCHEDULE_ORACLE,
+    doc="training-mixture apportionment: largest-remainder allocation of epoch slots",
+)
+def pipe_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture scheduling for a training epoch: each
+    source gets slots proportional to its weight (total characters —
+    swap in any quality-scaled weight), apportioned by the largest-
+    remainder (Hamilton) method so the allocations are integers that
+    sum EXACTLY to the epoch size. The remainder comparison uses the
+    scaled integer E*w - quota*W — no division ever happens, so the
+    entire allocation is exact BIGINT arithmetic and can never differ
+    between engines, retries, or partition orders (allocators that
+    rank on float fractions flap under re-execution; this one
+    cannot). Scale: one groupBy(source) + two broadcast scalars + a
+    |sources|-row window — the per-source table is tiny at any corpus
+    size."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.groupBy("source").agg(F.sum("n_chars").cast("long").alias("weight"))
+    tot = w.agg(F.sum("weight").cast("long").alias("wt"))
+    q = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "weight",
+        F.expr(f"({_EPOCH_DOCS} * weight) DIV wt").cast("long").alias("quota"),
+        (
+            _EPOCH_DOCS * F.col("weight")
+            - F.expr(f"({_EPOCH_DOCS} * weight) DIV wt") * F.col("wt")
+        )
+        .cast("long")
+        .alias("remainder_scaled"),
+    )
+    short = q.agg((_EPOCH_DOCS - F.sum("quota")).cast("long").alias("n_extra"))
+    rw = Window.orderBy(F.col("remainder_scaled").desc(), F.col("source").asc())
+    ranked = q.crossJoin(F.broadcast(short)).withColumn(
+        "rk", F.row_number().over(rw)
+    )
+    extra = F.when(F.col("rk") <= F.col("n_extra"), 1).otherwise(0)
+    return ranked.select(
+        "source",
+        "weight",
+        "quota",
+        extra.cast("long").alias("extra"),
+        (F.col("quota") + extra).cast("long").alias("alloc"),
+    )

@@ -1,0 +1,133 @@
+"""Behavioral sequence analytics: Markov transition matrices over
+per-user event streams.
+
+The transition matrix P(next event type | current event type) is the
+workhorse behavioral model in attack detection — bots and scripted
+attacks have sharply different transition structure from humans
+(e.g. error->error loops, view->purchase never). It composes with
+ml_anomaly_zscore (value outliers) and ml_psi_drift (distribution
+drift) into the monitoring triptych: values, distributions,
+SEQUENCES.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from web_attack_detection_spark.io.sources import load_table
+from web_attack_detection_spark.plans.registry import register
+
+# Ordering within a user is (ts, event_id) — event_id breaks timestamp
+# ties deterministically, so the lag pairing is engine-identical.
+_MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+trans AS (
+  SELECT prev_type AS from_type, event_type AS to_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+),
+row_tot AS (
+  SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot FROM trans GROUP BY from_type
+)
+SELECT t.from_type, t.to_type,
+       CAST(t.n AS BIGINT) AS n,
+       ROUND(t.n / (1.0 * r.tot), 6) AS p
+FROM trans t JOIN row_tot r USING (from_type)
+"""
+
+
+@register(
+    "rel_markov_transitions",
+    _MARKOV_ORACLE,
+    doc="per-user event-type Markov transition matrix (lag window + row-normalize)",
+)
+def rel_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: within
+    each user's event stream (ordered by ts with event_id tie-break),
+    pair every event with its predecessor via one lag window, count
+    (from, to) transitions, and row-normalize into conditional
+    probabilities. One window partitioned BY USER (shuffles on
+    user_id, sorts only within each user's slice — no global sort),
+    one groupBy over |types|^2 = 25 cells with map-side combine, and
+    the row totals broadcast back. Counts exact BIGINT; each
+    probability is one division + round. At 100 TB this is the
+    sessionized shape: the window partition key becomes (user_id,
+    session_id) from rel_sessionize and nothing else changes."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("prev_type").alias("from_type"), F.col("event_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    row_tot = trans.groupBy("from_type").agg(F.sum("n").cast("long").alias("tot"))
+    return trans.join(F.broadcast(row_tot), "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / (1.0 * F.col("tot")), 6).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence motifs: most frequent event-type trigrams across user streams
+# ---------------------------------------------------------------------------
+
+_MOTIFS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type, 1) OVER w AS p1,
+         LAG(event_type, 2) OVER w AS p2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+tri AS (
+  SELECT p2 || '>' || p1 || '>' || event_type AS motif, COUNT(*) AS n
+  FROM seq WHERE p2 IS NOT NULL
+  GROUP BY 1
+),
+ranked AS (
+  SELECT motif, CAST(n AS BIGINT) AS n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, motif ASC) AS rank
+  FROM tri
+)
+SELECT motif, n, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 15
+"""
+
+
+@register(
+    "rel_sequence_motifs",
+    _MOTIFS_ORACLE,
+    doc="top-15 event-type trigram motifs over per-user ordered streams",
+)
+def rel_sequence_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-2 sequence mining on top of rel_markov_transitions'
+    ordering: the most frequent event-type TRIGRAMS across all user
+    streams — the signature patterns a rules engine turns into
+    detections (error>error>error = brute force; view>view>purchase =
+    normal funnel). Two lags in ONE window pass (same partition/sort,
+    zero extra shuffle vs the Markov matrix), a groupBy over at most
+    |types|^3 = 125 cells, and a 15-row deterministic top-k
+    (count desc, motif asc). Counts exact BIGINT throughout."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    ).filter(F.col("p2").isNotNull())
+    tri = seq.groupBy(
+        F.concat_ws(">", "p2", "p1", "event_type").alias("motif")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    rw = Window.orderBy(F.col("n").desc(), F.col("motif").asc())
+    return (
+        tri.withColumn("rank", F.row_number().over(rw).cast("long"))
+        .filter(F.col("rank") <= 15)
+    )

@@ -695,3 +695,139 @@ def stream_model_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return scored.select("event_type", "flagged", "n", "margin_sum")
+
+
+# ---------------------------------------------------------------------------
+# streaming drift monitor: per-window PSI of the detector score
+# ---------------------------------------------------------------------------
+
+# Fixed literal bin edges (streaming-safe: no global min/max pass):
+# score s = 3*(user%97) - round(value*100)/50 lives in [-655, 42];
+# bin = clamp((s+700) DIV 70, 0, 9).
+_STREAM_PSI_ORACLE = """
+WITH scored AS (
+  SELECT to_timestamp(epoch_us(CAST(ts AS TIMESTAMP)) // 7200000000 * 7200) AS w,
+         LEAST(GREATEST((3 * (user_id % 97)
+                         - (CAST(ROUND(value * 100) AS BIGINT) // 50) + 700) // 70,
+                        0), 9) AS bin
+  FROM events
+),
+wcnt AS (SELECT w, bin, COUNT(*) AS n FROM scored GROUP BY w, bin),
+wins AS (
+  SELECT w, DENSE_RANK() OVER (ORDER BY w) AS rw
+  FROM (SELECT DISTINCT w FROM wcnt)
+),
+pairs AS (
+  SELECT p.w AS w_prev, c.w AS w_cur FROM wins p JOIN wins c ON c.rw = p.rw + 1
+),
+bins AS (SELECT UNNEST(range(0, 10)) AS bin),
+cells AS (
+  SELECT pr.w_prev, pr.w_cur, b.bin,
+         COALESCE(pa.n, 0) AS a, COALESCE(cu.n, 0) AS b_n
+  FROM pairs pr CROSS JOIN bins b
+  LEFT JOIN wcnt pa ON pa.w = pr.w_prev AND pa.bin = b.bin
+  LEFT JOIN wcnt cu ON cu.w = pr.w_cur AND cu.bin = b.bin
+),
+tots AS (
+  SELECT w_prev, w_cur,
+         CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b_n) AS BIGINT) AS nb
+  FROM cells GROUP BY w_prev, w_cur
+)
+SELECT strftime(c.w_cur, '%Y-%m-%d %H:%M:%S') AS window_start,
+       t.na AS n_prev, t.nb AS n_cur,
+       ROUND(SUM(((c.a + 1.0) / (t.na + 10) - (c.b_n + 1.0) / (t.nb + 10))
+                 * ln(((c.a + 1.0) * (t.nb + 10))
+                      / ((c.b_n + 1.0) * (t.na + 10)))), 6) AS psi
+FROM cells c JOIN tots t ON t.w_prev = c.w_prev AND t.w_cur = c.w_cur
+GROUP BY c.w_cur, t.na, t.nb
+"""
+
+
+@register(
+    "stream_psi_windows",
+    _STREAM_PSI_ORACLE,
+    doc="streaming drift monitor: window-over-window PSI of the score distribution",
+)
+def stream_psi_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production drift alarm as a STREAM: the streaming side
+    maintains per-2h-window histogram counts of the detector score
+    (fixed literal bin edges — a streaming plan cannot take a global
+    min/max pass, which is exactly why deployed monitors pin their
+    bins), and the monitor consumes the materialized windowed counts,
+    comparing each window against the previous observed window with
+    the same smoothed-PSI formula as ml_psi_drift. The streaming agg
+    keeps O(windows x 10) state under a 30-min watermark; the
+    window-over-window comparison runs on the compacted counts —
+    O(windows) rows — never on raw events. Alert rule in production:
+    psi > 0.25 pages; here the oracle recomputes the identical
+    pipeline as batch SQL (replay == batch)."""
+    score = (
+        3 * (F.col("user_id") % 97)
+        - F.expr("CAST(ROUND(value * 100) AS BIGINT) DIV 50")
+    )
+    bin_ = F.least(
+        F.greatest(((score + 700) / 70).cast("long"), F.lit(0)), F.lit(9)
+    )
+    wcnt = _replay(
+        spark,
+        sf_dir,
+        lambda s: (
+            s.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "2 hours").alias("win"), bin_.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("w"),
+                "bin",
+                "n",
+            )
+        ),
+    )
+    from pyspark.sql import Window as W
+
+    wins = wcnt.select("w").distinct().withColumn(
+        "rw", F.dense_rank().over(W.orderBy("w"))
+    )
+    pairs = (
+        wins.alias("p")
+        .join(wins.alias("c"), F.col("c.rw") == F.col("p.rw") + 1)
+        .select(F.col("p.w").alias("w_prev"), F.col("c.w").alias("w_cur"))
+    )
+    bins = spark.range(10).select(F.col("id").cast("long").alias("bin"))
+    cells = (
+        pairs.crossJoin(bins)
+        .join(
+            wcnt.select(F.col("w").alias("w_prev"), "bin", F.col("n").alias("a")),
+            ["w_prev", "bin"],
+            "left",
+        )
+        .join(
+            wcnt.select(F.col("w").alias("w_cur"), "bin", F.col("n").alias("b_n")),
+            ["w_cur", "bin"],
+            "left",
+        )
+        .select(
+            "w_prev",
+            "w_cur",
+            "bin",
+            F.coalesce("a", F.lit(0)).alias("a"),
+            F.coalesce("b_n", F.lit(0)).alias("b_n"),
+        )
+    )
+    tots = cells.groupBy("w_prev", "w_cur").agg(
+        F.sum("a").cast("long").alias("na"), F.sum("b_n").cast("long").alias("nb")
+    )
+    c = cells.join(tots, ["w_prev", "w_cur"])
+    p = (F.col("a") + 1.0) / (F.col("na") + 10)
+    q = (F.col("b_n") + 1.0) / (F.col("nb") + 10)
+    term = (p - q) * F.log(
+        ((F.col("a") + 1.0) * (F.col("nb") + 10))
+        / ((F.col("b_n") + 1.0) * (F.col("na") + 10))
+    )
+    return c.groupBy("w_cur", "na", "nb").agg(
+        F.round(F.sum(term), 6).alias("psi")
+    ).select(
+        F.col("w_cur").alias("window_start"),
+        F.col("na").alias("n_prev"),
+        F.col("nb").alias("n_cur"),
+        "psi",
+    )
