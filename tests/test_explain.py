@@ -368,3 +368,52 @@ def test_ivf_indexed_scan_is_dpp_pruned(spark):
     plan = plan_of(sim_ivf_indexed(spark, SF_SMOKE), "formatted")
     assert "Scan parquet spark_catalog.default.ivf_cells" in plan
     assert "dynamicpruningexpression(cell#" in plan
+
+
+def test_bm25_plan_is_inverted_index_no_cartesian(spark):
+    """Round 4: BM25 retrieval must candidate-generate through the
+    term equi-join — no CartesianProduct / BroadcastNestedLoopJoin
+    anywhere in the plan (the all-pairs trap for retrieval)."""
+    from web_attack_detection_spark.plans.registry import QUERIES
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+
+    plan = plan_of(QUERIES["sim_bm25_topk"].fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    # the only BNLJ allowed is the 1-row global-stats broadcast
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_orc_roundtrip_reads_orc_with_pushdown(spark):
+    """Round 4: the roundtrip's read side must be a native ORC
+    columnar scan (proving the interop path, not a parquet fallback),
+    with the aggregate reading only the projected columns."""
+    from web_attack_detection_spark.plans.registry import QUERIES
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+
+    plan = plan_of(QUERIES["io_orc_roundtrip"].fn(spark, SF_SMOKE))
+    assert "Scan orc" in plan
+    assert "event_type" in plan and "value" in plan
+
+
+def test_anomaly_zscore_stats_join_is_broadcast(spark):
+    """Round 4: the per-user moment statistics must broadcast back
+    onto the event scan — a sort-merge join here would shuffle the
+    full fact table twice."""
+    from web_attack_detection_spark.plans.registry import QUERIES
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+
+    plan = plan_of(QUERIES["ml_anomaly_zscore"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_markov_single_user_partition_sort(spark):
+    """Round 4: the transition matrix needs exactly one shuffle for
+    the per-user window (plus tiny aggregate exchanges) and no global
+    sort of raw events."""
+    from web_attack_detection_spark.plans.registry import QUERIES
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+
+    plan = plan_of(QUERIES["rel_markov_transitions"].fn(spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # row totals broadcast back

@@ -616,3 +616,30 @@ def test_sequence_motifs_totals(spark):
     total_tri = sum(max(0, n - 2) for n in pdf.groupby("user_id").size())
     assert sum(ns) <= total_tri  # top-15 is a subset of all motifs
     assert len(rows) == 15
+
+
+def test_gbt_and_als_shapes(spark):
+    """GBT: one row, accuracy within [0,1], split sizes match the 3:1
+    event_id rule. ALS: exactly 2 ranked recs per user, items valid."""
+    import pandas as pd
+
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    g = QUERIES["ml_gbt_train_eval"].fn(spark, sf).collect()
+    assert len(g) == 1
+    r = g[0]
+    assert 0.0 <= r["accuracy"] <= 1.0 and 0.0 <= r["majority_baseline"] <= 1.0
+    pdf = pd.read_parquet(f"{sf}/events.parquet")
+    assert r["n_train"] == int((pdf["event_id"] % 4 != 1).sum())
+    assert r["n_test"] == int((pdf["event_id"] % 4 == 1).sum())
+
+    recs = QUERIES["ml_als_recommend"].fn(spark, sf).collect()
+    by_u = {}
+    for row in recs:
+        by_u.setdefault(row["user_id"], []).append(row)
+    assert len(by_u) == pdf["user_id"].nunique()
+    for u, rows in by_u.items():
+        assert sorted(r["rank"] for r in rows) == [1, 2]
+        assert all(0 <= r["item_id"] <= 4 for r in rows)

