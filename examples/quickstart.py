@@ -74,6 +74,17 @@ def main() -> int:
     counts = QUERIES["stream_model_scoring"].fn(spark, sf_dir)
     print(f"5. streaming model scoring: {counts.count()} (type, flag) groups")
 
+    # 6. Deployment tuning: cost-optimal threshold + per-cohort audit
+    opt = QUERIES["ml_cost_threshold"].fn(spark, sf_dir).first()
+    audit = QUERIES["ml_subgroup_fairness"].fn(spark, sf_dir).collect()
+    spread = max(g["fpr"] for g in audit) - min(g["fpr"] for g in audit)
+    print(f"6. operating point: threshold {opt['threshold']} "
+          f"(cost {opt['cost']}), cohort FPR spread {spread:.4f}")
+
+    # 7. Hybrid retrieval: sparse TF-IDF x dense embeddings via RRF
+    hits = QUERIES["sim_hybrid_rrf"].fn(spark, sf_dir)
+    print(f"7. hybrid RRF retrieval: {hits.count()} fused hits")
+
     spark.stop()
     return 0
 

@@ -643,3 +643,52 @@ def test_gbt_and_als_shapes(spark):
     for u, rows in by_u.items():
         assert sorted(r["rank"] for r in rows) == [1, 2]
         assert all(0 <= r["item_id"] <= 4 for r in rows)
+
+
+def test_feature_attribution_matches_numpy(spark):
+    """Each feature's mean contribution and mean absolute deviation
+    must match a float recomputation of the linear scorer's terms."""
+    import numpy as np
+    import pandas as pd
+
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["feature"]: r for r in QUERIES["ml_feature_attribution"].fn(spark, sf).collect()}
+    pdf = pd.read_parquet(f"{sf}/events.parquet")
+    terms = {
+        "len_term": 7 * pdf["event_type"].str.len(),
+        "user_term": 3 * (pdf["user_id"] % 97),
+        "value_term": -((pdf["value"] * 100).round().astype("int64") // 50),
+    }
+    assert set(rows) == set(terms)
+    for name, t in terms.items():
+        t = t.to_numpy(dtype="float64")
+        r = rows[name]
+        assert r["n"] == len(t)
+        assert abs(r["mean_contrib"] - round(float(t.mean()), 6)) < 1e-6
+        assert abs(r["mean_abs_dev"] - round(float(np.abs(t - t.mean()).mean()), 6)) < 1e-6
+    # value_term drives the score on this fixture (widest spread)
+    assert rows["value_term"]["mean_abs_dev"] == max(
+        r["mean_abs_dev"] for r in rows.values()
+    )
+
+
+def test_subgroup_fairness_consistent_with_cost_threshold(spark):
+    """The audit's implicit threshold must be ml_cost_threshold's:
+    summing per-group fp/fn reproduces the chosen operating point's
+    global confusion counts; rates are exact per-group ratios."""
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    opt = QUERIES["ml_cost_threshold"].fn(spark, sf).collect()[0]
+    groups = QUERIES["ml_subgroup_fairness"].fn(spark, sf).collect()
+    assert len(groups) == 5
+    assert sum(g["fp"] for g in groups) == opt["fp"]
+    assert sum(g["fn"] for g in groups) == opt["fn"]
+    assert sum(g["n_pos"] for g in groups) == opt["tp"] + opt["fn"]
+    for g in groups:
+        assert abs(g["fpr"] - round(g["fp"] / g["n_neg"], 6)) < 1e-9
+        assert abs(g["fnr"] - round(g["fn"] / g["n_pos"], 6)) < 1e-9

@@ -662,3 +662,193 @@ def ml_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rank0") + 1).cast("long").alias("rank"),
         F.col("rec.item_id").cast("long").alias("item_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# linear-model feature attribution (exact integer contributions)
+# ---------------------------------------------------------------------------
+
+_ATTRIB_ORACLE = """
+WITH terms AS (
+  SELECT 'len_term' AS feature, CAST(7 * LENGTH(event_type) AS BIGINT) AS t FROM events
+  UNION ALL
+  SELECT 'user_term', CAST(3 * (user_id % 97) AS BIGINT) FROM events
+  UNION ALL
+  SELECT 'value_term', CAST(-(CAST(ROUND(value * 100) AS BIGINT) // 50) AS BIGINT) FROM events
+),
+st AS (
+  SELECT feature, CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(t) AS HUGEINT) AS S
+  FROM terms GROUP BY feature
+),
+dev AS (
+  SELECT tm.feature,
+         CAST(st.n AS BIGINT) AS n,
+         st.n AS nh, st.S AS Sh,
+         CAST(SUM(ABS(st.n * tm.t - st.S)) AS HUGEINT) AS sad
+  FROM terms tm JOIN st USING (feature)
+  GROUP BY tm.feature, st.n, st.S
+)
+SELECT feature, n,
+       ROUND(CAST(Sh AS DOUBLE) / CAST(nh AS DOUBLE), 6) AS mean_contrib,
+       ROUND(CAST(sad AS DOUBLE) / (CAST(nh AS DOUBLE) * CAST(nh AS DOUBLE)), 6) AS mean_abs_dev
+FROM dev
+"""
+
+
+@register(
+    "ml_feature_attribution",
+    _ATTRIB_ORACLE,
+    doc="per-feature attribution for the transpiled linear scorer, exact integer MAD",
+)
+def ml_feature_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model explainability for the deployed linear scorer
+    (stream_model_scoring's margin): each feature's contribution to a
+    row's score is its weighted term, and its IMPORTANCE is the mean
+    absolute deviation of that term from its own mean — exactly the
+    linear-model special case of SHAP values (phi_j = w_j x_j - E[w_j
+    x_j]). Because the scorer is integer-quantized, every per-row
+    deviation |n*t - S| is exact integer arithmetic (widened to
+    DECIMAL(38,0)/HUGEINT for the n-scaled products) and the only
+    floats are the two final divisions — attribution reports that
+    cannot flip between engines or retries. One stack unpivot = one
+    scan; stats (3 rows) broadcast back; second aggregate has
+    map-side combine on a 3-ary key."""
+    e = load_table(spark, sf_dir, "events")
+    terms = e.select(
+        F.expr(
+            "stack(3, "
+            "'len_term', CAST(7 * LENGTH(event_type) AS BIGINT), "
+            "'user_term', CAST(3 * (user_id % 97) AS BIGINT), "
+            "'value_term', CAST(-(CAST(ROUND(value * 100) AS BIGINT) DIV 50) AS BIGINT)"
+            ") AS (feature, t)"
+        )
+    )
+    dec = "decimal(38,0)"
+    st = terms.groupBy("feature").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"), F.sum("t").cast(dec).alias("S")
+    )
+    j = terms.join(F.broadcast(st), "feature")
+    dev = j.groupBy("feature", "n", "S").agg(
+        F.sum(F.abs(F.col("n") * F.col("t").cast(dec) - F.col("S"))).alias("sad")
+    )
+    return dev.select(
+        "feature",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("S").cast("double") / F.col("n").cast("double"), 6).alias(
+            "mean_contrib"
+        ),
+        F.round(
+            F.col("sad").cast("double")
+            / (F.col("n").cast("double") * F.col("n").cast("double")),
+            6,
+        ).alias("mean_abs_dev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# subgroup fairness audit at the deployed operating point
+# ---------------------------------------------------------------------------
+
+_FAIRNESS_ORACLE = f"""
+WITH {_DETECT_CTE},
+costs AS (
+  SELECT c.s AS threshold,
+         CAST({_FP_COST} * (t.N - c.cneg) + {_FN_COST} * c.cpos AS BIGINT) AS cost
+  FROM cum c, tot t
+),
+tstar AS (
+  SELECT threshold FROM costs ORDER BY cost ASC, threshold ASC LIMIT 1
+),
+grouped AS (
+  SELECT (user_id % 5) AS grp,
+         (event_type = 'error') AS pos,
+         (3 * (user_id % 97) - (CAST(ROUND(value * 100) AS BIGINT) // 50)) AS s
+  FROM events
+),
+cells AS (
+  SELECT g.grp,
+         CAST(SUM(CASE WHEN g.pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(SUM(CASE WHEN g.pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+         CAST(SUM(CASE WHEN NOT g.pos AND g.s > t.threshold THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN g.pos AND g.s <= t.threshold THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM grouped g, tstar t
+  GROUP BY g.grp
+)
+SELECT grp, n_pos, n_neg, fp, fn,
+       ROUND(fp / (1.0 * n_neg), 6) AS fpr,
+       ROUND(fn / (1.0 * n_pos), 6) AS fnr
+FROM cells
+"""
+
+
+@register(
+    "ml_subgroup_fairness",
+    _FAIRNESS_ORACLE,
+    doc="per-subgroup FPR/FNR audit at the cost-optimal threshold, full oracle",
+)
+def ml_subgroup_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disparity audit at the DEPLOYED operating point: recompute
+    ml_cost_threshold's cost-optimal threshold in-plan (broadcast,
+    1 row), then per user cohort (user_id % 5) report exact false-
+    positive and false-negative rates — the error-rate-parity check a
+    detector deployment owes its users (a threshold tuned on the
+    aggregate can silently concentrate false alarms on one cohort).
+    The threshold argmin is integer-exact (ml_cost_threshold), group
+    confusion counts are exact BIGINT, each rate is one division —
+    the whole audit is engine- and retry-deterministic. Scale: the
+    threshold derivation touches |distinct scores| rows; the audit
+    itself is one groupBy over 5 cohorts with map-side combine."""
+    by_score = _by_score(_detect_scored(spark, sf_dir))
+    w = Window.orderBy("s")
+    cum = by_score.select(
+        "s",
+        F.sum("np").over(w).alias("cpos"),
+        F.sum("nn").over(w).alias("cneg"),
+    )
+    tot = by_score.agg(F.sum("np").alias("P"), F.sum("nn").alias("N"))
+    costs = cum.crossJoin(F.broadcast(tot)).select(
+        F.col("s").alias("threshold"),
+        (
+            _FP_COST * (F.col("N") - F.col("cneg")) + _FN_COST * F.col("cpos")
+        )
+        .cast("long")
+        .alias("cost"),
+    )
+    rw = Window.orderBy(F.col("cost").asc(), F.col("threshold").asc())
+    tstar = (
+        costs.withColumn("rk", F.row_number().over(rw))
+        .filter(F.col("rk") == 1)
+        .select("threshold")
+    )
+    e = load_table(spark, sf_dir, "events")
+    grouped = e.select(
+        (F.col("user_id") % 5).alias("grp"),
+        (F.col("event_type") == "error").alias("pos"),
+        (
+            3 * (F.col("user_id") % 97)
+            - F.expr("CAST(ROUND(value * 100) AS BIGINT) DIV 50")
+        ).alias("s"),
+    )
+    cells = grouped.crossJoin(F.broadcast(tstar)).groupBy("grp").agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("long").alias("n_pos"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1)).cast("long").alias("n_neg"),
+        F.sum(
+            F.when(~F.col("pos") & (F.col("s") > F.col("threshold")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("fp"),
+        F.sum(
+            F.when(F.col("pos") & (F.col("s") <= F.col("threshold")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("fn"),
+    )
+    return cells.select(
+        "grp",
+        "n_pos",
+        "n_neg",
+        "fp",
+        "fn",
+        F.round(F.col("fp") / (1.0 * F.col("n_neg")), 6).alias("fpr"),
+        F.round(F.col("fn") / (1.0 * F.col("n_pos")), 6).alias("fnr"),
+    )
