@@ -692,3 +692,89 @@ def test_subgroup_fairness_consistent_with_cost_threshold(spark):
     for g in groups:
         assert abs(g["fpr"] - round(g["fp"] / g["n_neg"], 6)) < 1e-9
         assert abs(g["fnr"] - round(g["fn"] / g["n_pos"], 6)) < 1e-9
+
+
+def test_tpr_at_fpr_budgets_brute(spark):
+    """Each budget row must be the true argmax-TP feasible threshold
+    from a brute-force sweep under the integer feasibility rule."""
+    import numpy as np
+    import pandas as pd
+
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["fpr_pct"]: r for r in QUERIES["ml_tpr_at_fpr"].fn(spark, sf).collect()}
+    pdf = pd.read_parquet(f"{sf}/events.parquet")
+    pos = (pdf["event_type"] == "error").to_numpy()
+    s = (
+        3 * (pdf["user_id"] % 97)
+        - (pdf["value"] * 100).round().astype("int64") // 50
+    ).to_numpy()
+    N = int((~pos).sum())
+    assert set(rows) == {1, 5, 10}
+    for pct, r in rows.items():
+        best = None
+        for t in np.unique(s):
+            flag = s > t
+            fp = int((flag & ~pos).sum())
+            tp = int((flag & pos).sum())
+            if fp * 100 <= N * pct and (best is None or tp > best[0]):
+                best = (tp, int(t), fp)
+        assert (r["tp"], r["threshold"], r["fp"]) == best, (pct, r, best)
+        # budget actually respected
+        assert r["fp"] * 100 <= N * pct
+
+
+def test_mcc_summary_identities(spark):
+    """MCC/F1/balanced-acc/Youden at the cost threshold must satisfy
+    their defining identities on the reported confusion counts and
+    agree with ml_cost_threshold's operating point."""
+    import math
+
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    r = QUERIES["ml_mcc_summary"].fn(spark, sf).collect()[0]
+    opt = QUERIES["ml_cost_threshold"].fn(spark, sf).collect()[0]
+    assert (r["threshold"], r["tp"], r["fp"], r["fn"], r["tn"]) == (
+        opt["threshold"], opt["tp"], opt["fp"], opt["fn"], opt["tn"],
+    )
+    tp, fp, fn, tn = r["tp"], r["fp"], r["fn"], r["tn"]
+    mcc = (tp * tn - fp * fn) / math.sqrt(
+        (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    )
+    assert abs(r["mcc"] - round(mcc, 6)) < 1e-9
+    assert abs(r["f1"] - round(2 * tp / (2 * tp + fp + fn), 6)) < 1e-9
+    tpr, tnr = tp / (tp + fn), tn / (tn + fp)
+    assert abs(r["balanced_acc"] - round((tpr + tnr) / 2, 6)) < 1e-9
+    assert abs(r["youden_j"] - round(tpr - (1 - tnr), 6)) < 1e-9
+    assert -1.0 <= r["mcc"] <= 1.0
+
+
+def test_epoch_shuffle_is_permutation_prefix(spark):
+    """The emitted prefix must be 20 rows, positions 1..20, keys
+    strictly consistent with the LCG formula, and stable across two
+    invocations (the reproducibility contract)."""
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.pipelineq import _LCG_A, _LCG_C, _LCG_M
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted(
+        QUERIES["pipe_epoch_shuffle"].fn(spark, sf).collect(),
+        key=lambda r: r["position"],
+    )
+    b = sorted(
+        QUERIES["pipe_epoch_shuffle"].fn(spark, sf).collect(),
+        key=lambda r: r["position"],
+    )
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    assert [r["position"] for r in a] == list(range(1, 21))
+    for r in a:
+        assert r["shuffle_key"] == (_LCG_A * r["doc_id"] + _LCG_C) % _LCG_M
+    keys = [r["shuffle_key"] for r in a]
+    assert keys == sorted(keys)
+    # the permutation actually shuffles: prefix is not just ids 0..19
+    assert [r["doc_id"] for r in a] != sorted(r["doc_id"] for r in a)[:20]

@@ -852,3 +852,176 @@ def ml_subgroup_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("fp") / (1.0 * F.col("n_neg")), 6).alias("fpr"),
         F.round(F.col("fn") / (1.0 * F.col("n_pos")), 6).alias("fnr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPR at fixed FPR budgets (integer-exact threshold selection)
+# ---------------------------------------------------------------------------
+
+_TPR_AT_FPR_ORACLE = f"""
+WITH {_DETECT_CTE},
+ops AS (
+  SELECT c.s AS threshold,
+         CAST(t.P - c.cpos AS BIGINT) AS tp,
+         CAST(t.N - c.cneg AS BIGINT) AS fp,
+         CAST(t.P AS BIGINT) AS P, CAST(t.N AS BIGINT) AS N
+  FROM cum c, tot t
+),
+budgets AS (SELECT UNNEST([1, 5, 10]) AS fpr_pct),
+feasible AS (
+  SELECT b.fpr_pct, o.threshold, o.tp, o.fp, o.P, o.N,
+         ROW_NUMBER() OVER (
+           PARTITION BY b.fpr_pct ORDER BY o.tp DESC, o.threshold ASC) AS rk
+  FROM budgets b JOIN ops o ON o.fp * 100 <= o.N * b.fpr_pct
+)
+SELECT CAST(fpr_pct AS BIGINT) AS fpr_pct, threshold, tp, fp,
+       ROUND(tp / (1.0 * P), 6) AS tpr,
+       ROUND(fp / (1.0 * N), 6) AS fpr
+FROM feasible WHERE rk = 1
+"""
+
+
+@register(
+    "ml_tpr_at_fpr",
+    _TPR_AT_FPR_ORACLE,
+    doc="TPR at 1/5/10% FPR budgets — integer-exact feasible-threshold argmax",
+)
+def ml_tpr_at_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The security-paper headline metric: detection rate at a fixed
+    false-alarm budget (TPR @ FPR <= 1%, 5%, 10%). For each budget,
+    pick the operating point maximizing TP among thresholds whose FPR
+    fits the budget — and the feasibility test is the INTEGER
+    comparison fp*100 <= N*pct, so no float ratio ever decides which
+    threshold wins (an fpr <= 0.01 float test can flip on the budget
+    boundary; the cross-multiplied form cannot). One grouped-score
+    relation, a 3-budget broadcast join, one tiny window per budget."""
+    by_score = _by_score(_detect_scored(spark, sf_dir))
+    w = Window.orderBy("s")
+    cum = by_score.select(
+        "s",
+        F.sum("np").over(w).alias("cpos"),
+        F.sum("nn").over(w).alias("cneg"),
+    )
+    tot = by_score.agg(F.sum("np").alias("P"), F.sum("nn").alias("N"))
+    ops = cum.crossJoin(F.broadcast(tot)).select(
+        F.col("s").alias("threshold"),
+        (F.col("P") - F.col("cpos")).cast("long").alias("tp"),
+        (F.col("N") - F.col("cneg")).cast("long").alias("fp"),
+        F.col("P").cast("long").alias("P"),
+        F.col("N").cast("long").alias("N"),
+    )
+    budgets = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(5), F.lit(10))).alias("fpr_pct")
+    )
+    feasible = ops.crossJoin(F.broadcast(budgets)).filter(
+        F.col("fp") * 100 <= F.col("N") * F.col("fpr_pct")
+    )
+    rw = Window.partitionBy("fpr_pct").orderBy(
+        F.col("tp").desc(), F.col("threshold").asc()
+    )
+    return (
+        feasible.withColumn("rk", F.row_number().over(rw))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("fpr_pct").cast("long").alias("fpr_pct"),
+            "threshold",
+            "tp",
+            "fp",
+            F.round(F.col("tp") / (1.0 * F.col("P")), 6).alias("tpr"),
+            F.round(F.col("fp") / (1.0 * F.col("N")), 6).alias("fpr"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# full summary at the deployed operating point (MCC & friends)
+# ---------------------------------------------------------------------------
+
+_MCC_ORACLE = f"""
+WITH {_DETECT_CTE},
+costs AS (
+  SELECT c.s AS threshold,
+         CAST(t.P - c.cpos AS HUGEINT) AS tp,
+         CAST(t.N - c.cneg AS HUGEINT) AS fp,
+         CAST(c.cpos AS HUGEINT) AS fn,
+         CAST(c.cneg AS HUGEINT) AS tn,
+         CAST({_FP_COST} * (t.N - c.cneg) + {_FN_COST} * c.cpos AS BIGINT) AS cost
+  FROM cum c, tot t
+),
+best AS (
+  SELECT * FROM costs ORDER BY cost ASC, threshold ASC LIMIT 1
+)
+SELECT threshold,
+       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+       ROUND(CAST(tp * tn - fp * fn AS DOUBLE)
+             / sqrt(CAST((tp + fp) * (tp + fn) AS DOUBLE)
+                    * CAST((tn + fp) * (tn + fn) AS DOUBLE)), 6) AS mcc,
+       ROUND(2.0 * tp / (1.0 * (2 * tp + fp + fn)), 6) AS f1,
+       ROUND((tp / (1.0 * (tp + fn)) + tn / (1.0 * (tn + fp))) / 2.0, 6) AS balanced_acc,
+       ROUND(tp / (1.0 * (tp + fn)) - fp / (1.0 * (fp + tn)), 6) AS youden_j
+FROM best
+"""
+
+
+@register(
+    "ml_mcc_summary",
+    _MCC_ORACLE,
+    doc="MCC / F1 / balanced accuracy / Youden J at the cost-optimal threshold",
+)
+def ml_mcc_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The single-row scorecard at the deployed operating point:
+    Matthews correlation (the only confusion summary robust to class
+    imbalance), F1, balanced accuracy, Youden's J — all from the same
+    integer-exact confusion counts as ml_cost_threshold. The MCC
+    numerator tp*tn - fp*fn exceeds 63 bits at scale, so both engines
+    widen to HUGEINT/DECIMAL(38,0) and convert to double only for the
+    final sqrt — each metric is a fixed deterministic expression over
+    exact integers. Same |distinct scores| plan as the whole metric
+    family."""
+    by_score = _by_score(_detect_scored(spark, sf_dir))
+    w = Window.orderBy("s")
+    cum = by_score.select(
+        "s",
+        F.sum("np").over(w).alias("cpos"),
+        F.sum("nn").over(w).alias("cneg"),
+    )
+    tot = by_score.agg(F.sum("np").alias("P"), F.sum("nn").alias("N"))
+    dec = "decimal(38,0)"
+    costs = cum.crossJoin(F.broadcast(tot)).select(
+        F.col("s").alias("threshold"),
+        (F.col("P") - F.col("cpos")).cast(dec).alias("tp"),
+        (F.col("N") - F.col("cneg")).cast(dec).alias("fp"),
+        F.col("cpos").cast(dec).alias("fn"),
+        F.col("cneg").cast(dec).alias("tn"),
+        (
+            _FP_COST * (F.col("N") - F.col("cneg")) + _FN_COST * F.col("cpos")
+        )
+        .cast("long")
+        .alias("cost"),
+    )
+    rw = Window.orderBy(F.col("cost").asc(), F.col("threshold").asc())
+    best = costs.withColumn("rk", F.row_number().over(rw)).filter(F.col("rk") == 1)
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    return best.select(
+        "threshold",
+        tp.cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        fn.cast("long").alias("fn"),
+        tn.cast("long").alias("tn"),
+        F.round(
+            (tp * tn - fp * fn).cast("double")
+            / F.sqrt(
+                ((tp + fp) * (tp + fn)).cast("double")
+                * ((tn + fp) * (tn + fn)).cast("double")
+            ),
+            6,
+        ).alias("mcc"),
+        F.round(2.0 * tp / (1.0 * (2 * tp + fp + fn)), 6).alias("f1"),
+        F.round(
+            (tp / (1.0 * (tp + fn)) + tn / (1.0 * (tn + fp))) / 2.0, 6
+        ).alias("balanced_acc"),
+        F.round(
+            tp / (1.0 * (tp + fn)) - fp / (1.0 * (fp + tn)), 6
+        ).alias("youden_j"),
+    )

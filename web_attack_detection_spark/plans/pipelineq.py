@@ -559,3 +559,63 @@ def pipe_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         extra.cast("long").alias("extra"),
         (F.col("quota") + extra).cast("long").alias("alloc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# reproducible epoch shuffling (LCG permutation, exact integers)
+# ---------------------------------------------------------------------------
+
+# Full-period LCG over m = 2^20 (Hull-Dobell: c odd, a-1 divisible by
+# 4): position(doc) = (a*doc_id + c) mod m is a bijection on [0, m),
+# so ordering by it is a deterministic pseudo-random permutation.
+_LCG_A = 1103515245 % (1 << 20) * 4 + 1  # ensure a ≡ 1 (mod 4)
+_LCG_C = 12345
+_LCG_M = 1 << 20
+
+_EPOCH_SHUFFLE_ORACLE = f"""
+WITH pos AS (
+  SELECT doc_id, source,
+         ({_LCG_A} * doc_id + {_LCG_C}) % {_LCG_M} AS shuffle_key
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source, CAST(shuffle_key AS BIGINT) AS shuffle_key,
+         ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) AS position
+  FROM pos
+)
+SELECT doc_id, source, shuffle_key, CAST(position AS BIGINT) AS position
+FROM ranked WHERE position <= 20
+"""
+
+
+@register(
+    "pipe_epoch_shuffle",
+    _EPOCH_SHUFFLE_ORACLE,
+    doc="reproducible training-order shuffle via LCG permutation, exact integers",
+)
+def pipe_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible epoch ordering: training wants a different
+    pseudo-random document order each epoch, but the SAME order on
+    every retry of the same epoch — engine RNGs (rand(), shuffle)
+    give neither. Ordering by a full-period LCG of the doc id
+    ((a*id + c) mod 2^20, Hull-Dobell coefficients so the map is a
+    bijection) is a deterministic permutation computable by any
+    engine with integer arithmetic; bumping c per epoch reseeds it.
+    The query emits the first 20 positions of epoch 0 as the
+    checkable prefix. Scale: the sort key is computed map-side; at
+    100 TB you don't globally sort — range-partition on shuffle_key
+    and each partition IS a contiguous slice of the permutation
+    (what Spark's sort does internally anyway)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        "source",
+        ((_LCG_A * F.col("doc_id") + _LCG_C) % _LCG_M)
+        .cast("long")
+        .alias("shuffle_key"),
+    )
+    w = Window.orderBy("shuffle_key", "doc_id")
+    return (
+        pos.withColumn("position", F.row_number().over(w).cast("long"))
+        .filter(F.col("position") <= 20)
+    )
