@@ -147,3 +147,23 @@ def test_mllib_minhash_lsh_finds_exact_duplicates(spark, tmp_path):
         for r in mlq.ml_minhash_lsh_join(spark, planted_dir).collect()
     }
     assert expected <= got
+
+
+def test_threshold_curve_is_monotone_and_consistent(spark):
+    """Higher thresholds can only shrink the pair/doc counts, and the
+    20% row must match dedup_ngram_jaccard's pair count."""
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(
+        QUERIES["dedup_threshold_curve"].fn(spark, sf).collect(),
+        key=lambda r: r["threshold_pct"],
+    )
+    assert [r["threshold_pct"] for r in rows] == [20, 30, 40, 50, 60, 70, 80, 90]
+    pairs = [r["n_pairs"] for r in rows]
+    docs = [r["n_docs_affected"] for r in rows]
+    assert all(a >= b for a, b in zip(pairs, pairs[1:]))
+    assert all(a >= b for a, b in zip(docs, docs[1:]))
+    n20 = QUERIES["dedup_ngram_jaccard"].fn(spark, sf).count()
+    assert rows[0]["n_pairs"] == n20

@@ -778,3 +778,33 @@ def test_epoch_shuffle_is_permutation_prefix(spark):
     assert keys == sorted(keys)
     # the permutation actually shuffles: prefix is not just ids 0..19
     assert [r["doc_id"] for r in a] != sorted(r["doc_id"] for r in a)[:20]
+
+
+def test_kmeans_step_matches_numpy(spark):
+    """The exact Lloyd step must reproduce a numpy implementation of
+    the same quantized iteration: memberships, movement, inertia."""
+    import numpy as np
+    import pandas as pd
+
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["cid"]: r for r in QUERIES["ml_kmeans_step_exact"].fn(spark, sf).collect()}
+
+    pdf = pd.read_parquet(f"{sf}/embeddings.parquet").sort_values("vec_id")
+    V = np.round(np.stack(pdf["embedding"].to_numpy()).astype("float64") * 1e6).astype(
+        "int64"
+    )
+    C = V[:4]
+    d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)  # (n, 4)
+    assign = np.argmin(d, axis=1)  # argmin ties -> lowest cid, same rule
+    assert sum(r["n_assigned"] for r in got.values()) == len(V)
+    for cid in range(4):
+        m = assign == cid
+        n = int(m.sum())
+        assert got[cid]["n_assigned"] == n
+        num = int(np.abs(V[m].sum(axis=0) - n * C[cid]).sum())
+        assert abs(got[cid]["movement"] - round(num / (1e6 * n), 6)) < 1e-9
+        inertia = float(d[m, cid].sum()) / (1e12 * n)
+        assert abs(got[cid]["mean_inertia"] - round(inertia, 6)) < 1e-6

@@ -568,3 +568,114 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cluster_size").alias("n_docs"),
         F.sum(F.col("cluster_size") - 1).alias("n_removable"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup threshold tuning curve (one scan, integer-exact threshold tests)
+# ---------------------------------------------------------------------------
+
+_THRESHOLD_CURVE_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS r(i)
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+scored AS (
+  SELECT p.id_a, p.id_b, p.n_common,
+         sa.sz + sb.sz - p.n_common AS uni
+  FROM pairs p
+  JOIN sizes sa ON p.id_a = sa.doc_id
+  JOIN sizes sb ON p.id_b = sb.doc_id
+),
+thr AS (SELECT UNNEST([20, 30, 40, 50, 60, 70, 80, 90]) AS pct),
+hits AS (
+  SELECT t.pct, s.id_a, s.id_b
+  FROM scored s JOIN thr t ON s.n_common * 100 >= t.pct * s.uni
+),
+members AS (
+  SELECT pct, id_a AS d FROM hits UNION ALL SELECT pct, id_b FROM hits
+)
+SELECT t.pct AS threshold_pct,
+       CAST(COALESCE(h.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(m.n_docs, 0) AS BIGINT) AS n_docs_affected
+FROM thr t
+LEFT JOIN (SELECT pct, COUNT(*) AS n_pairs FROM hits GROUP BY pct) h ON h.pct = t.pct
+LEFT JOIN (SELECT pct, COUNT(DISTINCT d) AS n_docs FROM members GROUP BY pct) m ON m.pct = t.pct
+"""
+
+
+@register(
+    "dedup_threshold_curve",
+    _THRESHOLD_CURVE_ORACLE,
+    doc="dedup tuning curve: pair/doc counts per Jaccard threshold, one scan",
+)
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The question every dedup deployment starts with — 'how much
+    does each threshold remove?' — answered in ONE pass instead of
+    re-running the pipeline per candidate threshold: compute the
+    exact pair relation once (same inverted-index shape as
+    dedup_ngram_jaccard), then test all 8 thresholds with the
+    integer cross-multiply n_common*100 >= pct*union — no float
+    ratio, so a pair on a threshold boundary classifies identically
+    in every engine. Reports pairs and affected-doc counts per
+    threshold (the curve a cost/recall tradeoff is read from). Same
+    scale properties as the pair relation itself; the threshold
+    explosion multiplies only the tiny pair set, never the corpus."""
+    from web_attack_detection_spark.operators.dedup import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh0 = shingles(docs, "text", "doc_id", 3).cache()
+    try:
+        sizes = sh0.groupBy("id").agg(F.count(F.lit(1)).alias("sz")).localCheckpoint()
+        a = sh0.select(F.col("id").alias("id_a"), "shingle")
+        b = sh0.select(F.col("id").alias("id_b"), "shingle")
+        common = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+            .localCheckpoint()
+        )
+    finally:
+        sh0.unpersist()
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    scored = (
+        common.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            (F.col("sz_a") + F.col("sz_b") - F.col("n_common")).alias("uni"),
+        )
+    )
+    thr = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in (20, 30, 40, 50, 60, 70, 80, 90)])).alias("pct")
+    )
+    hits = scored.crossJoin(F.broadcast(thr)).filter(
+        F.col("n_common") * 100 >= F.col("pct") * F.col("uni")
+    )
+    members = hits.select("pct", F.col("id_a").alias("d")).unionAll(
+        hits.select("pct", F.col("id_b").alias("d"))
+    )
+    np_ = hits.groupBy("pct").agg(F.count(F.lit(1)).alias("n_pairs"))
+    nd = members.groupBy("pct").agg(F.count_distinct("d").alias("n_docs"))
+    return (
+        thr.join(np_, "pct", "left")
+        .join(nd, "pct", "left")
+        .select(
+            F.col("pct").cast("long").alias("threshold_pct"),
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs_affected"),
+        )
+    )

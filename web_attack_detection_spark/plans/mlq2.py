@@ -1025,3 +1025,129 @@ def ml_mcc_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             tp / (1.0 * (tp + fn)) - fp / (1.0 * (fp + tn)), 6
         ).alias("youden_j"),
     )
+
+
+# ---------------------------------------------------------------------------
+# one exact Lloyd iteration (k-means step, fully oracle-checked)
+# ---------------------------------------------------------------------------
+
+# Embeddings quantized at 1e6 -> all distances are exact BIGINT sums;
+# per-centroid movement collapses to ONE division because every dim
+# shares the same member count: sum_d |sum(v)_d - n*c_d| / (n * 1e6).
+_KMEANS_STEP_ORACLE = """
+WITH q AS (
+  SELECT vec_id, i AS dim,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS v
+  FROM embeddings, UNNEST(range(1, 65)) AS r(i)
+),
+c0 AS (
+  SELECT vec_id AS cid, dim, v AS c FROM q WHERE vec_id < 4
+),
+d AS (
+  SELECT q.vec_id, c0.cid,
+         CAST(SUM((q.v - c0.c) * (q.v - c0.c)) AS HUGEINT) AS dist
+  FROM q JOIN c0 USING (dim)
+  GROUP BY q.vec_id, c0.cid
+),
+assign AS (
+  SELECT vec_id, cid, dist,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rk
+  FROM d
+),
+members AS (SELECT vec_id, cid, dist FROM assign WHERE rk = 1),
+sums AS (
+  SELECT m.cid, q.dim,
+         CAST(SUM(q.v) AS BIGINT) AS sv,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM members m JOIN q USING (vec_id)
+  GROUP BY m.cid, q.dim
+),
+mv AS (
+  SELECT s.cid, s.n,
+         CAST(SUM(ABS(s.sv - s.n * c0.c)) AS BIGINT) AS num
+  FROM sums s JOIN c0 ON c0.cid = s.cid AND c0.dim = s.dim
+  GROUP BY s.cid, s.n
+),
+inertia AS (
+  SELECT cid, CAST(SUM(dist) AS HUGEINT) AS tot FROM members GROUP BY cid
+)
+SELECT m.cid,
+       m.n AS n_assigned,
+       ROUND(m.num / (1000000.0 * m.n), 6) AS movement,
+       ROUND(CAST(i.tot AS DOUBLE) / (1e12 * m.n), 6) AS mean_inertia
+FROM mv m JOIN inertia i USING (cid)
+"""
+
+
+@register(
+    "ml_kmeans_step_exact",
+    _KMEANS_STEP_ORACLE,
+    doc="one Lloyd iteration with exact integer distances/assignment, full oracle",
+)
+def ml_kmeans_step_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative ML as exact relational algebra: one full Lloyd
+    (k-means) iteration — assign every vector to its nearest of K=4
+    seed centroids (the first 4 vectors), recompute centroids, report
+    per-cluster membership, centroid movement, and mean inertia.
+    Quantizing the embeddings at 1e-6 makes every squared distance an
+    exact integer, so the argmin assignment (tie-break on centroid
+    id) can never flip between engines — the fix for float-distance
+    nondeterminism that plagues distributed k-means testing. Movement
+    needs only ONE division because all dims of a centroid share the
+    member count: sum_d |sum(v)_d - n*c_d| / (n*1e6). MLlib's KMeans
+    (ml_kmeans_clusters) runs the same dataflow with float distances
+    and sampled init; this query is the oracle-checkable skeleton of
+    each of its iterations. Scale: the dim-join fan-out is rows*K*64
+    (map-side, no shuffle until the two small groupBys) — identical
+    to what one MLlib iteration shuffles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "ev"),
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).alias("dim"),
+        F.round(F.col("ev") * 1000000).cast("long").alias("v"),
+    )
+    c0 = q.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), "dim", F.col("v").alias("c")
+    )
+    dec = "decimal(38,0)"
+    d = (
+        q.join(F.broadcast(c0), "dim")
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c")))
+            .cast(dec)
+            .alias("dist")
+        )
+    )
+    aw = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cid").asc())
+    members = (
+        d.withColumn("rk", F.row_number().over(aw))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cid", "dist")
+        .localCheckpoint()
+    )
+    sums = (
+        members.join(q, "vec_id")
+        .groupBy("cid", "dim")
+        .agg(
+            F.sum("v").cast("long").alias("sv"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    mv = (
+        sums.join(F.broadcast(c0), ["cid", "dim"])
+        .groupBy("cid", "n")
+        .agg(F.sum(F.abs(F.col("sv") - F.col("n") * F.col("c"))).cast("long").alias("num"))
+    )
+    inertia = members.groupBy("cid").agg(F.sum("dist").cast(dec).alias("tot"))
+    return mv.join(inertia, "cid").select(
+        "cid",
+        F.col("n").alias("n_assigned"),
+        F.round(F.col("num") / (1000000.0 * F.col("n")), 6).alias("movement"),
+        F.round(F.col("tot").cast("double") / (1e12 * F.col("n")), 6).alias(
+            "mean_inertia"
+        ),
+    )

@@ -131,3 +131,95 @@ def rel_sequence_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
         tri.withColumn("rank", F.row_number().over(rw).cast("long"))
         .filter(F.col("rank") <= 15)
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection on the daily error-rate series
+# ---------------------------------------------------------------------------
+
+# Deviation of day d from the global rate, cross-multiplied to stay
+# integer: dev_d = err_d * N - n_d * E  (E = total errors, N = total
+# events). CUSUM_t = sum_{d<=t} dev_d; the changepoint estimate is
+# argmax |CUSUM| (largest-|value| day, earliest-day tie-break).
+_CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_err
+  FROM events GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS N, CAST(SUM(n_err) AS BIGINT) AS E FROM daily),
+cusum AS (
+  SELECT d.day, d.n, d.n_err,
+         CAST(SUM(d.n_err * t.N - d.n * t.E) OVER (
+           ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cusum_num,
+         t.N AS tot_n
+  FROM daily d, tot t
+),
+flagged AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY ABS(cusum_num) DESC, day ASC) AS rk
+  FROM cusum
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, n, n_err,
+       ROUND(cusum_num / (1.0 * tot_n * tot_n), 6) AS cusum,
+       CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_changepoint
+FROM flagged
+"""
+
+
+@register(
+    "rel_changepoint_cusum",
+    _CUSUM_ORACLE,
+    doc="CUSUM changepoint detection on the daily error rate, integer-exact",
+)
+def rel_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """When did the attack start? CUSUM changepoint detection over
+    the daily error-rate series: accumulate each day's deviation from
+    the global error rate and flag the day where |CUSUM| peaks — the
+    classic sequential changepoint estimator, here as two windows
+    over a |days|-row aggregate. The deviation is cross-multiplied
+    (err_d*N - n_d*E) so the running sum is exact BIGINT and the
+    argmax (earliest-day tie-break) is integer-decided; the reported
+    cusum column is normalized by N^2 in one final division. Scale:
+    everything after the daily groupBy (map-side combine on ~365 keys
+    per year) touches O(days) rows — the detector costs one scan
+    regardless of corpus size."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date(F.col("ts")).alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("n_err"),
+    )
+    # Spark resolution is case-insensitive: a totals column named "N"
+    # would collide with daily's "n" after the crossJoin, so the
+    # broadcast side uses tot_n / tot_e.
+    tot = daily.agg(
+        F.sum("n").cast("long").alias("tot_n"),
+        F.sum("n_err").cast("long").alias("tot_e"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cusum = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "n",
+        "n_err",
+        F.sum(F.col("n_err") * F.col("tot_n") - F.col("n") * F.col("tot_e"))
+        .over(w)
+        .cast("long")
+        .alias("cusum_num"),
+        "tot_n",
+    )
+    rw = Window.orderBy(F.abs(F.col("cusum_num")).desc(), F.col("day").asc())
+    return (
+        cusum.withColumn("rk", F.row_number().over(rw))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n",
+            "n_err",
+            F.round(
+                F.col("cusum_num") / (1.0 * F.col("tot_n") * F.col("tot_n")), 6
+            ).alias("cusum"),
+            F.when(F.col("rk") == 1, 1).otherwise(0).cast("long").alias("is_changepoint"),
+        )
+    )
