@@ -372,3 +372,72 @@ def test_triangle_count_hand_cases(spark):
     # triangles {0,1,2} and {0,3,4}; hub participates in both
     hub = [(0, i) for i in range(1, 5)] + [(1, 2), (3, 4)]
     assert count_triangles(hub) == {0: 2, 1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_kcore_peel_hand_case(spark):
+    """graph_kcore_peel on a known graph: a K5 clique (the 4-core —
+    every node keeps degree 4) with a pendant chain 6-1, 7-6 that
+    must peel away in the first rounds."""
+    from web_attack_detection_spark.plans import graphq2
+
+    clique = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+    edges = clique + [(6, 1), (7, 6)]
+    adj = spark.createDataFrame(
+        [(a, b) for (a, b) in edges] + [(b, a) for (a, b) in edges],
+        "a long, b long",
+    )
+    orig = graphq2._bip_adj
+    graphq2._bip_adj = lambda s, d: adj
+    try:
+        rows = {r["node"]: r["core_degree"] for r in
+                graphq2.graph_kcore_peel(spark, "unused").collect()}
+    finally:
+        graphq2._bip_adj = orig
+    assert rows == {n: 4 for n in range(1, 6)}
+
+
+def test_bfs_levels_bipartite_parity(spark):
+    """BFS from suppliers alternates node types per level: even
+    levels are suppliers (id >= 1e9), odd levels are customers —
+    checked via the exact key checksum, and level 0 matches the
+    nation-0 supplier count."""
+    from web_attack_detection_spark.io.sources import load_table
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.graphq2 import _SUPP_OFFSET
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["level"]: r for r in
+            QUERIES["graph_bfs_levels"].fn(spark, sf).collect()}
+    sup = load_table(spark, sf, "supplier")
+    mnk = sup.agg(F.min("s_nationkey")).first()[0]
+    n0 = sup.filter(F.col("s_nationkey") == mnk).count()
+    assert rows[0]["n_nodes"] == n0
+    for lvl, r in rows.items():
+        if lvl % 2 == 0:  # suppliers: every id carries the offset
+            assert r["key_checksum"] >= _SUPP_OFFSET * r["n_nodes"]
+        else:  # customers: ids all below the offset
+            assert 0 < r["key_checksum"] < _SUPP_OFFSET * r["n_nodes"]
+
+
+def test_adamic_adar_bounds_and_consistency(spark):
+    """Every Adamic-Adar score is bounded by n_common/ln(2) (common
+    neighbors have degree >= 2), and n_common agrees with
+    graph_jaccard_neighbors on the pairs both queries emit."""
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    aa = {(r["u"], r["v"]): r for r in
+          QUERIES["graph_adamic_adar"].fn(spark, sf).collect()}
+    assert aa, "fixture graph should produce common-neighbor pairs"
+    for (u, v), r in aa.items():
+        assert u < v
+        assert r["n_common"] >= 2
+        assert 0 < r["adamic_adar"] <= r["n_common"] / math.log(2) + 1e-9
+    jac = {(r["u"], r["v"]): r["n_common"] for r in
+           QUERIES["graph_jaccard_neighbors"].fn(spark, sf).collect()}
+    shared = set(aa) & set(jac)
+    assert shared, "the two wedge joins should overlap on this fixture"
+    for p in shared:
+        assert aa[p]["n_common"] == jac[p]
