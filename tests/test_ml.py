@@ -808,3 +808,21 @@ def test_kmeans_step_matches_numpy(spark):
         assert abs(got[cid]["movement"] - round(num / (1e6 * n), 6)) < 1e-9
         inertia = float(d[m, cid].sum()) / (1e12 * n)
         assert abs(got[cid]["mean_inertia"] - round(inertia, 6)) < 1e-6
+
+
+def test_lift_gains_invariants(spark):
+    """Cumulative gain is monotone nondecreasing and reaches exactly
+    1.0 at the last decile; every decile's lift is positive."""
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    rows = sorted(
+        QUERIES["ml_lift_gains"].fn(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    gains = [r["cum_gain"] for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(gains, gains[1:]))
+    assert abs(gains[-1] - 1.0) < 1e-9
+    assert all(r["lift"] > 0 for r in rows)
+    assert sum(r["n"] for r in rows) == 150  # sf0.001 customer count

@@ -160,3 +160,26 @@ def test_catalog_ddl_saveastable_insert_sql(spark, tmp_path):
         )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_io_partitioned_prune_query_plan_and_rows(spark):
+    """The registered io_partitioned_prune query's scan must carry the
+    two-type filter as a PARTITION filter (directory pruning), and its
+    aggregate must match re-aggregating the origin events."""
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    df = QUERIES["io_partitioned_prune"].fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "PartitionFilters: [event_type#" in plan
+    assert "IN (error,purchase)" in plan
+    ev = load_table(spark, SF_SMOKE, "events")
+    want = (
+        ev.filter(F.col("event_type").isin("error", "purchase"))
+        .groupBy("event_type")
+        .count()
+    )
+    got = {r["event_type"]: 0 for r in want.collect()}
+    for r in df.collect():
+        got[r["event_type"]] += r["n"]
+    assert got == {r["event_type"]: r["count"] for r in want.collect()}

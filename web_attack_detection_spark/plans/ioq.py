@@ -75,3 +75,56 @@ def io_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0), 2
         ).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# hive-partitioned layout + partition pruning
+# ---------------------------------------------------------------------------
+
+_PRUNE_ORACLE = f"""
+SELECT event_type,
+       CAST(user_id % 10 AS BIGINT) AS user_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {sql_money_sum('value')} AS total_value
+FROM events
+WHERE event_type IN ('error', 'purchase')
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "io_partitioned_prune",
+    _PRUNE_ORACLE,
+    doc="hive-partitioned write + partition-pruned read; oracle filters the origin",
+)
+def io_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The layout decision that matters most at 100 TB: write the
+    event log hive-partitioned by event_type (the dominant filter
+    column), then serve a two-type query from it. The read-back scan
+    carries the filter as a PARTITION filter — directory-level
+    pruning, zero bytes read from the other partitions — which
+    `tests/test_sinks.py` asserts via PartitionFilters in the
+    physical plan (a pushed DATA filter would still read every file's
+    footer). The oracle runs the same filter+aggregate on the origin
+    parquet, so the roundtrip also proves the partitioned layout lost
+    nothing. Executes the write at construction (documented in
+    tools/plan_audit.py _EXECUTING_NAMES)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    loc = _stable_dir(spark, "part_events", sf_dir)
+    e.write.mode("overwrite").partitionBy("event_type").parquet(loc)
+    back = spark.read.parquet(loc).filter(
+        F.col("event_type").isin("error", "purchase")
+    )
+    return back.groupBy("event_type", (F.col("user_id") % 10).alias("user_bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0), 2
+        ).alias("total_value"),
+    ).select(
+        "event_type",
+        F.col("user_bucket").cast("long"),
+        "n",
+        "total_value",
+    )

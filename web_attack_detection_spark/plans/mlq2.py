@@ -1151,3 +1151,104 @@ def ml_kmeans_step_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_inertia"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# cumulative gains / lift chart by score decile (exact BIGINT)
+# ---------------------------------------------------------------------------
+
+# Score = account balance, label = customer placed >= 1 order. Decile
+# assignment is NTILE(10) over (score DESC, custkey) — the id
+# tie-break makes bucket membership engine-identical; gains and lift
+# are single divisions of exact BIGINT products.
+_LIFT_GAINS_ORACLE = """
+WITH lab AS (
+  SELECT c.c_custkey, c.c_acctbal,
+         CASE WHEN EXISTS (
+           SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+         ) THEN 1 ELSE 0 END AS pos
+  FROM customer c
+),
+dec AS (
+  SELECT pos,
+         NTILE(10) OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS decile
+  FROM lab
+),
+agg AS (
+  SELECT decile,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(pos) AS BIGINT) AS n_pos
+  FROM dec GROUP BY decile
+),
+cum AS (
+  SELECT decile, n, n_pos,
+         CAST(SUM(n) OVER (ORDER BY decile) AS BIGINT) AS cum_n,
+         CAST(SUM(n_pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos,
+         CAST(SUM(n) OVER () AS BIGINT) AS tot_n,
+         CAST(SUM(n_pos) OVER () AS BIGINT) AS tot_pos
+  FROM agg
+)
+SELECT decile, n, n_pos,
+       ROUND(cum_pos / (1.0 * tot_pos), 6) AS cum_gain,
+       ROUND((cum_pos * tot_n) / (1.0 * cum_n * tot_pos), 6) AS lift
+FROM cum
+"""
+
+
+@register(
+    "ml_lift_gains",
+    _LIFT_GAINS_ORACLE,
+    doc="cumulative gains + lift by score decile, exact BIGINT counts",
+)
+def ml_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The campaign-targeting scorecard: rank the population by a
+    model score (account balance standing in for the propensity
+    score), cut into NTILE(10) deciles with an id tie-break, and
+    report per decile the cumulative gain (share of all positives
+    captured so far) and lift (capture rate vs. random). Labels come
+    from a left-semi-style existence flag against orders. Everything
+    until the two final divisions is exact BIGINT, so the chart is
+    engine-identical — the same integer-first discipline as
+    ml_roc_curve / ml_tpr_at_fpr. Scale: one broadcast-able distinct
+    on orders' custkey, one global NTILE (a single ordered pass —
+    at 100 TB swap in the pre-aggregated score-histogram decile cut,
+    same downstream arithmetic)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    buyers = o.select("o_custkey").distinct()
+    lab = (
+        c.join(buyers, c.c_custkey == buyers.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0).alias("pos"),
+        )
+    )
+    dw = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    dec = lab.select("pos", F.ntile(10).over(dw).alias("decile"))
+    agg = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+    )
+    cw = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    tw = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = agg.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.sum("n").over(cw).cast("long").alias("cum_n"),
+        F.sum("n_pos").over(cw).cast("long").alias("cum_pos"),
+        F.sum("n").over(tw).cast("long").alias("tot_n"),
+        F.sum("n_pos").over(tw).cast("long").alias("tot_pos"),
+    )
+    return cum.select(
+        F.col("decile").cast("long"),
+        "n",
+        "n_pos",
+        F.round(F.col("cum_pos") / (1.0 * F.col("tot_pos")), 6).alias("cum_gain"),
+        F.round(
+            (F.col("cum_pos") * F.col("tot_n"))
+            / (1.0 * F.col("cum_n") * F.col("tot_pos")),
+            6,
+        ).alias("lift"),
+    )

@@ -368,3 +368,93 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_media").cast("long"),
         F.col("key_checksum").cast("long"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A/V sync: align video frames to audio chunks with a real as-of join
+# ---------------------------------------------------------------------------
+
+# Frames tick at 125 ms (8 fps over the metadata-declared n_frames);
+# audio chunks start every 200 ms up to 200*floor(max(dur-400,0)/200)
+# (mm_audio_chunks' grid, dur = 2 ms/byte). The oracle uses the CLOSED
+# FORM of the backward as-of match — the latest grid point at or
+# before the frame, clamped to the last chunk start — while the Spark
+# side runs the actual union-tag asof_join operator over the
+# materialized chunk table, so the oracle independently verifies the
+# operator's semantics, not just the arithmetic.
+_MM_AV_SYNC_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(octet_length(encode(text)) * 2 AS BIGINT) AS dur,
+         CAST((octet_length(encode(text)) + doc_id) % 8 + 1 AS BIGINT) AS n_frames
+  FROM documents
+),
+fr AS (
+  SELECT media_id, n_frames, dur, CAST((i - 1) * 125 AS BIGINT) AS f_ms
+  FROM m, UNNEST(range(1, 9)) AS r(i)
+  WHERE i <= n_frames
+),
+al AS (
+  SELECT media_id, n_frames, f_ms,
+         LEAST(200 * (f_ms // 200),
+               200 * (GREATEST(dur - 400, 0) // 200)) AS a_ms
+  FROM fr
+)
+SELECT media_id, CAST(MAX(n_frames) AS BIGINT) AS n_frames,
+       CAST(COUNT(DISTINCT a_ms) AS BIGINT) AS n_chunks_hit,
+       CAST(MAX(f_ms - a_ms) AS BIGINT) AS max_sync_lag_ms
+FROM al GROUP BY media_id
+"""
+
+
+@register(
+    "mm_av_sync_asof",
+    _MM_AV_SYNC_ORACLE,
+    doc="frame-to-audio-chunk alignment via the union-tag as-of join, closed-form oracle",
+)
+def mm_av_sync_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal alignment step every A/V training pipeline
+    needs: pair each sampled video frame with the audio chunk it
+    belongs to (latest chunk starting at or before the frame
+    timestamp, per media). Frames and chunks are two derived tables
+    over the same binary corpus; the pairing is the backward as-of
+    join — run here through operators/asof.asof_join, the union-tag
+    single-shuffle algorithm, NOT the closed-form shortcut the oracle
+    uses, so the oracle cross-checks the operator. Per media the
+    output reports how many distinct chunks the frames landed in and
+    the worst frame-to-chunk-start lag (the number a sync monitor
+    alerts on). Scale: one shuffle of |frames|+|chunks| rows keyed by
+    media id — the same cost envelope as rel_asof_join at any corpus
+    size."""
+    from web_attack_detection_spark.operators.asof import asof_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_fake_media(docs, "text", "doc_id")
+    frames = media.select(
+        "media_id",
+        F.col("meta.n_frames").cast("long").alias("n_frames"),
+        F.explode(
+            F.sequence(F.lit(0), F.col("meta.n_frames").cast("long") - 1)
+        ).alias("frame_idx"),
+    ).select(
+        "media_id", "n_frames", (F.col("frame_idx") * 125).alias("f_ms")
+    )
+    dur = (F.octet_length("payload") * 2).cast("long")
+    chunks = media.select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.greatest(dur - 400, F.lit(0).cast("long")),
+                F.lit(200).cast("long"),
+            )
+        ).alias("start_ms"),
+    )
+    aligned = asof_join(
+        frames, chunks, key="media_id", left_ts="f_ms", right_ts="start_ms"
+    )
+    return aligned.groupBy("media_id").agg(
+        F.max("n_frames").cast("long").alias("n_frames"),
+        F.count_distinct("asof_ts").cast("long").alias("n_chunks_hit"),
+        F.max(F.col("f_ms") - F.col("asof_ts")).cast("long").alias("max_sync_lag_ms"),
+    )
