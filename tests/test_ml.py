@@ -826,3 +826,44 @@ def test_lift_gains_invariants(spark):
     assert abs(gains[-1] - 1.0) < 1e-9
     assert all(r["lift"] > 0 for r in rows)
     assert sum(r["n"] for r in rows) == 150  # sf0.001 customer count
+
+
+def test_countmin_never_underestimates(spark):
+    """CMS hard guarantee: estimate >= exact for every probed key,
+    and the probe set is exactly the top-10 users by exact count."""
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["ml_countmin_sketch"].fn(spark, sf).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["cms_estimate"] >= r["exact_n"]
+        assert r["overestimate"] == r["cms_estimate"] - r["exact_n"]
+
+
+def test_mad_outliers_matches_numpy(spark):
+    """MAD medians and outlier counts reproduce a numpy
+    implementation of the same ceil(n/2) discrete-median rule."""
+    import numpy as np
+    import pandas as pd
+
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["event_type"]: r
+           for r in QUERIES["rel_mad_outliers"].fn(spark, sf).collect()}
+    e = pd.read_parquet(f"{sf}/events.parquet", columns=["event_type", "value"])
+    e["vc"] = np.round(e["value"] * 100).astype("int64")
+    for t, g in e.groupby("event_type"):
+        v = np.sort(g["vc"].to_numpy())
+        n = len(v)
+        med = v[int(np.ceil(0.5 * n)) - 1]
+        d = np.sort(np.abs(g["vc"].to_numpy() - med))
+        mad = d[int(np.ceil(0.5 * n)) - 1]
+        r = got[t]
+        assert r["n"] == n
+        assert r["median_value"] == round(med / 100.0, 2)
+        assert r["mad_value"] == round(mad / 100.0, 2)
+        assert r["n_outliers"] == int((np.abs(g["vc"].to_numpy() - med) > 3 * mad).sum())

@@ -1252,3 +1252,101 @@ def ml_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch with in-query exact-vs-estimate audit
+# ---------------------------------------------------------------------------
+
+# Portable hash family: h_j(k) = ((a_j*k + b_j) mod p) mod w with
+# p = 2^31 - 1 (Mersenne prime) and pinned (a_j, b_j) — plain integer
+# arithmetic both engines compute identically, unlike engine-native
+# hash() functions. Depth 3, width 64.
+_CMS_P = 2147483647
+_CMS_W = 64
+_CMS_ROWS = ((1103515245, 12345), (69069, 362437), (1664525, 1013904223))
+
+_CMS_HASH_SQL = " UNION ALL ".join(
+    f"SELECT user_id, {j} AS j, ((({a} * user_id + {b}) % {_CMS_P}) % {_CMS_W}) AS bucket FROM events"
+    for j, (a, b) in enumerate(_CMS_ROWS)
+)
+
+_CMS_ORACLE = f"""
+WITH h AS ({_CMS_HASH_SQL}),
+cms AS (
+  SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM h GROUP BY j, bucket
+),
+exact AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id
+),
+topk AS (
+  SELECT user_id, n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, user_id ASC) AS rk
+  FROM exact
+),
+probes AS (
+  SELECT t.user_id, t.n, c.cnt
+  FROM (SELECT * FROM topk WHERE rk <= 10) t
+  JOIN (SELECT DISTINCT user_id, j, bucket FROM h) hh ON hh.user_id = t.user_id
+  JOIN cms c ON c.j = hh.j AND c.bucket = hh.bucket
+)
+SELECT user_id, CAST(MAX(n) AS BIGINT) AS exact_n,
+       CAST(MIN(cnt) AS BIGINT) AS cms_estimate,
+       CAST(MIN(cnt) - MAX(n) AS BIGINT) AS overestimate
+FROM probes GROUP BY user_id
+"""
+
+
+@register(
+    "ml_countmin_sketch",
+    _CMS_ORACLE,
+    doc="count-min sketch (depth 3, width 64, portable hashes) with exact-vs-estimate audit",
+)
+def ml_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable heavy-hitter counter: build a 3x64 count-min
+    sketch over per-user event counts (each row increments one bucket
+    per hash row; the whole build is ONE map-side explode x3 plus a
+    192-key groupBy — trivially mergeable across partitions, days, or
+    clusters, which is the whole point of CMS at 100 TB), then audit
+    it in-query: for the top-10 users by EXACT count, report the CMS
+    estimate (min over rows) next to the truth. The CMS guarantee
+    estimate >= exact is a hard invariant both engines must produce
+    bit-identically because the hash family is pinned integer
+    arithmetic, not an engine-native hash()."""
+    e = load_table(spark, sf_dir, "events").select("user_id")
+    h = e.select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        (((F.lit(a) * F.col("user_id") + F.lit(b)) % _CMS_P) % _CMS_W)
+                        .cast("long")
+                        .alias("bucket"),
+                    )
+                    for j, (a, b) in enumerate(_CMS_ROWS)
+                ]
+            )
+        ).alias("hb"),
+    ).select("user_id", F.col("hb.j").alias("j"), F.col("hb.bucket").alias("bucket"))
+    cms = h.groupBy("j", "bucket").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    exact = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    rw = Window.orderBy(F.col("n").desc(), F.col("user_id").asc())
+    topk = (
+        exact.withColumn("rk", F.row_number().over(rw))
+        .filter(F.col("rk") <= 10)
+        .select("user_id", "n")
+    )
+    probes = (
+        F.broadcast(topk)
+        .join(h.select("user_id", "j", "bucket").distinct(), "user_id")
+        .join(cms, ["j", "bucket"])
+    )
+    return probes.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("exact_n"),
+        F.min("cnt").cast("long").alias("cms_estimate"),
+        (F.min("cnt") - F.max("n")).cast("long").alias("overestimate"),
+    )

@@ -223,3 +223,102 @@ def rel_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("rk") == 1, 1).otherwise(0).cast("long").alias("is_changepoint"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# robust outliers: median absolute deviation, exact in cents
+# ---------------------------------------------------------------------------
+
+# Money quantized to BIGINT cents first; both medians are the element
+# at ceil(n/2) of the sorted group (rel_percentile_disc's pinned
+# rule), so the outlier test |vc - med| > 3*mad is pure integer
+# comparison — no float threshold can flip a boundary row.
+_MAD_ORACLE = """
+WITH v AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS vc
+  FROM events
+),
+r1 AS (
+  SELECT event_type, vc,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY vc) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+),
+med AS (
+  SELECT event_type, vc AS med_c, n
+  FROM r1 WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+),
+dev AS (
+  SELECT v.event_type, ABS(v.vc - m.med_c) AS d, m.med_c, m.n
+  FROM v JOIN med m USING (event_type)
+),
+r2 AS (
+  SELECT event_type, d, med_c, n,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn
+  FROM dev
+),
+mad AS (
+  SELECT event_type, d AS mad_c
+  FROM r2 WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+)
+SELECT d.event_type,
+       CAST(MAX(d.n) AS BIGINT) AS n,
+       ROUND(MAX(d.med_c) / 100.0, 2) AS median_value,
+       ROUND(MAX(ma.mad_c) / 100.0, 2) AS mad_value,
+       CAST(SUM(CASE WHEN d.d > 3 * ma.mad_c THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad ma USING (event_type)
+GROUP BY d.event_type
+"""
+
+
+@register(
+    "rel_mad_outliers",
+    _MAD_ORACLE,
+    doc="median-absolute-deviation outlier census per event type, integer-exact",
+)
+def rel_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection: the MAD outlier rule |x - median| >
+    3*MAD, the estimator that doesn't break when the outliers
+    themselves inflate the spread (ml_anomaly_zscore's mean/stddev
+    do). Values quantize to BIGINT cents, both medians use the pinned
+    element-at-ceil(n/2) rank rule, and the outlier predicate is an
+    integer comparison — engine-identical down to boundary rows.
+    Plan: two ranked windows per group plus one broadcast-back join;
+    at 100 TB the same medians come from a pre-aggregated cents
+    histogram (the value domain is small) with identical downstream
+    arithmetic."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("vc")
+    )
+    w1 = Window.partitionBy("event_type").orderBy("vc")
+    cw = Window.partitionBy("event_type")
+    r1 = v.select(
+        "event_type",
+        "vc",
+        F.row_number().over(w1).alias("rn"),
+        F.count(F.lit(1)).over(cw).alias("n"),
+    )
+    med = r1.filter(F.col("rn") == F.ceil(0.5 * F.col("n")).cast("long")).select(
+        "event_type", F.col("vc").alias("med_c"), "n"
+    )
+    dev = v.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("vc") - F.col("med_c")).alias("d"), "med_c", "n"
+    )
+    w2 = Window.partitionBy("event_type").orderBy("d")
+    r2 = dev.withColumn("rn", F.row_number().over(w2))
+    mad = r2.filter(F.col("rn") == F.ceil(0.5 * F.col("n")).cast("long")).select(
+        "event_type", F.col("d").alias("mad_c")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.round(F.max("med_c") / 100.0, 2).alias("median_value"),
+            F.round(F.max("mad_c") / 100.0, 2).alias("mad_value"),
+            F.sum(F.when(F.col("d") > 3 * F.col("mad_c"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
