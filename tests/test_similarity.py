@@ -253,3 +253,26 @@ def test_bm25_saturation_vs_tfidf(spark):
         scores = [r["bm25"] for r in rs]
         assert all(a >= b for a, b in zip(scores, scores[1:]))
         assert all(s > 0 for s in scores)
+
+
+def test_pq_adc_shape_and_recall(spark):
+    """Each query returns exactly 5 ranked neighbors; ADC distances
+    are nondecreasing with rank; and PQ keeps nonzero recall vs the
+    exact top-5 on the fixture."""
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    rows = QUERIES["sim_pq_adc_topk"].fn(spark, "/root/testdata/sf0.001").collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert by_q and all(len(v) == 5 for v in by_q.values())
+    hits = 0
+    for q, v in by_q.items():
+        v.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in v] == [1, 2, 3, 4, 5]
+        dists = [r["adc_dist"] for r in v]
+        assert all(a <= b + 1e-9 for a, b in zip(dists, dists[1:]))
+        assert all(r["vec_id"] != q for r in v)
+        hits += sum(r["in_exact_top5"] for r in v)
+    assert hits > 0

@@ -624,3 +624,183 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization + asymmetric distance computation (ADC)
+# ---------------------------------------------------------------------------
+
+# 8 subspaces x 8 dims, 16 codewords per subspace (the subvectors of
+# vec_id 0..15 — a deterministic codebook; k-means-trained codebooks
+# drop into the same cb relation). All distances are exact BIGINT on
+# the 1e6-quantized grid, so encoding argmins (code-id tie-break),
+# ADC sums, and rankings are engine-identical.
+_PQ_ADC_ORACLE = """
+WITH elems AS (
+  SELECT vec_id, i - 1 AS pos0,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS v
+  FROM embeddings, UNNEST(range(1, 65)) AS r(i)
+),
+sub AS (
+  SELECT vec_id, pos0 // 8 AS s, pos0 % 8 AS j, v FROM elems
+),
+cb AS (
+  SELECT vec_id AS code_id, s, j, v AS c FROM sub WHERE vec_id < 16
+),
+enc_d AS (
+  SELECT t.vec_id, t.s, c.code_id,
+         CAST(SUM((t.v - c.c) * (t.v - c.c)) AS BIGINT) AS d
+  FROM sub t JOIN cb c ON c.s = t.s AND c.j = t.j
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, s, code_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id, s ORDER BY d ASC, code_id ASC) AS rn
+    FROM enc_d
+  ) WHERE rn = 1
+),
+qsub AS (SELECT vec_id AS q_id, s, j, v AS qv FROM sub WHERE vec_id % 250 = 0),
+lut AS (
+  SELECT q.q_id, c.s, c.code_id,
+         CAST(SUM((q.qv - c.c) * (q.qv - c.c)) AS BIGINT) AS ld
+  FROM qsub q JOIN cb c ON c.s = q.s AND c.j = q.j
+  GROUP BY 1, 2, 3
+),
+adc AS (
+  SELECT l.q_id, t.vec_id, CAST(SUM(l.ld) AS BIGINT) AS adist
+  FROM codes t JOIN lut l ON l.s = t.s AND l.code_id = t.code_id
+  WHERE t.vec_id <> l.q_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT q_id, vec_id, adist,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist ASC, vec_id ASC) AS rank
+  FROM adc
+),
+exact_d AS (
+  SELECT q.vec_id AS q_id, t.vec_id,
+         CAST(SUM((t.v - q.v) * (t.v - q.v)) AS BIGINT) AS dist
+  FROM elems t
+  JOIN (SELECT * FROM elems WHERE vec_id % 250 = 0) q ON q.pos0 = t.pos0
+  WHERE t.vec_id <> q.vec_id
+  GROUP BY 1, 2
+),
+ex5 AS (
+  SELECT q_id, vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY q_id ORDER BY dist ASC, vec_id ASC) AS rn
+    FROM exact_d
+  ) WHERE rn <= 5
+)
+SELECT r.q_id, CAST(r.rank AS BIGINT) AS rank, r.vec_id,
+       ROUND(r.adist / 1000000000000.0, 6) AS adc_dist,
+       CAST(CASE WHEN e.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_exact_top5
+FROM ranked r
+LEFT JOIN ex5 e ON e.q_id = r.q_id AND e.vec_id = r.vec_id
+WHERE r.rank <= 5
+"""
+
+
+@register(
+    "sim_pq_adc_topk",
+    _PQ_ADC_ORACLE,
+    doc="product-quantization ADC top-5 (8x8 subspaces, 16 codes) with exact-top-5 audit",
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization — the memory trick that makes
+    billion-vector ANN fit in RAM: each 64-dim vector compresses to 8
+    four-bit codes (one nearest codeword per 8-dim subspace), and
+    query-time distance is the ADC sum of 8 LOOKUPS into a per-query
+    table of query-to-codeword distances — the scan never touches raw
+    db vectors. The plan IS that deployment shape: encoding is a
+    broadcast codebook join + per-(vector, subspace) argmin; the LUT
+    is queries x 8 x 16 rows (tiny, broadcast); the scan side joins
+    CODES to LUT and sums — per-vector cost is 8 lookup rows
+    regardless of dimensionality. Every distance is exact BIGINT on
+    the 1e6 grid with code-id/vec-id tie-breaks, so ranks are
+    engine-identical, and each returned neighbor carries an
+    in_exact_top5 audit flag (the PQ recall the deployment would
+    monitor). Codebook here is deterministic (first 16 vectors);
+    a k-means-trained codebook drops into the same relation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "e"),
+    ).select(
+        "vec_id",
+        "pos0",
+        F.round(F.col("e") * 1000000).cast("long").alias("v"),
+    )
+    sub = elems.select(
+        "vec_id",
+        F.floor(F.col("pos0") / 8).cast("long").alias("s"),
+        (F.col("pos0") % 8).cast("long").alias("j"),
+        "v",
+    )
+    cb = sub.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("code_id"), "s", "j", F.col("v").alias("c")
+    )
+    enc_d = (
+        sub.join(F.broadcast(cb), ["s", "j"])
+        .groupBy("vec_id", "s", "code_id")
+        .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("d"))
+    )
+    ew = Window.partitionBy("vec_id", "s").orderBy(
+        F.col("d").asc(), F.col("code_id").asc()
+    )
+    codes = (
+        enc_d.withColumn("rn", F.row_number().over(ew))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", "code_id")
+    )
+    qsub = sub.filter(F.col("vec_id") % 250 == 0).select(
+        F.col("vec_id").alias("q_id"), "s", "j", F.col("v").alias("qv")
+    )
+    lut = (
+        qsub.join(F.broadcast(cb), ["s", "j"])
+        .groupBy("q_id", "s", "code_id")
+        .agg(F.sum((F.col("qv") - F.col("c")) * (F.col("qv") - F.col("c"))).alias("ld"))
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["s", "code_id"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("ld").cast("long").alias("adist"))
+    )
+    rw = Window.partitionBy("q_id").orderBy(F.col("adist").asc(), F.col("vec_id").asc())
+    ranked = (
+        adc.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= 5)
+    )
+    qe = elems.filter(F.col("vec_id") % 250 == 0).select(
+        F.col("vec_id").alias("q_id"), "pos0", F.col("v").alias("qv")
+    )
+    exact_d = (
+        elems.join(F.broadcast(qe), "pos0")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum((F.col("v") - F.col("qv")) * (F.col("v") - F.col("qv"))).alias("dist"))
+    )
+    xw = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+    ex5 = (
+        exact_d.withColumn("rn", F.row_number().over(xw))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", F.col("vec_id").alias("x_vec"))
+    )
+    return (
+        ranked.join(
+            ex5,
+            (ranked.q_id == ex5.q_id) & (ranked.vec_id == ex5.x_vec),
+            "left",
+        )
+        .select(
+            ranked.q_id,
+            F.col("rank").cast("long"),
+            ranked.vec_id,
+            F.round(F.col("adist") / 1000000000000.0, 6).alias("adc_dist"),
+            F.when(F.col("x_vec").isNotNull(), 1).otherwise(0).cast("long").alias(
+                "in_exact_top5"
+            ),
+        )
+    )
