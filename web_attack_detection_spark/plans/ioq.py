@@ -128,3 +128,51 @@ def io_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# CSV write -> schema-pinned read -> aggregate
+# ---------------------------------------------------------------------------
+
+_CSV_ORACLE = f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(user_id) AS BIGINT) AS user_checksum,
+       {sql_money_sum('value')} AS total_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "io_csv_roundtrip",
+    _CSV_ORACLE,
+    doc="CSV write -> explicit-schema read -> aggregate; oracle aggregates the origin",
+)
+def io_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The text-format handoff: write the event log as headered CSV
+    (money pre-scaled to integer CENTS — the only lossless way to
+    push currency through a text format; parsing doubles back from
+    decimal strings is where silent drift creeps in), read it back
+    with an EXPLICIT schema (inferSchema on 100 TB means reading the
+    data twice and trusting a sample), and aggregate. The oracle
+    aggregates the origin parquet with the identical integer-scaled
+    money sum, so a hash match proves the text roundtrip dropped
+    nothing — rows, keys, or cents. Executes the write at
+    construction (tools/plan_audit.py _EXECUTING_NAMES)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    loc = _stable_dir(spark, "csv_events", sf_dir)
+    e.write.mode("overwrite").option("header", True).csv(loc)
+    back = spark.read.schema(
+        "event_id long, user_id long, event_type string, cents long"
+    ).option("header", True).csv(loc)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("user_id").cast("long").alias("user_checksum"),
+        F.round(F.sum("cents") / F.lit(100.0), 2).alias("total_value"),
+    )

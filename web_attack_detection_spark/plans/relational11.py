@@ -322,3 +322,97 @@ def rel_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing as an exact integer recurrence
+# ---------------------------------------------------------------------------
+
+# ewma_1 = x_1; ewma_t = floor((3*ewma_{t-1} + x_t) / 4)  (alpha=1/4).
+# A true sequential recurrence — NOT expressible as a window sum —
+# kept engine-exact by staying in integers: floor division each step
+# means no float error can accumulate across the series. DuckDB walks
+# it with a recursive CTE; Spark folds the ordered series with the
+# aggregate() higher-order function (the series is O(days), one row
+# per day — the fold is driver-free and stays in the JVM).
+_EWMA_ORACLE = """
+WITH RECURSIVE daily AS (
+  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+idx AS (
+  SELECT day, x, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily
+),
+ew AS (
+  SELECT rn, day, x, x AS ewma FROM idx WHERE rn = 1
+  UNION ALL
+  SELECT d.rn, d.day, d.x, (3 * e.ewma + d.x) // 4
+  FROM ew e JOIN idx d ON d.rn = e.rn + 1
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, x AS n_err,
+       CAST(ewma AS BIGINT) AS ewma,
+       CAST(CASE WHEN 2 * x > 3 * ewma THEN 1 ELSE 0 END AS BIGINT) AS is_spike
+FROM ew
+"""
+
+
+@register(
+    "rel_ewma_recursive",
+    _EWMA_ORACLE,
+    doc="integer EWMA recurrence over the daily error series (recursive CTE vs fold)",
+)
+def rel_ewma_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted smoothing of the daily error count —
+    the monitor baseline that CUSUM's global-rate assumption can't
+    give you. The recurrence ewma_t = floor((3*ewma_{t-1} + x_t)/4)
+    is inherently sequential (each value depends on the previous
+    OUTPUT, not a window of inputs), the class of computation that
+    breaks naive SQL translation; it stays engine-exact because every
+    step is integer floor arithmetic. Spark folds the day-ordered
+    series with aggregate() over a collected O(days) array — the
+    heavy distributed work is the daily groupBy; the fold itself
+    touches ~365 values per year and runs as one JVM expression.
+    Spike flag: x_t > 1.5x its smoothed level, cross-multiplied."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date(F.col("ts")).alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("x")
+    )
+    series = daily.agg(
+        F.array_sort(F.collect_list(F.struct("day", "x"))).alias("ser")
+    )
+    folded = series.select(
+        F.col("ser"),
+        F.aggregate(
+            F.col("ser"),
+            F.array().cast("array<bigint>"),
+            lambda acc, it: F.concat(
+                acc,
+                F.array(
+                    F.when(F.size(acc) == 0, it["x"]).otherwise(
+                        ((F.lit(3) * F.element_at(acc, -1) + it["x"]) / 4).cast(
+                            "long"
+                        )
+                    )
+                ),
+            ),
+        ).alias("ewmas"),
+    )
+    rows = folded.select(
+        F.posexplode(F.arrays_zip(F.col("ser"), F.col("ewmas"))).alias("i", "z")
+    ).select(
+        F.col("z.ser.day").alias("day"),
+        F.col("z.ser.x").alias("n_err"),
+        F.col("z.ewmas").alias("ewma"),
+    )
+    return rows.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_err",
+        F.col("ewma").cast("long"),
+        F.when(2 * F.col("n_err") > 3 * F.col("ewma"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_spike"),
+    )
