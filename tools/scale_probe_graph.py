@@ -35,7 +35,12 @@ sys.path.insert(0, str(REPO))
 from pyspark.sql import functions as F  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.1"
-QUERIES = ["graph_triangle_count", "graph_degree_distribution", "rel_pagerank_fixed"]
+QUERIES = [
+    "graph_triangle_count",
+    "graph_degree_distribution",
+    "rel_pagerank_fixed",
+    "graph_adamic_adar",
+]
 SCALES = [("1x", 25), ("10x", 80), ("100x", 250)]
 
 
@@ -83,6 +88,59 @@ def main() -> int:
     graphq.load_table = load_table
     relational10.load_table = load_table
 
+    # --- bipartite iterative family (k-core / BFS): scale the edge
+    # DENSITY by loosening the bulk-quantity floor. Rounds are fixed,
+    # so cost is rounds x O(E) shuffles — wall growth should track
+    # edge growth linearly.
+    from web_attack_detection_spark.plans import graphq2
+
+    def make_bip(th):
+        def bip(spark_, sf_dir):
+            li = load_table(spark_, sf_dir, "lineitem")
+            o = load_table(spark_, sf_dir, "orders")
+            e = (
+                li.filter(F.col("l_quantity") >= th)
+                .join(o, li.l_orderkey == o.o_orderkey)
+                .select(
+                    o.o_custkey.cast("long").alias("ck"),
+                    li.l_suppkey.cast("long").alias("sk"),
+                )
+                .distinct()
+            )
+            return e.select(
+                F.col("ck").alias("a"),
+                (F.col("sk") + graphq2._SUPP_OFFSET).alias("b"),
+            ).unionAll(
+                e.select(
+                    (F.col("sk") + graphq2._SUPP_OFFSET).alias("a"),
+                    F.col("ck").alias("b"),
+                )
+            )
+
+        return bip
+
+    BIP_QUERIES = ["graph_kcore_peel", "graph_bfs_levels"]
+    BIP_SCALES = [("1x", 45), ("2.5x", 30), ("8x", 1)]
+    bip_results: dict[tuple, float] = {}
+    bip_edges: dict[str, int] = {}
+    orig_bip = graphq2._bip_adj
+    try:
+        for label, th in BIP_SCALES:
+            graphq2._bip_adj = orig_bip if th == 45 else make_bip(th)
+            bip_edges[label] = graphq2._bip_adj(spark, SF_DIR).count() // 2
+            for name in BIP_QUERIES:
+                REG[name].fn(spark, SF_DIR).count()  # warm
+                t0 = time.time()
+                REG[name].fn(spark, SF_DIR).count()
+                bip_results[(name, label)] = time.time() - t0
+                print(
+                    f"{label:>5} (qty>={th}) {name}: "
+                    f"{bip_results[(name, label)]:.2f}s",
+                    flush=True,
+                )
+    finally:
+        graphq2._bip_adj = orig_bip
+
     print(f"\nedges: " + ", ".join(f"{l}={edge_counts[l]}" for l, _ in SCALES))
     print("\n| plan | 1x | 10x | 100x | wall growth at 100x edges |")
     print("|---|---|---|---|---|")
@@ -90,6 +148,16 @@ def main() -> int:
         a = results[(name, "1x")]
         b = results[(name, "10x")]
         c = results[(name, "100x")]
+        print(f"| {name} | {a:.2f} s | {b:.2f} s | {c:.2f} s | {c / a:.1f}x |")
+
+    print(f"\nbipartite edges: " + ", ".join(
+        f"{l}={bip_edges[l]}" for l, _ in BIP_SCALES))
+    print("\n| plan | 1x | 2.5x | 8x | wall growth at 8x edges |")
+    print("|---|---|---|---|---|")
+    for name in BIP_QUERIES:
+        a = bip_results[(name, "1x")]
+        b = bip_results[(name, "2.5x")]
+        c = bip_results[(name, "8x")]
         print(f"| {name} | {a:.2f} s | {b:.2f} s | {c:.2f} s | {c / a:.1f}x |")
     return 0
 
