@@ -551,3 +551,79 @@ def f10_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("v") / 100.0, 2).alias("min_price"),
         F.round(F.max("v") / 100.0, 2).alias("max_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F11 twin-surface extension: leakage-free K-fold target encoding
+# ---------------------------------------------------------------------------
+
+# Fold = o_orderkey % 5 (deterministic); encoding for (fold f, cat c)
+# averages the target over the OTHER four folds only:
+# (sum_c - sum_cf) / (n_c - n_cf), with cents-integer sums so the
+# subtraction is exact and the single division engine-identical.
+_TARGET_ENCODE_ORACLE = """
+WITH base AS (
+  SELECT o_orderpriority AS category,
+         CAST(o_orderkey % 5 AS BIGINT) AS fold,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+per_fold AS (
+  SELECT category, fold,
+         CAST(COUNT(*) AS BIGINT) AS n_cf,
+         CAST(SUM(cents) AS BIGINT) AS s_cf
+  FROM base GROUP BY category, fold
+),
+per_cat AS (
+  SELECT category,
+         CAST(SUM(n_cf) AS BIGINT) AS n_c,
+         CAST(SUM(s_cf) AS BIGINT) AS s_c
+  FROM per_fold GROUP BY category
+)
+SELECT f.category, f.fold, f.n_cf AS n_in_fold,
+       ROUND((c.s_c - f.s_cf) / (100.0 * (c.n_c - f.n_cf)), 6) AS encoding
+FROM per_fold f JOIN per_cat c USING (category)
+"""
+
+
+@register(
+    "f11_target_encode",
+    _TARGET_ENCODE_ORACLE,
+    doc="K-fold leave-fold-out mean target encoding, cents-exact",
+)
+def f11_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target (mean) encoding done the leakage-free way: each fold's
+    encoding for a category averages the target over the OTHER folds,
+    so a row never sees its own label — the K-fold scheme CatBoost
+    popularized, and the one feature transform the F1-F10 family was
+    missing for high-cardinality categoricals (a StringIndexer feeds
+    a tree; target encoding feeds ANY model one dense column).
+    Computed from one per-(category, fold) aggregate: the per-category
+    totals are a second tiny rollup, and every leave-fold-out mean is
+    a SUBTRACTION of exact cents sums — never a re-scan per fold. At
+    100 TB this is one map-side-combinable groupBy over cat x 5 cells
+    plus a broadcast join back; rows never shuffle twice."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("category"),
+        (F.col("o_orderkey") % 5).cast("long").alias("fold"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    per_fold = base.groupBy("category", "fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cf"),
+        F.sum("cents").cast("long").alias("s_cf"),
+    )
+    per_cat = per_fold.groupBy("category").agg(
+        F.sum("n_cf").cast("long").alias("n_c"),
+        F.sum("s_cf").cast("long").alias("s_c"),
+    )
+    return per_fold.join(F.broadcast(per_cat), "category").select(
+        "category",
+        "fold",
+        F.col("n_cf").alias("n_in_fold"),
+        F.round(
+            (F.col("s_c") - F.col("s_cf"))
+            / (100.0 * (F.col("n_c") - F.col("n_cf"))),
+            6,
+        ).alias("encoding"),
+    )

@@ -416,3 +416,112 @@ def rel_ewma_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("is_spike"),
     )
+
+
+# ---------------------------------------------------------------------------
+# half-sample confidence interval for the error rate (deterministic)
+# ---------------------------------------------------------------------------
+
+# B = 16 half-samples; membership of user u in replicate b is bit b of
+# the Knuth-hashed user id — pinned integer arithmetic, so the same
+# users land in the same replicates in every engine. Each replicate
+# rate is floor-scaled to BIGINT micro-units BEFORE the moment sums,
+# so mean and variance numerators are exact integers; only sqrt and
+# the final rounding touch floats (on identical inputs).
+_HALF_CI_B = 16
+
+_HALF_CI_ORACLE = f"""
+WITH h AS (
+  SELECT event_type, user_id,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err,
+         (user_id * 2654435761) % 4294967296 AS hu
+  FROM events
+),
+mem AS (
+  SELECT e.event_type, b.b, e.is_err
+  FROM h e, (SELECT UNNEST(range(0, {_HALF_CI_B})) AS b) b
+  WHERE ((hu >> CAST(b.b AS INTEGER)) & 1) = 1
+),
+reps AS (
+  SELECT event_type, b,
+         CAST(SUM(is_err) * 1000000 // COUNT(*) AS BIGINT) AS r_scaled
+  FROM mem GROUP BY event_type, b
+),
+mom AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS nb,
+         CAST(SUM(r_scaled) AS BIGINT) AS s1,
+         CAST(SUM(r_scaled * r_scaled) AS BIGINT) AS s2
+  FROM reps GROUP BY event_type
+),
+tot AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(is_err) AS BIGINT) AS n_err
+  FROM h GROUP BY event_type
+)
+SELECT t.event_type, t.n,
+       ROUND(t.n_err / (1.0 * t.n), 6) AS rate,
+       ROUND((m.s1 / (1.0 * m.nb)
+              - 2 * sqrt((m.nb * m.s2 - m.s1 * m.s1) / (1.0 * m.nb * m.nb)))
+             / 1000000.0, 6) AS ci_lo,
+       ROUND((m.s1 / (1.0 * m.nb)
+              + 2 * sqrt((m.nb * m.s2 - m.s1 * m.s1) / (1.0 * m.nb * m.nb)))
+             / 1000000.0, 6) AS ci_hi
+FROM tot t JOIN mom m USING (event_type)
+"""
+
+
+@register(
+    "rel_halfsample_ci",
+    _HALF_CI_ORACLE,
+    doc="deterministic half-sample CI for per-type error rates (16 hash-bit replicates)",
+)
+def rel_halfsample_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How sure are we about that error rate? A resampling confidence
+    interval WITHOUT randomness: replicate b contains the users whose
+    Knuth-hash bit b is set (16 deterministic half-samples — the
+    random-group/half-sample method survey statisticians used before
+    the bootstrap, and the only resampling scheme that is bit-exact
+    across engines and reruns). Each replicate's rate floor-scales to
+    integer micro-units before the moment sums, so the across-replicate
+    mean and variance numerators are exact BIGINT; the interval is
+    mean +/- 2 sd. Scale: the membership explode is x16 map-side on a
+    projected two-column stream, then everything is two tiny groupBys
+    — and replicate moments merge across partitions/days like any
+    sketch. A user-level resample (all of a user's events move
+    together) is the clustered-bootstrap analogue a correlated event
+    stream needs."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("is_err"),
+        ((F.col("user_id") * 2654435761) % 4294967296).alias("hu"),
+    )
+    b = spark.range(_HALF_CI_B).select(F.col("id").cast("int").alias("b"))
+    mem = e.crossJoin(F.broadcast(b)).filter(F.expr("(hu >> b) & 1 = 1"))
+    reps = mem.groupBy("event_type", "b").agg(
+        F.floor(F.sum("is_err") * 1000000 / F.count(F.lit(1)))
+        .cast("long")
+        .alias("r_scaled")
+    )
+    mom = reps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        F.sum("r_scaled").cast("long").alias("s1"),
+        F.sum(F.col("r_scaled") * F.col("r_scaled")).cast("long").alias("s2"),
+    )
+    tot = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("is_err").cast("long").alias("n_err"),
+    )
+    sd = F.sqrt(
+        (F.col("nb") * F.col("s2") - F.col("s1") * F.col("s1"))
+        / (1.0 * F.col("nb") * F.col("nb"))
+    )
+    mean = F.col("s1") / (1.0 * F.col("nb"))
+    return tot.join(F.broadcast(mom), "event_type").select(
+        "event_type",
+        "n",
+        F.round(F.col("n_err") / (1.0 * F.col("n")), 6).alias("rate"),
+        F.round((mean - 2 * sd) / 1000000.0, 6).alias("ci_lo"),
+        F.round((mean + 2 * sd) / 1000000.0, 6).alias("ci_hi"),
+    )

@@ -831,3 +831,55 @@ def stream_psi_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nb").alias("n_cur"),
         "psi",
     )
+
+
+# ---------------------------------------------------------------------------
+# top-k event types per streaming window
+# ---------------------------------------------------------------------------
+
+_STREAM_TOPK_ORACLE = """
+WITH hourly AS (
+  SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+                  '%Y-%m-%d %H:%M:%S') AS window_start,
+         event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT window_start, event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY window_start
+                            ORDER BY n DESC, event_type ASC) AS rank
+  FROM hourly
+)
+SELECT window_start, event_type, n, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+@register(
+    "stream_topk_windows",
+    _STREAM_TOPK_ORACLE,
+    doc="top-3 event types per streaming hour window (stream agg + rank over the sink)",
+)
+def stream_topk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The live leaderboard: which event types dominate each hour of
+    the stream. Structured Streaming cannot rank inside a streaming
+    query (a global sort over an unbounded result is undefined), so
+    the deployment shape is agg-in-stream, rank-at-read: the
+    watermarked tumbling-window count maintains O(windows x types)
+    state, and the top-3-per-window ROW_NUMBER (count desc, type asc
+    tie-break) runs over the sink table — exactly what a dashboard
+    query does against the streaming job's output. Replay must equal
+    the batch oracle's hourly rank bit-for-bit."""
+    from pyspark.sql import Window as W
+
+    counts = _replay(
+        spark, sf_dir, lambda s: windowed_event_counts(s, "1 hour", "30 minutes")
+    )
+    rw = W.partitionBy("window_start").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.select("window_start", "event_type", "n")
+        .withColumn("rank", F.row_number().over(rw).cast("long"))
+        .filter(F.col("rank") <= 3)
+    )
