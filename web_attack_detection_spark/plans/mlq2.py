@@ -1350,3 +1350,103 @@ def ml_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cnt").cast("long").alias("cms_estimate"),
         (F.min("cnt") - F.max("n")).cast("long").alias("overestimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact two-proportion A/B test (parity cohorts, integer-decided)
+# ---------------------------------------------------------------------------
+
+# z^2 > 3.84 (alpha = 0.05) cross-multiplied into one DECIMAL(38,0)
+# inequality so the significance call can never flip between engines:
+#   25 * N^2 * (e1*n2 - e2*n1)^2  >  96 * E*(N-E) * (n1+n2) * n1*n2
+# (3.84 = 96/25; E = e1+e2, N = n1+n2 pooled). Magnitudes reach ~1e28
+# at sf0.1 — DECIMAL(38,0)/HUGEINT, same trick as the 3-sigma query.
+_AB_TEST_ORACLE = """
+WITH cohorts AS (
+  SELECT event_type,
+         CAST(user_id % 2 AS BIGINT) AS cohort,
+         CAST(COUNT(*) AS BIGINT) AS e
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT cohort, CAST(SUM(e) AS BIGINT) AS n FROM cohorts GROUP BY cohort
+),
+wide AS (
+  SELECT c.event_type,
+         MAX(CASE WHEN c.cohort = 0 THEN c.e END) AS e1,
+         MAX(CASE WHEN c.cohort = 1 THEN c.e END) AS e2,
+         MAX(CASE WHEN t.cohort = 0 THEN t.n END) AS n1,
+         MAX(CASE WHEN t.cohort = 1 THEN t.n END) AS n2
+  FROM cohorts c JOIN tot t ON t.cohort = c.cohort
+  GROUP BY c.event_type
+)
+SELECT event_type, e1 AS n_a, e2 AS n_b,
+       ROUND(e1 / (1.0 * n1), 6) AS rate_a,
+       ROUND(e2 / (1.0 * n2), 6) AS rate_b,
+       CAST(CASE WHEN
+         25 * CAST(n1 + n2 AS HUGEINT) * (n1 + n2)
+            * CAST(e1 * n2 - e2 * n1 AS HUGEINT) * (e1 * n2 - e2 * n1)
+         > 96 * CAST(e1 + e2 AS HUGEINT) * ((n1 + n2) - (e1 + e2))
+            * (n1 + n2) * CAST(n1 AS HUGEINT) * n2
+       THEN 1 ELSE 0 END AS BIGINT) AS significant
+FROM wide
+"""
+
+
+@register(
+    "ml_ab_test_exact",
+    _AB_TEST_ORACLE,
+    doc="two-proportion z-test per event type, significance integer-decided at alpha=0.05",
+)
+def ml_ab_test_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did cohort B behave differently? The two-proportion z-test on
+    event-type composition between parity cohorts, with the alpha=0.05
+    decision cross-multiplied into a single DECIMAL(38,0) inequality —
+    a test statistic sitting exactly AT the threshold classifies
+    identically in every engine, the property float z-scores can't
+    give (same discipline as ml_tpr_at_fpr's budget and the 3-sigma
+    anomaly query). Everything is two tiny groupBys over |types| x 2
+    cells; rates are display-only divisions. At 100 TB the cohort
+    aggregate is the only pass over the data and it map-side combines
+    to 10 rows."""
+    e = load_table(spark, sf_dir, "events")
+    cohorts = e.groupBy(
+        "event_type", (F.col("user_id") % 2).cast("long").alias("cohort")
+    ).agg(F.count(F.lit(1)).cast("long").alias("e"))
+    tot = cohorts.groupBy("cohort").agg(F.sum("e").cast("long").alias("n"))
+    wide = (
+        cohorts.join(F.broadcast(tot), "cohort")
+        .groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("cohort") == 0, F.col("e"))).alias("e1"),
+            F.max(F.when(F.col("cohort") == 1, F.col("e"))).alias("e2"),
+            F.max(F.when(F.col("cohort") == 0, F.col("n"))).alias("n1"),
+            F.max(F.when(F.col("cohort") == 1, F.col("n"))).alias("n2"),
+        )
+    )
+    dec = "decimal(38,0)"
+    n1, n2, e1, e2 = (F.col(c) for c in ("n1", "n2", "e1", "e2"))
+    diff = (e1 * n2 - e2 * n1).cast(dec)
+    lhs = (
+        F.lit(25).cast(dec)
+        * (n1 + n2).cast(dec)
+        * (n1 + n2).cast(dec)
+        * diff
+        * diff
+    )
+    rhs = (
+        F.lit(96).cast(dec)
+        * (e1 + e2).cast(dec)
+        * ((n1 + n2) - (e1 + e2)).cast(dec)
+        * (n1 + n2).cast(dec)
+        * n1.cast(dec)
+        * n2.cast(dec)
+    )
+    return wide.select(
+        "event_type",
+        e1.alias("n_a"),
+        e2.alias("n_b"),
+        F.round(e1 / (1.0 * n1), 6).alias("rate_a"),
+        F.round(e2 / (1.0 * n2), 6).alias("rate_b"),
+        F.when(lhs > rhs, 1).otherwise(0).cast("long").alias("significant"),
+    )

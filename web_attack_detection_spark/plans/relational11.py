@@ -525,3 +525,101 @@ def rel_halfsample_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((mean - 2 * sd) / 1000000.0, 6).alias("ci_lo"),
         F.round((mean + 2 * sd) / 1000000.0, 6).alias("ci_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit of order totals
+# ---------------------------------------------------------------------------
+
+# Benford probabilities log10(1+1/d) pinned as 1e6-scaled literals
+# (they sum to exactly 1_000_000), so no engine evaluates a log —
+# both sides compare against the same nine integers. Digits come from
+# exact cents (x100 never changes the leading digit); the chi-squared
+# numerator squares ~1e10 values, hence DECIMAL(38,0)/HUGEINT.
+_BENFORD_P = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+_BENFORD_CASE_SQL = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in _BENFORD_P.items()
+) + " END"
+
+_BENFORD_ORACLE = f"""
+WITH digits AS (
+  SELECT CAST(LEFT(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1)
+              AS BIGINT) AS digit
+  FROM orders
+),
+obs AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY digit
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM obs),
+terms AS (
+  SELECT o.digit, o.n, t.nn,
+         CAST({_BENFORD_CASE_SQL} AS BIGINT) AS p_scaled
+  FROM obs o, tot t
+)
+SELECT digit, n,
+       (nn * p_scaled // 10000) / 100.0 AS expected_n,
+       ROUND(CAST(CAST(n AS HUGEINT) * 1000000 - CAST(nn AS HUGEINT) * p_scaled AS HUGEINT)
+             * CAST(CAST(n AS HUGEINT) * 1000000 - CAST(nn AS HUGEINT) * p_scaled AS HUGEINT)
+             / (1000000.0 * nn * p_scaled * 1000000.0), 6) AS chi2_term
+FROM terms
+"""
+
+
+@register(
+    "rel_benford_digits",
+    _BENFORD_ORACLE,
+    doc="Benford first-digit audit of order totals with pinned log10 literals",
+)
+def rel_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The forensic accountant's screen: does the first digit of
+    order totals follow Benford's law? Fabricated amounts don't. The
+    nine expected frequencies are PINNED 1e6-scaled integer literals
+    (summing to exactly 1e6) — neither engine evaluates log10, so the
+    expectation is identical by construction; digits come from exact
+    cents (scaling by 100 preserves the leading digit and dodges the
+    cast-rounding divergence between engines); expected counts use
+    integer FLOOR division to hundredths — a ROUND here landed on an
+    exact .5 boundary that the two engines break differently. Each
+    digit's
+    chi-squared term keeps its numerator in DECIMAL(38,0) — (n*1e6 -
+    N*p)^2 reaches ~1e20 — with ONE final division. One groupBy over
+    nine cells; the audit costs a single scan at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    digits = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = obs.agg(F.sum("n").cast("long").alias("nn"))
+    p_map = F.create_map(
+        *[F.lit(x) for kv in _BENFORD_P.items() for x in kv]
+    )
+    dec = "decimal(38,0)"
+    terms = obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        "nn",
+        p_map[F.col("digit")].cast("long").alias("p_scaled"),
+    )
+    num = (
+        F.col("n").cast(dec) * 1000000 - F.col("nn").cast(dec) * F.col("p_scaled")
+    ).cast(dec)
+    return terms.select(
+        "digit",
+        "n",
+        (
+            F.floor(F.col("nn") * F.col("p_scaled") / 10000).cast("long") / 100.0
+        ).alias("expected_n"),
+        F.round(
+            (num * num)
+            / (1000000.0 * F.col("nn") * F.col("p_scaled") * 1000000.0),
+            6,
+        ).alias("chi2_term"),
+    )
