@@ -867,3 +867,23 @@ def test_mad_outliers_matches_numpy(spark):
         assert r["median_value"] == round(med / 100.0, 2)
         assert r["mad_value"] == round(mad / 100.0, 2)
         assert r["n_outliers"] == int((np.abs(g["vc"].to_numpy() - med) > 3 * mad).sum())
+
+
+def test_kaplan_meier_invariants(spark):
+    """Survival is 1-at-start-decreasing, risk sets telescope exactly
+    (n_risk[t+1] = n_risk[t] - d - c), and the curve only drops on
+    event days."""
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    rows = sorted(
+        QUERIES["ml_kaplan_meier"].fn(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows[0]["n_risk"] == sum(r["n_events"] + r["n_censored"] for r in rows)
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_risk"] == a["n_risk"] - a["n_events"] - a["n_censored"]
+        assert b["survival"] <= a["survival"] + 1e-9
+        if b["n_events"] == 0:
+            assert b["log_survival_micro"] == a["log_survival_micro"]
+    assert all(0.0 <= r["survival"] <= 1.0 for r in rows)

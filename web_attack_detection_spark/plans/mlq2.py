@@ -1450,3 +1450,147 @@ def ml_ab_test_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(e2 / (1.0 * n2), 6).alias("rate_b"),
         F.when(lhs > rhs, 1).otherwise(0).cast("long").alias("significant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival: time to first error per user
+# ---------------------------------------------------------------------------
+
+# Per user: event time = first error day; users who never error are
+# right-censored at their last observed day. d_t / c_t / n_t are all
+# exact BIGINT (n_t via running sum of removals); each factor
+# ln(1 - d_t/n_t) quantizes to BIGINT micro-nats BEFORE the cumulative
+# sum (the DSIR/perplexity discipline), so the product accumulates as
+# an exact integer and only the displayed exp/round touch floats on
+# identical inputs.
+_KM_ORACLE = """
+WITH per_event AS (
+  SELECT user_id,
+         CAST(date_diff('day', DATE '2024-01-01',
+                        CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
+              AS BIGINT) AS day,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+  FROM events
+),
+per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN is_err = 1 THEN day END) AS err_day,
+         MAX(day) AS last_day
+  FROM per_event GROUP BY user_id
+),
+times AS (
+  SELECT user_id,
+         COALESCE(err_day, last_day) AS t,
+         CASE WHEN err_day IS NOT NULL THEN 1 ELSE 0 END AS is_event
+  FROM per_user
+),
+grid AS (
+  SELECT t,
+         CAST(SUM(is_event) AS BIGINT) AS d,
+         CAST(SUM(1 - is_event) AS BIGINT) AS c
+  FROM times GROUP BY t
+),
+risk AS (
+  SELECT t, d, c,
+         CAST((SELECT COUNT(*) FROM times)
+              - COALESCE(SUM(d + c) OVER (
+                  ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ), 0) AS BIGINT) AS n_risk
+  FROM grid
+),
+lf AS (
+  SELECT t, d, c, n_risk,
+         CASE WHEN d > 0 AND d < n_risk
+              THEN CAST(ROUND(1000000 * LN(1.0 - d / (1.0 * n_risk))) AS BIGINT)
+              WHEN d >= n_risk THEN CAST(-30000000 AS BIGINT)
+              ELSE 0 END AS lnf
+  FROM risk
+),
+cum AS (
+  SELECT t, d, c, n_risk,
+         CAST(SUM(lnf) OVER (
+           ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_ln
+  FROM lf
+)
+SELECT t AS day, n_risk, d AS n_events, c AS n_censored,
+       cum_ln AS log_survival_micro,
+       ROUND(EXP(cum_ln / 1000000.0), 6) AS survival
+FROM cum
+"""
+
+
+@register(
+    "ml_kaplan_meier",
+    _KM_ORACLE,
+    doc="Kaplan-Meier survival (time to first error, right-censored), micro-nat exact",
+)
+def ml_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How long until a user first hits an error? The Kaplan-Meier
+    estimator with right censoring (users who never error are
+    censored at their last observed day) — the survival curve that
+    churn, reliability, and attack-dwell-time analyses all reduce to.
+    The risk set n_t comes from one running-sum window over the
+    O(days) grid; each factor ln(1 - d/n) quantizes to integer
+    micro-nats BEFORE the cumulative sum, so the running product is
+    exact BIGINT in both engines (log_survival_micro is the
+    authoritative column; survival is its display exp). Scale: one
+    per-user aggregate (map-side combinable) reduces the corpus to
+    |users| rows; everything after is O(days)."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("is_err"),
+    ).groupBy("user_id").agg(
+        F.min(F.when(F.col("is_err") == 1, F.col("day"))).alias("err_day"),
+        F.max("day").alias("last_day"),
+    )
+    times = per_user.select(
+        F.coalesce("err_day", "last_day").alias("t"),
+        F.when(F.col("err_day").isNotNull(), 1).otherwise(0).alias("is_event"),
+    )
+    grid = times.groupBy("t").agg(
+        F.sum("is_event").cast("long").alias("d"),
+        F.sum(1 - F.col("is_event")).cast("long").alias("c"),
+    )
+    n_total = times.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    prevw = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = grid.crossJoin(F.broadcast(n_total)).select(
+        "t",
+        "d",
+        "c",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(prevw), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_risk"),
+    )
+    # d == n_risk means the last survivors all had their event: S(t)
+    # hits exactly 0, whose log is -inf — pinned to -30 nats (exp
+    # rounds to 0.0 at 6 digits) so both engines agree on the floor.
+    lf = risk.withColumn(
+        "lnf",
+        F.when(
+            (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+            F.round(
+                1000000 * F.log(1.0 - F.col("d") / (1.0 * F.col("n_risk")))
+            ).cast("long"),
+        )
+        .when(F.col("d") >= F.col("n_risk"), F.lit(-30000000).cast("long"))
+        .otherwise(F.lit(0).cast("long")),
+    )
+    cumw = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return lf.select(
+        F.col("t").alias("day"),
+        "n_risk",
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        F.sum("lnf").over(cumw).cast("long").alias("log_survival_micro"),
+        F.round(
+            F.exp(F.sum("lnf").over(cumw).cast("long") / 1000000.0), 6
+        ).alias("survival"),
+    )
