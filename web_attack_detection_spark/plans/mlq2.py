@@ -1594,3 +1594,84 @@ def ml_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.exp(F.sum("lnf").over(cumw).cast("long") / 1000000.0), 6
         ).alias("survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of order value per market segment (rank-sum exact)
+# ---------------------------------------------------------------------------
+
+# G = (2 * sum(i * x_i)) / (n * sum(x)) - (n + 1) / n over the
+# ascending-sorted values — cross-multiplied into one division:
+# (2*S_rank - (n+1)*S) / (n*S), with cents BIGINT and rank sums in
+# DECIMAL(38,0) (rank ~ 1e5 x cents ~ 1e7 sums past int64 at sf>=1).
+# Ties sort by (cents, custkey), which does not change the sum since
+# tied values contribute identically under any tie order.
+_GINI_ORACLE = """
+WITH v AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents,
+         o.o_orderkey
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+r AS (
+  SELECT segment, cents,
+         ROW_NUMBER() OVER (PARTITION BY segment
+                            ORDER BY cents ASC, o_orderkey ASC) AS rk
+  FROM v
+),
+agg AS (
+  SELECT segment,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS HUGEINT) AS s,
+         CAST(SUM(CAST(rk AS HUGEINT) * cents) AS HUGEINT) AS sr
+  FROM r GROUP BY segment
+)
+SELECT segment, n,
+       ROUND(s / (100.0 * n), 2) AS mean_value,
+       ROUND(CAST(2 * sr - (n + 1) * s AS DOUBLE) / CAST(n * s AS DOUBLE), 6) AS gini
+FROM agg
+"""
+
+
+@register(
+    "ml_gini_coefficient",
+    _GINI_ORACLE,
+    doc="Gini concentration of order value per segment via exact rank sums",
+)
+def ml_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How concentrated is revenue? The Gini coefficient per market
+    segment from the rank-sum identity G = (2*sum(rank*x) - (n+1)*
+    sum(x)) / (n*sum(x)) — one ranked window plus one aggregate, no
+    pairwise |x_i - x_j| join (the naive definition is O(n^2)). Cents
+    and rank products stay in DECIMAL(38,0), so both engines divide
+    the same two exact integers; tied values contribute the same sum
+    under any tie order, making the id tie-break cosmetic. The same
+    identity computes data-selection concentration (is the corpus
+    dominated by a few sources?) by swapping the grouping."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    v = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("segment").orderBy(
+        F.col("cents").asc(), F.col("o_orderkey").asc()
+    )
+    dec = "decimal(38,0)"
+    r = v.withColumn("rk", F.row_number().over(w))
+    agg = r.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast(dec).alias("s"),
+        F.sum(F.col("rk").cast(dec) * F.col("cents")).cast(dec).alias("sr"),
+    )
+    return agg.select(
+        "segment",
+        "n",
+        F.round(F.col("s") / (100.0 * F.col("n")), 2).alias("mean_value"),
+        F.round(
+            (2 * F.col("sr") - (F.col("n") + 1) * F.col("s")).cast("double")
+            / (F.col("n") * F.col("s")).cast("double"),
+            6,
+        ).alias("gini"),
+    )

@@ -623,3 +623,77 @@ def rel_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chi2_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# largest-remainder (Hamilton) allocation of a fixed sample budget
+# ---------------------------------------------------------------------------
+
+_LR_SLOTS = 10000
+
+_LR_ORACLE = f"""
+WITH counts AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM counts),
+quota AS (
+  SELECT c.event_type, c.n,
+         CAST({_LR_SLOTS} * c.n // t.nn AS BIGINT) AS base,
+         CAST(({_LR_SLOTS} * c.n) % t.nn AS BIGINT) AS rem
+  FROM counts c, tot t
+),
+leftover AS (
+  SELECT CAST({_LR_SLOTS} - SUM(base) AS BIGINT) AS l FROM quota
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, event_type ASC) AS rk
+  FROM quota
+)
+SELECT r.event_type, r.n, r.base,
+       CAST(CASE WHEN r.rk <= lo.l THEN 1 ELSE 0 END AS BIGINT) AS extra,
+       CAST(r.base + CASE WHEN r.rk <= lo.l THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM ranked r, leftover lo
+"""
+
+
+@register(
+    "rel_largest_remainder",
+    _LR_ORACLE,
+    doc=f"Hamilton largest-remainder allocation of {_LR_SLOTS} slots across event types",
+)
+def rel_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allocate a FIXED sample budget across strata so the total
+    comes out exact: floor quotas first, then the leftover slots go
+    to the largest remainders (Hamilton's method — the apportionment
+    rule every quota sampler, shard balancer, and survey design
+    reimplements). Rounding each stratum independently would over- or
+    under-shoot the budget; here base = slots*n//N and remainder
+    ranking are pure integer ops, so the allocation sums to exactly
+    {_LR_SLOTS} in every engine. Composes with pipe_mixture_schedule
+    (which needs per-source integer quotas) and costs one tiny
+    aggregate over |types| cells."""
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = counts.agg(F.sum("n").cast("long").alias("nn"))
+    quota = counts.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n",
+        F.floor(_LR_SLOTS * F.col("n") / F.col("nn")).cast("long").alias("base"),
+        ((_LR_SLOTS * F.col("n")) % F.col("nn")).cast("long").alias("rem"),
+    )
+    leftover = quota.agg(
+        (F.lit(_LR_SLOTS) - F.sum("base")).cast("long").alias("l")
+    )
+    rw = Window.orderBy(F.col("rem").desc(), F.col("event_type").asc())
+    ranked = quota.withColumn("rk", F.row_number().over(rw))
+    return ranked.crossJoin(F.broadcast(leftover)).select(
+        "event_type",
+        "n",
+        "base",
+        F.when(F.col("rk") <= F.col("l"), 1).otherwise(0).cast("long").alias("extra"),
+        (
+            F.col("base") + F.when(F.col("rk") <= F.col("l"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc"),
+    )
