@@ -1675,3 +1675,108 @@ def ml_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# paired detector comparison: McNemar's test + Cohen's kappa
+# ---------------------------------------------------------------------------
+
+# Two deterministic rule detectors for label = (event_type = 'error'):
+#   A: high-value rule  (value > 150)
+#   B: cohort rule      (user_id % 3 = 0)
+# Both are honest stand-ins for "two models scored the same rows" —
+# the comparison arithmetic is the deliverable. McNemar's decision
+# cross-multiplies (b-c)^2 > 3.84*(b+c) into 25*(b-c)^2 > 96*(b+c);
+# kappa = (N*agree - sum_k row_k*col_k) / (N^2 - sum_k row_k*col_k).
+# Everything is BIGINT until kappa's single division.
+_MCNEMAR_KAPPA_ORACLE = """
+WITH scored AS (
+  SELECT CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y,
+         CASE WHEN value > 150 THEN 1 ELSE 0 END AS pa,
+         CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS pb
+  FROM events
+),
+cells AS (
+  SELECT
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END) AS BIGINT) AS b,
+    CAST(SUM(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END) AS BIGINT) AS c,
+    CAST(SUM(CASE WHEN pa = pb THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+    CAST(SUM(pa) AS BIGINT) AS a1,
+    CAST(SUM(pb) AS BIGINT) AS b1
+  FROM scored
+)
+SELECT n, b AS a_only_correct, c AS b_only_correct,
+       CAST(CASE WHEN 25 * (b - c) * (b - c) > 96 * (b + c)
+            THEN 1 ELSE 0 END AS BIGINT) AS mcnemar_significant,
+       ROUND((n * agree - (a1 * b1 + (n - a1) * (n - b1)))
+             / (1.0 * (n * n - (a1 * b1 + (n - a1) * (n - b1)))), 6) AS kappa
+FROM cells
+"""
+
+
+@register(
+    "ml_mcnemar_kappa",
+    _MCNEMAR_KAPPA_ORACLE,
+    doc="McNemar paired-detector test (integer-decided) + Cohen's kappa agreement",
+)
+def ml_mcnemar_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is detector A actually better than detector B on the SAME
+    rows, and how much do they agree beyond chance? McNemar's test
+    looks only at the discordant pairs (rows exactly one detector got
+    right) — the correct paired comparison, where naive accuracy
+    deltas are confounded by the rows both get right; its alpha=0.05
+    decision is the integer inequality 25*(b-c)^2 > 96*(b+c), so a
+    boundary statistic classifies identically everywhere. Cohen's
+    kappa chance-corrects the raw agreement via the margin product,
+    cross-multiplied to one division. The whole comparison is ONE
+    map-side-combinable aggregate over the scored stream — at 100 TB
+    it costs a scan, and the cells merge across partitions like any
+    sufficient statistic."""
+    e = load_table(spark, sf_dir, "events")
+    scored = e.select(
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("y"),
+        F.when(F.col("value") > 150, 1).otherwise(0).alias("pa"),
+        F.when(F.col("user_id") % 3 == 0, 1).otherwise(0).alias("pb"),
+    )
+    cells = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when((F.col("pa") == F.col("y")) & (F.col("pb") != F.col("y")), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("b"),
+        F.sum(
+            F.when((F.col("pa") != F.col("y")) & (F.col("pb") == F.col("y")), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("c"),
+        F.sum(F.when(F.col("pa") == F.col("pb"), 1).otherwise(0))
+        .cast("long")
+        .alias("agree"),
+        F.sum("pa").cast("long").alias("a1"),
+        F.sum("pb").cast("long").alias("b1"),
+    )
+    chance = F.col("a1") * F.col("b1") + (F.col("n") - F.col("a1")) * (
+        F.col("n") - F.col("b1")
+    )
+    return cells.select(
+        "n",
+        F.col("b").alias("a_only_correct"),
+        F.col("c").alias("b_only_correct"),
+        F.when(
+            25 * (F.col("b") - F.col("c")) * (F.col("b") - F.col("c"))
+            > 96 * (F.col("b") + F.col("c")),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("mcnemar_significant"),
+        F.round(
+            (F.col("n") * F.col("agree") - chance)
+            / (1.0 * (F.col("n") * F.col("n") - chance)),
+            6,
+        ).alias("kappa"),
+    )
