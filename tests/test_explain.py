@@ -417,3 +417,16 @@ def test_markov_single_user_partition_sort(spark):
     plan = plan_of(QUERIES["rel_markov_transitions"].fn(spark, SF_SMOKE))
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan  # row totals broadcast back
+
+
+def test_topk_per_group_uses_window_group_limit(spark):
+    """Spark 4 rewrites rank<=k into WindowGroupLimit (per-partition
+    top-k heaps BEFORE the shuffle and sort) — the optimization that
+    makes per-group top-k viable on wide groups; a regression to a
+    full window sort would show here as the node vanishing."""
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    df = QUERIES["rel_topk_per_group"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan

@@ -619,3 +619,69 @@ def pipe_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         pos.withColumn("position", F.row_number().over(w).cast("long"))
         .filter(F.col("position") <= 20)
     )
+
+
+# ---------------------------------------------------------------------------
+# data-quality gates via the Observation API (metrics ride the write)
+# ---------------------------------------------------------------------------
+
+_OBSERVED_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+       ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0, 2) AS total_value,
+       CAST(MIN(user_id) AS BIGINT) AS min_user,
+       CAST(MAX(user_id) AS BIGINT) AS max_user
+FROM events
+"""
+
+
+@register(
+    "pipe_observed_quality",
+    _OBSERVED_ORACLE,
+    doc="quality gates via Observation: metrics ride the materialization pass, zero extra scans",
+)
+def pipe_observed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-quality gate every production materialization needs:
+    row counts, error counts, integer-exact value totals, and key
+    ranges collected by the Observation API ON the same pass that
+    writes the dataset out — zero extra scans, which at 100 TB is the
+    difference between 'free metrics' and 'the pipeline runs twice'
+    (the fused feature fit uses the same trick internally,
+    functions/feature.py). The observed write lands in a
+    content-keyed warehouse dir; the returned one-row frame is the
+    gate record a scheduler would assert on, and the oracle recomputes
+    every metric from the origin — so the observe-side numbers are
+    themselves oracle-checked."""
+    from pyspark.sql import Observation
+
+    from web_attack_detection_spark.plans.ioq import _stable_dir
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    obs = Observation()
+    observed = e.observe(
+        obs,
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("n_errors"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        F.min("user_id").cast("long").alias("min_user"),
+        F.max("user_id").cast("long").alias("max_user"),
+    )
+    loc = _stable_dir(spark, "observed_events", sf_dir)
+    observed.write.mode("overwrite").parquet(loc)
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["n_errors"],
+                round(m["cents"] / 100.0, 2),
+                m["min_user"],
+                m["max_user"],
+            )
+        ],
+        "n_rows long, n_errors long, total_value double, min_user long, max_user long",
+    )
