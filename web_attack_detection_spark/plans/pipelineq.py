@@ -685,3 +685,112 @@ def pipe_observed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_rows long, n_errors long, total_value double, min_user long, max_user long",
     )
+
+
+# ---------------------------------------------------------------------------
+# language rebalancing: Hamilton quotas + deterministic hash sampling
+# ---------------------------------------------------------------------------
+
+_REBALANCE_SLOTS = 200
+
+_REBALANCE_ORACLE = f"""
+WITH counts AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM counts),
+quota AS (
+  SELECT c.lang, c.n,
+         CAST({_REBALANCE_SLOTS} * c.n // t.nn AS BIGINT) AS base,
+         CAST(({_REBALANCE_SLOTS} * c.n) % t.nn AS BIGINT) AS rem
+  FROM counts c, tot t
+),
+leftover AS (SELECT CAST({_REBALANCE_SLOTS} - SUM(base) AS BIGINT) AS l FROM quota),
+alloc AS (
+  SELECT lang, n,
+         base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, lang ASC)
+                          <= (SELECT l FROM leftover)
+                THEN 1 ELSE 0 END AS alloc
+  FROM quota
+),
+ranked AS (
+  SELECT d.lang, d.doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY d.lang
+           ORDER BY (d.doc_id * 2654435761) % 4294967296 ASC, d.doc_id ASC
+         ) AS rk
+  FROM documents d
+),
+sel AS (
+  SELECT r.lang, r.doc_id
+  FROM ranked r JOIN alloc a ON a.lang = r.lang
+  WHERE r.rk <= a.alloc
+)
+SELECT a.lang, a.n AS n_docs, CAST(a.alloc AS BIGINT) AS alloc,
+       CAST(COALESCE(s.n_sel, 0) AS BIGINT) AS n_selected,
+       CAST(COALESCE(s.id_checksum, 0) AS BIGINT) AS id_checksum
+FROM alloc a
+LEFT JOIN (
+  SELECT lang, COUNT(*) AS n_sel, SUM(doc_id) AS id_checksum FROM sel GROUP BY lang
+) s ON s.lang = a.lang
+"""
+
+
+@register(
+    "pipe_lang_rebalance",
+    _REBALANCE_ORACLE,
+    doc=f"language rebalancing: Hamilton quotas for {_REBALANCE_SLOTS} slots + deterministic hash sample",
+)
+def pipe_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-rebalancing step multilingual training runs before
+    every mix: allocate a fixed document budget across languages with
+    the largest-remainder rule (rel_largest_remainder's apportionment
+    — the total comes out EXACT), then fill each language's quota by
+    Knuth-hash rank — a deterministic 'random' sample, so the same
+    corpus always selects the same documents (reproducible data
+    recipes are how training runs stay comparable). Selection is one
+    rank window per language against a broadcast 5-row quota table;
+    the output carries the selected-id checksum so the oracle verifies
+    WHICH documents were chosen, not just how many."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = counts.agg(F.sum("n").cast("long").alias("nn"))
+    quota = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n",
+        F.floor(_REBALANCE_SLOTS * F.col("n") / F.col("nn")).cast("long").alias("base"),
+        ((_REBALANCE_SLOTS * F.col("n")) % F.col("nn")).cast("long").alias("rem"),
+    )
+    leftover = quota.agg(
+        (F.lit(_REBALANCE_SLOTS) - F.sum("base")).cast("long").alias("l")
+    )
+    qw = Window.orderBy(F.col("rem").desc(), F.col("lang").asc())
+    alloc = (
+        quota.withColumn("rk", F.row_number().over(qw))
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            "lang",
+            "n",
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("l"), 1).otherwise(0)
+            ).alias("alloc"),
+        )
+    )
+    rw = Window.partitionBy("lang").orderBy(
+        ((F.col("doc_id") * 2654435761) % 4294967296).asc(), F.col("doc_id").asc()
+    )
+    ranked = d.select("lang", "doc_id").withColumn("rk", F.row_number().over(rw))
+    sel = ranked.join(F.broadcast(alloc.select("lang", "alloc")), "lang").filter(
+        F.col("rk") <= F.col("alloc")
+    )
+    sel_agg = sel.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sel"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+    )
+    return alloc.join(sel_agg, "lang", "left").select(
+        "lang",
+        F.col("n").alias("n_docs"),
+        F.col("alloc").cast("long"),
+        F.coalesce("n_sel", F.lit(0)).cast("long").alias("n_selected"),
+        F.coalesce("id_checksum", F.lit(0)).cast("long").alias("id_checksum"),
+    )

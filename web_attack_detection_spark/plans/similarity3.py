@@ -804,3 +804,88 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining for retrieval training
+# ---------------------------------------------------------------------------
+
+_HARD_NEG_ORACLE = """
+WITH elems AS (
+  SELECT vec_id, label, i - 1 AS pos0,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS v
+  FROM embeddings, UNNEST(range(1, 65)) AS r(i)
+),
+q AS (SELECT vec_id AS q_id, label AS q_label, pos0, v AS qv
+      FROM elems WHERE vec_id % 250 = 0),
+dots AS (
+  SELECT q.q_id, q.q_label, e.vec_id, e.label,
+         CAST(SUM(q.qv * e.v) AS BIGINT) AS dot
+  FROM elems e JOIN q ON q.pos0 = e.pos0
+  WHERE e.label <> q.q_label
+  GROUP BY 1, 2, 3, 4
+),
+ranked AS (
+  SELECT q_id, vec_id, label AS neg_label, dot,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dot DESC, vec_id ASC) AS rank
+  FROM dots
+)
+SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id AS neg_id, neg_label,
+       ROUND(dot / 1000000000000.0, 6) AS similarity
+FROM ranked WHERE rank <= 3
+"""
+
+
+@register(
+    "sim_hard_negatives",
+    _HARD_NEG_ORACLE,
+    doc="hard-negative mining: top-3 most-similar OTHER-label vectors per query, integer-exact",
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The contrastive-training data miner: for each query vector,
+    the 3 most similar vectors with a DIFFERENT label — the 'hard
+    negatives' that make embedding training converge (random
+    negatives are too easy; these sit right at the decision
+    boundary). The label-mismatch predicate is fused BEFORE the dot
+    product is aggregated, so excluded same-label pairs never cost a
+    multiplication, and the dot is an exact BIGINT on the 1e6 grid
+    with (dot desc, vec_id) ranking — the same determinism discipline
+    as sim_quantized_topk. At scale the query side is tiny and
+    broadcast; mining every vector's negatives instead (q = all)
+    turns this into the IVF-bucketed shape sim_ivf_topk already
+    carries."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "e"),
+    ).select(
+        "vec_id",
+        "label",
+        "pos0",
+        F.round(F.col("e") * 1000000).cast("long").alias("v"),
+    )
+    q = elems.filter(F.col("vec_id") % 250 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        "pos0",
+        F.col("v").alias("qv"),
+    )
+    dots = (
+        elems.join(F.broadcast(q), "pos0")
+        .filter(F.col("label") != F.col("q_label"))
+        .groupBy("q_id", "vec_id", "label")
+        .agg(F.sum(F.col("qv") * F.col("v")).cast("long").alias("dot"))
+    )
+    rw = Window.partitionBy("q_id").orderBy(F.col("dot").desc(), F.col("vec_id").asc())
+    return (
+        dots.withColumn("rank", F.row_number().over(rw).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "q_id",
+            "rank",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            F.round(F.col("dot") / 1000000000000.0, 6).alias("similarity"),
+        )
+    )
