@@ -670,8 +670,10 @@ def rel_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
     under-shoot the budget; here base = slots*n//N and remainder
     ranking are pure integer ops, so the allocation sums to exactly
     {_LR_SLOTS} in every engine. Composes with pipe_mixture_schedule
-    (which needs per-source integer quotas) and costs one tiny
-    aggregate over |types| cells."""
+    (which needs per-source integer quotas). Plan note: the audit
+    counts several exchanges here, but every one after the first
+    groupBy moves a |types|-row (five-row) relation — quota, leftover
+    scalar, remainder ranking; only the initial count scans data."""
     e = load_table(spark, sf_dir, "events")
     counts = e.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
     tot = counts.agg(F.sum("n").cast("long").alias("nn"))
@@ -696,4 +698,144 @@ def rel_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("alloc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# forecast-baseline evaluation: seasonal-naive vs naive-1 (MASE)
+# ---------------------------------------------------------------------------
+
+# Forecast for day t is the value 7 days back (seasonal naive); the
+# benchmark denominator is the one-step naive walk. MASE = MAE_s/MAE_1
+# stays a ratio of two exact BIGINT absolute-error sums (counts
+# cancel via cross-multiplication into the final division).
+_MASE_ORACLE = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+lagged AS (
+  SELECT day, n,
+         LAG(n, 7) OVER (ORDER BY day) AS n_wk,
+         LAG(n, 1) OVER (ORDER BY day) AS n_1
+  FROM daily
+),
+scored AS (SELECT * FROM lagged WHERE n_wk IS NOT NULL AND n_1 IS NOT NULL),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(ABS(n - n_wk)) AS BIGINT) AS ae_seasonal,
+         CAST(SUM(ABS(n - n_1)) AS BIGINT) AS ae_naive
+  FROM scored
+)
+SELECT n_days, ae_seasonal, ae_naive,
+       ROUND(ae_seasonal / (1.0 * n_days), 6) AS mae_seasonal,
+       ROUND(ae_seasonal / (1.0 * ae_naive), 6) AS mase
+FROM agg
+"""
+
+
+@register(
+    "rel_seasonal_naive_mase",
+    _MASE_ORACLE,
+    doc="seasonal-naive forecast eval: MASE from exact absolute-error sums",
+)
+def rel_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Before any forecasting model ships, it must beat the
+    seasonal-naive baseline — and MASE (mean absolute scaled error,
+    seasonal-naive MAE over one-step-naive MAE) is the scale-free
+    score that comparison uses. Two lag windows over the O(days)
+    daily aggregate, absolute-error sums exact BIGINT, one final
+    division — so the score a model must beat is engine-identical.
+    MASE < 1 would mean weekly seasonality carries real signal in
+    the event stream."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date(F.col("ts")).alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "day",
+        "n",
+        F.lag("n", 7).over(w).alias("n_wk"),
+        F.lag("n", 1).over(w).alias("n_1"),
+    ).filter(F.col("n_wk").isNotNull() & F.col("n_1").isNotNull())
+    agg = lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.abs(F.col("n") - F.col("n_wk"))).cast("long").alias("ae_seasonal"),
+        F.sum(F.abs(F.col("n") - F.col("n_1"))).cast("long").alias("ae_naive"),
+    )
+    return agg.select(
+        "n_days",
+        "ae_seasonal",
+        "ae_naive",
+        F.round(F.col("ae_seasonal") / (1.0 * F.col("n_days")), 6).alias(
+            "mae_seasonal"
+        ),
+        F.round(F.col("ae_seasonal") / (1.0 * F.col("ae_naive")), 6).alias("mase"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+_K_ANON_ORACLE = """
+WITH classes AS (
+  SELECT CAST(user_id % 100 AS BIGINT) AS user_bucket,
+         CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+         event_type,
+         CAST(COUNT(*) AS BIGINT) AS class_size
+  FROM events GROUP BY 1, 2, 3
+),
+tot AS (SELECT CAST(SUM(class_size) AS BIGINT) AS nn FROM classes)
+SELECT class_size,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(class_size) AS BIGINT) AS n_rows,
+       ROUND(SUM(class_size) / (1.0 * MAX(t.nn)), 6) AS row_share,
+       CAST(CASE WHEN class_size < 5 THEN 1 ELSE 0 END AS BIGINT) AS below_k5
+FROM classes, tot t
+GROUP BY class_size
+"""
+
+
+@register(
+    "rel_k_anonymity",
+    _K_ANON_ORACLE,
+    doc="k-anonymity audit: equivalence-class size census over quasi-identifiers",
+)
+def rel_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Can this dataset be released? The k-anonymity census: group by
+    the quasi-identifier tuple (user bucket, day, event type), then
+    histogram the equivalence-class sizes — rows in classes smaller
+    than k (flagged at k=5) are re-identifiable and must be
+    suppressed or generalized before release. The class census is the
+    SAME aggregate a suppression pass would consume, and it pairs
+    with text_pii_redact (column-level scrubbing) to cover both
+    halves of the privacy gate. Two map-side-combinable groupBys; the
+    histogram is O(distinct sizes) regardless of corpus scale."""
+    e = load_table(spark, sf_dir, "events")
+    classes = e.groupBy(
+        (F.col("user_id") % 100).cast("long").alias("user_bucket"),
+        F.to_date(F.col("ts")).alias("day"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("long").alias("class_size"))
+    tot = classes.agg(F.sum("class_size").cast("long").alias("nn"))
+    return (
+        classes.crossJoin(F.broadcast(tot))
+        .groupBy("class_size")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum("class_size").cast("long").alias("n_rows"),
+            F.round(F.sum("class_size") / (1.0 * F.max("nn")), 6).alias("row_share"),
+        )
+        .select(
+            "class_size",
+            "n_classes",
+            "n_rows",
+            "row_share",
+            F.when(F.col("class_size") < 5, 1).otherwise(0).cast("long").alias(
+                "below_k5"
+            ),
+        )
     )
