@@ -1780,3 +1780,118 @@ def ml_mcnemar_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("kappa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stratified average treatment effect (causal estimate, integer-exact)
+# ---------------------------------------------------------------------------
+
+# Treatment = user parity, outcome = error, confounder strata = hour
+# of day. Each stratum's effect is the exact rational
+# n_s*(y1*n0 - y0*n1)/(n1*n0), floor-scaled to 1e9 BIGINT BEFORE the
+# across-strata sum (the micro-unit discipline), so the weighted sum
+# is exact and only the final /(N*1e9) division is float. Strata
+# where either arm is empty contribute nothing (and are counted).
+_ATE_ORACLE = """
+WITH base AS (
+  SELECT CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS stratum,
+         CAST(user_id % 2 AS BIGINT) AS treat,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+arms AS (
+  SELECT stratum, treat,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS ysum
+  FROM base GROUP BY stratum, treat
+),
+wide AS (
+  SELECT stratum,
+         MAX(CASE WHEN treat = 1 THEN n END) AS n1,
+         MAX(CASE WHEN treat = 1 THEN ysum END) AS y1,
+         MAX(CASE WHEN treat = 0 THEN n END) AS n0,
+         MAX(CASE WHEN treat = 0 THEN ysum END) AS y0
+  FROM arms GROUP BY stratum
+),
+terms AS (
+  SELECT stratum, n1, n0,
+         CASE WHEN n1 > 0 AND n0 > 0 THEN
+           CAST((n1 + n0) AS HUGEINT) * (y1 * n0 - y0 * n1) * 1000000000
+             // (CAST(n1 AS HUGEINT) * n0)
+         END AS t_scaled
+  FROM wide
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+       CAST(SUM(CASE WHEN t_scaled IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_arms,
+       CAST(SUM(n1 + n0) AS BIGINT) AS n_rows,
+       ROUND(CAST(SUM(t_scaled) AS HUGEINT)
+             / (1000000000.0 * SUM(n1 + n0)), 6) AS ate
+FROM terms
+"""
+
+
+@register(
+    "ml_stratified_ate",
+    _ATE_ORACLE,
+    doc="stratified average treatment effect, per-stratum rationals floor-scaled to BIGINT",
+)
+def ml_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Causal effect estimation by stratification: the average
+    treatment effect of the parity cohort on the error rate,
+    adjusting for hour-of-day (the confounder a raw rate difference
+    ignores — if the treated cohort browses at error-prone hours, the
+    naive delta is biased). The estimator sums stratum-size-weighted
+    risk differences; each stratum's exact rational floor-scales to
+    1e9 BIGINT before summation, so the aggregate is engine-exact and
+    a single division renders the estimate. This is the relational
+    skeleton of every observational A/B readout (CUPED, IPW, and
+    doubly-robust variants change only the per-stratum term). One
+    groupBy over 24 x 2 cells — a scan at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        F.hour("ts").cast("long").alias("stratum"),
+        (F.col("user_id") % 2).cast("long").alias("treat"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("y"),
+    )
+    arms = base.groupBy("stratum", "treat").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("ysum"),
+    )
+    wide = arms.groupBy("stratum").agg(
+        F.max(F.when(F.col("treat") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("treat") == 1, F.col("ysum"))).alias("y1"),
+        F.max(F.when(F.col("treat") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("treat") == 0, F.col("ysum"))).alias("y0"),
+    )
+    dec = "decimal(38,0)"
+    num = (
+        (F.col("n1") + F.col("n0")).cast(dec)
+        * (F.col("y1") * F.col("n0") - F.col("y0") * F.col("n1")).cast(dec)
+        * F.lit(1000000000).cast(dec)
+    )
+    den = (F.col("n1").cast(dec) * F.col("n0").cast(dec)).cast(dec)
+    terms = wide.select(
+        "stratum",
+        "n1",
+        "n0",
+        # floor division in pure decimal arithmetic: (num - pmod)/den
+        # is exactly integral, so no quotient-scale rounding can move
+        # it off the true floor (Spark decimal division rounds at a
+        # derived scale BEFORE F.floor would see it)
+        F.when(
+            (F.col("n1") > 0) & (F.col("n0") > 0),
+            ((num - F.pmod(num, den)) / den).cast(dec),
+        ).alias("t_scaled"),
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum(F.when(F.col("t_scaled").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_empty_arms"),
+        F.sum(F.col("n1") + F.col("n0")).cast("long").alias("n_rows"),
+        F.round(
+            F.sum("t_scaled").cast("double")
+            / (1000000000.0 * F.sum(F.col("n1") + F.col("n0"))),
+            6,
+        ).alias("ate"),
+    )
