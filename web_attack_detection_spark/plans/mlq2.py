@@ -1895,3 +1895,133 @@ def ml_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance-reduced experiment readout
+# ---------------------------------------------------------------------------
+
+# Pre-period covariate X = user's spend in days 0-14, outcome Y =
+# spend in days 15+; theta = cov(X,Y)/var(X) floor-quantized to 1e6
+# micro-units via the pmod floor-division trick, so every adjusted
+# sum is an exact DECIMAL(38,0) combination and each cohort needs ONE
+# final division. The raw and adjusted deltas are both reported — the
+# variance reduction is the whole point of CUPED.
+_CUPED_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(user_id % 2 AS BIGINT) AS cohort,
+         CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
+                       THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'
+                       THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events GROUP BY user_id
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(x) AS HUGEINT) AS sx,
+         CAST(SUM(y) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+  FROM per_user
+),
+theta AS (
+  SELECT n, sx,
+         CAST(1000000 * (n * sxy - sx * sy) // (n * sxx - sx * sx) AS HUGEINT)
+           AS th_micro
+  FROM mom
+),
+coh AS (
+  SELECT cohort,
+         CAST(COUNT(*) AS HUGEINT) AS nc,
+         CAST(SUM(x) AS HUGEINT) AS sxc,
+         CAST(SUM(y) AS HUGEINT) AS syc
+  FROM per_user GROUP BY cohort
+)
+SELECT c.cohort,
+       CAST(c.nc AS BIGINT) AS n_users,
+       ROUND(CAST(c.syc AS DOUBLE) / (100.0 * CAST(c.nc AS DOUBLE)), 6) AS raw_mean,
+       ROUND(CAST(1000000 * t.n * c.syc
+                  - t.th_micro * (t.n * c.sxc - c.nc * t.sx) AS DOUBLE)
+             / (100000000.0 * CAST(t.n AS DOUBLE) * CAST(c.nc AS DOUBLE)), 6)
+         AS cuped_mean,
+       ROUND(t.th_micro / 1000000.0, 6) AS theta
+FROM coh c, theta t
+"""
+
+
+@register(
+    "ml_cuped_adjustment",
+    _CUPED_ORACLE,
+    doc="CUPED variance-reduced cohort means, theta floor-quantized to micro-units",
+)
+def ml_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED — the variance-reduction trick that makes experiments
+    readable weeks earlier: subtract theta*(X - mean(X)) from each
+    user's outcome, where X is the user's PRE-period behavior and
+    theta = cov(X,Y)/var(X). Cross-user moments are exact cents
+    products in DECIMAL(38,0); theta floor-quantizes to micro-units
+    with the pmod floor-division identity, so both cohorts' adjusted
+    means are single divisions of exact integers — the adjusted
+    readout an experimentation platform would publish, reproducible
+    bit-for-bit. Complements ml_stratified_ate (stratification
+    adjusts a confounder; CUPED shrinks variance). One per-user
+    aggregate then O(1)-size arithmetic."""
+    e = load_table(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    per_user = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("ts") < F.lit("2024-01-16").cast("timestamp"),
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("x"),
+        F.sum(
+            F.when(
+                F.col("ts") >= F.lit("2024-01-16").cast("timestamp"),
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("y"),
+    ).withColumn("cohort", (F.col("user_id") % 2).cast("long"))
+    mom = per_user.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).cast(dec).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).cast(dec).alias("sxx"),
+    )
+    th_num = (F.lit(1000000).cast(dec) * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))).cast(dec)
+    th_den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(dec)
+    theta = mom.select(
+        "n",
+        "sx",
+        ((th_num - F.pmod(th_num, th_den)) / th_den).cast(dec).alias("th_micro"),
+    )
+    coh = per_user.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast(dec).alias("nc"),
+        F.sum("x").cast(dec).alias("sxc"),
+        F.sum("y").cast(dec).alias("syc"),
+    )
+    adj = (
+        F.lit(1000000).cast(dec) * F.col("n") * F.col("syc")
+        - F.col("th_micro") * (F.col("n") * F.col("sxc") - F.col("nc") * F.col("sx"))
+    ).cast(dec)
+    return coh.crossJoin(F.broadcast(theta)).select(
+        "cohort",
+        F.col("nc").cast("long").alias("n_users"),
+        F.round(
+            F.col("syc").cast("double") / (100.0 * F.col("nc").cast("double")), 6
+        ).alias("raw_mean"),
+        F.round(
+            adj.cast("double")
+            / (100000000.0 * F.col("n").cast("double") * F.col("nc").cast("double")),
+            6,
+        ).alias("cuped_mean"),
+        F.round(F.col("th_micro").cast("double") / 1000000.0, 6).alias("theta"),
+    )
