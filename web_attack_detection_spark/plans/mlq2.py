@@ -2025,3 +2025,87 @@ def ml_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cuped_mean"),
         F.round(F.col("th_micro").cast("double") / 1000000.0, 6).alias("theta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SPRT sequential monitor over the daily error stream
+# ---------------------------------------------------------------------------
+
+# H0: error rate 0.19 vs H1: 0.21; per-event LLR contributions and the
+# alpha=beta=0.05 decision bounds ln(19) are PINNED micro-nat literals
+# (computed once, inlined in both engines — no engine evaluates a
+# log), so the cumulative statistic and every crossing flag are exact
+# BIGINT arithmetic end to end.
+_SPRT_L_ERR = 100083    # round(1e6 * ln(0.21/0.19))
+_SPRT_L_OK = -25001     # round(1e6 * ln(0.79/0.81))
+_SPRT_BOUND = 2944439   # round(1e6 * ln(19))
+
+_SPRT_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS e,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 0 ELSE 1 END) AS BIGINT) AS o
+  FROM events GROUP BY 1
+),
+cum AS (
+  SELECT day, e, o,
+         CAST(SUM(e * {_SPRT_L_ERR} + o * ({_SPRT_L_OK})) OVER (
+           ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS llr_micro
+  FROM daily
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, e AS n_errors,
+       llr_micro,
+       CAST(CASE WHEN llr_micro >= {_SPRT_BOUND} THEN 1
+                 WHEN llr_micro <= -{_SPRT_BOUND} THEN -1
+                 ELSE 0 END AS BIGINT) AS decision
+FROM cum
+"""
+
+
+@register(
+    "ml_sprt_monitor",
+    _SPRT_ORACLE,
+    doc="Wald SPRT over the daily error stream, pinned micro-nat literals, exact BIGINT",
+)
+def ml_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """When could the monitor have stopped? Wald's sequential
+    probability ratio test walking the daily error stream: cumulative
+    log-likelihood ratio for H1 (rate 0.21) vs H0 (0.19), decided at
+    alpha=beta=0.05 bounds. Every per-event LLR contribution and both
+    decision bounds are pinned micro-nat integer LITERALS — neither
+    engine evaluates a logarithm, so the trajectory and each day's
+    accept/reject/continue decision are exact integer arithmetic, the
+    property a regulatory-grade sequential monitor needs (a boundary
+    crossing can't flip with partition order or engine). One daily
+    groupBy plus one running-sum window over O(days) rows."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date(F.col("ts")).alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("e"),
+        F.sum(F.when(F.col("event_type") == "error", 0).otherwise(1))
+        .cast("long")
+        .alias("o"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "day",
+        "e",
+        F.sum(
+            F.col("e") * _SPRT_L_ERR + F.col("o") * F.lit(_SPRT_L_OK)
+        )
+        .over(w)
+        .cast("long")
+        .alias("llr_micro"),
+    )
+    return cum.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("e").alias("n_errors"),
+        "llr_micro",
+        F.when(F.col("llr_micro") >= _SPRT_BOUND, 1)
+        .when(F.col("llr_micro") <= -_SPRT_BOUND, -1)
+        .otherwise(0)
+        .cast("long")
+        .alias("decision"),
+    )

@@ -873,3 +873,78 @@ def pipe_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "canonical_name",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# shard planning for corpus export (running-byte-count bin assignment)
+# ---------------------------------------------------------------------------
+
+_SHARD_BYTES = 65536
+
+_SHARD_PLAN_ORACLE = f"""
+WITH sized AS (
+  SELECT doc_id, source,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents
+),
+runsum AS (
+  SELECT doc_id, source, n_bytes,
+         CAST(SUM(n_bytes) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_bytes
+  FROM sized
+),
+assigned AS (
+  SELECT doc_id, source, n_bytes,
+         CAST((cum_bytes - 1) // {_SHARD_BYTES} AS BIGINT) AS shard
+  FROM runsum
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM assigned GROUP BY shard
+"""
+
+
+@register(
+    "pipe_shard_plan",
+    _SHARD_PLAN_ORACLE,
+    doc=f"export shard planner: running-byte bin assignment at {_SHARD_BYTES}-byte targets",
+)
+def pipe_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write planner a 100 TB corpus export runs before touching
+    a single output file: assign documents (in stable doc_id order)
+    to fixed-size shards by running byte count — shard k holds the
+    docs whose cumulative bytes land in (k*S, (k+1)*S]. Contiguous
+    assignment preserves locality (range reads stay sequential), the
+    plan is pure integer arithmetic on one running-sum window, and
+    the per-shard manifest (doc ranges, byte totals, source spread)
+    is exactly what the downstream writer consumes as its work list.
+    At 100 TB the global running sum becomes per-partition offsets +
+    a tiny exclusive-prefix broadcast — same arithmetic, one pass
+    either way."""
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id",
+        "source",
+        F.octet_length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    assigned = sized.select(
+        "doc_id",
+        "source",
+        "n_bytes",
+        F.floor((F.sum("n_bytes").over(w) - 1) / _SHARD_BYTES)
+        .cast("long")
+        .alias("shard"),
+    )
+    return assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_bytes").cast("long").alias("shard_bytes"),
+        F.count_distinct("source").cast("long").alias("n_sources"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+        F.max("doc_id").cast("long").alias("last_doc"),
+    )
