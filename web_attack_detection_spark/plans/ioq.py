@@ -176,3 +176,65 @@ def io_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("user_id").cast("long").alias("user_checksum"),
         F.round(F.sum("cents") / F.lit(100.0), 2).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# schema evolution: mergeSchema over generations of a dataset
+# ---------------------------------------------------------------------------
+
+_EVOLUTION_ORACLE = f"""
+WITH unioned AS (
+  SELECT event_id, user_id, event_type,
+         CAST(NULL AS BIGINT) AS cents
+  FROM events WHERE event_id % 2 = 0
+  UNION ALL
+  SELECT event_id, user_id, event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_id % 2 = 1
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(cents) AS BIGINT) AS n_with_value,
+       CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS cents_sum
+FROM unioned GROUP BY event_type
+"""
+
+
+@register(
+    "io_schema_evolution",
+    _EVOLUTION_ORACLE,
+    doc="mergeSchema read across two dataset generations (column added later)",
+)
+def io_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema drift, the fact of life every long-lived 100 TB dataset
+    accumulates: generation 1 was written WITHOUT the cents column,
+    generation 2 WITH it. The read side recovers a single unified
+    relation via ``mergeSchema`` — Spark fills the missing column
+    with NULLs for gen-1 files instead of failing or silently
+    dropping it — and the aggregate proves exactly which rows carry
+    values (n vs n_with_value) and that the sums survived. The
+    oracle states the same union with an explicit NULL column over
+    the origin. mergeSchema costs a footer read per file — enable it
+    per-read like here, not globally. Executes the two generation
+    writes at construction (tools/plan_audit.py _EXECUTING_NAMES)."""
+    e = load_table(spark, sf_dir, "events")
+    loc = _stable_dir(spark, "evolving_events", sf_dir)
+    gen1 = e.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "user_id", "event_type"
+    )
+    gen2 = e.filter(F.col("event_id") % 2 == 1).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    gen1.write.mode("overwrite").parquet(f"{loc}/gen=1")
+    gen2.write.mode("overwrite").parquet(f"{loc}/gen=2")
+    back = spark.read.option("mergeSchema", True).parquet(
+        f"{loc}/gen=1", f"{loc}/gen=2"
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count("cents").cast("long").alias("n_with_value"),
+        F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("cents_sum"),
+    )
