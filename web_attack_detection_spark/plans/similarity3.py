@@ -889,3 +889,144 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dot") / 1000000000000.0, 6).alias("similarity"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ranking-quality evaluation: NDCG@10 + MRR, pinned DCG weights
+# ---------------------------------------------------------------------------
+
+# 1/log2(rank+1) at 1e6, pinned so neither engine evaluates a log;
+# DCG and ideal-DCG become exact BIGINT sums of these literals.
+_NDCG_W = {
+    1: 1000000, 2: 630930, 3: 500000, 4: 430677, 5: 386853,
+    6: 356207, 7: 333333, 8: 315465, 9: 301030, 10: 289065,
+}
+
+_NDCG_CASE_SQL = "CASE rank " + " ".join(
+    f"WHEN {r} THEN {w}" for r, w in _NDCG_W.items()
+) + " END"
+
+_NDCG_ORACLE = f"""
+WITH elems AS (
+  SELECT vec_id, label, i - 1 AS pos0,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS v
+  FROM embeddings, UNNEST(range(1, 65)) AS r(i)
+),
+q AS (SELECT vec_id AS q_id, label AS q_label, pos0, v AS qv
+      FROM elems WHERE vec_id % 250 = 0),
+dots AS (
+  SELECT q.q_id, q.q_label, e.vec_id, e.label,
+         CAST(SUM(q.qv * e.v) AS BIGINT) AS dot
+  FROM elems e JOIN q ON q.pos0 = e.pos0
+  WHERE e.vec_id <> q.q_id
+  GROUP BY 1, 2, 3, 4
+),
+ranked AS (
+  SELECT q_id, q_label, label,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dot DESC, vec_id ASC) AS rank
+  FROM dots
+),
+top10 AS (SELECT * FROM ranked WHERE rank <= 10),
+scored AS (
+  SELECT q_id,
+         CAST(SUM(CASE WHEN label = q_label
+                  THEN CAST({_NDCG_CASE_SQL} AS BIGINT) ELSE 0 END) AS BIGINT) AS dcg,
+         CAST(SUM(CASE WHEN label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+         CAST(MIN(CASE WHEN label = q_label THEN rank END) AS BIGINT) AS first_rel
+  FROM top10 GROUP BY q_id
+),
+ideal AS (
+  SELECT s.q_id, s.dcg, s.n_rel, s.first_rel,
+         CAST(COALESCE((
+           SELECT SUM(w.wt) FROM (
+             SELECT UNNEST(range(1, 11)) AS rk,
+                    UNNEST([1000000, 630930, 500000, 430677, 386853,
+                            356207, 333333, 315465, 301030, 289065]) AS wt
+           ) w WHERE w.rk <= s.n_rel
+         ), 0) AS BIGINT) AS idcg
+  FROM scored s
+)
+SELECT q_id, n_rel,
+       ROUND(CASE WHEN idcg > 0 THEN dcg / (1.0 * idcg) ELSE 0.0 END, 6) AS ndcg_at_10,
+       ROUND(CASE WHEN first_rel IS NOT NULL THEN 1.0 / first_rel ELSE 0.0 END, 6)
+         AS reciprocal_rank
+FROM ideal
+"""
+
+
+@register(
+    "sim_ndcg_at_k",
+    _NDCG_ORACLE,
+    doc="NDCG@10 + MRR per query with pinned 1/log2 weight literals, exact BIGINT sums",
+)
+def sim_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking-quality scorecard a retrieval deployment tracks:
+    NDCG@10 (position-discounted relevance, here binary same-label
+    relevance over the quantized-dot ranking) and MRR (reciprocal
+    rank of the first relevant hit). The 1/log2(rank+1) discounts are
+    PINNED 1e6-scaled literals — the same no-engine-evaluates-a-log
+    discipline as rel_benford_digits — so DCG and the ideal DCG are
+    exact BIGINT sums and each query's score is one division.
+    Completes the retrieval-eval loop: sim_* queries produce
+    rankings, the in-query recall audits check candidate coverage,
+    and this scores final ranking QUALITY. Same broadcast-query scan
+    shape as sim_hard_negatives."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "e"),
+    ).select(
+        "vec_id",
+        "label",
+        "pos0",
+        F.round(F.col("e") * 1000000).cast("long").alias("v"),
+    )
+    q = elems.filter(F.col("vec_id") % 250 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        "pos0",
+        F.col("v").alias("qv"),
+    )
+    dots = (
+        elems.join(F.broadcast(q), "pos0")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "q_label", "vec_id", "label")
+        .agg(F.sum(F.col("qv") * F.col("v")).cast("long").alias("dot"))
+    )
+    rw = Window.partitionBy("q_id").orderBy(F.col("dot").desc(), F.col("vec_id").asc())
+    top10 = dots.withColumn("rank", F.row_number().over(rw)).filter(F.col("rank") <= 10)
+    wmap = F.create_map(*[F.lit(x) for kv in _NDCG_W.items() for x in kv])
+    scored = top10.groupBy("q_id").agg(
+        F.sum(
+            F.when(F.col("label") == F.col("q_label"), wmap[F.col("rank")]).otherwise(0)
+        )
+        .cast("long")
+        .alias("dcg"),
+        F.sum(F.when(F.col("label") == F.col("q_label"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_rel"),
+        F.min(F.when(F.col("label") == F.col("q_label"), F.col("rank")))
+        .cast("long")
+        .alias("first_rel"),
+    )
+    # ideal DCG = the n_rel largest weights = prefix sums of the pinned
+    # literal table, materialized as a tiny broadcast relation
+    prefix = [(k, sum(_NDCG_W[i] for i in range(1, k + 1))) for k in range(0, 11)]
+    idcg = spark.createDataFrame(prefix, "n_rel long, idcg long")
+    return scored.join(F.broadcast(idcg), "n_rel").select(
+        "q_id",
+        "n_rel",
+        F.round(
+            F.when(F.col("idcg") > 0, F.col("dcg") / (1.0 * F.col("idcg"))).otherwise(
+                0.0
+            ),
+            6,
+        ).alias("ndcg_at_10"),
+        F.round(
+            F.when(
+                F.col("first_rel").isNotNull(), 1.0 / F.col("first_rel")
+            ).otherwise(0.0),
+            6,
+        ).alias("reciprocal_rank"),
+    )
