@@ -920,26 +920,55 @@ def pipe_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     to fixed-size shards by running byte count — shard k holds the
     docs whose cumulative bytes land in (k*S, (k+1)*S]. Contiguous
     assignment preserves locality (range reads stay sequential), the
-    plan is pure integer arithmetic on one running-sum window, and
-    the per-shard manifest (doc ranges, byte totals, source spread)
-    is exactly what the downstream writer consumes as its work list.
-    At 100 TB the global running sum becomes per-partition offsets +
-    a tiny exclusive-prefix broadcast — same arithmetic, one pass
-    either way."""
+    plan is pure integer arithmetic, and the per-shard manifest
+    (doc ranges, byte totals, source spread) is exactly what the
+    downstream writer consumes as its work list. The prefix sum is
+    the DISTRIBUTED two-phase form, not a single-partition global
+    window: bucket subtotals (one map-side-combinable groupBy over
+    |docs|/1000 cells) get an exclusive running sum on the tiny
+    bucket relation, broadcast back as each bucket's byte offset;
+    the per-row window then partitions BY BUCKET — every shuffle
+    moves either O(buckets) rows or sorts only within a bucket. The
+    exact shape a 100 TB export planner runs."""
     d = load_table(spark, sf_dir, "documents")
     sized = d.select(
         "doc_id",
         "source",
         F.octet_length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
+        (F.col("doc_id") / 1000).cast("long").alias("bucket"),
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    assigned = sized.select(
-        "doc_id",
-        "source",
-        "n_bytes",
-        F.floor((F.sum("n_bytes").over(w) - 1) / _SHARD_BYTES)
-        .cast("long")
-        .alias("shard"),
+    # phase 1: per-bucket subtotals; exclusive prefix over the tiny
+    # bucket relation = each bucket's starting byte offset
+    bw = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        sized.groupBy("bucket")
+        .agg(F.sum("n_bytes").alias("bkt_bytes"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("bkt_bytes").over(bw), F.lit(0))
+            .cast("long")
+            .alias("offset"),
+        )
+    )
+    # phase 2: intra-bucket running sum (window partitioned by bucket —
+    # no global sort) + the broadcast offset
+    iw = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    assigned = (
+        sized.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "source",
+            "n_bytes",
+            F.floor(
+                (F.col("offset") + F.sum("n_bytes").over(iw) - 1) / _SHARD_BYTES
+            )
+            .cast("long")
+            .alias("shard"),
+        )
     )
     return assigned.groupBy("shard").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
