@@ -839,3 +839,207 @@ def rel_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# lag-k autocorrelation of the daily event-count series
+# ---------------------------------------------------------------------------
+
+# Pearson r between (x_t, x_{t-k}) for k = 1..7 in ONE window pass
+# (seven lags share the sort). All moment sums are exact BIGINT;
+# sqrt runs on identical integers in both engines, then ROUND(,6).
+_AUTOCORR_ORACLE = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+pairs AS (
+  SELECT k.k, d1.x AS x, d0.x AS y
+  FROM daily d1
+  CROSS JOIN (SELECT UNNEST(range(1, 8)) AS k) k
+  JOIN daily d0 ON d0.day = d1.day - CAST(k.k AS INTEGER)
+),
+mom AS (
+  SELECT k,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pairs GROUP BY k
+)
+SELECT CAST(k AS BIGINT) AS lag, n,
+       ROUND((n * sxy - sx * sy) /
+             sqrt(CAST((n * sxx - sx * sx) AS DOUBLE)
+                  * CAST((n * syy - sy * sy) AS DOUBLE)), 6) AS autocorr
+FROM mom
+"""
+
+
+@register(
+    "rel_autocorrelation",
+    _AUTOCORR_ORACLE,
+    doc="lag 1..7 autocorrelation of daily counts, exact moment sums, one window pass",
+)
+def rel_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The seasonality diagnostic read before choosing any forecast
+    window: Pearson autocorrelation of the daily event count at lags
+    1-7 (a weekly cycle shows as a lag-7 peak — the signal
+    rel_seasonal_naive_mase then scores). The seven lag pairings are
+    one equi-join of the O(days) daily aggregate against itself on
+    shifted dates (lag() takes only literal offsets, so the join IS
+    the variable-lag formulation), every moment sum is exact
+    BIGINT via the cross-multiplied Pearson form (rel_correlation's
+    identity), and sqrt sees identical integers in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date(F.col("ts")).alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    ks = spark.range(1, 8).select(F.col("id").cast("int").alias("k"))
+    d1 = daily.crossJoin(F.broadcast(ks))
+    d0 = daily.select(F.col("day").alias("day0"), F.col("x").alias("y"))
+    pairs = d1.join(
+        d0, F.date_sub(F.col("day"), F.col("k")) == F.col("day0")
+    ).select("k", "x", "y")
+    mom = pairs.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    return mom.select(
+        F.col("k").cast("long").alias("lag"),
+        "n",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                    "double"
+                )
+            ),
+            6,
+        ).alias("autocorr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test on the above/below-median daily sequence
+# ---------------------------------------------------------------------------
+
+# The day sequence becomes a binary above/below-discrete-median
+# string; R = observed runs. Under randomness E[R] = 2*n1*n0/n + 1,
+# Var[R] = 2*n1*n0*(2*n1*n0 - n) / (n^2 * (n-1)). Significance at
+# |z| > 1.96 cross-multiplies (exactly, in DECIMAL(38,0)) to:
+#   25^2 * (R*n - 2*n1*n0 - n)^2 * n^2 * (n-1)
+#     > 49^2 * n * 2*n1*n0 * (2*n1*n0 - n) * n^2 / n ... folded below
+# using z^2 = (R - E)^2 / Var and 1.96 = 49/25.
+_RUNS_ORACLE = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+ranked AS (
+  SELECT day, x,
+         ROW_NUMBER() OVER (ORDER BY x, day) AS rn,
+         COUNT(*) OVER () AS n
+  FROM daily
+),
+med AS (SELECT x AS med_x FROM ranked WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)),
+seq AS (
+  SELECT d.day, CASE WHEN d.x > m.med_x THEN 1 ELSE 0 END AS hi
+  FROM daily d, med m
+),
+runs AS (
+  SELECT hi,
+         CASE WHEN LAG(hi) OVER (ORDER BY day) IS NULL
+                OR LAG(hi) OVER (ORDER BY day) <> hi
+              THEN 1 ELSE 0 END AS starts
+  FROM seq
+),
+stat AS (
+  SELECT CAST(SUM(starts) AS BIGINT) AS r,
+         CAST(SUM(hi) AS BIGINT) AS n1,
+         CAST(COUNT(*) - SUM(hi) AS BIGINT) AS n0,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM runs
+)
+SELECT r AS n_runs, n1 AS n_above, n0 AS n_below,
+       ROUND((2.0 * n1 * n0) / n + 1, 6) AS expected_runs,
+       CAST(CASE WHEN
+         625 * CAST(r * n - 2 * n1 * n0 - n AS HUGEINT)
+             * (r * n - 2 * n1 * n0 - n) * (n - 1)
+         > 2401 * CAST(2 * n1 * n0 AS HUGEINT) * (2 * n1 * n0 - n)
+       THEN 1 ELSE 0 END AS BIGINT) AS nonrandom
+FROM stat
+"""
+
+
+@register(
+    "rel_runs_test",
+    _RUNS_ORACLE,
+    doc="Wald-Wolfowitz runs test on daily counts, significance integer-decided",
+)
+def rel_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the daily series random noise or does it trend/cluster? The
+    Wald-Wolfowitz runs test: binarize each day against the discrete
+    median (pinned ceil(n/2) rule), count runs of consecutive
+    same-side days, and compare to the expectation under randomness.
+    The |z| > 1.96 call cross-multiplies into one DECIMAL(38,0)
+    inequality (z^2 numerator and variance numerator cleared of all
+    divisions; 1.96 = 49/25), so the verdict is integer-decided —
+    too few runs means clustering (an incident), too many means
+    oscillation (a flapping alert). O(days) after the daily
+    groupBy."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date(F.col("ts")).alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    rw = Window.orderBy("x", "day")
+    cw = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = daily.select(
+        "day", "x", F.row_number().over(rw).alias("rn"), F.count(F.lit(1)).over(cw).alias("n")
+    )
+    med = ranked.filter(
+        F.col("rn") == F.ceil(0.5 * F.col("n")).cast("long")
+    ).select(F.col("x").alias("med_x"))
+    seq = daily.crossJoin(F.broadcast(med)).select(
+        "day", F.when(F.col("x") > F.col("med_x"), 1).otherwise(0).alias("hi")
+    )
+    sw = Window.orderBy("day")
+    runs = seq.select(
+        "hi",
+        F.when(
+            F.lag("hi").over(sw).isNull() | (F.lag("hi").over(sw) != F.col("hi")), 1
+        )
+        .otherwise(0)
+        .alias("starts"),
+    )
+    stat = runs.agg(
+        F.sum("starts").cast("long").alias("r"),
+        F.sum("hi").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("hi")).cast("long").alias("n0"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    dec = "decimal(38,0)"
+    dev = (
+        F.col("r") * F.col("n") - 2 * F.col("n1") * F.col("n0") - F.col("n")
+    ).cast(dec)
+    lhs = F.lit(625).cast(dec) * dev * dev * (F.col("n") - 1).cast(dec)
+    rhs = (
+        F.lit(2401).cast(dec)
+        * (2 * F.col("n1") * F.col("n0")).cast(dec)
+        * (2 * F.col("n1") * F.col("n0") - F.col("n")).cast(dec)
+    )
+    return stat.select(
+        F.col("r").alias("n_runs"),
+        F.col("n1").alias("n_above"),
+        F.col("n0").alias("n_below"),
+        F.round((2.0 * F.col("n1") * F.col("n0")) / F.col("n") + 1, 6).alias(
+            "expected_runs"
+        ),
+        F.when(lhs > rhs, 1).otherwise(0).cast("long").alias("nonrandom"),
+    )
