@@ -2109,3 +2109,108 @@ def ml_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("decision"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TOST equivalence test (the flip side of ml_ab_test_exact)
+# ---------------------------------------------------------------------------
+
+# Equivalence within margin delta = 0.01: BOTH one-sided z-tests at
+# alpha=0.05 (z = 1.645 = 329/200) must reject. Each side is the
+# cross-multiplied integer inequality
+#   200^2 * (delta_num -/+ diff_num)^2 > 329^2 * pooled_var_num
+# with diff_num = e1*n2 - e2*n1 over n1*n2, delta_num = n1*n2/100,
+# everything cleared to DECIMAL(38,0) — an equivalence call on the
+# margin boundary cannot flip between engines.
+_TOST_ORACLE = """
+WITH cohorts AS (
+  SELECT CAST(user_id % 2 AS BIGINT) AS cohort,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS e
+  FROM events GROUP BY 1
+),
+wide AS (
+  SELECT MAX(CASE WHEN cohort = 0 THEN e END) AS e1,
+         MAX(CASE WHEN cohort = 1 THEN e END) AS e2,
+         MAX(CASE WHEN cohort = 0 THEN n END) AS n1,
+         MAX(CASE WHEN cohort = 1 THEN n END) AS n2
+  FROM cohorts
+),
+terms AS (
+  SELECT e1, e2, n1, n2,
+         CAST(e1 * n2 - e2 * n1 AS HUGEINT) AS diff_num,
+         CAST(n1 * n2 AS HUGEINT) // 100 AS delta_num,
+         CAST(e1 + e2 AS HUGEINT) * ((n1 + n2) - (e1 + e2))
+           * (n1 + n2) * n1 * n2 // (CAST(n1 + n2 AS HUGEINT) * (n1 + n2))
+           AS var_num
+  FROM wide
+)
+SELECT ROUND(e1 / (1.0 * n1), 6) AS rate_a,
+       ROUND(e2 / (1.0 * n2), 6) AS rate_b,
+       ROUND((e1 * n2 - e2 * n1) / (1.0 * n1 * n2), 6) AS diff,
+       CAST(CASE WHEN
+           40000 * (delta_num - diff_num) * (delta_num - diff_num) > 108241 * var_num
+       AND 40000 * (delta_num + diff_num) * (delta_num + diff_num) > 108241 * var_num
+       AND diff_num < delta_num AND -diff_num < delta_num
+       THEN 1 ELSE 0 END AS BIGINT) AS equivalent
+FROM terms
+"""
+
+
+@register(
+    "ml_tost_equivalence",
+    _TOST_ORACLE,
+    doc="TOST equivalence test at a 1% margin, both one-sided calls integer-decided",
+)
+def ml_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'No significant difference' is NOT 'equivalent' — TOST (two
+    one-sided tests) is the correct way to claim two cohorts behave
+    the same within a margin: both one-sided z-tests against the
+    +/-1% bounds must reject at alpha=0.05. Completes the comparison
+    suite (ml_ab_test_exact: different? ml_mcnemar_kappa: paired?
+    ml_stratified_ate: adjusted? this: same-enough?). Every decision
+    input is cleared of divisions into DECIMAL(38,0) products
+    (z=1.645 as 329/200, squared to 108241/40000), so a margin-
+    boundary statistic classifies identically in both engines. One
+    2-cell aggregate over the scored stream."""
+    e = load_table(spark, sf_dir, "events")
+    cohorts = e.groupBy((F.col("user_id") % 2).cast("long").alias("cohort")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("e"),
+    )
+    wide = cohorts.agg(
+        F.max(F.when(F.col("cohort") == 0, F.col("e"))).alias("e1"),
+        F.max(F.when(F.col("cohort") == 1, F.col("e"))).alias("e2"),
+        F.max(F.when(F.col("cohort") == 0, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("cohort") == 1, F.col("n"))).alias("n2"),
+    )
+    dec = "decimal(38,0)"
+    e1, e2, n1, n2 = (F.col(c) for c in ("e1", "e2", "n1", "n2"))
+    diff_num = (e1 * n2 - e2 * n1).cast(dec)
+    prod = (n1.cast(dec) * n2.cast(dec)).cast(dec)
+    delta_num = ((prod - F.pmod(prod, F.lit(100).cast(dec))) / 100).cast(dec)
+    var_raw = (
+        (e1 + e2).cast(dec)
+        * ((n1 + n2) - (e1 + e2)).cast(dec)
+        * (n1 + n2).cast(dec)
+        * n1.cast(dec)
+        * n2.cast(dec)
+    ).cast(dec)
+    var_den = ((n1 + n2).cast(dec) * (n1 + n2).cast(dec)).cast(dec)
+    var_num = ((var_raw - F.pmod(var_raw, var_den)) / var_den).cast(dec)
+    lo = (delta_num - diff_num).cast(dec)
+    hi = (delta_num + diff_num).cast(dec)
+    ok = (
+        (F.lit(40000).cast(dec) * lo * lo > F.lit(108241).cast(dec) * var_num)
+        & (F.lit(40000).cast(dec) * hi * hi > F.lit(108241).cast(dec) * var_num)
+        & (diff_num < delta_num)
+        & (-diff_num < delta_num)
+    )
+    return wide.select(
+        F.round(e1 / (1.0 * n1), 6).alias("rate_a"),
+        F.round(e2 / (1.0 * n2), 6).alias("rate_b"),
+        F.round((e1 * n2 - e2 * n1) / (1.0 * n1 * n2), 6).alias("diff"),
+        F.when(ok, 1).otherwise(0).cast("long").alias("equivalent"),
+    )

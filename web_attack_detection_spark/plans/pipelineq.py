@@ -1004,3 +1004,82 @@ def pipe_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("long").alias("first_doc"),
         F.max("doc_id").cast("long").alias("last_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus version diff by content hash (added / removed / changed)
+# ---------------------------------------------------------------------------
+
+# Version 2 is a deterministic mutation of the corpus: docs with
+# doc_id % 17 = 0 dropped, docs with doc_id % 13 = 0 get ' v2'
+# appended, the rest unchanged — the fixture stand-in for "last
+# week's snapshot vs this week's". The diff itself is the operator:
+# full-outer join on doc_id, change detection by md5 content hash.
+_CORPUS_DIFF_ORACLE = """
+WITH v1 AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+v2 AS (
+  SELECT doc_id, source,
+         md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END) AS h
+  FROM documents WHERE doc_id % 17 <> 0
+),
+diff AS (
+  SELECT COALESCE(v1.source, v2.source) AS source,
+         CASE WHEN v1.doc_id IS NULL THEN 'added'
+              WHEN v2.doc_id IS NULL THEN 'removed'
+              WHEN v1.h <> v2.h THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+)
+SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n
+FROM diff GROUP BY source, status
+"""
+
+
+@register(
+    "pipe_corpus_diff",
+    _CORPUS_DIFF_ORACLE,
+    doc="corpus snapshot diff: added/removed/changed by content hash, per source",
+)
+def pipe_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What changed between corpus snapshots? The diff every dataset
+    release note is built from: full-outer join of two versions on
+    the document key, change detection by content HASH (never by
+    comparing text bytes through the join — the hash is computed
+    map-side once per side, so the join carries 32-byte digests
+    instead of documents). Version 2 here is a deterministic fixture
+    mutation (drops + edits); in production both sides are real
+    snapshots and nothing else changes. Counts roll up per source and
+    status — the added/removed/changed table that decides whether a
+    retrain is warranted. Scale: one equi-join keyed on doc_id with
+    both sides pre-hashed; rel_snapshot_diff is the keyed-table
+    analogue of the same shape."""
+    d = load_table(spark, sf_dir, "documents")
+    v1 = d.select("doc_id", "source", F.md5("text").alias("h"))
+    v2 = d.filter(F.col("doc_id") % 17 != 0).select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text"))
+        ).alias("h"),
+    )
+    diff = v1.join(
+        v2.select(
+            F.col("doc_id").alias("doc_id2"),
+            F.col("source").alias("source2"),
+            F.col("h").alias("h2"),
+        ),
+        v1.doc_id == F.col("doc_id2"),
+        "full_outer",
+    ).select(
+        F.coalesce("source", "source2").alias("source"),
+        F.when(F.col("doc_id").isNull(), "added")
+        .when(F.col("doc_id2").isNull(), "removed")
+        .when(F.col("h") != F.col("h2"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return diff.groupBy("source", "status").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
