@@ -1030,3 +1030,108 @@ def sim_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("reciprocal_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# precision / recall @ k curve (k = 1, 3, 5, 10) in one ranking pass
+# ---------------------------------------------------------------------------
+
+_PR_AT_K_ORACLE = """
+WITH elems AS (
+  SELECT vec_id, label, i - 1 AS pos0,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS v
+  FROM embeddings, UNNEST(range(1, 65)) AS r(i)
+),
+q AS (SELECT vec_id AS q_id, label AS q_label, pos0, v AS qv
+      FROM elems WHERE vec_id % 250 = 0),
+dots AS (
+  SELECT q.q_id, q.q_label, e.vec_id, e.label,
+         CAST(SUM(q.qv * e.v) AS BIGINT) AS dot
+  FROM elems e JOIN q ON q.pos0 = e.pos0
+  WHERE e.vec_id <> q.q_id
+  GROUP BY 1, 2, 3, 4
+),
+ranked AS (
+  SELECT q_id, q_label, label,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dot DESC, vec_id ASC) AS rank
+  FROM dots
+),
+rel_tot AS (
+  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_rel_total
+  FROM ranked WHERE label = q_label GROUP BY q_id
+),
+ks AS (SELECT UNNEST([1, 3, 5, 10]) AS k),
+hits AS (
+  SELECT r.q_id, k.k,
+         CAST(SUM(CASE WHEN r.label = r.q_label THEN 1 ELSE 0 END) AS BIGINT) AS h
+  FROM ranked r JOIN ks k ON r.rank <= k.k
+  GROUP BY r.q_id, k.k
+)
+SELECT h.q_id, CAST(h.k AS BIGINT) AS k, h.h AS n_hits,
+       ROUND(h.h / (1.0 * h.k), 6) AS precision_at_k,
+       ROUND(h.h / (1.0 * t.n_rel_total), 6) AS recall_at_k
+FROM hits h JOIN rel_tot t USING (q_id)
+"""
+
+
+@register(
+    "sim_precision_recall_at_k",
+    _PR_AT_K_ORACLE,
+    doc="P@k and R@k (k=1,3,5,10) from ONE ranking pass, exact hit counts",
+)
+def sim_precision_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The other two retrieval dials next to sim_ndcg_at_k: precision
+    (how much of the page is relevant) and recall (how much of the
+    relevant corpus the page found) at the standard cutoffs — all
+    four k values measured from ONE ranking pass (the k spine joins
+    the ranked relation on rank <= k; no re-ranking per cutoff). Hit
+    counts and relevant totals are exact BIGINT, each score one
+    division. Same broadcast-query ranking shape as the rest of the
+    eval family."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "e"),
+    ).select(
+        "vec_id", "label", "pos0",
+        F.round(F.col("e") * 1000000).cast("long").alias("v"),
+    )
+    q = elems.filter(F.col("vec_id") % 250 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        "pos0",
+        F.col("v").alias("qv"),
+    )
+    dots = (
+        elems.join(F.broadcast(q), "pos0")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "q_label", "vec_id", "label")
+        .agg(F.sum(F.col("qv") * F.col("v")).cast("long").alias("dot"))
+    )
+    rw = Window.partitionBy("q_id").orderBy(F.col("dot").desc(), F.col("vec_id").asc())
+    ranked = dots.withColumn("rank", F.row_number().over(rw)).localCheckpoint()
+    rel_tot = (
+        ranked.filter(F.col("label") == F.col("q_label"))
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rel_total"))
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in (1, 3, 5, 10)])).alias("k")
+    )
+    hits = (
+        ranked.join(F.broadcast(ks), ranked.rank <= F.col("k"))
+        .groupBy("q_id", "k")
+        .agg(
+            F.sum(F.when(F.col("label") == F.col("q_label"), 1).otherwise(0))
+            .cast("long")
+            .alias("h")
+        )
+    )
+    return hits.join(F.broadcast(rel_tot), "q_id").select(
+        "q_id",
+        F.col("k").cast("long"),
+        F.col("h").alias("n_hits"),
+        F.round(F.col("h") / (1.0 * F.col("k")), 6).alias("precision_at_k"),
+        F.round(F.col("h") / (1.0 * F.col("n_rel_total")), 6).alias("recall_at_k"),
+    )

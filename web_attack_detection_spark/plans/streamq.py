@@ -883,3 +883,92 @@ def stream_topk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(rw).cast("long"))
         .filter(F.col("rank") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# SPRT monitor fed by the STREAM (agg-in-stream, decide-at-read)
+# ---------------------------------------------------------------------------
+
+_STREAM_SPRT_ORACLE = """
+WITH daily AS (
+  SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS e,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 0 ELSE 1 END) AS BIGINT) AS o
+  FROM events GROUP BY 1
+),
+cum AS (
+  SELECT day, e,
+         CAST(SUM(e * 100083 + o * (-25001)) OVER (
+           ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS llr_micro
+  FROM daily
+)
+SELECT day, e AS n_errors, llr_micro,
+       CAST(CASE WHEN llr_micro >= 2944439 THEN 1
+                 WHEN llr_micro <= -2944439 THEN -1
+                 ELSE 0 END AS BIGINT) AS decision
+FROM cum
+"""
+
+
+@register(
+    "stream_sprt_monitor",
+    _STREAM_SPRT_ORACLE,
+    doc="SPRT over streaming daily aggregates: state in-stream, sequential decision at read",
+)
+def stream_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ml_sprt_monitor fed by the STREAM: the watermarked 1-day
+    tumbling window maintains the per-day error/ok counts as
+    streaming state (the only part that needs the unbounded input),
+    and the sequential statistic — a running sum in EVENT-TIME order,
+    which a streaming query cannot emit ordered — is computed over
+    the sink table at read, exactly like stream_topk_windows'
+    agg-in-stream / rank-at-read split. Replay must reproduce the
+    batch SPRT bit-for-bit: same pinned micro-nat literals, same
+    integer trajectory, same crossing days (constants shared with
+    plans/mlq2.py)."""
+    from pyspark.sql import Window as W
+
+    from web_attack_detection_spark.plans.mlq2 import (
+        _SPRT_BOUND,
+        _SPRT_L_ERR,
+        _SPRT_L_OK,
+    )
+
+    def day_counts(s):
+        src = s.withWatermark("ts", "30 minutes")
+        return (
+            src.groupBy(F.window("ts", "1 day"))
+            .agg(
+                F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+                .cast("long")
+                .alias("e"),
+                F.sum(F.when(F.col("event_type") == "error", 0).otherwise(1))
+                .cast("long")
+                .alias("o"),
+            )
+            .select(
+                F.date_format("window.start", "yyyy-MM-dd").alias("day"), "e", "o"
+            )
+        )
+
+    daily = _replay(spark, sf_dir, day_counts)
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    cum = daily.select(
+        "day",
+        "e",
+        F.sum(F.col("e") * _SPRT_L_ERR + F.col("o") * F.lit(_SPRT_L_OK))
+        .over(w)
+        .cast("long")
+        .alias("llr_micro"),
+    )
+    return cum.select(
+        "day",
+        F.col("e").alias("n_errors"),
+        "llr_micro",
+        F.when(F.col("llr_micro") >= _SPRT_BOUND, 1)
+        .when(F.col("llr_micro") <= -_SPRT_BOUND, -1)
+        .otherwise(0)
+        .cast("long")
+        .alias("decision"),
+    )
