@@ -703,3 +703,79 @@ def sim_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         tf.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage curve (top-N token share, one scan)
+# ---------------------------------------------------------------------------
+
+_VOCAB_COVERAGE_ORACLE = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(text, '\\s+')) AS tok FROM documents
+),
+counts AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks WHERE tok <> '' GROUP BY tok
+),
+ranked AS (
+  SELECT tok, n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS rk,
+         SUM(n) OVER () AS total
+  FROM counts
+),
+ns AS (SELECT UNNEST([5, 10, 20, 40]) AS top_n)
+SELECT CAST(ns.top_n AS BIGINT) AS top_n,
+       CAST(SUM(r.n) AS BIGINT) AS covered_instances,
+       CAST(MAX(r.total) AS BIGINT) AS total_instances,
+       ROUND(SUM(r.n) / (1.0 * MAX(r.total)), 6) AS coverage
+FROM ns JOIN ranked r ON r.rk <= ns.top_n
+GROUP BY ns.top_n
+"""
+
+
+@register(
+    "text_vocab_coverage",
+    _VOCAB_COVERAGE_ORACLE,
+    doc="vocabulary coverage curve: token-instance share of the top-N vocab, one scan",
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How big a vocabulary do you actually need? The coverage curve
+    every tokenizer-sizing decision reads: the share of all token
+    INSTANCES covered by the top-N types, for four N values from one
+    token-count aggregate (the N spine joins rank <= N — the corpus
+    is scanned once, the curve is computed over |vocab| rows). Rank
+    ties break on the token string, so the curve is engine-identical
+    even when two types tie on frequency. Pairs with
+    text_bpe_first_merge (what to merge next) and text_zipf_slope
+    (how fast coverage saturates)."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    rw = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+    tw = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = counts.select(
+        "n",
+        F.row_number().over(rw).alias("rk"),
+        F.sum("n").over(tw).alias("total"),
+    )
+    ns = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in (5, 10, 20, 40)])).alias("top_n")
+    )
+    return (
+        ranked.join(F.broadcast(ns), ranked.rk <= F.col("top_n"))
+        .groupBy("top_n")
+        .agg(
+            F.sum("n").cast("long").alias("covered_instances"),
+            F.max("total").cast("long").alias("total_instances"),
+            F.round(F.sum("n") / (1.0 * F.max("total")), 6).alias("coverage"),
+        )
+        .select(
+            F.col("top_n").cast("long"),
+            "covered_instances",
+            "total_instances",
+            "coverage",
+        )
+    )
