@@ -26,7 +26,7 @@ _EXECUTING_NAMES for that reason.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from web_attack_detection_spark.io.sources import load_table
@@ -299,4 +299,91 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").cast("long"),
         "n_common",
         F.round(F.col("aa_num") / 1000000.0, 6).alias("adamic_adar"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# community detection: fixed-round majority label propagation
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 4
+
+
+def _lpa_oracle(rounds: int) -> str:
+    """Chained MATERIALIZED CTEs, one per round: each node adopts the
+    most frequent label among its neighbors (ties -> smallest label).
+    Deterministic by construction — the tie rule plus fixed round
+    count removes the update-order dependence classic async LPA has."""
+    ctes = [
+        f"adj AS MATERIALIZED ({_BIP_ADJ_SQL})",
+        "l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM adj)",
+    ]
+    for i in range(1, rounds + 1):
+        p = f"l{i - 1}"
+        ctes.append(
+            f"""l{i} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT adj.a AS node, prev.label,
+           ROW_NUMBER() OVER (PARTITION BY adj.a
+                              ORDER BY COUNT(*) DESC, prev.label ASC) AS rn
+    FROM adj JOIN {p} prev ON prev.node = adj.b
+    GROUP BY adj.a, prev.label
+  ) WHERE rn = 1
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(label AS BIGINT) AS community,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(node) AS BIGINT) AS member_checksum
+FROM l{rounds} GROUP BY label"""
+    )
+
+
+@register(
+    "graph_lpa_communities",
+    _lpa_oracle(_LPA_ROUNDS),
+    doc=f"majority label propagation, {_LPA_ROUNDS} synchronous rounds, min-label ties",
+)
+def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by SYNCHRONOUS majority label propagation
+    over the bipartite trade graph: every round, every node adopts
+    the most frequent label among its neighbors, ties to the
+    smallest label. Classic async LPA is nondeterministic (result
+    depends on update order); the synchronous fixed-round variant
+    with an integer tie rule is bit-reproducible — the property that
+    makes the detected communities REGRESSION-TESTABLE, which is why
+    this variant is what production graph pipelines actually deploy.
+    Per round: one join of the adjacency against the label table,
+    one count aggregate, one per-node argmax window — all shuffles
+    keyed on node id, cost rounds x O(E) like graph_kcore_peel, with
+    the same per-round localCheckpoint (plan stays linear) and the
+    same MATERIALIZED-CTE mirror in the oracle."""
+    adj = _bip_adj(spark, sf_dir).localCheckpoint()
+    lab = adj.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(_LPA_ROUNDS):
+        nbr = adj.join(
+            lab.withColumnRenamed("node", "b"), "b"
+        ).select(F.col("a").alias("node"), "label")
+        cnt = nbr.groupBy("node", "label").agg(F.count(F.lit(1)).alias("c"))
+        w = Window.partitionBy("node").orderBy(
+            F.col("c").desc(), F.col("label").asc()
+        )
+        lab = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint()
+        )
+    return lab.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("node").cast("long").alias("member_checksum"),
+    ).select(
+        F.col("label").cast("long").alias("community"),
+        "n_members",
+        "member_checksum",
     )
