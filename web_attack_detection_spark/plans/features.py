@@ -627,3 +627,57 @@ def f11_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("encoding"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F12 twin-surface extension: cyclic time encoding with pinned literals
+# ---------------------------------------------------------------------------
+
+# sin/cos of the 24 hour angles pinned as 6-decimal literals (the -0.0
+# at cos(18h) normalized to 0.0) — neither engine evaluates trig, so
+# the encoded features are identical by construction.
+_CYC_SIN = {0: 0.0, 1: 0.258819, 2: 0.5, 3: 0.707107, 4: 0.866025, 5: 0.965926, 6: 1.0, 7: 0.965926, 8: 0.866025, 9: 0.707107, 10: 0.5, 11: 0.258819, 12: 0.0, 13: -0.258819, 14: -0.5, 15: -0.707107, 16: -0.866025, 17: -0.965926, 18: -1.0, 19: -0.965926, 20: -0.866025, 21: -0.707107, 22: -0.5, 23: -0.258819}
+_CYC_COS = {0: 1.0, 1: 0.965926, 2: 0.866025, 3: 0.707107, 4: 0.5, 5: 0.258819, 6: 0.0, 7: -0.258819, 8: -0.5, 9: -0.707107, 10: -0.866025, 11: -0.965926, 12: -1.0, 13: -0.965926, 14: -0.866025, 15: -0.707107, 16: -0.5, 17: -0.258819, 18: 0.0, 19: 0.258819, 20: 0.5, 21: 0.707107, 22: 0.866025, 23: 0.965926}
+
+_CYCLIC_ORACLE = """
+WITH hours AS (
+  SELECT CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+)
+SELECT hour, n,
+       CASE hour WHEN 0 THEN 0.0 WHEN 1 THEN 0.258819 WHEN 2 THEN 0.5 WHEN 3 THEN 0.707107 WHEN 4 THEN 0.866025 WHEN 5 THEN 0.965926 WHEN 6 THEN 1.0 WHEN 7 THEN 0.965926 WHEN 8 THEN 0.866025 WHEN 9 THEN 0.707107 WHEN 10 THEN 0.5 WHEN 11 THEN 0.258819 WHEN 12 THEN 0.0 WHEN 13 THEN -0.258819 WHEN 14 THEN -0.5 WHEN 15 THEN -0.707107 WHEN 16 THEN -0.866025 WHEN 17 THEN -0.965926 WHEN 18 THEN -1.0 WHEN 19 THEN -0.965926 WHEN 20 THEN -0.866025 WHEN 21 THEN -0.707107 WHEN 22 THEN -0.5 WHEN 23 THEN -0.258819 END AS hour_sin,
+       CASE hour WHEN 0 THEN 1.0 WHEN 1 THEN 0.965926 WHEN 2 THEN 0.866025 WHEN 3 THEN 0.707107 WHEN 4 THEN 0.5 WHEN 5 THEN 0.258819 WHEN 6 THEN 0.0 WHEN 7 THEN -0.258819 WHEN 8 THEN -0.5 WHEN 9 THEN -0.707107 WHEN 10 THEN -0.866025 WHEN 11 THEN -0.965926 WHEN 12 THEN -1.0 WHEN 13 THEN -0.965926 WHEN 14 THEN -0.866025 WHEN 15 THEN -0.707107 WHEN 16 THEN -0.5 WHEN 17 THEN -0.258819 WHEN 18 THEN 0.0 WHEN 19 THEN 0.258819 WHEN 20 THEN 0.5 WHEN 21 THEN 0.707107 WHEN 22 THEN 0.866025 WHEN 23 THEN 0.965926 END AS hour_cos
+FROM hours
+"""
+
+
+@register(
+    "f12_cyclic_encode",
+    _CYCLIC_ORACLE,
+    doc="cyclic hour-of-day encoding (sin/cos) from pinned literal tables",
+)
+def f12_cyclic_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cyclic feature encoding — the fix for hour 23 and hour 0 being
+    'far apart' to a linear model: map the hour onto the unit circle
+    (sin, cos) so midnight wraps. The 24 angle values are PINNED
+    6-decimal literals in BOTH engines (no trig evaluated at query
+    time — the rel_benford_digits discipline), applied as a broadcast
+    literal map, so encoded features are bit-identical everywhere.
+    The same two columns attach per ROW in a feature pipeline (join
+    on hour or inline the CASE); the hourly rollup here is the
+    compact oracle-checkable statement. Completes the F1-F11 feature
+    family with the temporal encoder every time-aware detector
+    needs."""
+    e = load_table(spark, sf_dir, "events")
+    hours = e.groupBy(F.hour("ts").cast("long").alias("hour")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    sin_map = F.create_map(*[F.lit(x) for kv in _CYC_SIN.items() for x in kv])
+    cos_map = F.create_map(*[F.lit(x) for kv in _CYC_COS.items() for x in kv])
+    return hours.select(
+        "hour",
+        "n",
+        sin_map[F.col("hour")].alias("hour_sin"),
+        cos_map[F.col("hour")].alias("hour_cos"),
+    )
