@@ -646,8 +646,8 @@ WITH hours AS (
   FROM events GROUP BY 1
 )
 SELECT hour, n,
-       CASE hour WHEN 0 THEN 0.0 WHEN 1 THEN 0.258819 WHEN 2 THEN 0.5 WHEN 3 THEN 0.707107 WHEN 4 THEN 0.866025 WHEN 5 THEN 0.965926 WHEN 6 THEN 1.0 WHEN 7 THEN 0.965926 WHEN 8 THEN 0.866025 WHEN 9 THEN 0.707107 WHEN 10 THEN 0.5 WHEN 11 THEN 0.258819 WHEN 12 THEN 0.0 WHEN 13 THEN -0.258819 WHEN 14 THEN -0.5 WHEN 15 THEN -0.707107 WHEN 16 THEN -0.866025 WHEN 17 THEN -0.965926 WHEN 18 THEN -1.0 WHEN 19 THEN -0.965926 WHEN 20 THEN -0.866025 WHEN 21 THEN -0.707107 WHEN 22 THEN -0.5 WHEN 23 THEN -0.258819 END AS hour_sin,
-       CASE hour WHEN 0 THEN 1.0 WHEN 1 THEN 0.965926 WHEN 2 THEN 0.866025 WHEN 3 THEN 0.707107 WHEN 4 THEN 0.5 WHEN 5 THEN 0.258819 WHEN 6 THEN 0.0 WHEN 7 THEN -0.258819 WHEN 8 THEN -0.5 WHEN 9 THEN -0.707107 WHEN 10 THEN -0.866025 WHEN 11 THEN -0.965926 WHEN 12 THEN -1.0 WHEN 13 THEN -0.965926 WHEN 14 THEN -0.866025 WHEN 15 THEN -0.707107 WHEN 16 THEN -0.5 WHEN 17 THEN -0.258819 WHEN 18 THEN 0.0 WHEN 19 THEN 0.258819 WHEN 20 THEN 0.5 WHEN 21 THEN 0.707107 WHEN 22 THEN 0.866025 WHEN 23 THEN 0.965926 END AS hour_cos
+       CAST(CASE hour WHEN 0 THEN 0.0 WHEN 1 THEN 0.258819 WHEN 2 THEN 0.5 WHEN 3 THEN 0.707107 WHEN 4 THEN 0.866025 WHEN 5 THEN 0.965926 WHEN 6 THEN 1.0 WHEN 7 THEN 0.965926 WHEN 8 THEN 0.866025 WHEN 9 THEN 0.707107 WHEN 10 THEN 0.5 WHEN 11 THEN 0.258819 WHEN 12 THEN 0.0 WHEN 13 THEN -0.258819 WHEN 14 THEN -0.5 WHEN 15 THEN -0.707107 WHEN 16 THEN -0.866025 WHEN 17 THEN -0.965926 WHEN 18 THEN -1.0 WHEN 19 THEN -0.965926 WHEN 20 THEN -0.866025 WHEN 21 THEN -0.707107 WHEN 22 THEN -0.5 WHEN 23 THEN -0.258819 END AS DOUBLE) AS hour_sin,
+       CAST(CASE hour WHEN 0 THEN 1.0 WHEN 1 THEN 0.965926 WHEN 2 THEN 0.866025 WHEN 3 THEN 0.707107 WHEN 4 THEN 0.5 WHEN 5 THEN 0.258819 WHEN 6 THEN 0.0 WHEN 7 THEN -0.258819 WHEN 8 THEN -0.5 WHEN 9 THEN -0.707107 WHEN 10 THEN -0.866025 WHEN 11 THEN -0.965926 WHEN 12 THEN -1.0 WHEN 13 THEN -0.965926 WHEN 14 THEN -0.866025 WHEN 15 THEN -0.707107 WHEN 16 THEN -0.5 WHEN 17 THEN -0.258819 WHEN 18 THEN 0.0 WHEN 19 THEN 0.258819 WHEN 20 THEN 0.5 WHEN 21 THEN 0.707107 WHEN 22 THEN 0.866025 WHEN 23 THEN 0.965926 END AS DOUBLE) AS hour_cos
 FROM hours
 """
 
