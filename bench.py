@@ -39,6 +39,10 @@ def main() -> None:
     from web_attack_detection_spark.session import build_session
 
     spark = build_session(app_name="bench")
+    # the one-JSON-line stdout contract must not be flooded: the driver
+    # parses a ~2 KB tail, and WARN spam (DataSourceManager, streaming
+    # state store chatter) once corrupted the r3 parse (VERDICT r4 #5)
+    spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM + parquet footers once so per-query numbers measure
     # execution, not first-touch classloading
@@ -187,9 +191,13 @@ def main() -> None:
         "sf": sf_val,
         "full": "BENCH_full.json",
     }
+    # hard guarantee: stay inside the driver's capture window — drop
+    # slowest-10 entries until the line fits (ADVICE r4: an assert here
+    # would crash AFTER the multi-minute run and print nothing)
     line = json.dumps(compact)
-    # hard guarantee: stay inside the driver's capture window
-    assert len(line) < 1800, f"compact bench line too long: {len(line)}"
+    while len(line) >= 1800 and compact["queries"]:
+        compact["queries"].popitem()
+        line = json.dumps(compact)
     print(line)
     spark.stop()
 

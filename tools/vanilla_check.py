@@ -11,7 +11,7 @@ engine confs and sweeps:
 - every events-table query (TIMESTAMP(NANOS) parquet handling);
 - the timezone-sensitive scalar queries.
 
-Usage: python tools/vanilla_check.py [--all]
+Usage: python tools/vanilla_check.py [--all] [query_prefix ...]
 ``--all`` sweeps the entire oracle registry instead of the subset.
 """
 
@@ -62,14 +62,18 @@ def main() -> int:
     from web_attack_detection_spark.plans.registry import QUERIES
 
     run_all = "--all" in sys.argv
+    explicit = [a for a in sys.argv[1:] if not a.startswith("--")]
     names = [
         n
         for n, spec in sorted(QUERIES.items())
         if spec.oracle is not None
         and (
             run_all
-            or n.startswith(SENSITIVE_PREFIXES)
-            or n in SENSITIVE_NAMES
+            or (any(n.startswith(p) for p in explicit) if explicit else False)
+            or (
+                not explicit
+                and (n.startswith(SENSITIVE_PREFIXES) or n in SENSITIVE_NAMES)
+            )
         )
     ]
     failed = []

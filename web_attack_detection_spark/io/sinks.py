@@ -104,21 +104,12 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # content-keyed stable bucketed tables (persistent index shape)
 # ---------------------------------------------------------------------------
-
-_STABLE_CLEANUP: list[str] = []
-
-
-def _register_stable_cleanup(loc: str) -> None:
-    """Remove written table dirs at process exit so the shared
-    warehouse does not accumulate one layout per run (ADVICE r3)."""
-    import atexit
-    import shutil
-
-    if not _STABLE_CLEANUP:
-        atexit.register(
-            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _STABLE_CLEANUP]
-        )
-    _STABLE_CLEANUP.append(loc)
+#
+# No atexit cleanup (ADVICE r4): the content-keyed naming already bounds
+# accumulation to ONE directory per logical input (the pre-write
+# drop+rmtree overwrites it in place), and an exit-time rmtree would
+# both defeat cross-process reuse and race a concurrent process still
+# reading the directory.
 
 
 def stable_bucketed_table(
@@ -136,9 +127,8 @@ def stable_bucketed_table(
     bench/test/audit processes overwrite ONE directory instead of
     accumulating pid-unique copies. A fresh session's in-memory
     catalog does not know a table even when its location exists on
-    disk, so the drop+rmtree before saveAsTable is required; the
-    location is also registered for atexit removal. Returns the table
-    name."""
+    disk, so the drop+rmtree before saveAsTable is required. Returns
+    the table name."""
     import hashlib
     import os
     import shutil
@@ -150,7 +140,6 @@ def stable_bucketed_table(
     loc = os.path.join(wh.removeprefix("file:"), name.lower())
     shutil.rmtree(loc, ignore_errors=True)
     write_bucketed(df, name, bucket_col, n_buckets=n_buckets, sort_col=sort_col)
-    _register_stable_cleanup(loc)
     return name
 
 
@@ -166,7 +155,7 @@ def stable_partitioned_table(
     the layout whose directory structure IS the index (queries
     filtering/joining on the partition column read only matching
     directories, statically or via dynamic partition pruning).
-    Same overwrite + atexit-cleanup contract."""
+    Same content-keyed overwrite contract."""
     import hashlib
     import os
     import shutil
@@ -180,5 +169,4 @@ def stable_partitioned_table(
     df.write.mode("overwrite").partitionBy(*partition_cols).format(
         "parquet"
     ).saveAsTable(name)
-    _register_stable_cleanup(loc)
     return name

@@ -205,6 +205,12 @@ UNSW_SQL_DERIVE = """
 
 
 _FIXTURE_DIRS: dict[tuple, str] = {}
+# (sf_dir, load_table function object) -> events row count; the count
+# job (~0.2 s local floor) runs once per distinct loader, not once per
+# UNSW query per bench rep (ADVICE r4) — a probe that patches
+# ``load_table`` presents a NEW function object, so its fixture still
+# re-keys on the fresh row count
+_FIXTURE_COUNTS: dict[tuple, int] = {}
 
 
 def unsw_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
@@ -215,10 +221,15 @@ def unsw_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     bucketed-table caches in plans/relational10.py — so scale probes
     that patch ``load_table`` get a FRESH fixture instead of silently
     replaying the stale unpatched one; the mkdtemp dirs are removed at
-    process exit (ADVICE r3)."""
+    process exit (ADVICE r3). The row count itself is cached per
+    (sf_dir, loader identity) so cache hits cost zero Spark jobs."""
     from web_attack_detection_spark.io.sources import load_table
 
-    n_events = load_table(spark, sf_dir, "events").count()
+    count_key = (sf_dir, load_table)
+    n_events = _FIXTURE_COUNTS.get(count_key)
+    if n_events is None:
+        n_events = load_table(spark, sf_dir, "events").count()
+        _FIXTURE_COUNTS[count_key] = n_events
     key = (sf_dir, n_events)
     d = _FIXTURE_DIRS.get(key)
     if d is not None:

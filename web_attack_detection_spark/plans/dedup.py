@@ -429,8 +429,8 @@ def _corpus_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     shuffle off the index for the remaining lifecycle too: merging a
     committed batch back in, compacting, or index-vs-index dedup all
     join/group on the bucket key straight off storage. Cached per
-    (sf_dir, corpus row count); content-keyed stable names + atexit
-    cleanup via io/sinks.stable_bucketed_table (ADVICE r3)."""
+    (sf_dir, corpus row count); content-keyed stable names
+    overwritten in place via io/sinks.stable_bucketed_table (ADVICE r3/r4)."""
     from web_attack_detection_spark.io.sinks import stable_bucketed_table
     from web_attack_detection_spark.operators.dedup import shingles
 

@@ -505,25 +505,20 @@ def f10_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (relativeError > 0), which an oracle can't pin; this is the exact
     twin — quartile boundaries are real data values at ceil(p*n) of
     the sorted column (the rel_percentile_disc rule), then a
-    stateless CASE bucketing. The boundary pass here is one global
-    sort + row_number (fine to ~1e8 rows); at 100 TB you'd swap the
-    boundary pass for approx_percentile(err=1e-6) or a two-pass
-    histogram refine and keep the identical CASE apply side — the
-    apply side (the part that touches every row) is map-only either
-    way. Bucket populations are NOT n/4 exactly: duplicate boundary
+    stateless CASE bucketing. The boundary pass is the DISTRIBUTED
+    two-phase rank (operators/ranking.py: range-bucketed prefix sum —
+    the biggest sort is one range bucket, never the whole column), so
+    the fit side survives 100 TB as-is; the oracle keeps the
+    sorted-list exact form, proving the scale plan equal bit-for-bit.
+    The apply side (the part that touches every row) is map-only. Bucket populations are NOT n/4 exactly: duplicate boundary
     values all fall in the lower bucket, which is exactly what the
     <= split rule promises."""
-    from pyspark.sql import Window
+    from web_attack_detection_spark.operators.ranking import ranged_row_number
 
     o = load_table(spark, sf_dir, "orders")
     v = o.select(F.round(F.col("o_totalprice") * 100).cast("long").alias("v"))
-    w = Window.orderBy("v")
-    ranked = v.select(
-        "v",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1))
-        .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
-        .alias("n"),
+    ranked = ranged_row_number(
+        v, "v", [F.col("v").asc()], total_col="n"
     )
     q = (
         ranked.filter(

@@ -18,19 +18,19 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from web_attack_detection_spark.io.sinks import _register_stable_cleanup
 from web_attack_detection_spark.io.sources import load_table
 from web_attack_detection_spark.plans.registry import register, sql_money_sum
 
 
 def _stable_dir(spark: SparkSession, base: str, content_key: str) -> str:
     """Content-keyed directory under the warehouse (stable across
-    processes, overwritten per call, atexit-removed) — the
-    stable_bucketed_table contract for plain-path writes."""
+    processes, overwritten in place per call — one dir per logical
+    input, no accumulation and no exit-time rmtree racing concurrent
+    readers; ADVICE r4) — the stable_bucketed_table contract for
+    plain-path writes."""
     h = hashlib.md5(content_key.encode()).hexdigest()[:8]
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     loc = os.path.join(wh.removeprefix("file:"), f"{base}_{h}")
-    _register_stable_cleanup(loc)
     return loc
 
 

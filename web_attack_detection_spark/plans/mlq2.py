@@ -26,6 +26,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from web_attack_detection_spark.io.sources import load_table
+from web_attack_detection_spark.operators.ranking import (
+    ntile_from_rank,
+    ranged_row_number,
+)
 from web_attack_detection_spark.plans.mlq import _DETECT_CTE
 from web_attack_detection_spark.plans.registry import register
 
@@ -429,14 +433,17 @@ def ml_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers evaluated in one expression — engine-identical — and the
     10-term float sum rounds at 6 digits. Scale: one groupBy over 20
     (bin, half) cells after a map-only binning pass; the rank-parity
-    split is the only sort, replaceable by any timestamp predicate in
-    production (complements ml_drift_monitor, which watches embedding
+    split uses the distributed two-phase rank (operators/ranking.py),
+    and in production is replaced by any timestamp predicate (complements ml_drift_monitor, which watches embedding
     means; this watches the OUTPUT score)."""
     scored = _detect_scored(spark, sf_dir)
-    w = Window.orderBy("s")
-    sliced = scored.select("s").select(
-        "s", (F.row_number().over(w) % 2).alias("half")
-    )
+    # distributed two-phase rank (operators/ranking.py) — the parity
+    # split needs a global row number but never a single-task sort;
+    # tied scores stay contiguous in rank space, so per-parity counts
+    # are engine-deterministic under any within-tie order
+    sliced = ranged_row_number(
+        scored.select("s"), "s", [F.col("s").asc()]
+    ).select("s", (F.col("rn") % 2).alias("half"))
     mm = scored.agg(F.min("s").alias("smin"), F.max("s").alias("smax"))
     binned = sliced.crossJoin(F.broadcast(mm)).select(
         (
@@ -1210,9 +1217,12 @@ def ml_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     until the two final divisions is exact BIGINT, so the chart is
     engine-identical — the same integer-first discipline as
     ml_roc_curve / ml_tpr_at_fpr. Scale: one broadcast-able distinct
-    on orders' custkey, one global NTILE (a single ordered pass —
-    at 100 TB swap in the pre-aggregated score-histogram decile cut,
-    same downstream arithmetic)."""
+    on orders' custkey; the decile cut is the DISTRIBUTED two-phase
+    rank (operators/ranking.py — range-bucketed prefix sum, biggest
+    sort = one bucket), never a global NTILE window; the oracle keeps
+    the exact NTILE form, proving both plans agree bit-for-bit. The
+    remaining empty-partition windows run over the 10-row decile
+    aggregate — bounded, not sf-proportional."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     buyers = o.select("o_custkey").distinct()
@@ -1224,8 +1234,17 @@ def ml_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0).alias("pos"),
         )
     )
-    dw = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
-    dec = lab.select("pos", F.ntile(10).over(dw).alias("decile"))
+    ranked = ranged_row_number(
+        lab,
+        "c_acctbal",
+        [F.col("c_acctbal").desc(), F.col("c_custkey").asc()],
+        descending=True,
+        total_col="_tot",
+    )
+    dec = ranked.select(
+        "pos",
+        ntile_from_rank(F.col("rn"), F.col("_tot"), 10).alias("decile"),
+    )
     agg = dec.groupBy("decile").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("pos").cast("long").alias("n_pos"),
@@ -1627,7 +1646,7 @@ agg AS (
   FROM r GROUP BY segment
 )
 SELECT segment, n,
-       ROUND(s / (100.0 * n), 2) AS mean_value,
+       CAST(s // n AS BIGINT) / 100.0 AS mean_value,
        ROUND(CAST(2 * sr - (n + 1) * s AS DOUBLE) / CAST(n * s AS DOUBLE), 6) AS gini
 FROM agg
 """
@@ -1665,10 +1684,16 @@ def ml_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast(dec).alias("s"),
         F.sum(F.col("rk").cast(dec) * F.col("cents")).cast(dec).alias("sr"),
     )
+    # mean to whole cents via exact floor division (ADVICE r4: displayed
+    # ROUND of an inexact quotient diverges across engines at exact .5
+    # representations; integer floor-div to hundredths is engine-exact)
+    mean_cents = (
+        (F.col("s") - F.pmod(F.col("s"), F.col("n"))) / F.col("n")
+    ).cast("long")
     return agg.select(
         "segment",
         "n",
-        F.round(F.col("s") / (100.0 * F.col("n")), 2).alias("mean_value"),
+        (mean_cents / 100.0).alias("mean_value"),
         F.round(
             (2 * F.col("sr") - (F.col("n") + 1) * F.col("s")).cast("double")
             / (F.col("n") * F.col("s")).cast("double"),

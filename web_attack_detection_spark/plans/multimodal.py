@@ -285,12 +285,16 @@ def mm_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") * F.lit(2654435761) + F.col("j") * F.lit(40503)) % F.col("n"),
         )
     )
-    from pyspark.sql import Window
+    from web_attack_detection_spark.operators.ranking import ranged_row_number
 
-    idx = emb.select(
-        F.col("vec_id").alias("idx_vec_id"),
-        (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("idx"),
-    )
+    # the ROW_NUMBER index relation via the distributed two-phase rank
+    # (operators/ranking.py) — at 100 TB this index materializes once
+    # per corpus snapshot; it must never be a single-task global sort
+    idx = ranged_row_number(
+        emb.select(F.col("vec_id").alias("idx_vec_id")),
+        "idx_vec_id",
+        [F.col("idx_vec_id").asc()],
+    ).select("idx_vec_id", (F.col("rn") - 1).alias("idx"))
     resolved = (
         negs.join(idx, negs.neg_idx == idx.idx)
         .filter(F.col("idx_vec_id") != F.col("vec_id"))

@@ -602,10 +602,13 @@ def pipe_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     bijection) is a deterministic permutation computable by any
     engine with integer arithmetic; bumping c per epoch reseeds it.
     The query emits the first 20 positions of epoch 0 as the
-    checkable prefix. Scale: the sort key is computed map-side; at
-    100 TB you don't globally sort — range-partition on shuffle_key
-    and each partition IS a contiguous slice of the permutation
-    (what Spark's sort does internally anyway)."""
+    checkable prefix. Scale: the sort key is computed map-side and the
+    prefix is taken with orderBy().limit() — Spark compiles that to
+    TakeOrderedAndProject (per-partition top-k heaps merged on the
+    driver), NEVER a single-partition global window; the only window
+    left runs over the already-limited 20-row result to number it.
+    A full-epoch materialization would range-partition on shuffle_key
+    so each partition IS a contiguous slice of the permutation."""
     docs = load_table(spark, sf_dir, "documents")
     pos = docs.select(
         "doc_id",
@@ -614,11 +617,9 @@ def pipe_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("shuffle_key"),
     )
+    head = pos.orderBy("shuffle_key", "doc_id").limit(20)
     w = Window.orderBy("shuffle_key", "doc_id")
-    return (
-        pos.withColumn("position", F.row_number().over(w).cast("long"))
-        .filter(F.col("position") <= 20)
-    )
+    return head.withColumn("position", F.row_number().over(w).cast("long"))
 
 
 # ---------------------------------------------------------------------------

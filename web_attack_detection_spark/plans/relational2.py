@@ -661,16 +661,33 @@ FROM b GROUP BY bucket
 
 @register("rel_ntile_buckets", _NTILE_ORACLE, doc="NTILE quantile bucketing (QuantileDiscretizer twin)")
 def rel_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equal-frequency bucketing via NTILE — the exact form of Spark
-    ML's QuantileDiscretizer (which approximates with percentile
-    sketches at scale; this window twin is the oracle-checkable
-    contract). Global NTILE implies a single-partition sort — at
-    100 TB use percentile_approx cut-points instead (the sketch path
-    in rel_approx_aggregates)."""
+    """Equal-frequency bucketing — the exact form of Spark ML's
+    QuantileDiscretizer (which approximates with percentile sketches
+    at scale; this twin is the oracle-checkable contract). The
+    implemented plan is the DISTRIBUTED two-phase rank
+    (operators/ranking.py: range-bucketed prefix sum — biggest sort is
+    one range bucket, never the whole table); the oracle keeps the
+    single-window NTILE form, so the scale plan is proven equal to the
+    textbook one bit-for-bit."""
+    from web_attack_detection_spark.operators.ranking import (
+        ntile_from_rank,
+        ranged_row_number,
+    )
+
     c = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    ranked = ranged_row_number(
+        c.select("c_custkey", "c_acctbal"),
+        "c_acctbal",
+        [F.col("c_acctbal").asc(), F.col("c_custkey").asc()],
+        total_col="_tot",
+    )
     return (
-        c.select("c_custkey", F.ntile(4).over(w).alias("bucket"))
+        ranked.select(
+            "c_custkey",
+            ntile_from_rank(F.col("rn"), F.col("_tot"), 4)
+            .cast("int")
+            .alias("bucket"),
+        )
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"), F.min("c_custkey").alias("min_key"))
     )

@@ -454,7 +454,7 @@ def _ivf_store(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     read only the probed cells' directories (dynamic partition
     pruning via the broadcast probe join; asserted in
     tests/test_explain.py). Cached per (sf_dir, corpus row count);
-    content-keyed stable names + atexit cleanup (ADVICE r3)."""
+    content-keyed stable names, overwritten in place (ADVICE r3/r4)."""
     from web_attack_detection_spark.io.sinks import (
         stable_bucketed_table,
         stable_partitioned_table,
