@@ -179,7 +179,16 @@ def main() -> None:
     # ~14 KB and has never parsed (BENCH_r01..03 all "parsed": null —
     # VERDICT r3 #1). Print a COMPACT line (totals + slowest 10) that
     # fits the tail, and write the full per-query map to a sidecar.
-    (REPO / "BENCH_full.json").write_text(json.dumps(full, indent=1))
+    # Non-default scale factors (smoke runs) get their OWN sidecar:
+    # round 4's "dedup bench drift" was entirely an sf0.01/reps=1 smoke
+    # overwriting the committed sf0.1 sidecar, which a later round then
+    # compared against as if it were a real baseline.
+    sidecar = (
+        "BENCH_full.json"
+        if SF_DIR.rstrip("/").endswith("sf0.1")
+        else "BENCH_full_smoke.json"
+    )
+    (REPO / sidecar).write_text(json.dumps(full, indent=1))
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     compact = {
         "metric": "total_query_wall_clock",
@@ -189,7 +198,7 @@ def main() -> None:
         "n_queries": len(timings),
         "reps": reps,
         "sf": sf_val,
-        "full": "BENCH_full.json",
+        "full": sidecar,
     }
     # hard guarantee: stay inside the driver's capture window — drop
     # slowest-10 entries until the line fits (ADVICE r4: an assert here

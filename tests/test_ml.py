@@ -620,7 +620,10 @@ def test_sequence_motifs_totals(spark):
 
 def test_gbt_and_als_shapes(spark):
     """GBT: one row, accuracy within [0,1], split sizes match the 3:1
-    event_id rule. ALS: exactly 2 ranked recs per user, items valid."""
+    event_id rule, and the self-audit columns prove a real ensemble
+    (10 trees, non-stump nodes, features actually consumed). ALS:
+    leave-one-out hit-rate@2 summary — evaluable-user count matches
+    pandas, hit counts bounded by the population."""
     import pandas as pd
 
     from web_attack_detection_spark.plans import all_plans  # noqa: F401
@@ -634,15 +637,19 @@ def test_gbt_and_als_shapes(spark):
     pdf = pd.read_parquet(f"{sf}/events.parquet")
     assert r["n_train"] == int((pdf["event_id"] % 4 != 1).sum())
     assert r["n_test"] == int((pdf["event_id"] % 4 == 1).sum())
+    assert r["n_trees"] == 10  # maxIter ran to completion
+    assert r["total_nodes"] > r["n_trees"]  # non-stump trees
+    assert r["n_features_used"] >= 1  # splits consumed real features
 
-    recs = QUERIES["ml_als_recommend"].fn(spark, sf).collect()
-    by_u = {}
-    for row in recs:
-        by_u.setdefault(row["user_id"], []).append(row)
-    assert len(by_u) == pdf["user_id"].nunique()
-    for u, rows in by_u.items():
-        assert sorted(r["rank"] for r in rows) == [1, 2]
-        assert all(0 <= r["item_id"] <= 4 for r in rows)
+    a = QUERIES["ml_als_recommend"].fn(spark, sf).collect()
+    assert len(a) == 1
+    row = a[0]
+    n_multi = int((pdf.groupby("user_id")["event_type"].nunique() >= 2).sum())
+    assert row["n_users"] == n_multi
+    assert 0 <= row["als_hits"] <= row["n_users"]
+    assert 0 <= row["pop_hits"] <= row["n_users"]
+    assert 0.0 <= row["als_hit_rate"] <= 1.0
+    assert 0.0 <= row["pop_hit_rate"] <= 1.0
 
 
 def test_feature_attribution_matches_numpy(spark):

@@ -21,21 +21,15 @@ ORACLE_QUERIES = sorted(name for name, spec in QUERIES.items() if spec.oracle is
 ROWS_ONLY_QUERIES = sorted(name for name, spec in QUERIES.items() if spec.oracle is None)
 
 
-# empty-partition windows whose input the STRUCTURAL rule cannot see
-# is bounded: the contraction happened inside a streaming job, so the
-# batch plan reads the already-aggregated sink (a plain scan)
-_GLOBAL_WINDOW_OK = {
-    # running SPRT sum over the stream's DAILY aggregate sink — O(days)
-    # rows, aggregated in-stream before ever touching the sink
-    "stream_sprt_monitor",
-}
+from web_attack_detection_spark.plans.audit import GLOBAL_WINDOW_OK
 
 
 def _assert_scale_safe(name, df):
     """Verdict r4 #1: no registry plan may contain an empty-partition
     Window over an sf-proportional input (single-task global sort).
-    Windows over contracted relations (aggregates, limits) pass."""
-    if name in _GLOBAL_WINDOW_OK:
+    Windows over contracted relations (aggregates, limits) pass;
+    plans/audit.py documents the streaming-sink whitelist."""
+    if name in GLOBAL_WINDOW_OK:
         return
     bad = unbounded_global_windows(df)
     assert not bad, f"{name} has unbounded global window(s): {bad}"

@@ -20,6 +20,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# Queries whose empty-partition window the STRUCTURAL rule cannot see
+# is bounded: the contraction happened inside a streaming job, so the
+# batch plan reads the already-aggregated sink (a plain scan). Shared
+# by tests/test_oracle_parity.py and tools/plan_audit.py.
+GLOBAL_WINDOW_OK = {
+    # running SPRT sum over the stream's DAILY aggregate sink — O(days)
+    # rows, aggregated in-stream before ever touching the sink
+    "stream_sprt_monitor",
+}
+
 # node classes that contract their input to a bounded/grouped relation
 _CONTRACTING = {"Aggregate", "GlobalLimit"}
 # leaves that are driver-local constants, not table scans

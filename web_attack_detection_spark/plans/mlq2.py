@@ -570,7 +570,12 @@ def ml_gbt_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     noise w.r.t. the tabular features (by construction), so matching
     the baseline is the honest result; learnability of the fit
     machinery is proven on the UNSW shape (ref_unsw_battery) and the
-    labeled embeddings (ml_*_train_dist)."""
+    labeled embeddings (ml_*_train_dist). Self-audit columns (VERDICT
+    r4 #4, the ml_mlp_weights_roundtrip pattern): the result row
+    carries the fitted ensemble's tree count (must equal maxIter —
+    boosting actually ran to completion), total node count (> n_trees
+    proves non-stump trees), and the number of features with nonzero
+    importance (> 0 proves splits consumed real features)."""
     from pyspark.ml.classification import GBTClassifier
 
     from web_attack_detection_spark.functions.feature import fit_feature_pipeline
@@ -612,9 +617,13 @@ def ml_gbt_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 float(agg["majority"]),
                 n_train,
                 int(agg["n_test"]),
+                int(model.getNumTrees),
+                int(model.totalNumNodes),
+                int(sum(1 for v in model.featureImportances.toArray() if v > 0)),
             )
         ],
-        "accuracy double, majority_baseline double, n_train long, n_test long",
+        "accuracy double, majority_baseline double, n_train long, "
+        "n_test long, n_trees long, total_nodes long, n_features_used long",
     )
 
 
@@ -628,12 +637,18 @@ def ml_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     implicit-feedback interaction matrix (user x event_type
     engagement counts) from the event log, factorize with ALS (rank
     8, implicit preferences — the Hu/Koren/Volinsky formulation), and
-    emit each user's top-2 recommendations among event types the user
-    has interacted with LEAST (the recommendation use-case: what to
-    surface next). ALS scales as alternating block solves — each
-    iteration is two shuffles keyed by user/item blocks, no driver
-    bottleneck. Seeded; rows-only (scores are factorization-dependent
-    floats), shape-checked and determinism-tested in pytest."""
+    evaluate it with a leave-one-out ranking protocol (VERDICT r4 #4):
+    each user's MOST-interacted item is held out, ALS fits on the
+    rest, and the result row reports hit-rate@2 — how often the held
+    item appears in the user's top-2 ALS recommendations among items
+    NOT in that user's training set — next to the same protocol run
+    on a global-popularity ranker, the baseline every recommender
+    must justify itself against. ALS scales as alternating block
+    solves — each iteration is two shuffles keyed by user/item
+    blocks, no driver bottleneck; the evaluation adds one co-keyed
+    anti-join (candidates vs train) and a per-user top-2 window.
+    Seeded; rows-only (hit-rates are factorization-dependent), the
+    result row proving its own claim."""
     from pyspark.ml.recommendation import ALS
 
     e = load_table(spark, sf_dir, "events")
@@ -648,6 +663,21 @@ def ml_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(F.col("event_type") == "signup", 3)
             .otherwise(4),
         )
+        .select("user_id", "item_id", "cnt")
+    )
+    # leave-one-out split: hold each user's top item (cnt desc, id asc)
+    uw = Window.partitionBy("user_id").orderBy(
+        F.col("cnt").desc(), F.col("item_id").asc()
+    )
+    ranked = inter.withColumn("_rn", F.row_number().over(uw)).cache()
+    train = ranked.filter(F.col("_rn") > 1).drop("_rn")
+    # users with >= 2 items are the evaluable population (a 1-item
+    # user has an empty train side — neither ranker ever sees them)
+    eval_users = train.select("user_id").distinct()
+    held = (
+        ranked.filter(F.col("_rn") == 1)
+        .select("user_id", F.col("item_id").alias("held_item"))
+        .join(eval_users, "user_id", "left_semi")
     )
     als = ALS(
         userCol="user_id",
@@ -659,15 +689,57 @@ def ml_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=42,
         coldStartStrategy="drop",
     )
-    model = als.fit(inter)
-    recs = model.recommendForAllUsers(2)
-    return recs.select(
-        "user_id",
-        F.posexplode("recommendations").alias("rank0", "rec"),
-    ).select(
-        "user_id",
-        (F.col("rank0") + 1).cast("long").alias("rank"),
-        F.col("rec.item_id").cast("long").alias("item_id"),
+    model = als.fit(train)
+
+    def top2_hits(cand):
+        """cand: (user_id, item_id, score) candidates OUTSIDE the
+        user's train set → held-item hits within the per-user top-2."""
+        cw = Window.partitionBy("user_id").orderBy(
+            F.col("score").desc(), F.col("item_id").asc()
+        )
+        top2 = cand.withColumn("_r", F.row_number().over(cw)).filter(
+            F.col("_r") <= 2
+        )
+        return top2.join(
+            held,
+            (top2.user_id == held.user_id) & (top2.item_id == held.held_item),
+            "inner",
+        ).count()
+
+    # ALS candidates: all-item scores per user, minus training items
+    als_cand = (
+        model.recommendForAllUsers(5)
+        .select("user_id", F.explode("recommendations").alias("rec"))
+        .select(
+            "user_id",
+            F.col("rec.item_id").cast("int").alias("item_id"),
+            F.col("rec.rating").alias("score"),
+        )
+        .join(train.select("user_id", "item_id"), ["user_id", "item_id"], "left_anti")
+    )
+    # popularity baseline: same protocol, score = global train count
+    pop = train.groupBy("item_id").agg(F.sum("cnt").cast("double").alias("score"))
+    pop_cand = (
+        held.select("user_id")
+        .crossJoin(F.broadcast(pop))
+        .join(train.select("user_id", "item_id"), ["user_id", "item_id"], "left_anti")
+    )
+    n_eval = eval_users.count()
+    als_hits = top2_hits(als_cand)
+    pop_hits = top2_hits(pop_cand)
+    ranked.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                n_eval,
+                als_hits,
+                round(als_hits / n_eval, 6) if n_eval else 0.0,
+                pop_hits,
+                round(pop_hits / n_eval, 6) if n_eval else 0.0,
+            )
+        ],
+        "n_users long, als_hits long, als_hit_rate double, "
+        "pop_hits long, pop_hit_rate double",
     )
 
 

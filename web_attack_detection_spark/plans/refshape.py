@@ -219,6 +219,97 @@ def ref_unsw_stream_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# battery prep contract: raw features = the 42 clean whitelist numerics
+# assembled as-is; processed features = PCA(k=20) output. Width literals
+# pin that structure — a drifted pipeline (leaked label column, changed
+# k) breaks the hash match.
+_BATTERY_SUMMARY_ORACLE = f"""
+WITH unsw AS ({UNSW_SQL_DERIVE}),
+train AS (SELECT * FROM unsw WHERE __file <> 1),
+test  AS (SELECT * FROM unsw WHERE __file = 1),
+labels AS (
+  SELECT attack_cat,
+         CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, attack_cat ASC) - 1
+              AS BIGINT) AS lbl
+  FROM train GROUP BY attack_cat
+),
+splits AS (
+  SELECT 'train' AS split, attack_cat FROM train
+  UNION ALL
+  SELECT 'test', attack_cat FROM test
+),
+s AS (
+  SELECT split,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT l.lbl) AS BIGINT) AS n_classes,
+         CAST(SUM(l.lbl) AS BIGINT) AS label_checksum
+  FROM splits JOIN labels l USING (attack_cat) GROUP BY split
+)
+SELECT p.prep, s.split, s.n_rows,
+       CAST(p.width AS BIGINT) AS width,
+       s.n_classes, s.label_checksum
+FROM s CROSS JOIN (
+  SELECT 'raw' AS prep, 42 AS width
+  UNION ALL SELECT 'processed', 20
+) p
+"""
+
+
+@register(
+    "ref_unsw_battery_summary",
+    _BATTERY_SUMMARY_ORACLE,
+    doc="battery prep-stage contract: per (prep, split) row counts, feature widths, label distributions — full oracle",
+)
+def ref_unsw_battery_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DETERMINISTIC half of ``ref_unsw_battery`` split out under a
+    full DuckDB oracle (VERDICT r4 #8): the battery's preparation stage
+    (the SAME ``runner.battery_preps`` code path ``run_pipeline``
+    executes) summarized per (prep, split) — row counts after the
+    fitted-label filter, assembled feature width (42 raw whitelist
+    numerics / PCA k=20), class cardinality, and the indexed-label
+    checksum (freq-desc rank mapping, exact integers). The
+    seeded-iterative model accuracies stay in the rows-only battery;
+    everything the fits CONSUME is value-checked here."""
+    from web_attack_detection_spark.runner import battery_preps
+
+    d = unsw_fixture_dir(spark, sf_dir)
+    train, test = load_unsw(spark, d)
+    train, test = train.drop("label"), test.drop("label")
+    _, nums = classify_columns(train, "attack_cat", reference_compat=True)
+    _, preps = battery_preps(
+        train,
+        test,
+        label_col="attack_cat",
+        raw_cols=nums,
+        pca_k=20,
+        reference_compat=True,
+    )
+    parts = []
+    for prep_name, (tr, te) in preps.items():
+        for split, df in (("train", tr), ("test", te)):
+            parts.append(
+                df.filter(F.col("label").isNotNull())
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.max(F.size("features")).cast("long").alias("width"),
+                    F.count_distinct("label").cast("long").alias("n_classes"),
+                    F.sum(F.col("label").cast("long")).alias("label_checksum"),
+                )
+                .select(
+                    F.lit(prep_name).alias("prep"),
+                    F.lit(split).alias("split"),
+                    "n_rows",
+                    "width",
+                    "n_classes",
+                    "label_checksum",
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 @register(
     "ref_unsw_battery",
     None,

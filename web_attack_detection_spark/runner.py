@@ -102,6 +102,44 @@ def _fit_named(name: str, train_v: DataFrame, seed: int = 42):
     return est.fit(train_v)
 
 
+def battery_preps(
+    train: DataFrame,
+    test: DataFrame,
+    *,
+    label_col: str,
+    raw_cols: list[str],
+    pca_k: int | None,
+    reference_compat: bool,
+):
+    """The battery's PREPARATION stage (reference ``main.py:138-147``),
+    shared verbatim by :func:`run_pipeline` and the oracle-checked
+    ``ref_unsw_battery_summary`` query (VERDICT r4 #8) — the summary
+    oracle therefore pins the exact prep relations every battery fit
+    consumes. Returns ``(fitted_pipeline, {prep: (train, test)})``."""
+    fp_full = fit_feature_pipeline(
+        train,
+        label_col=label_col,
+        pca_k=pca_k,
+        reference_compat=reference_compat,
+    )
+    # label map fitted on train by fp_full — raw and processed preps
+    # index classes identically without a second indexer fit
+    lm = fp_full.label_model
+    preps = {
+        # prepare_raw(train): reuse the caller's cached materialization
+        # for the raw fit path too (ADVICE r2 low) — test stays lazy.
+        "raw": (
+            prepare_raw(train, lm, raw_cols, label_col),
+            prepare_raw(test, lm, raw_cols, label_col),
+        ),
+        "processed": (
+            fp_full.transform(train).select("features", "label"),
+            fp_full.transform(test).select("features", "label"),
+        ),
+    }
+    return fp_full, preps
+
+
 def run_pipeline(
     spark: SparkSession,
     sf_dir: str,
@@ -154,27 +192,14 @@ def run_pipeline(
     # processed: the full 9-stage pipeline ending in PCA(k).
     train_c = train.cache()
     try:
-        fp_full = fit_feature_pipeline(
+        fp_full, preps = battery_preps(
             train_c,
+            test,
             label_col=label_col,
+            raw_cols=raw_cols,
             pca_k=pca_k,
             reference_compat=reference_compat,
         )
-        # label map fitted on train by fp_full — raw and processed preps
-        # index classes identically without a second indexer fit
-        lm = fp_full.label_model
-        preps = {
-            # prepare_raw(train_c): reuse the cached materialization for
-            # the raw fit path too (ADVICE r2 low) — test stays lazy.
-            "raw": (
-                prepare_raw(train_c, lm, raw_cols, label_col),
-                prepare_raw(test, lm, raw_cols, label_col),
-            ),
-            "processed": (
-                fp_full.transform(train_c).select("features", "label"),
-                fp_full.transform(test).select("features", "label"),
-            ),
-        }
 
         # --- timed battery (reference main.py:69-111, M7) ----------------
         summary: list[tuple[str, str, float, float]] = []
