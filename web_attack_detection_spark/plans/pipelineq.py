@@ -623,6 +623,106 @@ def pipe_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# materialized total-order epoch export (the write side of epoch_shuffle)
+# ---------------------------------------------------------------------------
+
+_SORTED_EXPORT_SHARDS = 16
+
+_SORTED_EXPORT_ORACLE = f"""
+WITH pos AS (
+  SELECT doc_id,
+         CAST(({_LCG_A} * doc_id + {_LCG_C}) % {_LCG_M} AS BIGINT) AS shuffle_key
+  FROM documents
+),
+r AS (
+  SELECT doc_id, shuffle_key,
+         CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos,
+         CAST(NTILE({_SORTED_EXPORT_SHARDS})
+              OVER (ORDER BY shuffle_key, doc_id) AS BIGINT) AS shard
+  FROM pos
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(pos) AS BIGINT) AS first_pos,
+       CAST(MAX(pos) AS BIGINT) AS last_pos,
+       CAST(MIN(shuffle_key) AS BIGINT) AS min_key,
+       CAST(MAX(shuffle_key) AS BIGINT) AS max_key,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM r GROUP BY shard
+"""
+
+
+@register(
+    "pipe_sorted_export",
+    _SORTED_EXPORT_ORACLE,
+    doc=f"materialized epoch export: total permutation order landed as {_SORTED_EXPORT_SHARDS} contiguous shards, manifest read back from disk",
+)
+def pipe_sorted_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE side of ``pipe_epoch_shuffle``: materialize the whole
+    LCG-permuted epoch order to disk as contiguous shards — what a
+    training job actually consumes (shard k = positions in one
+    contiguous slice of the permutation, so a sequential reader of
+    shard files IS the epoch order). The exact global position of
+    every document comes from the distributed two-phase rank
+    (operators/ranking.py — never a single-task sort), the shard cut
+    is exact NTILE arithmetic on (position, total), and the export is
+    a partitioned parquet write to a content-keyed dir. The returned
+    manifest — per-shard doc counts, position ranges, key ranges, id
+    checksums — is aggregated from the WRITTEN files, so the oracle
+    (plain ROW_NUMBER/NTILE SQL over the origin) value-checks the
+    landed data end to end; contiguity is visible in the result
+    itself (each shard's first_pos = previous last_pos + 1)."""
+    from web_attack_detection_spark.operators.ranking import (
+        ntile_from_rank,
+        ranged_row_number,
+    )
+    from web_attack_detection_spark.plans.ioq import _stable_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        ((_LCG_A * F.col("doc_id") + _LCG_C) % _LCG_M)
+        .cast("long")
+        .alias("shuffle_key"),
+    )
+    ranked = ranged_row_number(
+        pos,
+        "shuffle_key",
+        [F.col("shuffle_key").asc(), F.col("doc_id").asc()],
+        rn_col="pos",
+        total_col="n",
+    )
+    sharded = ranked.select(
+        "doc_id",
+        "shuffle_key",
+        "pos",
+        ntile_from_rank(F.col("pos"), F.col("n"), _SORTED_EXPORT_SHARDS).alias(
+            "shard"
+        ),
+    )
+    loc = _stable_dir(spark, "epoch_export", sf_dir)
+    (
+        sharded.repartition(_SORTED_EXPORT_SHARDS, "shard")
+        .sortWithinPartitions("pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(loc)
+    )
+    landed = spark.read.parquet(loc)
+    return landed.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("pos").cast("long").alias("first_pos"),
+        F.max("pos").cast("long").alias("last_pos"),
+        F.min("shuffle_key").cast("long").alias("min_key"),
+        F.max("shuffle_key").cast("long").alias("max_key"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+    ).select(
+        F.col("shard").cast("long"), "n_docs", "first_pos", "last_pos",
+        "min_key", "max_key", "id_checksum",
+    )
+
+
+# ---------------------------------------------------------------------------
 # data-quality gates via the Observation API (metrics ride the write)
 # ---------------------------------------------------------------------------
 
