@@ -617,3 +617,228 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "doc_id", "n_tok", "score", (F.col("score") > 0).alias("accept")
     )
+
+
+# ---------------------------------------------------------------------------
+# bloom-filter decontamination: O(1)-size broadcast, zero false negatives
+# ---------------------------------------------------------------------------
+
+# 3-gram integer hash = the winnowing scheme (plans/text4.py): token
+# hash len*131 + 31*first-char + last-char, base-1000003 polynomial
+# mod 2^31-1 — pinned integer arithmetic both engines compute
+# identically. Bloom: m = 16384 bits as 512 x 32-bit words (bit index < 32 so the BIGINT shift never overflows in either engine), k = 3
+# pinned affine hash rows (the ml_countmin_sketch family).
+_BLOOM_M = 2147483647
+_BLOOM_B = 1000003
+_BLOOM_BITS = 16384
+_BLOOM_ROWS = ((1103515245, 12345), (69069, 362437), (1664525, 1013904223))
+
+_BLOOM_TRAIN_SQL = """
+  SELECT doc_id, text FROM documents WHERE doc_id % 53 <> 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 53 = 0
+"""
+
+_BLOOM_GRAMS_SQL = """
+  SELECT DISTINCT doc_id,
+         ((th * 1000003 + LEAD(th, 1) OVER w) % 2147483647 * 1000003
+           + LEAD(th, 2) OVER w) % 2147483647 AS g
+  FROM (
+    SELECT doc_id, i AS pos,
+           (CAST(length(t[i]) AS BIGINT) * 131 + ascii(t[i]) * 31
+            + ascii(substr(t[i], length(t[i]), 1))) AS th
+    FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM {src}),
+         UNNEST(range(1, len(t) + 1)) AS r(i)
+  )
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY LEAD(th, 2) OVER w IS NOT NULL
+"""
+
+_BLOOM_HASH_UNION = " UNION ALL ".join(
+    f"SELECT doc_id, g, {j} AS j, (({a} * g + {b}) % {_BLOOM_M}) % {_BLOOM_BITS} AS h FROM {{src}}"
+    for j, (a, b) in enumerate(_BLOOM_ROWS)
+)
+
+_BLOOM_DECON_ORACLE = f"""
+WITH train AS ({_BLOOM_TRAIN_SQL}),
+eval AS (SELECT doc_id, text FROM documents WHERE doc_id % 53 = 0),
+tr_g AS ({_BLOOM_GRAMS_SQL.format(src="train")}),
+ev_g AS (SELECT DISTINCT g FROM ({_BLOOM_GRAMS_SQL.format(src="eval")})),
+ev_gd AS (SELECT 0 AS doc_id, g FROM ev_g),
+bh AS ({_BLOOM_HASH_UNION.format(src="ev_gd")}),
+bloom AS (
+  SELECT h // 32 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(h % 32 AS INTEGER)) AS mask
+  FROM bh GROUP BY 1
+),
+pr AS ({_BLOOM_HASH_UNION.format(src="tr_g")}),
+bloom_hit AS (
+  SELECT pr.doc_id, pr.g
+  FROM pr JOIN bloom ON bloom.word = pr.h // 32
+  WHERE (bloom.mask >> CAST(pr.h % 32 AS INTEGER)) & 1 = 1
+  GROUP BY pr.doc_id, pr.g
+  HAVING COUNT(*) = 3
+),
+exact_hit AS (SELECT DISTINCT t.doc_id, t.g FROM tr_g t JOIN ev_g USING (g)),
+doc_flags AS (
+  SELECT t.doc_id,
+         MAX(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS fb,
+         MAX(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END) AS fe
+  FROM tr_g t
+  LEFT JOIN bloom_hit b ON b.doc_id = t.doc_id AND b.g = t.g
+  LEFT JOIN exact_hit e ON e.doc_id = t.doc_id AND e.g = t.g
+  GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_train_docs,
+       CAST(SUM(fb) AS BIGINT) AS n_flagged_bloom,
+       CAST(SUM(fe) AS BIGINT) AS n_flagged_exact,
+       CAST(SUM(CASE WHEN fb = 1 AND fe = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_positive_docs,
+       CAST(SUM(CASE WHEN fe = 1 AND fb = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_negative_docs,
+       g1.n_probe_grams, g2.n_bloom_hit_grams, g3.n_exact_hit_grams
+FROM doc_flags,
+     (SELECT CAST(COUNT(*) AS BIGINT) AS n_probe_grams FROM tr_g) g1,
+     (SELECT CAST(COUNT(*) AS BIGINT) AS n_bloom_hit_grams FROM bloom_hit) g2,
+     (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_hit_grams FROM exact_hit) g3
+GROUP BY g1.n_probe_grams, g2.n_bloom_hit_grams, g3.n_exact_hit_grams
+"""
+
+
+def _grams3(df: DataFrame) -> DataFrame:
+    """DISTINCT (doc_id, g) token-3-gram hashes — the winnowing hash
+    scheme as a reusable relation (pinned integer arithmetic)."""
+    toks = df.select(
+        "doc_id", F.posexplode(F.split("text", r"\s+")).alias("pos", "t")
+    ).select(
+        "doc_id",
+        "pos",
+        (
+            F.length("t").cast("long") * 131
+            + F.ascii("t").cast("long") * 31
+            + F.expr("ascii(substr(t, length(t), 1))").cast("long")
+        ).alias("th"),
+    )
+    lw = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        toks.select(
+            "doc_id",
+            "th",
+            F.lead("th", 1).over(lw).alias("th1"),
+            F.lead("th", 2).over(lw).alias("th2"),
+        )
+        .filter(F.col("th2").isNotNull())
+        .select(
+            "doc_id",
+            (
+                ((F.col("th") * _BLOOM_B + F.col("th1")) % _BLOOM_M * _BLOOM_B
+                 + F.col("th2")) % _BLOOM_M
+            ).alias("g"),
+        )
+        .distinct()
+    )
+
+
+def _bloom_hashes(df: DataFrame) -> DataFrame:
+    """Explode each gram into its k=3 pinned bloom bit positions."""
+    hs = F.array(
+        *[
+            ((F.lit(a) * F.col("g") + F.lit(b)) % _BLOOM_M) % _BLOOM_BITS
+            for a, b in _BLOOM_ROWS
+        ]
+    )
+    return df.select("*", F.posexplode(hs).alias("j", "h"))
+
+
+@register(
+    "text_bloom_decontaminate",
+    _BLOOM_DECON_ORACLE,
+    doc="bloom-filter decontamination: 512-word broadcast filter, FN=0 invariant, exact-vs-bloom audit",
+)
+def text_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination at the scale where broadcasting the EVAL SHINGLE
+    SET itself stops being possible: fold the eval set's 3-gram hashes
+    into a 16384-bit bloom filter — 512 rows of (word, 32-bit mask),
+    broadcastable at ANY eval-set size — and probe every train gram
+    map-side with k=3 pinned affine hashes (the ml_countmin_sketch
+    hash family, integer arithmetic both engines compute identically).
+    The result row audits the filter against the exact equi-join
+    answer on the same split as text_decontaminate (planted leaks
+    guaranteed present): flagged-doc counts both ways, the
+    false-positive count the bloom trades for its O(1) size, and the
+    false-NEGATIVE count, which the bloom guarantee pins to 0 — an
+    invariant, not an observation, and both engines must agree on
+    every number bit-for-bit. Scale shape: the eval side contracts to
+    <= 512 rows before anything joins; the probe is one broadcast-join
+    pass over train grams; nothing sf-proportional shuffles except the
+    per-doc flag aggregation."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    train = union_by_name(
+        docs.filter(F.col("doc_id") % 53 != 0),
+        docs.filter(F.col("doc_id") % 53 == 0).select(
+            (F.col("doc_id") + 200000).alias("doc_id"), "text"
+        ),
+    )
+    ev = docs.filter(F.col("doc_id") % 53 == 0)
+
+    tr_g = _grams3(train)
+    ev_g = _grams3(ev).select("g").distinct()
+
+    bloom = (
+        _bloom_hashes(ev_g)
+        .select(
+            (F.col("h") - F.pmod(F.col("h"), F.lit(32)))
+            .cast("long")
+            .alias("w32"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(h % 32 AS INT))").alias(
+                "bitval"
+            ),
+        )
+        .select((F.col("w32") / 32).cast("long").alias("word"), "bitval")
+        .groupBy("word")
+        .agg(F.bit_or("bitval").alias("mask"))
+    )
+
+    pr = _bloom_hashes(tr_g).withColumn(
+        "word", (F.col("h") - F.pmod(F.col("h"), F.lit(32))).cast("long") / 32
+    ).withColumn("word", F.col("word").cast("long"))
+    bloom_hit = (
+        pr.join(F.broadcast(bloom), "word")
+        .filter(F.expr("((mask >> CAST(h % 32 AS INT)) & 1) = 1"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("nbits"))
+        .filter(F.col("nbits") == 3)
+        .select("doc_id", "g")
+    )
+    exact_hit = tr_g.join(ev_g, "g", "left_semi").select("doc_id", "g")
+
+    flags = (
+        tr_g.join(
+            bloom_hit.withColumn("fb1", F.lit(1)), ["doc_id", "g"], "left"
+        )
+        .join(exact_hit.withColumn("fe1", F.lit(1)), ["doc_id", "g"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.coalesce(F.col("fb1"), F.lit(0))).alias("fb"),
+            F.max(F.coalesce(F.col("fe1"), F.lit(0))).alias("fe"),
+        )
+    )
+    doc_row = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_train_docs"),
+        F.sum("fb").cast("long").alias("n_flagged_bloom"),
+        F.sum("fe").cast("long").alias("n_flagged_exact"),
+        F.sum(((F.col("fb") == 1) & (F.col("fe") == 0)).cast("int"))
+        .cast("long")
+        .alias("n_false_positive_docs"),
+        F.sum(((F.col("fe") == 1) & (F.col("fb") == 0)).cast("int"))
+        .cast("long")
+        .alias("n_false_negative_docs"),
+    )
+    g1 = tr_g.agg(F.count(F.lit(1)).cast("long").alias("n_probe_grams"))
+    g2 = bloom_hit.agg(F.count(F.lit(1)).cast("long").alias("n_bloom_hit_grams"))
+    g3 = exact_hit.agg(F.count(F.lit(1)).cast("long").alias("n_exact_hit_grams"))
+    return (
+        doc_row.crossJoin(F.broadcast(g1))
+        .crossJoin(F.broadcast(g2))
+        .crossJoin(F.broadcast(g3))
+    )
