@@ -59,7 +59,14 @@ def test_no_python_eval_in_jvm_paths(spark):
     from web_attack_detection_spark.plans import all_plans  # noqa: F401
     from web_attack_detection_spark.plans.registry import QUERIES
 
-    python_ok = {"mm_extract_features", "mm_frame_sample"}  # mapInPandas by design
+    python_ok = {
+        "mm_extract_features",  # mapInPandas by design
+        "mm_frame_sample",  # mapInPandas by design
+        # the battery's processed prep projects through fitted PCA —
+        # the ONE Arrow-vectorized gemm node the flagship plan test
+        # pins exactly (same documented model boundary)
+        "ref_unsw_battery_summary",
+    }
     for name, spec in sorted(QUERIES.items()):
         if name in python_ok or name.startswith("ml_"):
             continue

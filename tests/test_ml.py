@@ -986,3 +986,72 @@ def test_sprt_decision_consistent_with_trajectory(spark):
             -1 if r["llr_micro"] <= -_SPRT_BOUND else 0
         )
         assert r["decision"] == want
+
+
+def test_isotonic_calibration_matches_numpy_pav(spark):
+    """MLlib's parallel PAV must return the EXACT sequential PAV
+    solution (the isotonic projection is unique), and the query's
+    invariant columns must hold: zero monotonicity violations, mass
+    preserved, Brier no worse than the constant predictor."""
+    import numpy as np
+    from pyspark.ml.regression import IsotonicRegression
+    from pyspark.sql import functions as F
+
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.mlq2 import _by_score, _detect_scored
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    grid = (
+        _by_score(_detect_scored(spark, sf))
+        .select(
+            F.col("s").cast("double").alias("feature"),
+            (F.col("np") / (F.col("np") + F.col("nn")).cast("double")).alias(
+                "label"
+            ),
+            (F.col("np") + F.col("nn")).cast("double").alias("weight"),
+        )
+    )
+    model = IsotonicRegression(
+        featuresCol="feature", labelCol="label", weightCol="weight"
+    ).fit(grid)
+    got = {
+        r["feature"]: r["prediction"]
+        for r in model.transform(grid).collect()
+    }
+
+    # sequential pool-adjacent-violators on the same (x, y, w) grid
+    rows = sorted(
+        (r["feature"], r["label"], r["weight"]) for r in grid.collect()
+    )
+    blocks = [[y * w, w] for _, y, w in rows]  # [weighted sum, weight]
+    merged: list[list[float]] = []
+    for b in blocks:
+        merged.append(b)
+        while (
+            len(merged) > 1
+            and merged[-2][0] / merged[-2][1] > merged[-1][0] / merged[-1][1]
+        ):
+            s, w = merged.pop()
+            merged[-1][0] += s
+            merged[-1][1] += w
+    # expand block means back to per-x predictions
+    want = []
+    i = 0
+    for s, w in merged:
+        mean = s / w
+        acc = 0.0
+        while acc < w - 1e-9:
+            acc += rows[i][2]
+            want.append((rows[i][0], mean))
+            i += 1
+    assert len(want) == len(rows)
+    for x, mean in want:
+        assert abs(got[x] - mean) < 1e-9, (x, got[x], mean)
+
+    row = QUERIES["ml_isotonic_calibration"].fn(spark, sf).collect()[0]
+    assert row["n_violations"] == 0
+    assert abs(row["mass_diff6"]) < 1e-6
+    assert row["brier_cal6"] <= row["brier_const6"] + 1e-9
+    assert 0.0 <= row["cal_min"] <= row["cal_max"] <= 1.0
+    assert np.int64(row["n_segments"]) >= 1

@@ -2311,3 +2311,109 @@ def ml_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((e1 * n2 - e2 * n1) / (1.0 * n1 * n2), 6).alias("diff"),
         F.when(ok, 1).otherwise(0).cast("long").alias("equivalent"),
     )
+
+
+# ---------------------------------------------------------------------------
+# isotonic score calibration (exact PAV solution, invariant-audited)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_isotonic_calibration",
+    None,
+    doc="MLlib IsotonicRegression score calibration with PAV invariants audited in-query (rows-only; numpy PAV parity in pytest)",
+)
+def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score calibration by isotonic regression — the standard
+    post-hoc calibrator when a model's scores rank well but are not
+    probabilities. Unlike the seeded iterative fits, PAV's solution is
+    the UNIQUE L2 projection onto the monotone cone, so the fit is
+    data-deterministic (no seed): MLlib's parallel pool-adjacent-
+    violators (partition-local PAV, then a merge pass — the
+    distributed form that keeps 100 TB of scores executor-side)
+    returns exactly what a sequential PAV returns, which
+    tests/test_ml.py pins against a numpy reference. Rows-only, but
+    the single result row carries the solution's own optimality
+    invariants, each a hard property of the exact PAV solution:
+
+    - ``n_violations`` = 0: calibrated values non-decreasing in score;
+    - ``mass_diff6`` = 0: PAV preserves total mass
+      (sum w*cal == sum w*y);
+    - ``brier_cal6 <= brier_const6``: in-sample squared error beats
+      the constant-prevalence predictor (constants are monotone, so
+      the projection can only improve);
+    - calibrated range inside [0, 1].
+
+    Scale shape: the fit consumes the per-distinct-score aggregate
+    (weight, mean label) — the _by_score contraction, O(score grid)
+    rows — and the audit transform runs over that same tiny relation."""
+    from pyspark.ml.regression import IsotonicRegression
+
+    scored = _detect_scored(spark, sf_dir)
+    grid = (
+        _by_score(scored)
+        .select(
+            F.col("s").cast("double").alias("feature"),
+            (
+                F.col("np").cast("double")
+                / (F.col("np") + F.col("nn")).cast("double")
+            ).alias("label"),
+            (F.col("np") + F.col("nn")).cast("double").alias("weight"),
+        )
+        .cache()
+    )
+    iso = IsotonicRegression(
+        featuresCol="feature", labelCol="label", weightCol="weight"
+    )
+    model = iso.fit(grid)
+    cal = model.transform(grid).withColumnRenamed("prediction", "cal")
+
+    w = Window.orderBy("feature")  # O(score grid) rows — contracted
+    audit = cal.select(
+        "feature",
+        "label",
+        "weight",
+        "cal",
+        F.lag("cal").over(w).alias("prev_cal"),
+    )
+    tot = scored.agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("double").alias("P"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    row = (
+        audit.crossJoin(F.broadcast(tot))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_scores"),
+            F.sum(
+                (F.col("cal") < F.col("prev_cal")).cast("int")
+            )
+            .cast("long")
+            .alias("n_violations"),
+            F.round(
+                F.sum(F.col("weight") * (F.col("cal") - F.col("label"))), 6
+            ).alias("mass_diff6"),
+            F.round(
+                F.sum(
+                    F.col("weight")
+                    * (F.col("label") - F.col("cal"))
+                    * (F.col("label") - F.col("cal"))
+                )
+                / F.first("n"),
+                6,
+            ).alias("brier_cal6"),
+            F.round(
+                F.sum(
+                    F.col("weight")
+                    * (F.col("label") - F.col("P") / F.col("n"))
+                    * (F.col("label") - F.col("P") / F.col("n"))
+                )
+                / F.first("n"),
+                6,
+            ).alias("brier_const6"),
+            F.round(F.min("cal"), 6).alias("cal_min"),
+            F.round(F.max("cal"), 6).alias("cal_max"),
+        )
+        .withColumn("n_segments", F.lit(len(model.boundaries)).cast("long"))
+    )
+    grid.unpersist()
+    return row
