@@ -88,3 +88,18 @@ def test_ranged_row_number_total_col(spark):
     rows = out.collect()
     assert all(r["n"] == 50 for r in rows)
     assert sorted(r["rn"] for r in rows) == list(range(1, 51))
+
+
+def test_ranged_row_number_materialize_identical(spark):
+    """The materialize=True (100 TB) path must produce the identical
+    ranking — one lazy localCheckpoint, same answer."""
+    df = spark.createDataFrame(
+        [(i, float((i * 13) % 7)) for i in range(300)], "id long, v double"
+    )
+    order = [F.col("v").asc(), F.col("id").asc()]
+    a = {r["id"]: r["rn"] for r in ranged_row_number(df, "v", order).collect()}
+    b = {
+        r["id"]: r["rn"]
+        for r in ranged_row_number(df, "v", order, materialize=True).collect()
+    }
+    assert a == b

