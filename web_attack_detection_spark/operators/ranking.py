@@ -69,7 +69,11 @@ def ranged_row_number(
     the same tiny bucket relation — no extra scan). ``materialize``
     swaps the four pruned source rescans for one lazy localCheckpoint
     — the 100 TB setting; off by default because fixture-scale
-    rescans measure cheaper than block writes."""
+    rescans measure cheaper than block writes.
+
+    ``key`` values must be non-null and non-NaN (Spark's sort places
+    NaN last, but range-bucketing a NaN is undefined) — every registry
+    caller derives the key from finite arithmetic."""
     if materialize:
         # the input is referenced by FOUR plan branches (min/max
         # stats, bucket counts, and the probe side, two of which

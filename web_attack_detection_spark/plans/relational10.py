@@ -748,7 +748,7 @@ full_v AS (
   FROM orders GROUP BY 1
 )
 SELECT m.st AS o_orderstatus, m.n, m.s AS total_scaled,
-       ROUND(m.s / CAST(m.n AS DOUBLE) / 100.0, 4) AS mean_price,
+       CAST((m.s * 100) // m.n AS BIGINT) / 10000.0 AS mean_price,
        m.mn AS min_price, m.mx AS max_price,
        (m.n = f.n AND m.s = f.s AND m.mn = f.mn AND m.mx = f.mx)
          AS matches_full_recompute
@@ -806,9 +806,15 @@ def rel_ivm_aggregate_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("st").alias("o_orderstatus"),
         "n",
         F.col("s").alias("total_scaled"),
-        F.round(F.col("s") / F.col("n").cast("double") / F.lit(100.0), 4).alias(
-            "mean_price"
-        ),
+        # mean to 1e-4 dollars by exact floor division (the displayed-
+        # ROUND-of-inexact-quotient trap; ml_gini_coefficient ADVICE class)
+        (
+            (
+                (F.col("s") * 100 - F.pmod(F.col("s") * 100, F.col("n")))
+                / F.col("n")
+            ).cast("long")
+            / 10000.0
+        ).alias("mean_price"),
         F.col("mn").alias("min_price"),
         F.col("mx").alias("max_price"),
         (

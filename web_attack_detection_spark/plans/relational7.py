@@ -247,7 +247,7 @@ WITH pq AS (
   FROM lineitem
   GROUP BY l_partkey
 )
-SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 7.0 / 100.0, 2)
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) // 7 AS BIGINT) / 100.0
          AS avg_yearly
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
@@ -285,11 +285,18 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(pq, F.col("l_partkey") == F.col("pk"))
         .filter(F.col("l_quantity").cast("long") * 5 * F.col("cnt") < F.col("sum_qty"))
         .agg(
-            F.round(
-                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
-                / 7.0
-                / 100.0,
-                2,
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "_cents"
+            )
+        )
+        # yearly average to whole cents by exact floor division — a
+        # ROUND of cents/7/100 sits on the engine-divergent .xx5 repr
+        # boundary (the ml_gini_coefficient ADVICE class)
+        .select(
+            (
+                ((F.col("_cents") - F.pmod(F.col("_cents"), F.lit(7))) / 7)
+                .cast("long")
+                / 100.0
             ).alias("avg_yearly")
         )
     )
