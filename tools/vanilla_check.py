@@ -24,6 +24,17 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
+# Python WORKERS don't inherit the driver's sys.path mutation: when
+# this script runs from any cwd other than the repo root, pickled-by-
+# reference UDF functions (mapInPandas model math) fail to import on
+# the worker side. Exporting PYTHONPATH before the JVM starts makes
+# the spawned worker daemons inherit it (same guard as bench.py).
+import os  # noqa: E402
+
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    [str(REPO)]
+    + ([os.environ["PYTHONPATH"]] if os.environ.get("PYTHONPATH") else [])
+)
 
 from pyspark.sql import SparkSession  # noqa: E402
 
