@@ -441,3 +441,64 @@ def test_adamic_adar_bounds_and_consistency(spark):
     assert shared, "the two wedge joins should overlap on this fixture"
     for p in shared:
         assert aa[p]["n_common"] == jac[p]
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("alpha beta gamma delta eps zeta eta theta".split()),
+            min_size=3,
+            max_size=12,
+        ),
+        min_size=2,
+        max_size=8,
+    ),
+    st.integers(min_value=0, max_value=7),
+)
+def test_bloom_decontamination_never_false_negative(spark, docs, leak_idx):
+    """The bloom guarantee on arbitrary data: every train doc sharing
+    a 3-gram with the eval set MUST be bloom-flagged (exact hits are a
+    subset of bloom hits) — false positives allowed, false negatives
+    never. One eval doc is planted verbatim into train, so at least
+    one true hit always exists when the eval doc has >= 3 tokens."""
+    from web_attack_detection_spark.plans.text3 import _bloom_hashes, _grams3
+
+    leak_idx = leak_idx % len(docs)
+    ev_rows = [(1000, " ".join(docs[leak_idx]))]
+    tr_rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    tr = spark.createDataFrame(tr_rows, "doc_id long, text string")
+    ev = spark.createDataFrame(ev_rows, "doc_id long, text string")
+
+    tr_g = _grams3(tr)
+    ev_g = _grams3(ev).select("g").distinct()
+
+    bloom = (
+        _bloom_hashes(ev_g)
+        .select(
+            ((F.col("h") - F.col("h") % 32) / 32).cast("long").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(h % 32 AS INT))").alias("b"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("b").alias("mask"))
+    )
+    pr = _bloom_hashes(tr_g).withColumn(
+        "word", ((F.col("h") - F.col("h") % 32) / 32).cast("long")
+    )
+    bloom_hits = {
+        (r["doc_id"], r["g"])
+        for r in pr.join(F.broadcast(bloom), "word")
+        .filter(F.expr("((mask >> CAST(h % 32 AS INT)) & 1) = 1"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .filter(F.col("nb") == 3)
+        .collect()
+    }
+    exact_hits = {
+        (r["doc_id"], r["g"])
+        for r in tr_g.join(ev_g, "g", "left_semi").collect()
+    }
+    assert exact_hits <= bloom_hits  # FN = 0, the bloom contract
+    # the planted leak is detected whenever it has any 3-gram
+    if len(docs[leak_idx]) >= 3:
+        assert any(d == leak_idx for d, _ in exact_hits)
