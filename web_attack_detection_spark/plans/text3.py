@@ -787,43 +787,58 @@ def text_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom = (
         _bloom_hashes(ev_g)
         .select(
-            (F.col("h") - F.pmod(F.col("h"), F.lit(32)))
+            ((F.col("h") - F.pmod(F.col("h"), F.lit(32))) / 32)
             .cast("long")
-            .alias("w32"),
+            .alias("word"),
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(h % 32 AS INT))").alias(
                 "bitval"
             ),
         )
-        .select((F.col("w32") / 32).cast("long").alias("word"), "bitval")
         .groupBy("word")
         .agg(F.bit_or("bitval").alias("mask"))
     )
 
-    pr = _bloom_hashes(tr_g).withColumn(
-        "word", (F.col("h") - F.pmod(F.col("h"), F.lit(32))).cast("long") / 32
-    ).withColumn("word", F.col("word").cast("long"))
-    bloom_hit = (
-        pr.join(F.broadcast(bloom), "word")
-        .filter(F.expr("((mask >> CAST(h % 32 AS INT)) & 1) = 1"))
-        .groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("nbits"))
-        .filter(F.col("nbits") == 3)
-        .select("doc_id", "g")
+    # ONE linear pipeline over the train grams: the exact flag rides a
+    # broadcast join of the (tiny) eval gram set, the bloom flag rides
+    # the 3-hash probe against the 512-row filter, and every output
+    # number falls out of one per-doc and one global aggregate —
+    # nothing re-derives the gram relation (the naive
+    # branch-per-metric form audited at 16 scans; this is 4)
+    marked = tr_g.join(
+        F.broadcast(ev_g.withColumn("_ex", F.lit(1))), "g", "left"
     )
-    exact_hit = tr_g.join(ev_g, "g", "left_semi").select("doc_id", "g")
-
-    flags = (
-        tr_g.join(
-            bloom_hit.withColumn("fb1", F.lit(1)), ["doc_id", "g"], "left"
+    probed = (
+        _bloom_hashes(marked)
+        .withColumn(
+            "word",
+            ((F.col("h") - F.pmod(F.col("h"), F.lit(32))) / 32).cast("long"),
         )
-        .join(exact_hit.withColumn("fe1", F.lit(1)), ["doc_id", "g"], "left")
-        .groupBy("doc_id")
-        .agg(
-            F.max(F.coalesce(F.col("fb1"), F.lit(0))).alias("fb"),
-            F.max(F.coalesce(F.col("fe1"), F.lit(0))).alias("fe"),
+        .join(F.broadcast(bloom), "word", "left")
+        .withColumn(
+            "bit_ok",
+            F.when(
+                F.expr(
+                    "mask IS NOT NULL AND ((mask >> CAST(h % 32 AS INT)) & 1) = 1"
+                ),
+                1,
+            ).otherwise(0),
         )
+        .groupBy("doc_id", "g", "_ex")
+        .agg(F.sum("bit_ok").alias("nb"))
     )
-    doc_row = flags.agg(
+    per_gram = probed.select(
+        "doc_id",
+        F.coalesce(F.col("_ex"), F.lit(0)).alias("ex"),
+        (F.col("nb") == 3).cast("int").alias("fb"),
+    )
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.max("fb").alias("fb"),
+        F.max("ex").alias("fe"),
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("fb").alias("sfb"),
+        F.sum("ex").alias("sex"),
+    )
+    return per_doc.agg(
         F.count(F.lit(1)).cast("long").alias("n_train_docs"),
         F.sum("fb").cast("long").alias("n_flagged_bloom"),
         F.sum("fe").cast("long").alias("n_flagged_exact"),
@@ -833,12 +848,7 @@ def text_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(((F.col("fe") == 1) & (F.col("fb") == 0)).cast("int"))
         .cast("long")
         .alias("n_false_negative_docs"),
-    )
-    g1 = tr_g.agg(F.count(F.lit(1)).cast("long").alias("n_probe_grams"))
-    g2 = bloom_hit.agg(F.count(F.lit(1)).cast("long").alias("n_bloom_hit_grams"))
-    g3 = exact_hit.agg(F.count(F.lit(1)).cast("long").alias("n_exact_hit_grams"))
-    return (
-        doc_row.crossJoin(F.broadcast(g1))
-        .crossJoin(F.broadcast(g2))
-        .crossJoin(F.broadcast(g3))
+        F.sum("ng").cast("long").alias("n_probe_grams"),
+        F.sum("sfb").cast("long").alias("n_bloom_hit_grams"),
+        F.sum("sex").cast("long").alias("n_exact_hit_grams"),
     )
