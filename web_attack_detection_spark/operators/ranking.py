@@ -57,6 +57,7 @@ def ranged_row_number(
     rn_col: str = "rn",
     total_col: str | None = None,
     materialize: bool = False,
+    stats_cols: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Attach the exact global ``row_number() OVER (ORDER BY order)``
     as ``rn_col`` without a single-partition sort.
@@ -70,6 +71,11 @@ def ranged_row_number(
     swaps the four pruned source rescans for one lazy localCheckpoint
     — the 100 TB setting; off by default because fixture-scale
     rescans measure cheaper than block writes.
+
+    ``stats_cols``, if given, also keeps the helper's already-computed
+    global (min, max) of the bucket key under those names — callers
+    that would otherwise re-aggregate the source for a range get them
+    free (note: when ``descending`` the stats are of the NEGATED key).
 
     ``key`` values must be non-null and non-NaN (Spark's sort places
     NaN last, but range-bucketing a NaN is undefined) — every registry
@@ -98,7 +104,13 @@ def ranged_row_number(
         )
         .cast("long")
     )
-    b = df.crossJoin(F.broadcast(stats)).withColumn("_bkt", bkt).drop("_mn", "_mx")
+    b = df.crossJoin(F.broadcast(stats)).withColumn("_bkt", bkt)
+    if stats_cols is not None:
+        b = b.withColumnRenamed("_mn", stats_cols[0]).withColumnRenamed(
+            "_mx", stats_cols[1]
+        )
+    else:
+        b = b.drop("_mn", "_mx")
 
     # tiny relation: one row per non-empty bucket (≤ n_buckets rows) —
     # the empty-partition windows below are bounded by construction

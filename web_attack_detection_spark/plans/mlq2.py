@@ -441,27 +441,42 @@ def ml_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # split needs a global row number but never a single-task sort;
     # tied scores stay contiguous in rank space, so per-parity counts
     # are engine-deterministic under any within-tie order
-    sliced = ranged_row_number(
-        scored.select("s"), "s", [F.col("s").asc()]
-    ).select("s", (F.col("rn") % 2).alias("half"))
-    mm = scored.agg(F.min("s").alias("smin"), F.max("s").alias("smax"))
-    binned = sliced.crossJoin(F.broadcast(mm)).select(
+    # the helper's internal min/max of s and the total row count feed
+    # the bin grid and the parity totals DIRECTLY (na = floor(n/2),
+    # nb = ceil(n/2) by construction of rn % 2) — no second scored
+    # scan for the range, no re-aggregation of the bin relation for
+    # the totals (the branch-per-metric form audited at 10 scans)
+    ranked = ranged_row_number(
+        scored.select("s"),
+        "s",
+        [F.col("s").asc()],
+        total_col="n",
+        stats_cols=("smin", "smax"),
+    )
+    binned = ranked.select(
         (
             ((F.col("s") - F.col("smin")) * 10)
             / (F.col("smax") - F.col("smin") + 1)
         )
         .cast("long")
         .alias("bin"),
-        "half",
+        (F.col("rn") % 2).alias("half"),
+        "n",
     )
     cnts = binned.groupBy("bin").agg(
         F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("long").alias("a"),
         F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long").alias("b"),
+        F.min("n").alias("_n"),
     )
-    tots = cnts.agg(
-        F.sum("a").cast("long").alias("na"), F.sum("b").cast("long").alias("nb")
+    c = cnts.select(
+        "*",
+        ((F.col("_n") - F.pmod(F.col("_n"), F.lit(2))) / 2)
+        .cast("long")
+        .alias("na"),
+        ((F.col("_n") + 1 - F.pmod(F.col("_n") + 1, F.lit(2))) / 2)
+        .cast("long")
+        .alias("nb"),
     )
-    c = cnts.crossJoin(F.broadcast(tots))
     p = (F.col("a") + 1.0) / (F.col("na") + 10)
     q = (F.col("b") + 1.0) / (F.col("nb") + 10)
     term = (p - q) * F.log(

@@ -851,31 +851,34 @@ def pipe_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     recipes are how training runs stay comparable). Selection is one
     rank window per language against a broadcast 5-row quota table;
     the output carries the selected-id checksum so the oracle verifies
-    WHICH documents were chosen, not just how many."""
+    WHICH documents were chosen, not just how many. The Hamilton
+    arithmetic itself runs driver-side on the collected O(langs)
+    counts — the fit-statistics pattern (only |langs| scalars leave
+    the executors; the lazy relational form re-derived the counts
+    aggregate per dependent relation and audited at 9 source scans,
+    this is 2) — in exact Python integers, so the apportionment stays
+    engine-identical."""
     d = load_table(spark, sf_dir, "documents")
-    counts = d.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    tot = counts.agg(F.sum("n").cast("long").alias("nn"))
-    quota = counts.crossJoin(F.broadcast(tot)).select(
-        "lang",
-        "n",
-        F.floor(_REBALANCE_SLOTS * F.col("n") / F.col("nn")).cast("long").alias("base"),
-        ((_REBALANCE_SLOTS * F.col("n")) % F.col("nn")).cast("long").alias("rem"),
+    cnt = sorted(
+        (r["lang"], int(r["n"]))
+        for r in d.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
     )
-    leftover = quota.agg(
-        (F.lit(_REBALANCE_SLOTS) - F.sum("base")).cast("long").alias("l")
-    )
-    qw = Window.orderBy(F.col("rem").desc(), F.col("lang").asc())
-    alloc = (
-        quota.withColumn("rk", F.row_number().over(qw))
-        .crossJoin(F.broadcast(leftover))
-        .select(
-            "lang",
-            "n",
-            (
-                F.col("base")
-                + F.when(F.col("rk") <= F.col("l"), 1).otherwise(0)
-            ).alias("alloc"),
-        )
+    nn = sum(n for _, n in cnt)
+    quota = [
+        (lang, n, _REBALANCE_SLOTS * n // nn, (_REBALANCE_SLOTS * n) % nn)
+        for lang, n in cnt
+    ]
+    leftover = _REBALANCE_SLOTS - sum(base for _, _, base, _ in quota)
+    by_rem = sorted(quota, key=lambda q: (-q[3], q[0]))
+    bump = {lang for lang, _, _, _ in by_rem[:leftover]}
+    alloc = spark.createDataFrame(
+        [
+            (lang, n, base + (1 if lang in bump else 0))
+            for lang, n, base, _ in quota
+        ],
+        "lang string, n long, alloc long",
     )
     rw = Window.partitionBy("lang").orderBy(
         ((F.col("doc_id") * 2654435761) % 4294967296).asc(), F.col("doc_id").asc()
