@@ -891,7 +891,7 @@ def pipe_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_sel"),
         F.sum("doc_id").cast("long").alias("id_checksum"),
     )
-    return alloc.join(sel_agg, "lang", "left").select(
+    return alloc.join(F.broadcast(sel_agg), "lang", "left").select(
         "lang",
         F.col("n").alias("n_docs"),
         F.col("alloc").cast("long"),
