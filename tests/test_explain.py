@@ -437,3 +437,17 @@ def test_topk_per_group_uses_window_group_limit(spark):
     df = QUERIES["rel_topk_per_group"].fn(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_index_merge_probe_no_index_side_exchange(spark):
+    """Round 5: serving from the MERGED index must keep the
+    incremental-probe contract — index tables stream map-only (no
+    Exchange on the index join keys), the batch side broadcasts."""
+    from web_attack_detection_spark.plans.dedup import dedup_index_merge
+
+    plan = plan_of(dedup_index_merge(spark, SF_SMOKE))
+    assert "Scan parquet spark_catalog.default.docsh_mrg" in plan
+    assert "Scan parquet spark_catalog.default.doctext_mrg" in plan
+    assert "hashpartitioning(shingle#" not in plan
+    assert "hashpartitioning(text#" not in plan
+    assert "BroadcastHashJoin" in plan

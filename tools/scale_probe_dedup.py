@@ -25,7 +25,16 @@ sys.path.insert(0, str(REPO))
 from pyspark.sql import functions as F  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.1"
-QUERIES = ["dedup_exact", "dedup_simhash", "dedup_minhash_lsh"]
+QUERIES = [
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_minhash_lsh",
+    # round-5: the persistent-index lifecycle — probe against the
+    # stored index, and compaction + post-merge serving (index builds
+    # are cached per corpus count, so the warm pass times the PROBE)
+    "dedup_incremental_indexed",
+    "dedup_index_merge",
+]
 
 
 def main() -> int:
