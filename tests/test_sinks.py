@@ -183,3 +183,47 @@ def test_io_partitioned_prune_query_plan_and_rows(spark):
     for r in df.collect():
         got[r["event_type"]] += r["n"]
     assert got == {r["event_type"]: r["count"] for r in want.collect()}
+
+
+def test_sorted_export_files_are_position_ordered(spark):
+    """pipe_sorted_export's deployment claim, checked ON DISK: each
+    written shard holds one contiguous position range (NTILE cut) and
+    its parquet rows are position-sorted (sortWithinPartitions rides
+    the write), so a reader streaming shard k's files sequentially
+    sees exactly positions [first_k, last_k] of the epoch permutation
+    in order."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.ioq import _stable_dir
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    from .conftest import SF_SMOKE
+
+    manifest = {
+        r["shard"]: r
+        for r in QUERIES["pipe_sorted_export"].fn(spark, SF_SMOKE).collect()
+    }
+    loc = _stable_dir(spark, "epoch_export", SF_SMOKE)
+    seen_total = 0
+    for shard, row in manifest.items():
+        files = sorted(glob.glob(f"{loc}/shard={shard}/*.parquet"))
+        assert files, f"shard {shard} wrote no files"
+        pos = []
+        for f in files:
+            pos.extend(pq.read_table(f, columns=["pos"])["pos"].to_pylist())
+        assert pos == sorted(pos), f"shard {shard} not position-ordered"
+        assert pos[0] == row["first_pos"] and pos[-1] == row["last_pos"]
+        assert len(pos) == row["n_docs"]
+        # contiguity: the shard covers its manifest range exactly
+        assert pos == list(range(row["first_pos"], row["last_pos"] + 1))
+        seen_total += len(pos)
+    # shards partition the whole corpus: positions 1..n with no gaps
+    firsts = sorted(r["first_pos"] for r in manifest.values())
+    lasts = sorted(r["last_pos"] for r in manifest.values())
+    assert firsts[0] == 1
+    for f_next, l_prev in zip(firsts[1:], lasts[:-1]):
+        assert f_next == l_prev + 1
+    assert seen_total == lasts[-1]
