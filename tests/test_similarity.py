@@ -276,3 +276,28 @@ def test_pq_adc_shape_and_recall(spark):
         assert all(r["vec_id"] != q for r in v)
         hits += sum(r["in_exact_top5"] for r in v)
     assert hits > 0
+
+
+def test_ivf_recall_curve_invariants(spark):
+    """The curve's self-consistency guarantees: recall monotone
+    non-decreasing in n_probe, EXACTLY 1.0 at full probe (all cells =
+    the whole corpus = the exact answer), candidate cost strictly
+    increasing, and the full-probe candidate count equals corpus-1."""
+    from web_attack_detection_spark.io.sources import load_table
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    from .conftest import SF_SMOKE
+
+    rows = sorted(
+        QUERIES["sim_ivf_recall_curve"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r["n_probe"],
+    )
+    assert [r["n_probe"] for r in rows] == [1, 2, 4, 8, 16]
+    recalls = [r["recall_at_5"] for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(recalls, recalls[1:]))
+    assert recalls[-1] == 1.0
+    cands = [r["avg_candidates"] for r in rows]
+    assert all(a < b for a, b in zip(cands, cands[1:]))
+    n_corpus = load_table(spark, SF_SMOKE, "embeddings").count()
+    assert cands[-1] == float(n_corpus - 1)  # full probe scans everything

@@ -214,3 +214,108 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return ivf_topk(emb, queries, k=5, k_centroids=16, n_probe=4).orderBy("query_id", "rank")
+
+
+@register(
+    "sim_ivf_recall_curve",
+    None,
+    doc="IVF tuning curve: recall@5 and candidate cost vs n_probe from ONE scored pass (rows-only; invariants pytested)",
+)
+def sim_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tuning table every ANN deployment derives before picking
+    n_probe: recall@5 against the exact answer, and the average
+    candidate volume paid for it, at probe counts 1/2/4/8/16. Computed
+    the cheap way — ONE full scored pass (the exact baseline itself)
+    with each neighbor tagged by its cell's per-query probe rank, so
+    every curve point is a filter + per-(query, n_probe) top-5 window
+    over the same relation: the whole curve costs one brute-force
+    pass, not five IVF runs plus a baseline. Rows-only (the index is
+    hash-seeded) but self-consistent by construction: probing all 16
+    cells makes the candidate set the full corpus, so the last row's
+    recall is EXACTLY 1.0 and recall is monotone in n_probe — both
+    pinned in tests/test_similarity.py. Scale shape: the scored pass
+    broadcasts queries and shuffles scalar triples only; at 100 TB the
+    curve is estimated on a query/corpus sample (it tunes a knob, it
+    is not a serving path)."""
+    from pyspark.sql import Window
+
+    from web_attack_detection_spark.operators.similarity import (
+        dot,
+        ivf_assign,
+        unit_normalize,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    n_queries = queries.count()
+    centroids, assigned = ivf_assign(emb, 16)
+
+    q = unit_normalize(
+        queries.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+        ),
+        "q_vec",
+    )
+    # per-query probe order over the 16 cells (tiny relation)
+    qc = centroids.crossJoin(F.broadcast(q)).select(
+        "query_id", "cell", dot(F.col("q_vec"), F.col("c_vec")).alias("ccos")
+    )
+    cw = Window.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("cell").asc()
+    )
+    cell_rank = qc.select(
+        "query_id", "cell", F.row_number().over(cw).alias("crank")
+    )
+
+    # ONE scored pass over (query x corpus), tagged with the cell rank
+    c = unit_normalize(
+        assigned.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_vec"),
+            "cell",
+        ),
+        "c_vec",
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cell",
+            dot(F.col("q_vec"), F.col("c_vec")).alias("cos"),
+        )
+        .join(F.broadcast(cell_rank), ["query_id", "cell"])
+    )
+    ew = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    base = scored.withColumn("erank", F.row_number().over(ew))
+
+    cand = base.select(
+        "*",
+        F.explode(F.array(*[F.lit(p) for p in (1, 2, 4, 8, 16)])).alias(
+            "n_probe"
+        ),
+    ).filter(F.col("crank") <= F.col("n_probe"))
+    pw = Window.partitionBy("query_id", "n_probe").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    ivf5 = cand.withColumn("prank", F.row_number().over(pw)).filter(
+        F.col("prank") <= 5
+    )
+    curve = ivf5.groupBy("n_probe").agg(
+        F.round(
+            F.sum((F.col("erank") <= 5).cast("int")) / (5.0 * n_queries), 4
+        ).alias("recall_at_5")
+    )
+    cost = cand.groupBy("n_probe").agg(
+        F.round(F.count(F.lit(1)) / (1.0 * n_queries), 1).alias(
+            "avg_candidates"
+        )
+    )
+    return (
+        curve.join(cost, "n_probe")
+        .select(F.col("n_probe").cast("long"), "recall_at_5", "avg_candidates")
+        .orderBy("n_probe")
+    )
