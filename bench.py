@@ -33,6 +33,43 @@ os.environ["PYTHONPATH"] = os.pathsep.join(
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _vs_prev(timings: dict, sidecar: str) -> dict | None:
+    """Common-subset total ratio vs the git-committed previous sidecar,
+    computed and embedded by bench.py itself so the artifact and any
+    prose claim about it can never diverge.  ``top_deltas`` carries the
+    five largest per-query increases [prev, new] — the excess, if any,
+    self-attributed."""
+    import subprocess
+
+    try:
+        blob = subprocess.run(
+            ["git", "-C", str(REPO), "show", f"HEAD:{sidecar}"],
+            capture_output=True, text=True, timeout=30,
+        )
+        if blob.returncode != 0:
+            return None
+        prev = json.loads(blob.stdout)
+        prev_q = prev.get("queries", {})
+        common = sorted(set(prev_q) & set(timings))
+        if not common:
+            return None
+        pt = sum(prev_q[k] for k in common)
+        nt = sum(timings[k] for k in common)
+        deltas = sorted(common, key=lambda k: prev_q[k] - timings[k])[:5]
+        return {
+            "prev_source": f"git:HEAD:{sidecar}",
+            "prev_sf": prev.get("sf"),
+            "prev_reps": prev.get("reps"),
+            "common_n": len(common),
+            "prev_total": round(pt, 4),
+            "new_total": round(nt, 4),
+            "ratio": round(nt / pt, 4) if pt else None,
+            "top_deltas": {k: [prev_q[k], timings[k]] for k in deltas},
+        }
+    except Exception:
+        return None
+
+
 def main() -> None:
     from web_attack_detection_spark.plans import all_plans  # noqa: F401
     from web_attack_detection_spark.plans.registry import QUERIES
@@ -188,6 +225,12 @@ def main() -> None:
         if SF_DIR.rstrip("/").endswith("sf0.1")
         else "BENCH_full_smoke.json"
     )
+    # Embed the round-over-round comparison IN the artifact itself
+    # (VERDICT r5 #2: the claimed ratio and the committed sidecar once
+    # diverged because the ratio lived only in prose).  The baseline is
+    # the GIT-COMMITTED sidecar (HEAD), not whatever a local smoke run
+    # last wrote to disk, so reruns within a session can't shift it.
+    full["vs_prev"] = _vs_prev(timings, sidecar)
     (REPO / sidecar).write_text(json.dumps(full, indent=1))
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     compact = {

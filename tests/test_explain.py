@@ -451,3 +451,31 @@ def test_index_merge_probe_no_index_side_exchange(spark):
     assert "hashpartitioning(shingle#" not in plan
     assert "hashpartitioning(text#" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_ivf_indexed_serving_plan_no_index_side_exchange(spark):
+    """Round 6: the SERVING half of the stored IVF index (probe-join +
+    score + per-query top-k) must keep index rows map-only — the probe
+    set broadcasts, so the only Exchange partitions per-query candidate
+    SCORE rows (query_id), never the index's cell key or its vectors."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from web_attack_detection_spark.io.sources import load_table
+    from web_attack_detection_spark.operators.similarity import ivf_topk_from_index
+    from web_attack_detection_spark.plans.similarity3 import _ivf_store
+
+    a_name, c_name = _ivf_store(spark, SF_SMOKE)
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    served = ivf_topk_from_index(
+        spark.table(c_name),
+        spark.table(a_name),
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        n_probe=4,
+    )
+    plan = plan_of(served)
+    assert "Scan parquet spark_catalog.default.ivf_cells" in plan
+    assert "BroadcastHashJoin" in plan
+    # no shuffle keyed on the index layout or its stored vectors
+    assert "hashpartitioning(cell#" not in plan
+    assert "SortMergeJoin" not in plan

@@ -1055,3 +1055,49 @@ def test_isotonic_calibration_matches_numpy_pav(spark):
     assert row["brier_cal6"] <= row["brier_const6"] + 1e-9
     assert 0.0 <= row["cal_min"] <= row["cal_max"] <= 1.0
     assert np.int64(row["n_segments"]) >= 1
+
+
+def test_kmeans_clusters_sse_audit_holds(spark):
+    """ml_kmeans_clusters' in-query audit: one more exact Lloyd step
+    from the fitted centers must not increase SSE, and membership
+    covers the corpus exactly once."""
+    import duckdb
+
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["ml_kmeans_clusters"].fn(spark, sf).collect()
+    n = duckdb.sql(f"select count(*) from '{sf}/embeddings.parquet'").fetchone()[0]
+    assert sum(r["n_vectors"] for r in rows) == n
+    for r in rows:
+        assert r["audit_sse_non_increasing"], r
+        assert r["sse_next_step"] <= r["sse_final"] + 1e-6, r
+        assert r["sse_final"] > 0.0
+
+
+def test_cv_naive_bayes_folds_pinned_and_baseline_bounded(spark):
+    """ml_cv_naive_bayes' in-query audit: md5 fold sizes are exact and
+    deterministic (pinned at sf0.001), folds partition the table, and
+    per-fold accuracy never falls more than 0.02 below the
+    train-majority baseline (the events labels are synthetic noise vs
+    these features, so AT the baseline is the honest expectation —
+    measured fold accuracies 0.176-0.192 vs baselines 0.157-0.195)."""
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    rows = sorted(
+        QUERIES["ml_cv_naive_bayes"].fn(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["fold"],
+    )
+    assert [(r["n_train"], r["n_test"]) for r in rows] == [
+        (662, 338),
+        (631, 369),
+        (707, 293),
+    ]
+    total = rows[0]["n_train"] + rows[0]["n_test"]
+    for r in rows:
+        assert r["n_train"] + r["n_test"] == total
+        assert r["accuracy"] >= r["baseline_accuracy"] - 0.02, r
+    mean = sum(r["accuracy"] for r in rows) / 3
+    assert abs(rows[0]["mean_accuracy"] - round(mean, 6)) < 1e-9

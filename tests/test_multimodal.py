@@ -118,3 +118,19 @@ def test_phash_dedup_finds_planted_copies(spark):
     sparse = [decode_image_stub(p, fake=True) for p in payloads]
     for d, s_ in zip(dense, sparse):
         assert [d[4 * j] for j in range(16)] == s_
+
+
+def test_phash_dedup_exact_hamming_audit(spark):
+    """mm_phash_dedup's in-query audit: the banded pipeline must
+    recover EVERY pair of the exact all-pairs Hamming<=2 relation
+    (pigeonhole: 2 flipped bits cannot dirty all 4 bands), and the
+    audit columns must say so on every row."""
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    rows = QUERIES["mm_phash_dedup"].fn(spark, SF_SMOKE).collect()
+    assert rows, "planted copies must produce pairs"
+    for r in rows:
+        assert r["audit_recall_exact"] is True
+        assert r["n_pairs_banded"] == r["n_pairs_exact"] == len(rows)
+        assert r["hamming"] <= 2

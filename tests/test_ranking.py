@@ -103,3 +103,39 @@ def test_ranged_row_number_materialize_identical(spark):
         for r in ranged_row_number(df, "v", order, materialize=True).collect()
     }
     assert a == b
+
+
+def test_ranged_row_number_null_key_fails_fast(spark):
+    """ADVICE r5: a null range key must RAISE, not silently vanish
+    from the output (the null bucket used to miss the offsets join)."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0)], "id long, k double"
+    )
+    out = ranged_row_number(df, "k", [F.col("k").asc(), F.col("id").asc()])
+    with pytest.raises(Exception, match="null/NaN"):
+        out.collect()
+
+
+def test_ranged_row_number_nan_key_fails_fast(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, float("nan")), (3, 30.0)], "id long, k double"
+    )
+    out = ranged_row_number(df, "k", [F.col("k").asc(), F.col("id").asc()])
+    import pytest
+
+    with pytest.raises(Exception, match="null/NaN"):
+        out.collect()
+
+
+def test_ranged_row_number_wide_integer_span_no_overflow(spark):
+    """ADVICE r5: a BIGINT key whose span exceeds 2^63/n_buckets must
+    still bucket correctly (double arithmetic, monotone) instead of
+    overflowing under ANSI mode."""
+    big = 2**62
+    rows = [(i, v) for i, v in enumerate([-big, -1, 0, 7, big])]
+    df = spark.createDataFrame(rows, "id long, k long")
+    out = ranged_row_number(df, "k", [F.col("k").asc(), F.col("id").asc()]).collect()
+    got = {r["k"]: r["rn"] for r in out}
+    assert got == {-big: 1, -1: 2, 0: 3, 7: 4, big: 5}

@@ -128,7 +128,9 @@ def test_ivf_indexed_equals_in_query_build(spark):
     from web_attack_detection_spark.plans.similarity3 import sim_ivf_indexed
     from .conftest import SF_SMOKE
 
-    a = sim_ivf_indexed(spark, SF_SMOKE).collect()
+    # sim_ivf_indexed additionally carries the round-6 recall-audit
+    # column; the served ranking itself must stay row-for-row equal
+    a = sim_ivf_indexed(spark, SF_SMOKE).drop("recall_at_k").collect()
     b = sim_ivf_topk(spark, SF_SMOKE).collect()
     assert len(a) > 0
     assert a == b
@@ -301,3 +303,26 @@ def test_ivf_recall_curve_invariants(spark):
     assert all(a < b for a, b in zip(cands, cands[1:]))
     n_corpus = load_table(spark, SF_SMOKE, "embeddings").count()
     assert cands[-1] == float(n_corpus - 1)  # full probe scans everything
+
+
+def test_ivf_indexed_recall_audit_pinned(spark):
+    """sim_ivf_indexed's in-query audit column: recall@5 vs the exact
+    brute-force relation is computed inside the query; it must match
+    an independent recomputation here and clear the measured floor
+    (0.58 at sf0.001 with n_probe=4/16 — pinned ≥ 0.5)."""
+    from web_attack_detection_spark.operators.similarity import brute_force_topk
+    from web_attack_detection_spark.io.sources import load_table
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["sim_ivf_indexed"].fn(spark, sf).collect()
+    assert len({r["recall_at_k"] for r in rows}) == 1  # one global audit value
+    emb = load_table(spark, sf, "embeddings")
+    exact = brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    served_set = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    want = round(len(served_set & exact_set) / len(exact_set), 6)
+    assert rows[0]["recall_at_k"] == want
+    assert rows[0]["recall_at_k"] >= 0.5

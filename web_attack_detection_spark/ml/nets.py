@@ -103,19 +103,23 @@ def seeded_rnn_params(n_classes: int, seed: int = 42) -> dict:
 
 
 def _simple_rnn(x: np.ndarray, w, u, b, return_seq: bool) -> np.ndarray:
-    n, L, _ = x.shape
+    """TIME-MAJOR: ``x`` is (L, n, d) so every per-step slice is
+    contiguous, and the time-independent input projection is one
+    (L·n, d) gemm — only the h @ u recurrence stays sequential."""
+    L, n, d = x.shape
     units = b.shape[0]
+    xw = (x.reshape(L * n, d) @ w).reshape(L, n, units) + b
     h = np.zeros((n, units))
-    seq = np.empty((n, L, units)) if return_seq else None
+    seq = np.empty((L, n, units)) if return_seq else None
     for t in range(L):
-        h = np.tanh(x[:, t, :] @ w + h @ u + b)
+        h = np.tanh(xw[t] + h @ u)
         if return_seq:
-            seq[:, t, :] = h
+            seq[t] = h
     return seq if return_seq else h
 
 
 def rnn_forward(batch: np.ndarray, params: dict) -> np.ndarray:
-    x = batch[:, :, None].astype(np.float64)
+    x = np.ascontiguousarray(batch.T, dtype=np.float64)[:, :, None]  # (L, n, 1)
     s = _simple_rnn(x, *params["rnn1"], return_seq=True)
     h = _simple_rnn(s, *params["rnn2"], return_seq=False)
     w, b = params["dense"]
@@ -152,28 +156,29 @@ def _sigmoid(z: np.ndarray) -> np.ndarray:
 
 
 def _lstm(x: np.ndarray, w, u, b, return_seq: bool) -> np.ndarray:
-    n, L, _ = x.shape
+    """TIME-MAJOR (x is (L, n, d)) — see _simple_rnn."""
+    L, n, d = x.shape
     units = b.shape[0] // 4
+    xw = (x.reshape(L * n, d) @ w).reshape(L, n, 4 * units) + b
     h = np.zeros((n, units))
     c = np.zeros((n, units))
-    seq = np.empty((n, L, units)) if return_seq else None
+    seq = np.empty((L, n, units)) if return_seq else None
     for t in range(L):
-        z = x[:, t, :] @ w + h @ u + b
-        i, f, g, o = (
-            _sigmoid(z[:, :units]),
-            _sigmoid(z[:, units : 2 * units]),
-            np.tanh(z[:, 2 * units : 3 * units]),
-            _sigmoid(z[:, 3 * units :]),
-        )
+        z = xw[t] + h @ u
+        # one sigmoid pass over all 4u columns; g's block recomputed
+        # as tanh — fewer numpy dispatches per recurrent step
+        sig = _sigmoid(z)
+        i, f, o = sig[:, :units], sig[:, units : 2 * units], sig[:, 3 * units :]
+        g = np.tanh(z[:, 2 * units : 3 * units])
         c = f * c + i * g
         h = o * np.tanh(c)
         if return_seq:
-            seq[:, t, :] = h
+            seq[t] = h
     return seq if return_seq else h
 
 
 def lstm_forward(batch: np.ndarray, params: dict) -> np.ndarray:
-    x = batch[:, :, None].astype(np.float64)
+    x = np.ascontiguousarray(batch.T, dtype=np.float64)[:, :, None]  # (L, n, 1)
     s = _lstm(x, *params["lstm1"], return_seq=True)
     h = _lstm(s, *params["lstm2"], return_seq=False)
     w, b = params["dense"]

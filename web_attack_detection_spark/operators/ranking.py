@@ -79,7 +79,10 @@ def ranged_row_number(
 
     ``key`` values must be non-null and non-NaN (Spark's sort places
     NaN last, but range-bucketing a NaN is undefined) — every registry
-    caller derives the key from finite arithmetic."""
+    caller derives the key from finite arithmetic, and the precondition
+    is ENFORCED: a null/NaN key raises at execution time instead of
+    silently vanishing from the output (ADVICE r5: the null bucket
+    never matched the offsets join, so violating rows were dropped)."""
     if materialize:
         # the input is referenced by FOUR plan branches (min/max
         # stats, bucket counts, and the probe side, two of which
@@ -93,13 +96,28 @@ def ranged_row_number(
         df = df.localCheckpoint(eager=False)
     k = (-F.col(key)) if descending else F.col(key)
     stats = df.agg(F.min(k).alias("_mn"), F.max(k).alias("_mx"))
-    span = F.col("_mx") - F.col("_mn")
+    # Bucket arithmetic runs in DOUBLE: for integer keys the BIGINT
+    # form (k - mn) * n_buckets could overflow past 2^63/n_buckets of
+    # span (ADVICE r5) — the double rounding is monotone in k, which
+    # is all bucketing needs (equal keys stay together, order holds).
+    k_d = k.cast("double")
+    span = F.col("_mx").cast("double") - F.col("_mn").cast("double")
+    # fail FAST on a null/NaN key instead of silently dropping the row
+    # in the offsets join below.  Spark's NaN semantics make k != k
+    # false for NaN, so the check is isnan on the double view.
+    bad = k.isNull() | F.isnan(k_d)
     bkt = (
-        F.when(span <= 0, F.lit(0))
+        F.when(
+            bad,
+            F.raise_error(
+                F.lit("ranged_row_number: range key is null/NaN (precondition)")
+            ).cast("long"),
+        )
+        .when(span <= 0, F.lit(0))
         .otherwise(
             F.least(
                 F.lit(n_buckets - 1),
-                F.floor((k - F.col("_mn")) * n_buckets / span),
+                F.floor((k_d - F.col("_mn").cast("double")) * n_buckets / span),
             )
         )
         .cast("long")

@@ -716,7 +716,10 @@ def _merged_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     sh_name, tx_name = _corpus_index(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     committed = docs.filter(F.col("doc_id") % 10 == 5)
-    key = (sf_dir, committed.count())
+    # cache key folds the CONTENT-KEYED corpus-index table names too
+    # (ADVICE r5): a patched loader changing corpus content without
+    # changing the committed count must not replay a stale merge
+    key = (sf_dir, committed.count(), sh_name, tx_name)
     cached = _MERGED_INDEX.get(key)
     if cached is not None:
         return cached

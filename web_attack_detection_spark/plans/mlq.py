@@ -97,14 +97,23 @@ def ml_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("ml_kmeans_clusters", None, doc="MLlib KMeans over embeddings (seeded)")
+@register(
+    "ml_kmeans_clusters",
+    None,
+    doc="MLlib KMeans over embeddings (seeded) + in-query Lloyd-monotonicity SSE audit",
+)
 def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-means over the embedding corpus (k=8, fixed seed+init steps →
     deterministic): per-cluster size and within-cluster cost. The
     distributed Lloyd iteration is MLlib's — assignment is a broadcast
     of k centroids against one corpus scan per iteration, the exact
     shape hand-rolled in operators/similarity.ivf_assign. Rows-only
-    (centroid floats are iteration-order-dependent across engines)."""
+    (centroid floats are iteration-order-dependent across engines),
+    but carries an in-query audit: one more EXACT Lloyd step from the
+    fitted centers must not increase the SSE
+    (``audit_sse_non_increasing``, pinned true in tests/test_ml.py) —
+    so a wrong fit or a wrong transform trips a hard boolean even
+    though the centroid floats themselves have no SQL twin."""
     from pyspark.ml.clustering import KMeans
 
     from web_attack_detection_spark.ml.pipeline import to_vector
@@ -114,10 +123,62 @@ def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vdf = to_vector(emb, "e", "fv")
     model = KMeans(k=8, seed=42, maxIter=10, featuresCol="fv", predictionCol="cluster").fit(vdf)
-    return (
+
+    # --- in-query SSE audit (the estimate-verify pattern): Lloyd's
+    # step is monotone, so running ONE MORE exact step from the fitted
+    # model (recompute centroids as member means, reassign to nearest)
+    # must not increase the within-cluster SSE.  Both SSEs are computed
+    # relationally (zip_with/aggregate folds over literal centers —
+    # whole-stage codegen, no Python), so a broken fit or a broken
+    # transform both trip the audit.  ml_kmeans_step_exact is the
+    # fully-oracled integer skeleton of this same iteration.
+    def sq_dist(col, center):
+        return F.aggregate(
+            F.zip_with(col, center, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    centers = [
+        F.array(*[F.lit(float(x)) for x in c]) for c in model.clusterCenters()
+    ]
+    assigned = (
         model.transform(vdf)
-        .groupBy("cluster")
+        .select(
+            "cluster",
+            "e",
+            sq_dist(F.col("e"), F.element_at(F.array(*centers), F.col("cluster") + 1))
+            .alias("d2"),
+        )
+        .localCheckpoint()  # fit + audit reuse one materialization
+    )
+    # next-step centroids = per-cluster per-dim member means (k×dim
+    # rows — the fit-stats collect pattern)
+    mean_rows = (
+        assigned.select("cluster", F.posexplode("e").alias("dim", "v"))
+        .groupBy("cluster", "dim")
+        .agg(F.avg("v").alias("mu"))
+        .collect()
+    )
+    dim = len(model.clusterCenters()[0])
+    nxt = {r["cluster"]: [0.0] * dim for r in mean_rows}
+    for r in mean_rows:
+        nxt[r["cluster"]][r["dim"]] = r["mu"]
+    nxt_centers = [
+        F.array(*[F.lit(v) for v in nxt[c]]) for c in sorted(nxt)
+    ]
+    audit = assigned.agg(
+        F.round(F.sum("d2"), 6).alias("sse_final"),
+        F.round(
+            F.sum(F.least(*[sq_dist(F.col("e"), c) for c in nxt_centers])), 6
+        ).alias("sse_next_step"),
+    ).withColumn(
+        "audit_sse_non_increasing", F.col("sse_next_step") <= F.col("sse_final")
+    )
+    return (
+        assigned.groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .crossJoin(F.broadcast(audit))  # single-row aggregate broadcast
         .orderBy("cluster")
     )
 
@@ -239,12 +300,40 @@ def ml_cv_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         tr = apply_string_indexer(train, labels, "event_type", "label")
         te = apply_string_indexer(test, labels, "event_type", "label")
         model = NaiveBayes(featuresCol="fv", labelCol="label", modelType="gaussian").fit(tr)
+        # in-query audit: fold sizes + the train-majority-class
+        # baseline on THIS fold's test rows.  Fold membership is
+        # deterministic (md5), so n_train/n_test are pinned exactly in
+        # tests/test_ml.py; accuracy is honest about sitting near the
+        # baseline (the events labels are synthetic noise vs these
+        # features — documented, not hidden).
+        maj = (
+            tr.groupBy("event_type")
+            .count()
+            .orderBy(F.col("count").desc(), "event_type")
+            .first()["event_type"]
+        )
+        stats = te.agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.avg((F.col("event_type") == F.lit(maj)).cast("double")).alias("base"),
+        ).first()
         acc = accuracy(model.transform(te)).first()["accuracy"]
-        rows.append((k, float(acc)))
+        rows.append(
+            (
+                k,
+                tr.count(),
+                int(stats["n_test"]),
+                float(acc),
+                round(float(stats["base"]), 6),
+            )
+        )
     vdf.unpersist()
-    mean_acc = sum(a for _, a in rows) / len(rows)
-    rows = [(k, a, round(mean_acc, 6)) for k, a in rows]
-    return spark.createDataFrame(rows, "fold int, accuracy double, mean_accuracy double")
+    mean_acc = sum(r[3] for r in rows) / len(rows)
+    rows = [r + (round(mean_acc, 6),) for r in rows]
+    return spark.createDataFrame(
+        rows,
+        "fold int, n_train long, n_test long, accuracy double, "
+        "baseline_accuracy double, mean_accuracy double",
+    )
 
 
 @register("ml_mlp_train_eval", None, doc="MLlib MLP train on events features, eval accuracy")

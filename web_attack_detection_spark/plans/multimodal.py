@@ -194,7 +194,14 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicates the non-locality-sensitive stand-in decode can surface;
     a real decoder slots into the same pipeline and the banding then
     finds perturbed near-copies too (operators/multimodal.phash_media).
-    Rows-only: a DCT inside mapInPandas has no SQL twin. Planted-pair
+    Rows-only: a DCT inside mapInPandas has no SQL twin — but the
+    result carries an in-query audit (the dedup_minhash_lsh
+    estimate-verify pattern): the EXACT all-pairs Hamming relation is
+    recomputed at this oracle scale and the banded pipeline must
+    recover every pair (``audit_recall_exact``; with Hamming ≤ 2 and 4
+    bands the pigeonhole guarantee makes anything less a hard bug).
+    The all-pairs audit relation is the oracle-scale check, not the
+    serving path — at 100 TB only the banded join runs.  Planted-pair
     recovery + scalar/vectorized decode equivalence are pytested."""
     from web_attack_detection_spark.io.sources import union_by_name
     from web_attack_detection_spark.operators.multimodal import (
@@ -209,8 +216,26 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 500000).alias("doc_id"), "text"
     )
     media = attach_fake_media(union_by_name(base, planted), "text", "doc_id")
-    hashed = phash_media(media)
-    return phash_near_dup_pairs(hashed, max_hamming=2).orderBy("id_a", "id_b")
+    # hashed feeds both the banded pipeline and the exact audit — one
+    # decode+DCT pass, materialized once
+    hashed = phash_media(media).localCheckpoint()
+    pairs = phash_near_dup_pairs(hashed, max_hamming=2)
+    exact = (
+        hashed.alias("a")
+        .join(hashed.alias("b"), F.col("a.media_id") < F.col("b.media_id"))
+        .filter(
+            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash"))) <= F.lit(2)
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs_exact"))
+    )
+    audit = (
+        pairs.agg(F.count(F.lit(1)).alias("n_pairs_banded"))
+        .crossJoin(F.broadcast(exact))  # two single-row aggregates
+        .withColumn(
+            "audit_recall_exact", F.col("n_pairs_banded") == F.col("n_pairs_exact")
+        )
+    )
+    return pairs.crossJoin(F.broadcast(audit)).orderBy("id_a", "id_b")
 
 
 _CONTRASTIVE_ORACLE = """

@@ -703,7 +703,13 @@ def pipe_sorted_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     loc = _stable_dir(spark, "epoch_export", sf_dir)
     (
         sharded.repartition(_SORTED_EXPORT_SHARDS, "shard")
-        .sortWithinPartitions("pos")
+        # sort by (shard, pos): the dynamic-partition writer REQUIRES
+        # ordering by the partition column and would insert its own
+        # SortExec on shard alone, leaving the on-disk pos-ordering to
+        # that sort's (undocumented) stability.  Pre-satisfying the
+        # writer's requirement makes the per-file pos order a plan
+        # guarantee, not a stability accident (ADVICE r5).
+        .sortWithinPartitions("shard", "pos")
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(loc)

@@ -490,20 +490,38 @@ def sim_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     query cost is |probed partitions|, enforced by partition pruning
     rather than trust. Rows-only driver check (xxhash64 centroid
     seeding is not expressible in the oracle engine), same as
-    sim_ivf_topk; recall is asserted against the exact baseline in
-    tests/test_similarity.py."""
-    from web_attack_detection_spark.operators.similarity import ivf_topk_from_index
+    sim_ivf_topk — but the result carries an in-query audit: exact
+    brute-force top-k is recomputed for the same query batch (the
+    oracle-scale relation, not the serving path) and ``recall_at_k``
+    reports the served/exact overlap, bound-pinned in
+    tests/test_similarity.py.  The serving plan itself stays
+    exchange-free on index rows (tests/test_explain.py)."""
+    from web_attack_detection_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk_from_index,
+    )
 
     a_name, c_name = _ivf_store(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return ivf_topk_from_index(
+    served = ivf_topk_from_index(
         spark.table(c_name),
         spark.table(a_name),
         queries,
         k=5,
         n_probe=4,
-    ).orderBy("query_id", "rank")
+    )
+    exact = brute_force_topk(emb, queries, k=5)
+    audit = (
+        served.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .agg(F.count(F.lit(1)).alias("__hit"))
+        .crossJoin(F.broadcast(exact.agg(F.count(F.lit(1)).alias("__n"))))
+        .select(
+            F.round(F.col("__hit") / F.col("__n"), 6).alias("recall_at_k")
+        )
+    )
+    return served.crossJoin(F.broadcast(audit)).orderBy("query_id", "rank")
 
 
 # ---------------------------------------------------------------------------
