@@ -52,7 +52,7 @@ def _fd_max_rel_err(arch, seq_len, n_classes=3, n=4, n_coords=20, eps=1e-5):
 
 @pytest.mark.parametrize(
     "arch,seq_len",
-    [("cnn", 32), ("rnn", 6), ("lstm", 6)],
+    [("cnn", 32), ("rnn", 6), ("lstm", 6), ("mlp", 12)],
 )
 def test_gradient_matches_finite_differences(arch, seq_len):
     # 1e-4 tolerance: FD with eps=1e-5 carries ~1e-6 relative noise on
@@ -71,7 +71,7 @@ def test_flatten_unflatten_roundtrip():
         assert sorted(p2.keys()) == sorted(p.keys())
 
 
-@pytest.mark.parametrize("arch", ["cnn", "rnn", "lstm"])
+@pytest.mark.parametrize("arch", ["cnn", "rnn", "lstm", "mlp"])
 def test_backward_forward_agrees_with_inference_forward(arch):
     """The cache-building forward inside *_loss_grads must produce the
     same probabilities as nets.*_forward — otherwise training optimizes
@@ -558,3 +558,20 @@ def test_fused_equals_local_twin_bit_exact_and_allreduce_close(spark):
     )
     assert np.allclose(h_f["loss"], h_a["loss"], atol=1e-9)
     df.unpersist()
+
+
+def test_mlp_protocol_query_early_stops(spark):
+    """ml_mlp_train_protocol: the reference M1 stack trained under the
+    exact protocol must early-stop inside the 50-epoch cap (the events
+    labels are noise vs the features, so the val-loss plateau is
+    quick) with best-epoch restore and accuracy within noise of the
+    majority baseline."""
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    row = QUERIES["ml_mlp_train_protocol"].fn(spark, SF_ORACLE).collect()[0]
+    assert row["n_train"] > 0 and row["n_test"] > 0
+    assert row["early_stopped"], row
+    assert row["epochs_run"] < 50
+    assert row["best_epoch"] == row["epochs_run"] - 5
+    assert row["test_accuracy"] >= row["majority_share"] - 0.05, row

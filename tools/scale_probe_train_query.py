@@ -57,21 +57,32 @@ def main() -> int:
             )
         return out
 
+    # The 10x hash-sample is a DIFFERENT 384-row train subset, so the
+    # early stop can fire at a different epoch — report wall AND
+    # epochs_run, and compare seconds/epoch (the volume-scaling term)
+    # rather than raw wall, which conflates trajectory luck with scale.
     results = {}
     for mult, loader in [("1x", load_table), ("10x", loader_10x)]:
         deepq.load_table = loader
         for name in QUERIES:
             REG[name].fn(spark, SF_DIR).count()  # warm
             t0 = time.time()
-            REG[name].fn(spark, SF_DIR).count()
-            results[(name, mult)] = time.time() - t0
-            print(f"{mult:>4} {name}: {results[(name, mult)]:.2f}s", flush=True)
+            row = REG[name].fn(spark, SF_DIR).collect()[0]
+            results[(name, mult)] = (time.time() - t0, int(row["epochs_run"]))
+            print(
+                f"{mult:>4} {name}: {results[(name, mult)][0]:.2f}s "
+                f"({results[(name, mult)][1]} epochs)",
+                flush=True,
+            )
     deepq.load_table = load_table
-    print("\n| plan | 1x | 10x | scaling |")
+    print("\n| plan | 1x | 10x | s/epoch scaling |")
     print("|---|---|---|---|")
     for name in QUERIES:
-        a, b = results[(name, "1x")], results[(name, "10x")]
-        print(f"| {name} | {a:.2f} s | {b:.2f} s | {b / a:.1f}x |")
+        (a, ea), (b, eb) = results[(name, "1x")], results[(name, "10x")]
+        print(
+            f"| {name} | {a:.2f} s / {ea} ep | {b:.2f} s / {eb} ep "
+            f"| {(b / eb) / (a / ea):.1f}x |"
+        )
     return 0
 
 

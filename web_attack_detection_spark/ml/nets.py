@@ -231,3 +231,31 @@ def mlp_forward(batch: np.ndarray, params: dict) -> np.ndarray:
         z = a @ W.T + b
         a = _softmax(z) if i == len(affine) - 1 else _sigmoid(z)
     return a
+
+
+# ---------------------------------------------------------------------------
+# Reference MLP (M1) — mlp_model.py:19-26: Dense(256) -> Dense(128) ->
+# Dense(64) -> softmax, all hidden ReLU (Dropout is train-time only and
+# omitted like the other architectures' — documented in ml/train.py)
+# ---------------------------------------------------------------------------
+
+
+def seeded_ref_mlp_params(input_dim: int, n_classes: int, seed: int = 42) -> dict:
+    rng = _rng(seed)
+    dims = [input_dim, 256, 128, 64, n_classes]
+    return {
+        "layers": [
+            (_glorot(rng, din, (din, dout)), np.zeros(dout))
+            for din, dout in zip(dims, dims[1:])
+        ]
+    }
+
+
+def ref_mlp_forward(batch: np.ndarray, params: dict) -> np.ndarray:
+    """batch (n, input_dim) -> probabilities (n, n_classes)."""
+    x = np.asarray(batch, dtype=np.float64)
+    layers = params["layers"]
+    for w, b in layers[:-1]:
+        x = np.maximum(x @ w + b, 0.0)
+    w, b = layers[-1]
+    return _softmax(x @ w + b)

@@ -389,16 +389,49 @@ def load_params(path: str) -> dict:
         return dec(json.load(f))
 
 
+# ---------------------------------------------------------------------------
+# Reference MLP (M1): plain dense backprop (mirrors nets.ref_mlp_forward)
+# ---------------------------------------------------------------------------
+
+
+def mlp_loss_grads(x: np.ndarray, y: np.ndarray, params: dict):
+    """x (n, input_dim), y (n,) -> (loss_sum, grads).  The reference's
+    M1 stack (mlp_model.py:19-26): Dense(256/128/64, relu) -> softmax;
+    Dropout is train-time regularization the in-engine trainer omits
+    (same documented stance as the CNN/RNN/LSTM dropout layers)."""
+    layers = params["layers"]
+    a = np.asarray(x, dtype=np.float64)
+    acts = [a]
+    zs = []
+    for w, b in layers[:-1]:
+        z = acts[-1] @ w + b
+        zs.append(z)
+        acts.append(np.maximum(z, 0.0))
+    w_out, b_out = layers[-1]
+    loss_sum, dlog = _softmax_ce(acts[-1] @ w_out + b_out, y)
+    grads = _zeros_like_tree(params)
+    glayers = grads["layers"]
+    glayers[-1] = (acts[-1].T @ dlog, dlog.sum(axis=0))
+    d = dlog @ w_out.T
+    for li in range(len(layers) - 2, -1, -1):
+        dz = d * (zs[li] > 0)
+        glayers[li] = (acts[li].T @ dz, dz.sum(axis=0))
+        d = dz @ layers[li][0].T
+    return loss_sum, grads
+
+
 GRAD_FNS: dict[str, Callable] = {
     "cnn": cnn_loss_grads,
     "rnn": rnn_loss_grads,
     "lstm": lstm_loss_grads,
+    "mlp": mlp_loss_grads,
 }
 
 FORWARD_FNS: dict[str, Callable] = {
     "cnn": nets.cnn_forward,
     "rnn": nets.rnn_forward,
     "lstm": nets.lstm_forward,
+    "mlp": nets.ref_mlp_forward,
 }
 
 
@@ -409,6 +442,8 @@ def init_params(arch: str, seq_len: int, n_classes: int, seed: int = 42) -> dict
         return nets.seeded_rnn_params(n_classes, seed)
     if arch == "lstm":
         return nets.seeded_lstm_params(n_classes, seed)
+    if arch == "mlp":
+        return nets.seeded_ref_mlp_params(seq_len, n_classes, seed)
     raise ValueError(f"unknown arch {arch!r}")
 
 

@@ -36,13 +36,19 @@ item 2); the hard assertions (gradient checks, distributed==local
 gradient parity, learnability above the majority baseline) live in
 tests/test_train.py.
 
-Cost note (bench): these are the slowest registry entries after
-ref_unsw_battery, and for the same reason — the wall is sequential
-minibatch steps (batch-64 SGD is inherently sequential; ~6 shard jobs
-+ 1 val eval per epoch, 9-17 epochs to the early stop) plus the
-per-job floor, not plan waste.  The Spark side per step is one cached
-scan of the batch's hash shard and an O(model) partial reduce;
-`tools/scale_probe_train.py` shows epoch cost is volume-independent.
+Execution: batch-64 SGD is a serial chain of updates, so the queries
+run the protocol in FUSED mode — one ``mapInPandas`` job streams the
+(hash-capped) train shard into a single task that runs the whole
+minibatch/early-stop loop with the (bounded) validation sample
+broadcast, emitting O(model) output; per-step allreduce exists as the
+large-batch mode and is trajectory-parity-tested (ml/train.py).
+
+Cost note (bench): these are among the slowest registry entries —
+the wall is the serial numpy minibatch chain (9-27 epochs x ~6 batch
+gradients + one val forward), not plan waste.
+`tools/scale_probe_train_query.py` shows per-epoch cost stays flat
+at 10x corpus volume (train and val are bounded samples; only the
+parallel scans and the distributed held-out scoring grow).
 """
 
 from __future__ import annotations
@@ -82,8 +88,10 @@ _MAX_TRAIN = 384
 # exactly the reference's (validation_data = the test split); past the
 # cap (the 10x scale probe, a real corpus) the monitor sees a
 # deterministic hash sample — per-epoch validation cost must not grow
-# with corpus volume (tools/scale_probe_train_query.py)
-_MAX_VAL = 2000
+# with corpus volume (tools/scale_probe_train_query.py measured the
+# LSTM's serial val forward dominating at 10x under a 2000 cap; 500
+# keeps the monitor sample = the full fixture test split AND flat)
+_MAX_VAL = 500
 
 
 def _block_label():
@@ -350,3 +358,107 @@ def ml_logreg_transpiled(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg((F.col("pred_transpiled") == F.col("label")).cast("double")), 6
         ).alias("accuracy_transpiled"),
     )
+
+
+@register(
+    "ml_mlp_train_protocol",
+    None,
+    doc="reference M1 MLP (256/128/64) trained IN-ENGINE under the exact reference protocol",
+)
+def ml_mlp_train_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 under the REFERENCE'S OWN training procedure, in-engine.
+
+    ``ml_mlp_train_eval`` trains MLlib's MLP (L-BFGS, no minibatches,
+    no early stopping) — the distributed-convex stand-in.  This query
+    closes the remaining M1 protocol gap: the reference's exact stack
+    (``mlp_model.py:19-26``: Dense(256) -> Dense(128) -> Dense(64) ->
+    softmax, hidden ReLU) trained with Adam(1e-3, Keras defaults),
+    minibatch 64, EarlyStopping(val_loss, patience=5, restore-best),
+    <=50 epochs, validating on the test split as ``main.py:83`` does —
+    through the same `_protocol_loop`/fused execution the M2-M4
+    trainers use (ml/train.py).  Features come from the fitted feature
+    pipeline (F7), train hash-capped like the other trainers; the
+    held-out split is scored DISTRIBUTED via ``sequence_scorer``.
+    Dropout(0.3) is train-time regularization the in-engine trainer
+    omits (documented, same stance as the other architectures).
+
+    The events labels are synthetic noise vs these features, so the
+    honest outcome is val-loss plateau -> a fast early stop with
+    accuracy at the majority baseline; the PROTOCOL mechanics (shards,
+    Adam trajectory, restore-best) are what the battery of
+    tests/test_train.py pins."""
+    from web_attack_detection_spark.functions.feature import fit_feature_pipeline
+    from web_attack_detection_spark.ml.inference import sequence_scorer
+    from web_attack_detection_spark.ml.train import FORWARD_FNS, fit_sequence_net
+
+    events = load_table(spark, sf_dir, "events").drop("props", "ts")
+    train = events.filter(F.col("event_id") % 4 != 1)
+    test = events.filter(F.col("event_id") % 4 == 1)
+    fp = fit_feature_pipeline(train, label_col="event_type")
+    tr_all = fp.transform(train).select(
+        F.col("event_id").alias("vec_id"), F.col("features").alias("seq"), "label"
+    )
+    n_all = tr_all.count()
+    cap = 1024  # 16 hash-shards of ~64 — MLP steps are cheap
+    if n_all > cap:
+        keep = int(10_000 * cap / n_all)
+        tr_all = tr_all.filter(
+            F.pmod(F.xxhash64("vec_id"), F.lit(10_000)) < F.lit(keep)
+        )
+    tr = tr_all.repartition(8, "vec_id").cache()
+    n_train = tr.count()
+    width = len(tr.select("seq").first()["seq"])
+    n_classes = len(fp.label_model)  # fitted label map (O(classes))
+
+    te = fp.transform(test).select(F.col("features").alias("seq"), "label")
+    n_test_all = te.count()
+    val_base = te
+    if n_test_all > _MAX_VAL:
+        vkeep = int(10_000 * _MAX_VAL / n_test_all)
+        val_base = fp.transform(
+            test.filter(F.pmod(F.xxhash64("event_id"), F.lit(10_000)) < F.lit(vkeep))
+        ).select(F.col("features").alias("seq"), "label")
+    val = val_base.cache()
+
+    params, hist = fit_sequence_net(
+        tr,
+        "mlp",
+        width,
+        n_classes,
+        epochs=_EPOCHS,
+        lr=_LR,
+        clip_norm=0.0,
+        seed=42,
+        optimizer="adam",
+        batch_size=_BATCH,
+        val_df=val,
+        patience=_PATIENCE,
+        exec_mode="fused",
+    )
+    tr.unpersist()
+
+    scorer = sequence_scorer(FORWARD_FNS["mlp"], params, width)
+    scored = te.select("label", scorer(F.col("seq")).alias("probs")).select(
+        "label",
+        (F.array_position(F.col("probs"), F.array_max("probs")) - 1)
+        .cast("int")
+        .alias("prediction"),
+    )
+    per_label = scored.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("prediction") == F.col("label")).cast("long")).alias("nc"),
+    )
+    out = per_label.agg(
+        F.lit(n_train).alias("n_train"),
+        F.sum("n").alias("n_test"),
+        F.lit(len(hist["loss"])).alias("epochs_run"),
+        F.lit(hist["best_epoch"]).alias("best_epoch"),
+        F.lit(hist["early_stopped"]).alias("early_stopped"),
+        F.round(F.lit(hist["loss"][0]), 6).alias("first_epoch_loss"),
+        F.round(F.lit(hist["loss"][-1]), 6).alias("final_train_loss"),
+        F.round(F.lit(min(hist["val_loss"])), 6).alias("best_val_loss"),
+        F.round(F.sum("nc") / F.sum("n"), 6).alias("test_accuracy"),
+        F.round(F.max("n") / F.sum("n"), 6).alias("majority_share"),
+    )
+    val.unpersist()
+    return out
