@@ -171,3 +171,41 @@ def test_run_pipeline_reference_main_parity(spark):
             "confusion.svg",
             "summary.csv",
         } <= names
+
+
+def test_protocol_history_flows_through_v1_plot(spark, tmp_path):
+    """Round 6: the reference-protocol fit returns the exact
+    ``history.history`` dict shape Keras produces ({'loss': [...],
+    'val_loss': [...]}), so it must flow straight through the V1
+    loss-curve artifact writer (reference utils plot of model.fit
+    history) — loss and val_loss as two labeled series, one point per
+    epoch run."""
+    import numpy as np
+
+    from web_attack_detection_spark.ml import train
+    from web_attack_detection_spark.viz import plot_history
+
+    rng = np.random.default_rng(5)
+    n, L, C = 96, 12, 3
+    X = rng.standard_normal((n, L))
+    y = rng.integers(0, C, n)
+    df = spark.createDataFrame(
+        [(i, X[i].tolist(), int(y[i])) for i in range(n)],
+        "vec_id long, seq array<double>, label int",
+    ).cache()
+    df.count()
+    _, hist = train.fit_sequence_net(
+        df, "mlp", L, C, epochs=4, lr=1e-3, clip_norm=0.0, seed=3,
+        optimizer="adam", batch_size=32, val_df=df, patience=None,
+        exec_mode="fused",
+    )
+    out = plot_history(
+        {"loss": hist["loss"], "val_loss": hist["val_loss"]},
+        tmp_path,
+        "mlp_protocol",
+    )
+    assert out.exists()
+    csv = (tmp_path / "mlp_protocol_history.csv").read_text().splitlines()
+    assert csv[0] == "epoch,loss,val_loss"
+    assert len(csv) == 1 + len(hist["loss"]) == 5
+    df.unpersist()
