@@ -1101,3 +1101,48 @@ def test_cv_naive_bayes_folds_pinned_and_baseline_bounded(spark):
         assert r["accuracy"] >= r["baseline_accuracy"] - 0.02, r
     mean = sum(r["accuracy"] for r in rows) / 3
     assert abs(rows[0]["mean_accuracy"] - round(mean, 6)) < 1e-9
+
+
+def test_pca_project_variance_ordering_audit(spark):
+    """ml_pca_project's in-query audit: projected component variances
+    non-increasing (the defining principal-axis property), identical
+    on every row."""
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    rows = QUERIES["ml_pca_project"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    assert all(r["audit_variance_ordered"] for r in rows)
+    assert rows[0]["var_c1"] >= rows[0]["var_c4"] >= 0.0
+
+
+def test_train_eval_family_baseline_audits(spark):
+    """The four MLlib train/eval queries carry the train-majority
+    baseline computed in-query; fitted accuracy must sit within noise
+    of (or above) it — the honest claim on noise labels."""
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    for q in (
+        "ml_logreg_train_eval",
+        "ml_naive_bayes_train_eval",
+        "ml_mlp_train_eval",
+        "ml_random_forest_train_eval",
+    ):
+        row = QUERIES[q].fn(spark, "/root/testdata/sf0.001").collect()[0]
+        assert 0.0 < row["baseline_accuracy"] < 1.0, q
+        assert row["accuracy"] >= row["baseline_accuracy"] - 0.05, (q, row)
+        assert row["n_train"] > 0 and row["n_test"] > 0
+
+
+@pytest.mark.parametrize("qname", ["ml_cnn_infer", "ml_rnn_infer", "ml_lstm_infer"])
+def test_sequence_infer_simplex_audit(spark, qname):
+    """Every class group's probability mass equals its row count
+    (softmax rows sum to 1) — the in-query boolean must hold."""
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    rows = QUERIES[qname].fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["audit_prob_simplex"], r

@@ -73,11 +73,20 @@ def ml_per_class_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("ml_pca_project", None, doc="PCA k=4 projection of numeric lineitem features")
+@register(
+    "ml_pca_project",
+    None,
+    doc="PCA k=4 projection of numeric lineitem features + in-query variance-ordering audit",
+)
 def ml_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA over 4 numeric lineitem columns → 4 components. Rows-only
-    check; variance-explained ordering is unit-tested instead
-    (tests/test_ml.py) because eigenvector sign is impl-defined."""
+    (eigenvector sign is impl-defined), but carries the round-6
+    in-query audit: the SAMPLE VARIANCES of the projected columns,
+    computed relationally from the output itself, must be
+    non-increasing component-to-component (``audit_variance_ordered``)
+    — the defining property of a principal-axis projection, checkable
+    without ever comparing sign-ambiguous eigenvectors.  Pinned in
+    tests/test_ml.py; the fit-vs-MLlib 1e-9 parity tests remain."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         "l_linenumber",
@@ -89,7 +98,23 @@ def ml_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("feats"),
     )
     model = fit_pca(li, "feats", k=4)
-    return pca_project(model, li, "feats").select("l_orderkey", "l_linenumber", "pca_features")
+    proj = pca_project(model, li, "feats").select(
+        "l_orderkey", "l_linenumber", "pca_features"
+    )
+    comp_var = [
+        F.variance(F.element_at("pca_features", i + 1)).alias(f"v{i}")
+        for i in range(4)
+    ]
+    audit = proj.agg(*comp_var).select(
+        F.round(F.col("v0"), 6).alias("var_c1"),
+        F.round(F.col("v3"), 6).alias("var_c4"),
+        (
+            (F.col("v0") >= F.col("v1"))
+            & (F.col("v1") >= F.col("v2"))
+            & (F.col("v2") >= F.col("v3"))
+        ).alias("audit_variance_ordered"),
+    )
+    return proj.crossJoin(F.broadcast(audit))
 
 
 # ---------------------------------------------------------------------------
@@ -183,6 +208,25 @@ def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _majority_baseline(train_df, test_df, label_col: str = "event_type") -> float:
+    """In-query audit anchor for the rows-only train/eval family
+    (round 6, extending the verdict-#3 pattern): the train-majority
+    class's share of the TEST rows — the accuracy any fitted model
+    must be judged against.  Two tiny aggregates; deterministic
+    (count ties break on label value)."""
+    maj = (
+        train_df.groupBy(label_col)
+        .count()
+        .orderBy(F.col("count").desc(), label_col)
+        .first()[label_col]
+    )
+    return float(
+        test_df.agg(
+            F.avg((F.col(label_col) == F.lit(maj)).cast("double"))
+        ).first()[0]
+    )
+
+
 @register("ml_logreg_train_eval", None, doc="MLlib multinomial logistic regression train/eval")
 def ml_logreg_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial logistic regression on the same split as the MLP —
@@ -211,8 +255,10 @@ def ml_logreg_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     acc = accuracy(model.transform(te)).first()["accuracy"]
     n_test = te.count()
     tr.unpersist()
+    base = _majority_baseline(train, test)
     return spark.createDataFrame(
-        [(float(acc), n_train, n_test)], "accuracy double, n_train long, n_test long"
+        [(float(acc), round(base, 6), n_train, n_test)],
+        "accuracy double, baseline_accuracy double, n_train long, n_test long",
     )
 
 
@@ -241,9 +287,10 @@ def ml_naive_bayes_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb = NaiveBayes(featuresCol="fv", labelCol="label", modelType="gaussian")
     model = nb.fit(tr)
     acc = accuracy(model.transform(te)).first()["accuracy"]
+    base = _majority_baseline(train, test)
     return spark.createDataFrame(
-        [(float(acc), tr.count(), te.count())],
-        "accuracy double, n_train long, n_test long",
+        [(float(acc), round(base, 6), tr.count(), te.count())],
+        "accuracy double, baseline_accuracy double, n_train long, n_test long",
     )
 
 
@@ -360,8 +407,10 @@ def ml_mlp_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     acc = accuracy(scored).first()["accuracy"]
     n_test = te.count()
     tr.unpersist()
+    base = _majority_baseline(train, test)
     return spark.createDataFrame(
-        [(float(acc), n_train, n_test)], "accuracy double, n_train long, n_test long"
+        [(float(acc), round(base, 6), n_train, n_test)],
+        "accuracy double, baseline_accuracy double, n_train long, n_test long",
     )
 
 
@@ -527,8 +576,10 @@ def ml_random_forest_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     acc = accuracy(model.transform(te)).first()["accuracy"]
     n_test = te.count()
     tr.unpersist()
+    base = _majority_baseline(train, test)
     return spark.createDataFrame(
-        [(float(acc), n_train, n_test)], "accuracy double, n_train long, n_test long"
+        [(float(acc), round(base, 6), n_train, n_test)],
+        "accuracy double, baseline_accuracy double, n_train long, n_test long",
     )
 
 
@@ -624,11 +675,22 @@ def _sequence_infer(spark: SparkSession, sf_dir: str, arch: str) -> DataFrame:
         .alias("prediction"),
         F.round(F.aggregate("probs", F.lit(0.0), lambda a, x: a + x), 6).alias("psum"),
     )
-    return pred.groupBy("prediction").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.sum(F.round(F.col("psum") * 1000000).cast("long")) / 1000000.0, 6).alias(
-            "prob_mass"
-        ),
+    return (
+        pred.groupBy("prediction")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.round(F.col("psum") * 1000000).cast("long")) / 1000000.0, 6
+            ).alias("prob_mass"),
+        )
+        # in-query audit: every softmax row sums to 1, so each class
+        # group's probability mass must equal its row count to within
+        # the 1e-6 quantization — a hard boolean over the whole scored
+        # relation (pinned in tests/test_ml.py)
+        .withColumn(
+            "audit_prob_simplex",
+            F.abs(F.col("prob_mass") - F.col("n")) <= F.lit(1e-3) * F.col("n"),
+        )
     )
 
 
