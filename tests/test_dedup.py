@@ -167,3 +167,17 @@ def test_threshold_curve_is_monotone_and_consistent(spark):
     assert all(a >= b for a, b in zip(docs, docs[1:]))
     n20 = QUERIES["dedup_ngram_jaccard"].fn(spark, sf).count()
     assert rows[0]["n_pairs"] == n20
+
+
+def test_simhash_exact_hamming_audit(spark):
+    """dedup_simhash's in-query audit: banded pairs == exact all-pairs
+    Hamming<=3 relation (pigeonhole with 4 bands), on every row."""
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    rows = QUERIES["dedup_simhash"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["audit_recall_exact"] is True
+        assert r["n_pairs_banded"] == r["n_pairs_exact"] == len(rows)
+        assert r["hamming"] <= 3

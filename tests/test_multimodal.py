@@ -134,3 +134,16 @@ def test_phash_dedup_exact_hamming_audit(spark):
         assert r["audit_recall_exact"] is True
         assert r["n_pairs_banded"] == r["n_pairs_exact"] == len(rows)
         assert r["hamming"] <= 2
+
+
+def test_extract_features_stats_parity_audit(spark):
+    """mm_extract_features' round-6 audit: Python byte stats equal the
+    relational recomputation on every row (n_stat_mismatch == 0)."""
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    rows = QUERIES["mm_extract_features"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    assert rows[0]["n_rows_checked"] == len(rows)
+    assert rows[0]["n_stat_mismatch"] == 0
+    assert all(r["audit_stats_parity"] for r in rows)

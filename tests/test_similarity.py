@@ -128,10 +128,10 @@ def test_ivf_indexed_equals_in_query_build(spark):
     from web_attack_detection_spark.plans.similarity3 import sim_ivf_indexed
     from .conftest import SF_SMOKE
 
-    # sim_ivf_indexed additionally carries the round-6 recall-audit
-    # column; the served ranking itself must stay row-for-row equal
+    # both queries additionally carry the round-6 recall-audit column;
+    # the served ranking itself must stay row-for-row equal
     a = sim_ivf_indexed(spark, SF_SMOKE).drop("recall_at_k").collect()
-    b = sim_ivf_topk(spark, SF_SMOKE).collect()
+    b = sim_ivf_topk(spark, SF_SMOKE).drop("recall_at_k").collect()
     assert len(a) > 0
     assert a == b
 
@@ -326,3 +326,29 @@ def test_ivf_indexed_recall_audit_pinned(spark):
     want = round(len(served_set & exact_set) / len(exact_set), 6)
     assert rows[0]["recall_at_k"] == want
     assert rows[0]["recall_at_k"] >= 0.5
+
+
+def test_ivf_topk_recall_audit_pinned(spark):
+    """sim_ivf_topk's round-6 recall_at_k audit column: one global
+    value, >= the measured 0.5 floor at n_probe=4/16."""
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    rows = QUERIES["sim_ivf_topk"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert len({r["recall_at_k"] for r in rows}) == 1
+    assert rows[0]["recall_at_k"] >= 0.5
+
+
+def test_brp_and_minhash_lsh_in_query_audits(spark):
+    """The MLlib LSH joins' round-6 audit columns: BRP planted recall
+    total; MinHash distCol verified against the exact pre-hash shingle
+    Jaccard (deviation = HashingTF collisions only, ~0 here)."""
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    brp = QUERIES["ml_brp_lsh_join"].fn(spark, SF_SMOKE).collect()
+    assert brp and all(r["audit_planted_recall"] for r in brp)
+    assert brp[0]["n_planted_found"] == brp[0]["n_planted_expected"] > 0
+    mh = QUERIES["ml_minhash_lsh_join"].fn(spark, SF_SMOKE).collect()
+    assert mh and all(r["audit_jaccard_verified"] for r in mh)
+    assert mh[0]["max_jaccard_dev"] <= 0.02

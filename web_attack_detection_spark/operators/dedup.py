@@ -501,7 +501,12 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def simhash_near_dup_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3, bands: int = 4
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    sig_df: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dups = SimHash Hamming distance ≤ ``max_hamming``.
 
@@ -509,10 +514,14 @@ def simhash_near_dup_pairs(
     16-bit chunks; any pair within distance ≤ bands-1 shares at least
     one exact chunk → equi-join per chunk, then verify the full
     Hamming distance with ``bit_count(xor)``. Linear shuffle, no O(n²).
+
+    ``sig_df`` (id, simhash), if given, supplies a PRE-COMPUTED
+    signature relation — callers that also audit against the exact
+    all-pairs relation (dedup_simhash) hash the corpus once.
     """
     width = 64 // bands
     mask = (1 << width) - 1
-    sig = simhash64(df, text_col, id_col)
+    sig = sig_df if sig_df is not None else simhash64(df, text_col, id_col)
     chunks = sig.select(
         "id",
         "simhash",

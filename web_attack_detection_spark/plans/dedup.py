@@ -231,11 +231,37 @@ def dedup_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dedup_simhash", None, doc="SimHash Hamming≤3 near-dup pairs")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash with pigeonhole banding; verify via bit_count(xor).
-    Rows-only (xxhash64 bit-votes aren't SQL-portable)."""
+    Rows-only (xxhash64 bit-votes aren't SQL-portable) — but since
+    round 6 the result carries the estimate-verify audit: the EXACT
+    all-pairs Hamming≤3 relation over the (once-computed) signatures
+    must equal the banded result pair-for-pair in count
+    (``audit_recall_exact``; pigeonhole makes less a hard bug at
+    hamming ≤ bands-1).  The all-pairs relation is the oracle-scale
+    audit — at 100 TB only the banded join runs."""
+    from web_attack_detection_spark.operators.dedup import simhash64
+
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=3, bands=4).orderBy(
-        "id_a", "id_b"
+    sig = simhash64(docs, "text", "doc_id").localCheckpoint()
+    pairs = simhash_near_dup_pairs(
+        docs, "text", "doc_id", max_hamming=3, bands=4, sig_df=sig
     )
+    exact = (
+        sig.select(F.col("id").alias("ia"), F.col("simhash").alias("sa"))
+        .join(
+            sig.select(F.col("id").alias("ib"), F.col("simhash").alias("sb")),
+            F.col("ia") < F.col("ib"),
+        )
+        .filter(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= F.lit(3))
+        .agg(F.count(F.lit(1)).alias("n_pairs_exact"))
+    )
+    audit = (
+        pairs.agg(F.count(F.lit(1)).alias("n_pairs_banded"))
+        .crossJoin(F.broadcast(exact))
+        .withColumn(
+            "audit_recall_exact", F.col("n_pairs_banded") == F.col("n_pairs_exact")
+        )
+    )
+    return pairs.crossJoin(F.broadcast(audit)).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------

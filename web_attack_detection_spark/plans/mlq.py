@@ -539,7 +539,50 @@ def ml_minhash_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         tf.unpersist()
-    return pairs.orderBy("id_a", "id_b")
+    # in-query exact-Jaccard verify (round 6, the estimate-verify
+    # pattern): recompute the TRUE distinct-shingle Jaccard for every
+    # returned pair relationally from the SAME pre-hash shingle arrays
+    # MLlib consumed (so the only possible deviation from distCol is a
+    # 2^18-bucket HashingTF collision) and pin the max deviation.
+    # Pairs are few (checkpointed); the shingle relation is one pass.
+    sh_rel = sh.select(
+        "doc_id", F.explode("shingles").alias("sh")
+    ).distinct()
+    sizes = sh_rel.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        pairs.select("id_a", "id_b")
+        .join(sh_rel.withColumnsRenamed({"doc_id": "id_a"}), "id_a")
+        .join(sh_rel.withColumnsRenamed({"doc_id": "id_b"}), ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    exact = (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .join(
+            sizes.withColumnsRenamed({"doc_id": "id_a", "sz": "sz_a"}), "id_a"
+        )
+        .join(
+            sizes.withColumnsRenamed({"doc_id": "id_b", "sz": "sz_b"}), "id_b"
+        )
+        .select(
+            "jaccard_dist",
+            (
+                1.0
+                - F.coalesce(F.col("n_inter"), F.lit(0))
+                / (
+                    F.col("sz_a")
+                    + F.col("sz_b")
+                    - F.coalesce(F.col("n_inter"), F.lit(0))
+                )
+            ).alias("jd_exact"),
+        )
+    )
+    audit = exact.agg(
+        F.round(F.max(F.abs(F.col("jd_exact") - F.col("jaccard_dist"))), 6).alias(
+            "max_jaccard_dev"
+        )
+    ).withColumn("audit_jaccard_verified", F.col("max_jaccard_dev") <= 0.02)
+    return pairs.crossJoin(F.broadcast(audit)).orderBy("id_a", "id_b")
 
 
 @register(
@@ -639,7 +682,27 @@ def ml_brp_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         both.unpersist()
-    return pairs.orderBy("id_a", "id_b")
+    # in-query planted-recall audit (round 6): exactly the planted
+    # copies qualify at threshold 0.5, so every (v, v+10000) pair must
+    # come back — recall of a KNOWN ground truth, computed from the
+    # (tiny, checkpointed) result
+    n_expected = emb.filter(F.col("vec_id") % 5 == 0).count()
+    audit = (
+        pairs.agg(
+            F.sum(
+                (
+                    (F.col("id_b") - F.col("id_a") == 10000)
+                    & (F.pmod(F.col("id_a"), F.lit(5)) == 0)
+                ).cast("long")
+            ).alias("n_planted_found")
+        )
+        .withColumn("n_planted_expected", F.lit(n_expected))
+        .withColumn(
+            "audit_planted_recall",
+            F.col("n_planted_found") == F.col("n_planted_expected"),
+        )
+    )
+    return pairs.crossJoin(F.broadcast(audit)).orderBy("id_a", "id_b")
 
 
 def _sequence_infer(spark: SparkSession, sf_dir: str, arch: str) -> DataFrame:

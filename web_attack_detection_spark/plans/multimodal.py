@@ -44,10 +44,47 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multimodal hot path: binary column → mapInPandas batches →
     per-payload stats + stubbed decode. Rows-only driver check (the
-    pandas path has no SQL twin); determinism is unit-tested."""
+    FNV decode has no SQL twin) — but the BYTE STATISTICS half is
+    SQL-expressible, so since round 6 the query audits itself: the
+    Python-computed ``n_bytes`` and ``mean_byte`` are recomputed
+    relationally (octet_length; mean byte via a hex-string aggregate
+    fold — whole-stage codegen, no Python) and the per-row mismatch
+    count must be zero (``audit_stats_parity``, pinned in
+    tests/test_multimodal.py).  A wrong Arrow batch boundary, dtype
+    cast, or stat formula trips the audit even though the pixel
+    output has no twin."""
     docs = load_table(spark, sf_dir, "documents")
     media = attach_fake_media(docs, "text", "doc_id")
-    return extract_media_features(media, fake_decode=True).orderBy("media_id")
+    feats = extract_media_features(media, fake_decode=True)
+    jvm = media.select(
+        "media_id",
+        F.octet_length("payload").alias("len_jvm"),
+        F.expr(
+            """
+            CASE WHEN octet_length(payload) = 0 THEN 0.0
+                 ELSE aggregate(
+                        sequence(1, octet_length(payload)),
+                        0L,
+                        (acc, i) -> acc + CAST(conv(substring(hex(payload), 2*i-1, 2), 16, 10) AS BIGINT),
+                        acc -> CAST(acc AS DOUBLE) / octet_length(payload))
+            END
+            """
+        ).alias("mean_jvm"),
+    )
+    audit = (
+        feats.join(jvm, "media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows_checked"),
+            F.sum(
+                (
+                    (F.col("n_bytes") != F.col("len_jvm"))
+                    | (F.abs(F.col("mean_byte") - F.col("mean_jvm")) > 1e-5)
+                ).cast("long")
+            ).alias("n_stat_mismatch"),
+        )
+        .withColumn("audit_stats_parity", F.col("n_stat_mismatch") == 0)
+    )
+    return feats.crossJoin(F.broadcast(audit)).orderBy("media_id")
 
 
 # n_frames = (octet_length + id) % 8 + 1 (attach_fake_media); sampling

@@ -209,11 +209,25 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("sim_ivf_topk", None, doc="IVF-bucketed approximate top-k (scale path)")
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: 16 cells, probe 4 — scans ~1/4 of the corpus per query.
-    Rows-only driver check; recall vs the exact baseline asserted in
-    tests/test_similarity.py."""
+    Rows-only driver check; since round 6 the result carries the same
+    in-query ``recall_at_k`` audit as sim_ivf_indexed (served ∩ exact
+    brute-force top-k over the query batch — the oracle-scale
+    relation, not the serving path), bound-pinned alongside the
+    existing exact-baseline assertions in tests/test_similarity.py."""
+    from web_attack_detection_spark.operators.similarity import brute_force_topk
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return ivf_topk(emb, queries, k=5, k_centroids=16, n_probe=4).orderBy("query_id", "rank")
+    served = ivf_topk(emb, queries, k=5, k_centroids=16, n_probe=4)
+    exact = brute_force_topk(emb, queries, k=5)
+    audit = (
+        served.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .agg(F.count(F.lit(1)).alias("__hit"))
+        .crossJoin(F.broadcast(exact.agg(F.count(F.lit(1)).alias("__n"))))
+        .select(F.round(F.col("__hit") / F.col("__n"), 6).alias("recall_at_k"))
+    )
+    return served.crossJoin(F.broadcast(audit)).orderBy("query_id", "rank")
 
 
 @register(
