@@ -173,10 +173,23 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    # Host-load self-identification (VERDICT r6 #3): the box suffers
+    # multi-× bursty interference from OUTSIDE the container, and two
+    # bench windows of identical code have disagreed by 1.30×.  Sample
+    # the 1-minute load average before every rep; a rep that starts
+    # with load already above 2/3 of the CPU budget is marked
+    # contaminated, so a later round can attribute driver-vs-committed
+    # deltas mechanically instead of by trust.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
+    load_threshold = round(2 * cpus / 3, 2)
+    load_avg: dict[str, float] = {}
+    contaminated: list[str] = []
 
     def timed(name: str, fn) -> None:
         runs: list[float] = []
+        loads: list[float] = []
         for _ in range(reps):
+            loads.append(round(os.getloadavg()[0], 2))
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             n = df.count()
@@ -192,6 +205,9 @@ def main() -> None:
         # rep counts (ADVICE r3: upper-middle biased recorded timings up)
         timings[name] = round(statistics.median(runs), 4)
         spread[name] = [min(runs), max(runs)]
+        load_avg[name] = max(loads)
+        if max(loads) > load_threshold:
+            contaminated.append(name)
 
     for name in sorted(QUERIES):
         timed(name, QUERIES[name].fn)
@@ -211,6 +227,9 @@ def main() -> None:
         "reps": reps,
         "spread": spread,
         "sf": sf_val,
+        "load_avg": load_avg,
+        "load_threshold": load_threshold,
+        "contaminated": contaminated,
     }
     # The driver captures only a ~2 KB stdout tail; a 200-query map is
     # ~14 KB and has never parsed (BENCH_r01..03 all "parsed": null —
@@ -241,6 +260,7 @@ def main() -> None:
         "n_queries": len(timings),
         "reps": reps,
         "sf": sf_val,
+        "n_contaminated": len(contaminated),
         "full": sidecar,
     }
     # hard guarantee: stay inside the driver's capture window — drop

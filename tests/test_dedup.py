@@ -181,3 +181,24 @@ def test_simhash_exact_hamming_audit(spark):
         assert r["audit_recall_exact"] is True
         assert r["n_pairs_banded"] == r["n_pairs_exact"] == len(rows)
         assert r["hamming"] <= 3
+
+
+def test_oracle_scale_audits_gate_off_above_bound(spark, monkeypatch):
+    """r6 advice: the all-pairs / brute-force in-query audits must not
+    run above plans.audit.AUDIT_MAX_ROWS. Force the bound to 0: the
+    queries keep their schema, audit columns come back NULL, and only
+    the banded/ANN serving plan executes."""
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans import audit as audit_mod
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    monkeypatch.setattr(audit_mod, "AUDIT_MAX_ROWS", 0)
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["dedup_simhash"].fn(spark, sf).collect()
+    assert rows and all(
+        r["n_pairs_exact"] is None and r["audit_recall_exact"] is None
+        for r in rows
+    )
+    assert all(r["n_pairs_banded"] == len(rows) for r in rows)
+    rows = QUERIES["sim_ivf_topk"].fn(spark, sf).collect()
+    assert rows and all(r["recall_at_k"] is None for r in rows)

@@ -365,7 +365,7 @@ def test_minibatch_shard_gradient_equals_local(spark):
     epoch = 2
     params = train.init_params("rnn", 16, 3, seed=5)
     ids = np.arange(len(y), dtype=np.int64)
-    shard = (ids * train._SHARD_MULT + epoch * train._SHARD_EPOCH_SALT) % n_shards
+    shard = train._shard_ids(ids, epoch, n_shards)
     for s in range(n_shards):
         batch = df.filter(train._shard_expr("vec_id", epoch, n_shards) == s)
         loss_d, grad_d, n_d = train.distributed_loss_grad(batch, "rnn", params)
@@ -425,7 +425,7 @@ def test_reference_protocol_matches_local_numpy_twin(spark):
     n_shards = -(-len(y) // B)
     t = 0
     for ep in range(1, epochs + 1):
-        shard = (ids * train._SHARD_MULT + ep * train._SHARD_EPOCH_SALT) % n_shards
+        shard = train._shard_ids(ids, ep, n_shards)
         for s in range(n_shards):
             mask = shard == s
             if not mask.any():
@@ -575,3 +575,51 @@ def test_mlp_protocol_query_early_stops(spark):
     assert row["epochs_run"] < 50
     assert row["best_epoch"] == row["epochs_run"] - 5
     assert row["test_accuracy"] >= row["majority_share"] - 0.05, row
+
+
+def test_shard_hash_spark_numpy_exact_and_epoch_reshuffles(spark):
+    """The epoch-salted shard mixer: (a) the Spark ANSI-safe hi/lo
+    split expression is BIGINT-exact vs the numpy uint64 twin up to
+    id 2**62, and (b) minibatch COMPOSITION actually changes across
+    epochs at the independent-random rate 2*(1/n)*(1-1/n) — the r6
+    advice found the old additive salt only rotated shard labels."""
+    import pandas as pd
+
+    ids = np.array(
+        list(range(2000)) + [2**40 + 7, 2**52 + 123, 2**62], dtype=np.int64
+    )
+    df = spark.createDataFrame(pd.DataFrame({"vec_id": ids}))
+    for epoch, n in [(1, 7), (17, 3), (50, 64)]:
+        got = {
+            r["vec_id"]: r["s"]
+            for r in df.select(
+                "vec_id", train._shard_expr("vec_id", epoch, n).alias("s")
+            ).collect()
+        }
+        want = train._shard_ids(ids, epoch, n)
+        assert np.array_equal(
+            np.array([got[int(i)] for i in ids]), want
+        ), (epoch, n)
+    n = 7
+    s1 = train._shard_ids(ids[:2000], 1, n)
+    s2 = train._shard_ids(ids[:2000], 2, n)
+    co1 = s1[:, None] == s1[None, :]
+    co2 = s2[:, None] == s2[None, :]
+    frac = float((co1 != co2).mean())
+    ideal = 2 * (1 / n) * (1 - 1 / n)
+    assert abs(frac - ideal) < 0.03, frac  # sequential ids, full avalanche
+
+
+@pytest.mark.parametrize("mode", ["allreduce", "fused"])
+def test_empty_validation_set_fails_loudly(spark, mode):
+    """An accidentally-empty val_df must raise, not freeze best
+    weights at epoch 1 via a spurious 0.0 val loss (r6 advice)."""
+    df, X, y = _protocol_df(spark)
+    empty_val = df.filter("label > 99")
+    with pytest.raises(ValueError, match="empty validation set"):
+        train.fit_sequence_net(
+            df, "rnn", 16, 3, epochs=3, lr=0.02, clip_norm=0.0, seed=6,
+            optimizer="adam", batch_size=32, val_df=empty_val, patience=2,
+            exec_mode=mode,
+        )
+    df.unpersist()

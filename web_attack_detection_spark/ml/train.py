@@ -667,21 +667,55 @@ def distributed_loss_eval(
     return sum(r["loss"] for r in rows) / n, n
 
 
-# Knuth multiplicative hash constants for the per-epoch deterministic
-# minibatch shard assignment (BIGINT-exact in both Spark and numpy;
-# max id * _SHARD_MULT stays far below 2**63 for any fixture id).
-_SHARD_MULT = 2654435761
+# Per-epoch deterministic minibatch shard assignment: a two-round
+# xorshift/wrapping-multiply mixer (murmur-finalizer shape) over
+# (id + epoch*SALT).  The earlier additive-salt form
+# ((id*K + e*S) mod n) only rotated shard labels — (a-b)*K mod n is
+# epoch-independent, so the same ids always trained together
+# (shuffle=False semantics).  With the salt mixed in BEFORE the
+# multiplies and full avalanche after, pair co-residency across
+# epochs matches independent random re-assignment (measured 0.245 ==
+# 2*(1/n)*(1-1/n) for n=7 on sequential ids) — the real Keras
+# ``shuffle=True`` stand-in.  Both multipliers are odd and < 2**31 so
+# every intermediate in the Spark twin fits signed 64-bit (Spark 4
+# runs ANSI mode: arithmetic overflow THROWS; bit-shifts don't check).
+_SHARD_MULT = 1640531527  # 0x61C88647 = -floor(2**32/phi) mod 2**32
+_SHARD_MULT2 = 2027808487  # odd, < 2**31
 _SHARD_EPOCH_SALT = 40503
 
 
+def _shard_ids(ids: np.ndarray, epoch: int, n_shards: int) -> np.ndarray:
+    """numpy twin of :func:`_shard_expr` (uint64 wraps natively)."""
+    h = ids.astype(np.uint64) + np.uint64(epoch) * np.uint64(_SHARD_EPOCH_SALT)
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(_SHARD_MULT)
+    h ^= h >> np.uint64(29)
+    h *= np.uint64(_SHARD_MULT2)
+    h ^= h >> np.uint64(32)
+    return ((h >> np.uint64(33)) % np.uint64(n_shards)).astype(np.int64)
+
+
 def _shard_expr(id_col: str, epoch: int, n_shards: int):
+    """Spark twin of :func:`_shard_ids` under ANSI mode (no wrapping
+    multiply available).  ``_wrapmul`` computes (h*K) mod 2**64 via a
+    hi/lo 32-bit split: lo*K < 2**63 and hi*K < 2**63 for K < 2**31,
+    and the two halves are recombined with shift/xor (bit ops are not
+    overflow-checked), so no expression can trip an ANSI error."""
     from pyspark.sql import functions as F
 
-    return F.pmod(
-        F.col(id_col).cast("long") * F.lit(_SHARD_MULT)
-        + F.lit(epoch * _SHARD_EPOCH_SALT),
-        F.lit(n_shards),
-    )
+    m32 = F.lit(0xFFFFFFFF)
+
+    def _wrapmul(h, k: int):
+        lo_k = h.bitwiseAND(m32) * F.lit(k)
+        hi_k = F.shiftrightunsigned(h, 32) * F.lit(k)
+        top = (F.shiftrightunsigned(lo_k, 32) + hi_k).bitwiseAND(m32)
+        return F.shiftleft(top, 32).bitwiseXOR(lo_k.bitwiseAND(m32))
+
+    h = F.col(id_col).cast("long") + F.lit(epoch * _SHARD_EPOCH_SALT)
+    h = _wrapmul(h.bitwiseXOR(F.shiftrightunsigned(h, 33)), _SHARD_MULT)
+    h = _wrapmul(h.bitwiseXOR(F.shiftrightunsigned(h, 29)), _SHARD_MULT2)
+    h = h.bitwiseXOR(F.shiftrightunsigned(h, 32))
+    return F.pmod(F.shiftrightunsigned(h, 33), F.lit(n_shards))
 
 
 def fit_sequence_net(
@@ -722,9 +756,12 @@ def fit_sequence_net(
       EarlyStopping(monitor=val_loss, patience=5,
       restore_best_weights=True), up to 50 epochs.  Each epoch
       partitions the cached train set into ``ceil(n/batch_size)``
-      shards by an epoch-salted Knuth hash of ``id_col`` (the
-      deterministic, scale-safe stand-in for Keras ``shuffle=True``;
-      shard sizes are ``batch_size`` in expectation).  Each shard step
+      shards by an epoch-salted Fibonacci hash of ``id_col`` — the
+      epoch is mixed in BEFORE the wrapping multiply and the shard is
+      read off the product's high 32 bits, so batch COMPOSITION (not
+      just batch order) changes every epoch: the deterministic,
+      scale-safe stand-in for Keras ``shuffle=True``; shard sizes are
+      ``batch_size`` in expectation.  Each shard step
       is one synchronous data-parallel gradient — the same per-batch
       allreduce dataflow Horovod runs under Keras — followed by a
       driver-side Adam step.  After each epoch ``val_df`` is scored
@@ -827,9 +864,14 @@ def fit_sequence_net(
     val_eval = None
     if val_df is not None:
         def val_eval(f):
-            vl, _ = distributed_loss_eval(
+            vl, nv = distributed_loss_eval(
                 val_df, arch, unflatten_params(params, f), seq_col, label_col
             )
+            if nv == 0:
+                # an empty val scan would otherwise report loss 0.0 and
+                # freeze best weights at epoch 1 — fail loudly instead,
+                # mirroring the empty-training-set guard.
+                raise ValueError("empty validation set")
             return vl
 
     flat, history = _protocol_loop(
@@ -946,8 +988,7 @@ def protocol_fit_arrays(
     fwd = FORWARD_FNS[arch]
 
     def grad_eval(epoch, s, flat):
-        shard = (ids * _SHARD_MULT + epoch * _SHARD_EPOCH_SALT) % n_shards
-        mask = shard == s
+        mask = _shard_ids(ids, epoch, n_shards) == s
         n = int(mask.sum())
         if n == 0:
             return 0.0, None, 0
@@ -1013,6 +1054,8 @@ def _fit_protocol_fused(
     spark = train_df.sparkSession
     if val_df is not None:
         vpdf = val_df.select(seq_col, label_col).toPandas()
+        if len(vpdf) == 0:
+            raise ValueError("empty validation set")
         Xv = np.stack(vpdf[seq_col].to_numpy())
         yv = vpdf[label_col].to_numpy().astype(np.int64)
         bc_val = spark.sparkContext.broadcast((Xv, yv))

@@ -69,3 +69,32 @@ def unbounded_global_windows(df: DataFrame) -> list[str]:
 
     walk(df._jdf.queryExecution().optimizedPlan())
     return bad
+
+
+# ---------------------------------------------------------------------------
+# oracle-scale in-query audits: size gate
+# ---------------------------------------------------------------------------
+
+# Several rows-only queries carry an ESTIMATE-VERIFY audit column: the
+# banded/ANN result is re-derived by the exact oracle-scale relation
+# (all-pairs Hamming, brute-force top-k) and compared in-query. Those
+# exact relations are quadratic (or exact-scan × batch) and exist to
+# make approximate answers checkable at test scale — they must never
+# run against a 100 TB corpus. ``audit_scale_ok`` is the gate: below
+# the bound the audit runs and fills its columns; above it the query
+# returns the same schema with NULL audit columns and only the
+# linear/banded serving plan executes (r6 advice: the docstrings
+# claimed this, the code now enforces it).
+AUDIT_MAX_ROWS = 1_000_000
+
+
+def audit_scale_ok(df: DataFrame, bound: int | None = None) -> bool:
+    """True iff ``df`` is small enough for an oracle-scale audit.
+
+    Counts at most ``bound + 1`` rows (LIMIT-ed scan, not a full
+    aggregate), so the gate itself stays O(bound) at any corpus size.
+    """
+    b = AUDIT_MAX_ROWS if bound is None else bound
+    if b <= 0:
+        return False
+    return df.limit(b + 1).count() <= b

@@ -18,6 +18,7 @@ from web_attack_detection_spark.operators.dedup import (
     minhash_near_dup_pairs,
     simhash_near_dup_pairs,
 )
+from web_attack_detection_spark.plans.audit import audit_scale_ok
 from web_attack_detection_spark.plans.registry import register
 
 # ---------------------------------------------------------------------------
@@ -236,8 +237,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs Hamming≤3 relation over the (once-computed) signatures
     must equal the banded result pair-for-pair in count
     (``audit_recall_exact``; pigeonhole makes less a hard bug at
-    hamming ≤ bands-1).  The all-pairs relation is the oracle-scale
-    audit — at 100 TB only the banded join runs."""
+    hamming ≤ bands-1).  The all-pairs relation is GATED by
+    ``plans.audit.audit_scale_ok`` (corpus ≤ AUDIT_MAX_ROWS): above
+    the bound the audit columns come back NULL and only the banded
+    join runs, so the query's asymptotics match the 100 TB story the
+    docstring tells (r6 advice)."""
     from web_attack_detection_spark.operators.dedup import simhash64
 
     docs = load_table(spark, sf_dir, "documents")
@@ -245,22 +249,26 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = simhash_near_dup_pairs(
         docs, "text", "doc_id", max_hamming=3, bands=4, sig_df=sig
     )
-    exact = (
-        sig.select(F.col("id").alias("ia"), F.col("simhash").alias("sa"))
-        .join(
-            sig.select(F.col("id").alias("ib"), F.col("simhash").alias("sb")),
-            F.col("ia") < F.col("ib"),
+    banded_n = pairs.agg(F.count(F.lit(1)).alias("n_pairs_banded"))
+    if audit_scale_ok(sig):
+        exact = (
+            sig.select(F.col("id").alias("ia"), F.col("simhash").alias("sa"))
+            .join(
+                sig.select(F.col("id").alias("ib"), F.col("simhash").alias("sb")),
+                F.col("ia") < F.col("ib"),
+            )
+            .filter(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= F.lit(3))
+            .agg(F.count(F.lit(1)).alias("n_pairs_exact"))
         )
-        .filter(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= F.lit(3))
-        .agg(F.count(F.lit(1)).alias("n_pairs_exact"))
-    )
-    audit = (
-        pairs.agg(F.count(F.lit(1)).alias("n_pairs_banded"))
-        .crossJoin(F.broadcast(exact))
-        .withColumn(
+        audit = banded_n.crossJoin(F.broadcast(exact)).withColumn(
             "audit_recall_exact", F.col("n_pairs_banded") == F.col("n_pairs_exact")
         )
-    )
+    else:
+        audit = banded_n.select(
+            "n_pairs_banded",
+            F.lit(None).cast("long").alias("n_pairs_exact"),
+            F.lit(None).cast("boolean").alias("audit_recall_exact"),
+        )
     return pairs.crossJoin(F.broadcast(audit)).orderBy("id_a", "id_b")
 
 

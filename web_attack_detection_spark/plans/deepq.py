@@ -23,7 +23,8 @@ the reference's ``StandardScaler``-before-net prep
 fit-on-train per-position standardization here.
 
 The task is a deterministic, architecture-agnostic probe: label each
-embedding by the argmax of its four 16-dim block means (linear in the
+embedding by the argmax of its four (_SEQ_LEN/4)-dim block means
+(8-dim at the current L=32 slice; linear in the
 input, so every architecture's dense head can learn it), split
 train/test on ``vec_id % 4``, train under the reference protocol
 until EarlyStopping fires, and score
@@ -95,7 +96,8 @@ _MAX_VAL = 500
 
 
 def _block_label():
-    """argmax over the four 16-dim block means of the raw embedding —
+    """argmax over the four _BLOCK-dim (= _SEQ_LEN/4, currently 8-dim)
+    block means of the sliced embedding —
     computed BEFORE standardization so the labels are independent of
     the train split."""
     block_means = F.array(

@@ -13,6 +13,7 @@ from web_attack_detection_spark.operators.multimodal import (
     extract_media_features,
     sample_frames,
 )
+from web_attack_detection_spark.plans.audit import audit_scale_ok
 from web_attack_detection_spark.plans.registry import register
 
 _MM_META_ORACLE = """
@@ -237,8 +238,9 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputed at this oracle scale and the banded pipeline must
     recover every pair (``audit_recall_exact``; with Hamming ≤ 2 and 4
     bands the pigeonhole guarantee makes anything less a hard bug).
-    The all-pairs audit relation is the oracle-scale check, not the
-    serving path — at 100 TB only the banded join runs.  Planted-pair
+    The all-pairs audit is GATED by ``plans.audit.audit_scale_ok``
+    (corpus ≤ AUDIT_MAX_ROWS): above the bound the audit columns are
+    NULL and only the banded join runs (r6 advice).  Planted-pair
     recovery + scalar/vectorized decode equivalence are pytested."""
     from web_attack_detection_spark.io.sources import union_by_name
     from web_attack_detection_spark.operators.multimodal import (
@@ -257,21 +259,26 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decode+DCT pass, materialized once
     hashed = phash_media(media).localCheckpoint()
     pairs = phash_near_dup_pairs(hashed, max_hamming=2)
-    exact = (
-        hashed.alias("a")
-        .join(hashed.alias("b"), F.col("a.media_id") < F.col("b.media_id"))
-        .filter(
-            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash"))) <= F.lit(2)
+    banded_n = pairs.agg(F.count(F.lit(1)).alias("n_pairs_banded"))
+    if audit_scale_ok(hashed):
+        exact = (
+            hashed.alias("a")
+            .join(hashed.alias("b"), F.col("a.media_id") < F.col("b.media_id"))
+            .filter(
+                F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+                <= F.lit(2)
+            )
+            .agg(F.count(F.lit(1)).alias("n_pairs_exact"))
         )
-        .agg(F.count(F.lit(1)).alias("n_pairs_exact"))
-    )
-    audit = (
-        pairs.agg(F.count(F.lit(1)).alias("n_pairs_banded"))
-        .crossJoin(F.broadcast(exact))  # two single-row aggregates
-        .withColumn(
+        audit = banded_n.crossJoin(F.broadcast(exact)).withColumn(
             "audit_recall_exact", F.col("n_pairs_banded") == F.col("n_pairs_exact")
         )
-    )
+    else:
+        audit = banded_n.select(
+            "n_pairs_banded",
+            F.lit(None).cast("long").alias("n_pairs_exact"),
+            F.lit(None).cast("boolean").alias("audit_recall_exact"),
+        )
     return pairs.crossJoin(F.broadcast(audit)).orderBy("id_a", "id_b")
 
 

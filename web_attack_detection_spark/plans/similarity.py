@@ -16,6 +16,7 @@ from web_attack_detection_spark.operators.similarity import (
     cosine_pairs_blocked,
     ivf_topk,
 )
+from web_attack_detection_spark.plans.audit import audit_scale_ok
 from web_attack_detection_spark.plans.registry import register
 
 # dot(a,b) and |a| as a left-to-right double fold — textual twin of
@@ -213,20 +214,31 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-query ``recall_at_k`` audit as sim_ivf_indexed (served ∩ exact
     brute-force top-k over the query batch — the oracle-scale
     relation, not the serving path), bound-pinned alongside the
-    existing exact-baseline assertions in tests/test_similarity.py."""
+    existing exact-baseline assertions in tests/test_similarity.py.
+    The brute-force audit is GATED by ``plans.audit.audit_scale_ok``
+    (corpus ≤ AUDIT_MAX_ROWS): above the bound ``recall_at_k`` is NULL
+    and only the IVF serving plan runs (r6 advice)."""
     from web_attack_detection_spark.operators.similarity import brute_force_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     served = ivf_topk(emb, queries, k=5, k_centroids=16, n_probe=4)
-    exact = brute_force_topk(emb, queries, k=5)
-    audit = (
-        served.select("query_id", "neighbor_id")
-        .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
-        .agg(F.count(F.lit(1)).alias("__hit"))
-        .crossJoin(F.broadcast(exact.agg(F.count(F.lit(1)).alias("__n"))))
-        .select(F.round(F.col("__hit") / F.col("__n"), 6).alias("recall_at_k"))
-    )
+    if audit_scale_ok(emb):
+        exact = brute_force_topk(emb, queries, k=5)
+        audit = (
+            served.select("query_id", "neighbor_id")
+            .join(
+                exact.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+            )
+            .agg(F.count(F.lit(1)).alias("__hit"))
+            .crossJoin(F.broadcast(exact.agg(F.count(F.lit(1)).alias("__n"))))
+            .select(F.round(F.col("__hit") / F.col("__n"), 6).alias("recall_at_k"))
+        )
+    else:
+        audit = spark.range(1).select(
+            F.lit(None).cast("double").alias("recall_at_k")
+        )
     return served.crossJoin(F.broadcast(audit)).orderBy("query_id", "rank")
 
 

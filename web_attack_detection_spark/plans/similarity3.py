@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from web_attack_detection_spark.io.sources import load_table
 from web_attack_detection_spark.operators.similarity import dot, l2_norm
 from web_attack_detection_spark.plans.similarity import _SQL_DOT, _SQL_NORM
+from web_attack_detection_spark.plans.audit import audit_scale_ok
 from web_attack_detection_spark.plans.registry import register
 
 _N_QUERIES = 5
@@ -494,7 +495,9 @@ def sim_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force top-k is recomputed for the same query batch (the
     oracle-scale relation, not the serving path) and ``recall_at_k``
     reports the served/exact overlap, bound-pinned in
-    tests/test_similarity.py.  The serving plan itself stays
+    tests/test_similarity.py; the audit is GATED by
+    ``plans.audit.audit_scale_ok`` (corpus ≤ AUDIT_MAX_ROWS — NULL
+    above it, r6 advice).  The serving plan itself stays
     exchange-free on index rows (tests/test_explain.py)."""
     from web_attack_detection_spark.operators.similarity import (
         brute_force_topk,
@@ -511,16 +514,24 @@ def sim_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         n_probe=4,
     )
-    exact = brute_force_topk(emb, queries, k=5)
-    audit = (
-        served.select("query_id", "neighbor_id")
-        .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
-        .agg(F.count(F.lit(1)).alias("__hit"))
-        .crossJoin(F.broadcast(exact.agg(F.count(F.lit(1)).alias("__n"))))
-        .select(
-            F.round(F.col("__hit") / F.col("__n"), 6).alias("recall_at_k")
+    if audit_scale_ok(emb):
+        exact = brute_force_topk(emb, queries, k=5)
+        audit = (
+            served.select("query_id", "neighbor_id")
+            .join(
+                exact.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+            )
+            .agg(F.count(F.lit(1)).alias("__hit"))
+            .crossJoin(F.broadcast(exact.agg(F.count(F.lit(1)).alias("__n"))))
+            .select(
+                F.round(F.col("__hit") / F.col("__n"), 6).alias("recall_at_k")
+            )
         )
-    )
+    else:
+        audit = spark.range(1).select(
+            F.lit(None).cast("double").alias("recall_at_k")
+        )
     return served.crossJoin(F.broadcast(audit)).orderBy("query_id", "rank")
 
 
