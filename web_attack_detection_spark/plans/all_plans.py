@@ -33,6 +33,7 @@ PLAN_MODULES = [
     "text3",
     "text4",
     "text5",
+    "text6",
     "similarity",
     "similarity2",
     "similarity3",
@@ -54,8 +55,8 @@ for _mod in PLAN_MODULES:
 # Registry floor (bumped as queries land).  A registry smaller than
 # this means a plan module loaded but failed to register (the one
 # silent-shrink path imports can't catch).
-EXPECTED_MIN_QUERIES = 297
-EXPECTED_MIN_ORACLES = 268
+EXPECTED_MIN_QUERIES = 299
+EXPECTED_MIN_ORACLES = 270
 
 from web_attack_detection_spark.plans.registry import QUERIES as _Q  # noqa: E402
 
