@@ -623,3 +623,92 @@ def test_empty_validation_set_fails_loudly(spark, mode):
             exec_mode=mode,
         )
     df.unpersist()
+
+
+@pytest.mark.parametrize(
+    "arch,seq_len,p",
+    [("mlp", 12, 0.3), ("cnn", 32, 0.5), ("rnn", 6, 0.3), ("lstm", 6, 0.3)],
+)
+def test_dropout_gradient_matches_finite_differences(arch, seq_len, p):
+    """Inverted dropout with a HELD mask (same-seeded generator
+    recreated per call) must still satisfy the FD gradient check —
+    the gold-standard proof the mask is applied consistently in
+    forward and backward."""
+    params = train.init_params(arch, seq_len, 3, seed=1)
+    x = RNG.standard_normal((4, seq_len))
+    y = RNG.integers(0, 3, 4)
+
+    def f(pr):
+        return train.GRAD_FNS[arch](
+            x, y, pr, dropout=p, rng=np.random.default_rng(77)
+        )
+
+    _, grads = f(params)
+    flat = train.flatten_params(params)
+    gflat = train.flatten_params(grads)
+    idxs = RNG.choice(flat.size, size=min(20, flat.size), replace=False)
+    eps = 1e-5
+    worst = 0.0
+    for i in idxs:
+        fp = flat.copy(); fp[i] += eps
+        lp, _ = f(train.unflatten_params(params, fp))
+        fm = flat.copy(); fm[i] -= eps
+        lm, _ = f(train.unflatten_params(params, fm))
+        num = (lp - lm) / (2 * eps)
+        worst = max(worst, abs(num - gflat[i]) / max(1e-8, abs(num) + abs(gflat[i])))
+    assert worst < 1e-4, (arch, worst)
+
+
+def test_dropout_zero_is_bit_identical_to_legacy():
+    """dropout=0.0 must leave every gradient kernel byte-identical to
+    the pre-dropout code path (the existing parity tests' contract)."""
+    for arch, L in (("mlp", 12), ("cnn", 32), ("rnn", 6), ("lstm", 6)):
+        params = train.init_params(arch, L, 3, seed=2)
+        x = RNG.standard_normal((5, L))
+        y = RNG.integers(0, 3, 5)
+        l0, g0 = train.GRAD_FNS[arch](x, y, params)
+        l1, g1 = train.GRAD_FNS[arch](
+            x, y, params, dropout=0.0, rng=np.random.default_rng(1)
+        )
+        assert l0 == l1
+        assert np.array_equal(
+            train.flatten_params(g0), train.flatten_params(g1)
+        )
+
+
+def test_dropout_protocol_reproducible_and_restores_best(spark):
+    """The (seed, epoch, step)-seeded masks make the dropout
+    trajectory reproducible: two identical fits are bit-identical,
+    and the early-stop truncated-refit restore parity still holds."""
+    df, X, y = _protocol_df(spark)
+    kw = dict(
+        epochs=30, lr=0.02, clip_norm=0.0, seed=6, optimizer="adam",
+        batch_size=32, val_df=df, patience=3, exec_mode="fused",
+        dropout=0.3,
+    )
+    p1, h1 = train.fit_sequence_net(df, "rnn", 16, 3, **kw)
+    p2, h2 = train.fit_sequence_net(df, "rnn", 16, 3, **kw)
+    assert h1 == h2
+    assert np.array_equal(train.flatten_params(p1), train.flatten_params(p2))
+    assert set(h1) == {"loss", "val_loss", "best_epoch", "stopped_epoch",
+                       "early_stopped"}
+    if h1["early_stopped"]:
+        assert h1["stopped_epoch"] == h1["best_epoch"] + 3
+        trunc, h3 = train.fit_sequence_net(
+            df, "rnn", 16, 3, **{**kw, "epochs": h1["best_epoch"],
+                                 "patience": None},
+        )
+        assert np.array_equal(
+            train.flatten_params(p1), train.flatten_params(trunc)
+        )
+    df.unpersist()
+
+
+def test_dropout_requires_fused_minibatch(spark):
+    df, X, y = _protocol_df(spark)
+    with pytest.raises(ValueError, match="fused"):
+        train.fit_sequence_net(
+            df, "rnn", 16, 3, epochs=2, lr=0.02, seed=1, optimizer="adam",
+            batch_size=32, exec_mode="allreduce", dropout=0.3,
+        )
+    df.unpersist()

@@ -118,9 +118,19 @@ def _softmax_ce(logits: np.ndarray, y: np.ndarray):
 # ---------------------------------------------------------------------------
 
 
-def cnn_loss_grads(x: np.ndarray, y: np.ndarray, params: dict):
+def cnn_loss_grads(
+    x: np.ndarray,
+    y: np.ndarray,
+    params: dict,
+    dropout: float = 0.0,
+    rng: np.random.Generator | None = None,
+):
     """x (n, L) raw sequences, y (n,) int labels ->
-    (loss_sum, grads tree shaped like params)."""
+    (loss_sum, grads tree shaped like params).  ``dropout`` > 0
+    applies Keras-style inverted Dropout(p) after the Dense(128)
+    hidden relu — the reference's one dropout site
+    (cnn_model.py:31-33) — masked from ``rng`` (see mlp_loss_grads
+    for the seeding contract)."""
     a = x[:, :, None].astype(np.float64)
     caches = []
     for w, b in params["convs"]:
@@ -141,12 +151,18 @@ def cnn_loss_grads(x: np.ndarray, y: np.ndarray, params: dict):
     wd, bd = params["dense"]
     zd = flat @ wd + bd
     hd = np.maximum(zd, 0.0)
+    md = None
+    if dropout:
+        md = (rng.random(hd.shape) >= dropout) / (1.0 - dropout)
+        hd = hd * md
     wo, bo = params["out"]
     loss_sum, dlog = _softmax_ce(hd @ wo + bo, y)
 
     grads = _zeros_like_tree(params)
     grads["out"] = (hd.T @ dlog, dlog.sum(axis=0))
     dh = dlog @ wo.T
+    if md is not None:
+        dh = dh * md
     dzd = dh * (zd > 0)
     grads["dense"] = (flat.T @ dzd, dzd.sum(axis=0))
     da = (dzd @ wd.T).reshape(pooled_shape)
@@ -220,14 +236,33 @@ def _rnn_layer_backward(x, hs, w, u, dseq, dlast):
     return dx, (dW, dU, db)
 
 
-def rnn_loss_grads(x: np.ndarray, y: np.ndarray, params: dict):
+def rnn_loss_grads(
+    x: np.ndarray,
+    y: np.ndarray,
+    params: dict,
+    dropout: float = 0.0,
+    rng: np.random.Generator | None = None,
+):
+    """``dropout`` > 0 applies inverted Dropout(p) to each recurrent
+    layer's OUTPUT — the reference's two sites (rnn_model.py:21,23:
+    after SimpleRNN(64, return_sequences) and after SimpleRNN(128)).
+    Keras Dropout on a 3-D sequence masks every (timestep, unit)
+    element independently; masks come from ``rng`` (seeding contract
+    in mlp_loss_grads).  Draw order: seq mask then last-state mask."""
     xi = np.ascontiguousarray(x.T, dtype=np.float64)[:, :, None]  # (L, n, 1)
     w1, u1, b1 = params["rnn1"]
     hs1 = _rnn_layer_forward(xi, w1, u1, b1)
     s1 = hs1[1:]
+    m1 = m2 = None
+    if dropout:
+        m1 = (rng.random(s1.shape) >= dropout) / (1.0 - dropout)
+        s1 = s1 * m1
     w2, u2, b2 = params["rnn2"]
     hs2 = _rnn_layer_forward(s1, w2, u2, b2)
     h2 = hs2[-1]
+    if dropout:
+        m2 = (rng.random(h2.shape) >= dropout) / (1.0 - dropout)
+        h2 = h2 * m2
     wd, bd = params["dense"]
     zd = h2 @ wd + bd
     hd = np.maximum(zd, 0.0)
@@ -240,7 +275,11 @@ def rnn_loss_grads(x: np.ndarray, y: np.ndarray, params: dict):
     dzd = dh * (zd > 0)
     grads["dense"] = (h2.T @ dzd, dzd.sum(axis=0))
     dh2 = dzd @ wd.T
+    if m2 is not None:
+        dh2 = dh2 * m2
     ds1, grads["rnn2"] = _rnn_layer_backward(s1, hs2, w2, u2, None, dh2)
+    if m1 is not None:
+        ds1 = ds1 * m1
     _, grads["rnn1"] = _rnn_layer_backward(xi, hs1, w1, u1, ds1, None)
     return loss_sum, grads
 
@@ -316,14 +355,29 @@ def _lstm_layer_backward(x, hs, cs, gates, w, u, dseq, dlast):
     return dx, (dW, dU, db)
 
 
-def lstm_loss_grads(x: np.ndarray, y: np.ndarray, params: dict):
+def lstm_loss_grads(
+    x: np.ndarray,
+    y: np.ndarray,
+    params: dict,
+    dropout: float = 0.0,
+    rng: np.random.Generator | None = None,
+):
+    """Dropout sites mirror the reference (lstm_model.py:21,23) —
+    see rnn_loss_grads for mask semantics and draw order."""
     xi = np.ascontiguousarray(x.T, dtype=np.float64)[:, :, None]  # (L, n, 1)
     w1, u1, b1 = params["lstm1"]
     hs1, cs1, g1 = _lstm_layer_forward(xi, w1, u1, b1)
     s1 = hs1[1:]
+    m1 = m2 = None
+    if dropout:
+        m1 = (rng.random(s1.shape) >= dropout) / (1.0 - dropout)
+        s1 = s1 * m1
     w2, u2, b2 = params["lstm2"]
     hs2, cs2, g2 = _lstm_layer_forward(s1, w2, u2, b2)
     h2 = hs2[-1]
+    if dropout:
+        m2 = (rng.random(h2.shape) >= dropout) / (1.0 - dropout)
+        h2 = h2 * m2
     wd, bd = params["dense"]
     zd = h2 @ wd + bd
     hd = np.maximum(zd, 0.0)
@@ -336,7 +390,11 @@ def lstm_loss_grads(x: np.ndarray, y: np.ndarray, params: dict):
     dzd = dh * (zd > 0)
     grads["dense"] = (h2.T @ dzd, dzd.sum(axis=0))
     dh2 = dzd @ wd.T
+    if m2 is not None:
+        dh2 = dh2 * m2
     ds1, grads["lstm2"] = _lstm_layer_backward(s1, hs2, cs2, g2, w2, u2, None, dh2)
+    if m1 is not None:
+        ds1 = ds1 * m1
     _, grads["lstm1"] = _lstm_layer_backward(xi, hs1, cs1, g1, w1, u1, ds1, None)
     return loss_sum, grads
 
@@ -394,19 +452,40 @@ def load_params(path: str) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def mlp_loss_grads(x: np.ndarray, y: np.ndarray, params: dict):
+def mlp_loss_grads(
+    x: np.ndarray,
+    y: np.ndarray,
+    params: dict,
+    dropout: float = 0.0,
+    rng: np.random.Generator | None = None,
+):
     """x (n, input_dim), y (n,) -> (loss_sum, grads).  The reference's
-    M1 stack (mlp_model.py:19-26): Dense(256/128/64, relu) -> softmax;
-    Dropout is train-time regularization the in-engine trainer omits
-    (same documented stance as the CNN/RNN/LSTM dropout layers)."""
+    M1 stack (mlp_model.py:19-26): Dense(256/128/64, relu) -> softmax,
+    with Dropout(p) after the FIRST TWO hidden layers only
+    (mlp_model.py:21,23 — Dense(64) has none).  ``dropout`` > 0
+    enables Keras-style INVERTED dropout: each kept unit is scaled by
+    1/(1-p) at train time so evaluation is the identity (no mask in
+    the inference forward, ml/nets.py).  ``rng`` supplies the mask
+    draws — callers seed it per (seed, epoch, step) for reproducible
+    trajectories; FD tests recreate the same generator per call so
+    the mask is held fixed while params are perturbed."""
     layers = params["layers"]
     a = np.asarray(x, dtype=np.float64)
     acts = [a]
     zs = []
-    for w, b in layers[:-1]:
+    masks: list = []
+    n_hidden = len(layers) - 1
+    for li, (w, b) in enumerate(layers[:-1]):
         z = acts[-1] @ w + b
         zs.append(z)
-        acts.append(np.maximum(z, 0.0))
+        h = np.maximum(z, 0.0)
+        if dropout and li < n_hidden - 1:
+            m = (rng.random(h.shape) >= dropout) / (1.0 - dropout)
+            h = h * m
+            masks.append(m)
+        else:
+            masks.append(None)
+        acts.append(h)
     w_out, b_out = layers[-1]
     loss_sum, dlog = _softmax_ce(acts[-1] @ w_out + b_out, y)
     grads = _zeros_like_tree(params)
@@ -414,6 +493,8 @@ def mlp_loss_grads(x: np.ndarray, y: np.ndarray, params: dict):
     glayers[-1] = (acts[-1].T @ dlog, dlog.sum(axis=0))
     d = dlog @ w_out.T
     for li in range(len(layers) - 2, -1, -1):
+        if masks[li] is not None:
+            d = d * masks[li]
         dz = d * (zs[li] > 0)
         glayers[li] = (acts[li].T @ dz, dz.sum(axis=0))
         d = dz @ layers[li][0].T
@@ -737,6 +818,7 @@ def fit_sequence_net(
     val_df=None,
     patience: int | None = None,
     exec_mode: str = "allreduce",
+    dropout: float = 0.0,
 ):
     """Train a reference-architecture net in-engine.
 
@@ -835,6 +917,15 @@ def fit_sequence_net(
     # --- reference protocol path (minibatch + optional early stopping) ---
     if exec_mode not in ("allreduce", "fused"):
         raise ValueError(f"unknown exec_mode {exec_mode!r}")
+    if dropout:
+        # dropout masks are drawn inside the single-process protocol
+        # kernel (seeded per epoch/step, reproducible); the
+        # per-partition allreduce gradient has no deterministic
+        # per-row mask, so the honest boundary is dropout => fused.
+        # Reference rates: mlp 0.3 (mlp_model.py:21,23), cnn 0.5
+        # (cnn_model.py:33), rnn/lstm 0.3 ({rnn,lstm}_model.py:21,23).
+        if exec_mode != "fused" or batch_size is None:
+            raise ValueError("dropout requires exec_mode='fused' minibatch")
     n_shards = 1
     if batch_size is not None:
         n_train = train_df.count()
@@ -848,6 +939,7 @@ def fit_sequence_net(
             seq_col, label_col, id_col,
             epochs=epochs, lr=lr, momentum=momentum, clip_norm=clip_norm,
             optimizer=optimizer, patience=patience,
+            dropout=dropout, seed=seed,
         )
         return unflatten_params(params, flat), history
 
@@ -974,12 +1066,18 @@ def protocol_fit_arrays(
     clip_norm: float = 0.0,
     optimizer: str = "adam",
     patience: int | None = None,
+    dropout: float = 0.0,
+    seed: int = 0,
 ):
     """Single-process reference-protocol fit over in-memory arrays —
     the compute kernel of the fused exec mode and the local twin the
     parity tests compare against.  Rows are sorted by id first so the
     result is independent of arrival order; shard selection uses the
-    same epoch-salted Knuth hash as the distributed path."""
+    same epoch-salted mixer hash as the distributed path.  With
+    ``dropout`` > 0 each step's inverted-dropout mask comes from a
+    generator seeded by (seed, epoch, step), so the whole trajectory
+    is reproducible and restore-best/truncated-refit parity holds
+    exactly as in the no-dropout case."""
     order = np.argsort(ids, kind="stable")
     X = X[order]
     y = y[order]
@@ -992,7 +1090,12 @@ def protocol_fit_arrays(
         n = int(mask.sum())
         if n == 0:
             return 0.0, None, 0
-        ls, g = grad_fn(X[mask], y[mask], unflatten_params(template, flat))
+        p = unflatten_params(template, flat)
+        if dropout:
+            rng = np.random.default_rng((0x5EED, seed, epoch, s))
+            ls, g = grad_fn(X[mask], y[mask], p, dropout=dropout, rng=rng)
+        else:
+            ls, g = grad_fn(X[mask], y[mask], p)
         return ls / n, flatten_params(g) / n, n
 
     val_eval = None
@@ -1030,6 +1133,8 @@ def _fit_protocol_fused(
     clip_norm: float,
     optimizer: str,
     patience: int | None,
+    dropout: float = 0.0,
+    seed: int = 0,
 ):
     """Reference-protocol fit as ONE Spark job.
 
@@ -1063,7 +1168,7 @@ def _fit_protocol_fused(
         bc_val = None
     kw = dict(
         epochs=epochs, lr=lr, momentum=momentum, clip_norm=clip_norm,
-        optimizer=optimizer, patience=patience,
+        optimizer=optimizer, patience=patience, dropout=dropout, seed=seed,
     )
 
     def run(pdfs: "pd.DataFrame"):

@@ -78,6 +78,9 @@ _EPOCHS = 50
 _LR = 1e-3
 _BATCH = 64
 _PATIENCE = 5
+# reference dropout rates per architecture (cnn_model.py:33,
+# rnn_model.py:21,23, lstm_model.py:21,23, mlp_model.py:21,23)
+_DROPOUT = {"cnn": 0.5, "rnn": 0.3, "lstm": 0.3, "mlp": 0.3}
 # cap the train set so the python-loop BPTT stays a fixed, small cost
 # at any SF (the loop is a demo of the TRAINING dataflow, whose Spark
 # cost is O(model) per epoch — see ml/train.py scale notes).  384 rows
@@ -199,6 +202,10 @@ def _train_eval(spark: SparkSession, sf_dir: str, arch: str) -> DataFrame:
         # the fused mode runs the identical protocol loop inside one
         # task with O(model) egress — see ml/train._fit_protocol_fused
         exec_mode="fused",
+        # the reference's train-time regularization, architecture-
+        # faithful rates: cnn_model.py:33 p=0.5 after Dense(128);
+        # rnn/lstm_model.py:21,23 p=0.3 after each recurrent layer
+        dropout=_DROPOUT[arch],
     )
     tr.unpersist()
 
@@ -216,6 +223,7 @@ def _train_eval(spark: SparkSession, sf_dir: str, arch: str) -> DataFrame:
         F.sum((F.col("prediction") == F.col("label")).cast("long")).alias("nc"),
     )
     out = per_label.agg(
+        F.lit(float(_DROPOUT[arch])).alias("dropout"),
         F.lit(n_train).alias("n_train"),
         F.sum("n").alias("n_test"),
         F.lit(len(hist["loss"])).alias("epochs_run"),
@@ -381,8 +389,11 @@ def ml_mlp_train_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
     trainers use (ml/train.py).  Features come from the fitted feature
     pipeline (F7), train hash-capped like the other trainers; the
     held-out split is scored DISTRIBUTED via ``sequence_scorer``.
-    Dropout(0.3) is train-time regularization the in-engine trainer
-    omits (documented, same stance as the other architectures).
+    Dropout(0.3) after the first two hidden layers runs as in the
+    reference (mlp_model.py:21,23) — inverted dropout, masks seeded
+    per (seed, epoch, step), FD-checked with a held mask in
+    tests/test_train.py; the ``dropout`` config column below exposes
+    the rate.
 
     The events labels are synthetic noise vs these features, so the
     honest outcome is val-loss plateau -> a fast early stop with
@@ -436,6 +447,7 @@ def ml_mlp_train_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
         val_df=val,
         patience=_PATIENCE,
         exec_mode="fused",
+        dropout=0.3,  # mlp_model.py:21,23
     )
     tr.unpersist()
 
@@ -451,6 +463,7 @@ def ml_mlp_train_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("prediction") == F.col("label")).cast("long")).alias("nc"),
     )
     out = per_label.agg(
+        F.lit(0.3).alias("dropout"),
         F.lit(n_train).alias("n_train"),
         F.sum("n").alias("n_test"),
         F.lit(len(hist["loss"])).alias("epochs_run"),
