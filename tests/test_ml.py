@@ -1051,10 +1051,14 @@ def test_isotonic_calibration_matches_numpy_pav(spark):
 
     row = QUERIES["ml_isotonic_calibration"].fn(spark, sf).collect()[0]
     assert row["n_violations"] == 0
-    assert abs(row["mass_diff6"]) < 1e-6
-    assert row["brier_cal6"] <= row["brier_const6"] + 1e-9
-    assert 0.0 <= row["cal_min"] <= row["cal_max"] <= 1.0
-    assert np.int64(row["n_segments"]) >= 1
+    # mass preserved up to per-point micro-unit quantization
+    assert abs(row["mass_diff_u6"]) <= row["n_scores"] * sum(
+        w for _, _, w in rows
+    ) / len(rows)
+    assert row["brier_cal_u6"] <= row["brier_const_u6"]
+    assert 0 <= row["cal_min_u6"] <= row["cal_max_u6"] <= 1_000_000
+    assert np.int64(row["n_blocks"]) >= 1
+    assert row["mllib_parity"] is True
 
 
 def test_kmeans_clusters_sse_audit_holds(spark):
