@@ -147,3 +147,45 @@ def test_encode_conservation(spark, qname):
     for r in rows:
         assert r["reconstruct_ok"] is True
         assert r["n_words"] <= r["n_tokens"] <= r["n_chars"]
+
+
+def test_oov_encode_matches_python_twin_and_vocab_state(spark):
+    """encode_words_expr (the chained-replace serving path, no join)
+    must (a) equal the pure-Python twin on UNSEEN words and (b) equal
+    the trainer's final state on in-vocabulary words."""
+    from pyspark.sql import functions as F
+
+    from web_attack_detection_spark.io.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    words = docs.select(F.explode(F.split("text", r"\s+")).alias("w"))
+    merges, state = bpe.bpe_train(words)
+    assert merges
+
+    oov = ["lowestest", "abcabcabc", "zzzz", "a", "the", "quickbrown"]
+    df = spark.createDataFrame([(w,) for w in oov], "w string")
+    got = {
+        r["w"]: tuple(r["t"])
+        for r in df.select(
+            "w", bpe.encode_words_expr(F.col("w"), merges).alias("seq")
+        )
+        .select("w", bpe.tokens_expr().alias("t"))
+        .collect()
+    }
+    for w in oov:
+        assert got[w] == bpe.encode_word_py(w, merges), w
+
+    vocab = state.select(
+        "w",
+        bpe.tokens_expr().alias("t_state"),
+    ).withColumn("seq2", bpe.encode_words_expr(F.col("w"), merges))
+    mismatch = vocab.filter(
+        F.col("seq2")
+        != F.concat(
+            F.lit(bpe.US),
+            F.array_join(F.col("t_state"), bpe.US + bpe.US),
+            F.lit(bpe.US),
+        )
+    ).count()
+    assert mismatch == 0

@@ -202,3 +202,5 @@ def test_oracle_scale_audits_gate_off_above_bound(spark, monkeypatch):
     assert all(r["n_pairs_banded"] == len(rows) for r in rows)
     rows = QUERIES["sim_ivf_topk"].fn(spark, sf).collect()
     assert rows and all(r["recall_at_k"] is None for r in rows)
+    rows = QUERIES["dedup_minhash_lsh"].fn(spark, sf).collect()
+    assert rows and all(r["recall_vs_exact"] is None for r in rows)

@@ -185,3 +185,35 @@ def bpe_train_py(
         merges.append((r, l, rr, l + rr, freq))
         state = {w: merge_word_py(s, l, rr) for w, s in state.items()}
     return merges, state
+
+
+def encode_words_expr(col, merges) -> "F.Column":
+    """Encode an ARBITRARY word column with a trained merges table —
+    the out-of-vocabulary / serving path.  The ranked merges are
+    applied in order as one chained ``replace`` projection: pure
+    whole-stage-codegen column work, no join, no shuffle, no state —
+    the shape that tokenizes a fresh 100 TB corpus with a vocabulary
+    trained elsewhere.  For in-vocabulary words this provably equals
+    the trainer's final state (training applies the same replaces in
+    the same order); equality for arbitrary words vs the pure-Python
+    twin is pinned in tests/test_bpe.py.
+
+    Returns the wrapped sequence string; compose with
+    :func:`tokens_expr` for the token array.
+    """
+    seq = wrap_chars(col)
+    for _, left, right, merged, _ in merges:
+        seq = F.replace(
+            seq,
+            F.lit(US + left + _US2 + right + US),
+            F.lit(US + merged + US),
+        )
+    return seq
+
+
+def encode_word_py(word: str, merges) -> tuple:
+    """Pure-Python twin of :func:`encode_words_expr`."""
+    syms = tuple(word)
+    for _, left, right, _, _ in merges:
+        syms = merge_word_py(syms, left, right)
+    return syms

@@ -98,25 +98,35 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim_ivf_quantized_topk): every output row carries
     ``recall_vs_exact`` — the fraction of exact-Jaccard pairs at the
     same threshold that the banded candidates recovered — so the driver
-    records evidence, not just rows. The audit join is fixture-scale
-    work; production runs skip it (the banding math is the guarantee:
-    P(miss) = (1-t^rows)^bands per pair). tests/test_dedup.py bounds
-    the same recall."""
+    records evidence, not just rows. The exact-Jaccard audit is GATED
+    by ``plans.audit.audit_scale_ok`` (corpus ≤ AUDIT_MAX_ROWS; NULL
+    above it — r6 advice closed the same way as dedup_simhash);
+    production scale relies on the banding math (P(miss) =
+    (1-t^rows)^bands per pair). tests/test_dedup.py bounds the same
+    recall."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_near_dup_pairs(
         docs, "text", "doc_id", n=3, num_perm=32, bands=8, threshold=0.4
     )
-    exact = jaccard_pairs_exact(docs, "text", "doc_id", n=3, threshold=0.4)
-    hit = pairs.select("id_a", "id_b").withColumn("__hit", F.lit(1))
-    rec = (
-        exact.select("id_a", "id_b")
-        .join(hit, ["id_a", "id_b"], "left")
-        .agg(F.round(F.avg(F.coalesce(F.col("__hit"), F.lit(0))), 4).alias("r"))
-        .first()["r"]
+    if audit_scale_ok(docs):
+        exact = jaccard_pairs_exact(docs, "text", "doc_id", n=3, threshold=0.4)
+        hit = pairs.select("id_a", "id_b").withColumn("__hit", F.lit(1))
+        rec = (
+            exact.select("id_a", "id_b")
+            .join(hit, ["id_a", "id_b"], "left")
+            .agg(
+                F.round(F.avg(F.coalesce(F.col("__hit"), F.lit(0))), 4).alias(
+                    "r"
+                )
+            )
+            .first()["r"]
+        )
+        recall_col = F.lit(float(rec if rec is not None else 1.0))
+    else:
+        recall_col = F.lit(None).cast("double")
+    return pairs.withColumn("recall_vs_exact", recall_col).orderBy(
+        "id_a", "id_b"
     )
-    return pairs.withColumn(
-        "recall_vs_exact", F.lit(float(rec if rec is not None else 1.0))
-    ).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------

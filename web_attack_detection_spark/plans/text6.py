@@ -169,7 +169,9 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     encode is a broadcast join of word occurrences against the
     |vocab|-sized final state — the corpus shuffles once for the word
     split and never again.  Out-of-vocab words (encode-time corpora)
-    would take the same replace chain applied directly; here every
+    take ``functions.bpe.encode_words_expr`` — the same ranked
+    replaces as ONE chained codegen projection, no join, no shuffle
+    (twin-tested on unseen words in tests/test_bpe.py); here every
     word is in-vocab by construction."""
     merges, state = _trained(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
