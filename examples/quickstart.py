@@ -85,6 +85,22 @@ def main() -> int:
     hits = QUERIES["sim_hybrid_rrf"].fn(spark, sf_dir)
     print(f"7. hybrid RRF retrieval: {hits.count()} fused hits")
 
+    # 8. BPE tokenizer: train a merges table on the corpus, then
+    # encode UNSEEN text with the chained-replace serving projection
+    from web_attack_detection_spark.functions import bpe
+
+    words = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", r"\s+")).alias("w")
+    )
+    merges, _ = bpe.bpe_train(words, n_rounds=10)
+    oov = spark.createDataFrame([("tokenization",)], "w string")
+    toks = (
+        oov.select(bpe.encode_words_expr(F.col("w"), merges).alias("seq"))
+        .select(bpe.tokens_expr().alias("t"))
+        .first()["t"]
+    )
+    print(f"8. BPE: {len(merges)} merges trained; 'tokenization' -> {toks}")
+
     spark.stop()
     return 0
 
