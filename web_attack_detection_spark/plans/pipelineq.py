@@ -600,7 +600,12 @@ def pipe_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     give neither. Ordering by a full-period LCG of the doc id
     ((a*id + c) mod 2^20, Hull-Dobell coefficients so the map is a
     bijection) is a deterministic permutation computable by any
-    engine with integer arithmetic; bumping c per epoch reseeds it.
+    engine with integer arithmetic. Per-epoch reseeding must bump the
+    MULTIPLIER a (keeping a ≡ 1 mod 4 for the Hull-Dobell bijection):
+    bumping c alone only shifts every key by a constant, i.e. a
+    cyclic ROTATION of the same order at the modulus wraparound — the
+    same linear-salt trap the r6 advice found in the trainer's
+    minibatch hash (ml/train._shard_ids has the fully-mixed form).
     The query emits the first 20 positions of epoch 0 as the
     checkable prefix. Scale: the sort key is computed map-side and the
     prefix is taken with orderBy().limit() — Spark compiles that to
