@@ -262,36 +262,239 @@ def ml_logreg_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ml_naive_bayes_train_eval", None, doc="MLlib Gaussian Naive Bayes train/eval (single-pass fit)")
-def ml_naive_bayes_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gaussian NB on the same split as the MLP/logreg: the fit is ONE
-    aggregation pass (per-class feature means/variances — algebraic,
-    map-side combinable), no iterative optimizer re-reading the input,
-    so at 100 TB training costs exactly one scan. The accuracy-vs-cost
-    trade against the iterative models is the point of having it in
-    the battery. Rows-only (one row: accuracy, n_train, n_test)."""
-    from pyspark.ml.classification import NaiveBayes
+_NB_CLASSES = ["click", "error", "purchase", "signup", "view"]
 
-    from web_attack_detection_spark.functions.feature import fit_feature_pipeline
-    from web_attack_detection_spark.ml.pipeline import accuracy, to_vector
+_NB_LABEL_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN event_type = '{c}' THEN {k}" for k, c in enumerate(_NB_CLASSES)
+    )
+    + " END"
+)
+
+_NB_ORACLE = f"""
+WITH lab AS (
+  SELECT event_id, user_id,
+         CAST(floor(value * 10000) AS BIGINT) AS x3,
+         {_NB_LABEL_SQL} AS y
+  FROM events
+),
+tr AS (SELECT * FROM lab WHERE event_id % 4 != 1),
+te AS (SELECT * FROM lab WHERE event_id % 4 = 1),
+st AS (
+  SELECT y, CAST(COUNT(*) AS BIGINT) AS nk,
+         SUM(CAST(event_id AS HUGEINT)) AS s1,
+         SUM(CAST(event_id * event_id AS HUGEINT)) AS q1,
+         SUM(CAST(user_id AS HUGEINT)) AS s2,
+         SUM(CAST(user_id * user_id AS HUGEINT)) AS q2,
+         SUM(CAST(x3 AS HUGEINT)) AS s3,
+         SUM(CAST(x3 * x3 AS HUGEINT)) AS q3
+  FROM tr GROUP BY y
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(event_id AS HUGEINT)) AS sa1,
+         SUM(CAST(event_id * event_id AS HUGEINT)) AS qa1,
+         SUM(CAST(user_id AS HUGEINT)) AS sa2,
+         SUM(CAST(user_id * user_id AS HUGEINT)) AS qa2,
+         SUM(CAST(x3 AS HUGEINT)) AS sa3,
+         SUM(CAST(x3 * x3 AS HUGEINT)) AS qa3
+  FROM tr
+),
+epsv AS (
+  SELECT n,
+         1e-9 * GREATEST(
+           CAST(n * qa1 - sa1 * sa1 AS DOUBLE) / (CAST(n AS DOUBLE) * n),
+           CAST(n * qa2 - sa2 * sa2 AS DOUBLE) / (CAST(n AS DOUBLE) * n),
+           CAST(n * qa3 - sa3 * sa3 AS DOUBLE) / (CAST(n AS DOUBLE) * n)
+         ) AS e
+  FROM tot
+),
+par AS (
+  SELECT y, nk,
+         CAST(s1 AS DOUBLE) / nk AS mu1,
+         CAST(nk * q1 - s1 * s1 AS DOUBLE) / (CAST(nk AS DOUBLE) * nk) + e AS v1,
+         CAST(s2 AS DOUBLE) / nk AS mu2,
+         CAST(nk * q2 - s2 * s2 AS DOUBLE) / (CAST(nk AS DOUBLE) * nk) + e AS v2,
+         CAST(s3 AS DOUBLE) / nk AS mu3,
+         CAST(nk * q3 - s3 * s3 AS DOUBLE) / (CAST(nk AS DOUBLE) * nk) + e AS v3,
+         n
+  FROM st, epsv
+),
+cst AS (
+  SELECT y, mu1, v1, mu2, v2, mu3, v3,
+         ln(CAST(nk AS DOUBLE) / n) - 0.5 * (ln(v1) + ln(v2) + ln(v3)) AS c0
+  FROM par
+),
+sc AS (
+  SELECT te.event_id AS rid, te.y AS ytrue, c.y AS k,
+         c.c0 - ((te.event_id - c.mu1) * (te.event_id - c.mu1) / (2 * c.v1)
+               + (te.user_id - c.mu2) * (te.user_id - c.mu2) / (2 * c.v2)
+               + (te.x3 - c.mu3) * (te.x3 - c.mu3) / (2 * c.v3)) AS margin
+  FROM te CROSS JOIN cst c
+),
+pr AS (
+  SELECT rid, ytrue, k,
+         ROW_NUMBER() OVER (PARTITION BY rid ORDER BY margin DESC, k ASC) AS rn
+  FROM sc
+),
+maj AS (
+  SELECT y AS my FROM (
+    SELECT y, COUNT(*) AS c FROM tr GROUP BY y ORDER BY c DESC, y ASC LIMIT 1
+  )
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+         SUM(CASE WHEN k = ytrue THEN 1 ELSE 0 END) AS ncorr,
+         SUM(CASE WHEN ytrue = (SELECT my FROM maj) THEN 1 ELSE 0 END) AS nbase
+  FROM pr WHERE rn = 1
+)
+SELECT ROUND(ncorr / (1.0 * n_test), 6) AS accuracy,
+       ROUND(nbase / (1.0 * n_test), 6) AS baseline_accuracy,
+       (SELECT n FROM tot) AS n_train,
+       n_test,
+       TRUE AS mllib_agree
+FROM agg
+"""
+
+
+@register(
+    "ml_naive_bayes_train_eval",
+    _NB_ORACLE,
+    doc="Gaussian Naive Bayes train/eval, FULL oracle (exact-moment fit, transpiled scoring) + MLlib parity audit",
+)
+def ml_naive_bayes_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaussian NB on the battery split — FULLY oracle-checked since
+    round 7 (the 4th rows-only conversion; VERDICT r6 #5 pattern).
+
+    The fit is ONE aggregation pass — per-class counts and first/second
+    moments over integer-exact features (event_id, user_id,
+    floor(value*1e4)), summed in DECIMAL(38,0)/HUGEINT so both engines
+    hold the identical exact integers; every mean/variance is then ONE
+    double conversion+division (bit-identical across engines), with
+    MLlib's own smoothing (sigma += 1e-9 * max whole-train feature
+    variance — probed to match MLlib's GaussianNaiveBayes exactly,
+    theta/sigma diff ~1e-16/absorbed by eps). Scoring is TRANSPILED:
+    the driver folds the exact collected moments into python-float
+    class constants and literal Catalyst expressions (the
+    ml_logreg_transpiled serving story; margins drop MLlib's omitted
+    2*pi constant, verified irrelevant to argmax), so at 100 TB
+    training costs one scan and scoring is a codegen projection.
+    The oracle replays the identical arithmetic shape (same division
+    order, same first-max tie rule via ROW_NUMBER margin DESC / class
+    ASC). MLlib's GaussianNB is STILL fitted in-query on the same
+    features and must agree with the transpiled argmax on every test
+    row (``mllib_agree`` — the oracle asserts TRUE)."""
+    import math
+
+    from pyspark.ml.classification import NaiveBayes
+    from pyspark.ml.functions import array_to_vector
 
     events = load_table(spark, sf_dir, "events").drop("props", "ts")
-    train = events.filter(F.col("event_id") % 4 != 1)
-    test = events.filter(F.col("event_id") % 4 == 1)
-    fp = fit_feature_pipeline(train, label_col="event_type")
-    # no cache: the single-pass fit reads the pipeline output once —
-    # materializing it would cost more than it saves (contrast the
-    # cached iterative fits above)
-    tr = to_vector(fp.transform(train).select("features", "label"), "features", "fv")
-    te = to_vector(fp.transform(test).select("features", "label"), "features", "fv")
-    nb = NaiveBayes(featuresCol="fv", labelCol="label", modelType="gaussian")
-    model = nb.fit(tr)
-    acc = accuracy(model.transform(te)).first()["accuracy"]
-    base = _majority_baseline(train, test)
-    return spark.createDataFrame(
-        [(float(acc), round(base, 6), tr.count(), te.count())],
-        "accuracy double, baseline_accuracy double, n_train long, n_test long",
+    lbl = F.coalesce(
+        *[
+            F.when(F.col("event_type") == c, F.lit(k))
+            for k, c in enumerate(_NB_CLASSES)
+        ]
     )
+    lab = events.select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 10000).cast("long").alias("x3"),
+        lbl.alias("y"),
+    )
+    tr = lab.filter(F.col("event_id") % 4 != 1).cache()
+    te = lab.filter(F.col("event_id") % 4 == 1)
+
+    dec = "decimal(38,0)"
+    aggs = []
+    for c in ("event_id", "user_id", "x3"):
+        aggs.append(F.sum(F.col(c).cast(dec)).alias(f"s_{c}"))
+        aggs.append(F.sum((F.col(c) * F.col(c)).cast(dec)).alias(f"q_{c}"))
+    st = {r["y"]: r for r in tr.groupBy("y").agg(F.count(F.lit(1)).alias("nk"), *aggs).collect()}
+    ta = tr.agg(F.count(F.lit(1)).alias("n"), *aggs).first()
+    n = int(ta["n"])
+
+    def popvar(nn: int, s, q) -> float:
+        # exact ints -> ONE double conversion + one division, the same
+        # shape as the oracle's CAST(.. AS DOUBLE) / (CAST(n)::D * n)
+        return float(nn * int(q) - int(s) * int(s)) / (float(nn) * nn)
+
+    eps = 1e-9 * max(
+        popvar(n, ta["s_event_id"], ta["q_event_id"]),
+        popvar(n, ta["s_user_id"], ta["q_user_id"]),
+        popvar(n, ta["s_x3"], ta["q_x3"]),
+    )
+    params = {}
+    for k in range(len(_NB_CLASSES)):
+        r = st[k]
+        nk = int(r["nk"])
+        mus, vs = [], []
+        for c in ("event_id", "user_id", "x3"):
+            mus.append(float(int(r[f"s_{c}"])) / nk)
+            vs.append(popvar(nk, r[f"s_{c}"], r[f"q_{c}"]) + eps)
+        c0 = math.log(float(nk) / n) - 0.5 * (
+            math.log(vs[0]) + math.log(vs[1]) + math.log(vs[2])
+        )
+        params[k] = (mus, vs, c0)
+
+    feats = [F.col("event_id"), F.col("user_id"), F.col("x3")]
+    margins = F.array(
+        *[
+            F.lit(params[k][2])
+            - sum(
+                [
+                    (x - F.lit(params[k][0][j]))
+                    * (x - F.lit(params[k][0][j]))
+                    / F.lit(2 * params[k][1][j])
+                    for j, x in enumerate(feats)
+                ][1:],
+                (feats[0] - F.lit(params[k][0][0]))
+                * (feats[0] - F.lit(params[k][0][0]))
+                / F.lit(2 * params[k][1][0]),
+            )
+            for k in range(len(_NB_CLASSES))
+        ]
+    )
+    pred = (F.array_position(margins, F.array_max(margins)) - 1).cast("int")
+
+    # MLlib Gaussian NB on the same features — must agree row-for-row
+    vec = array_to_vector(
+        F.array(*[c.cast("double") for c in feats])
+    )
+    nb = NaiveBayes(featuresCol="fv", labelCol="label", modelType="gaussian")
+    model = nb.fit(tr.select(vec.alias("fv"), F.col("y").cast("double").alias("label")))
+    scored = model.transform(
+        te.select("event_id", "user_id", "x3", "y", vec.alias("fv"))
+    ).select(
+        "y",
+        pred.alias("p_rel"),
+        F.col("prediction").cast("int").alias("p_ml"),
+    )
+    maj = (
+        tr.groupBy("y").count().orderBy(F.col("count").desc(), "y").first()["y"]
+    )
+    out = scored.agg(
+        F.round(
+            F.sum((F.col("p_rel") == F.col("y")).cast("long"))
+            / (F.lit(1.0) * F.count(F.lit(1))),
+            6,
+        ).alias("accuracy"),
+        F.round(
+            F.sum((F.col("y") == F.lit(maj)).cast("long"))
+            / (F.lit(1.0) * F.count(F.lit(1))),
+            6,
+        ).alias("baseline_accuracy"),
+        F.lit(n).cast("long").alias("n_train"),
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        (
+            F.sum((F.col("p_rel") == F.col("p_ml")).cast("long"))
+            == F.count(F.lit(1))
+        ).alias("mllib_agree"),
+    )
+    res = out.localCheckpoint()
+    tr.unpersist()
+    return res
 
 
 @register(
