@@ -1103,8 +1103,14 @@ def test_cv_naive_bayes_folds_pinned_and_baseline_bounded(spark):
     for r in rows:
         assert r["n_train"] + r["n_test"] == total
         assert r["accuracy"] >= r["baseline_accuracy"] - 0.02, r
-    mean = sum(r["accuracy"] for r in rows) / 3
-    assert abs(rows[0]["mean_accuracy"] - round(mean, 6)) < 1e-9
+        assert r["mllib_agree"] is True, r
+    # pooled CV accuracy: exact single division of total correct /
+    # total test rows, constant across the three fold rows
+    pooled = {r["cv_accuracy"] for r in rows}
+    assert len(pooled) == 1
+    lo = min(r["accuracy"] for r in rows)
+    hi = max(r["accuracy"] for r in rows)
+    assert lo - 1e-9 <= rows[0]["cv_accuracy"] <= hi + 1e-9
 
 
 def test_pca_project_variance_ordering_audit(spark):
