@@ -28,6 +28,32 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def portable_hash63(col: Column) -> Column:
+    """Deterministic 63-bit mixer hash of a non-negative integer id,
+    expressible IDENTICALLY in Spark (ANSI-safe hi/lo 32-bit split —
+    wrapping multiply otherwise throws) and DuckDB (HUGEINT mod 2**64,
+    see plans/similarity.PORTABLE_HASH63_SQL).  Same two-round
+    xorshift/multiply shape as ml.train's minibatch mixer (full
+    avalanche); the final ``>>> 1`` returns a NON-NEGATIVE BIGINT so
+    signed ordering equals the unsigned hash order in both engines.
+    Replaces xxhash64 where an oracle must replay the hash (IVF
+    centroid seeding): xxhash64 has no DuckDB twin."""
+    m32 = F.lit(0xFFFFFFFF)
+    k1, k2 = 1640531527, 2027808487  # odd, < 2**31
+
+    def wrapmul(h, k: int):
+        lo_k = h.bitwiseAND(m32) * F.lit(k)
+        hi_k = F.shiftrightunsigned(h, 32) * F.lit(k)
+        top = (F.shiftrightunsigned(lo_k, 32) + hi_k).bitwiseAND(m32)
+        return F.shiftleft(top, 32).bitwiseXOR(lo_k.bitwiseAND(m32))
+
+    h = col.cast("long")
+    h = wrapmul(h.bitwiseXOR(F.shiftrightunsigned(h, 33)), k1)
+    h = wrapmul(h.bitwiseXOR(F.shiftrightunsigned(h, 29)), k2)
+    h = h.bitwiseXOR(F.shiftrightunsigned(h, 32))
+    return F.shiftrightunsigned(h, 1)
+
+
 def dot(a: Column, b: Column) -> Column:
     """Left-to-right fold of Σ a_i·b_i in double precision."""
     return F.aggregate(
@@ -244,10 +270,12 @@ def ivf_assign(
     refine_iters: int = 1,
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic IVF index. Centroid seeds are the ``k_centroids``
-    corpus vectors with the smallest ``xxhash64(id)`` — a seed-free
-    uniform sample selected by a top-k (TakeOrdered: per-partition heap
-    + driver merge, never a global sort). Returns ``(centroids,
-    assigned)`` where ``assigned`` carries a ``cell`` column.
+    corpus vectors with the smallest ``portable_hash63(id)`` — a
+    seed-free uniform sample selected by a top-k (TakeOrdered:
+    per-partition heap + driver merge, never a global sort); the hash
+    is engine-portable (round 7) so a DuckDB oracle can replay the
+    whole index build. Returns ``(centroids, assigned)`` where
+    ``assigned`` carries a ``cell`` column.
 
     Assignment is MAP-ONLY: the 16 centroids are collapsed into one
     array-of-structs row, broadcast, and each corpus row picks its cell
@@ -260,7 +288,7 @@ def ivf_assign(
     unit = unit_normalize(corpus.select(id_col, vec_col), vec_col).localCheckpoint()
     seeds = (
         unit.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec"))
-        .orderBy(F.xxhash64(F.col("cid")).asc(), F.col("cid").asc())
+        .orderBy(portable_hash63(F.col("cid")).asc(), F.col("cid").asc())
         .limit(k_centroids)
     )
     centroids = seeds.withColumn(
@@ -280,12 +308,29 @@ def ivf_assign(
     # group aggregate (partial map-side, negligible shuffle) — the
     # standard IVF train loop, and what makes nearest-cell a useful
     # proxy for nearest-neighbor on real (clustered) embeddings.
+    # The mean sums PICO-UNIT INTEGERS (floor(x*1e12), exact BIGINTs)
+    # instead of raw doubles: float sums are partition-order-dependent,
+    # and an engine replaying the build (the sim_ivf_topk oracle) must
+    # land on bit-identical centroids; one double conversion + one
+    # division per element keeps that true at 1e-12 quantization —
+    # noise-level against unit vectors, measured recall unchanged.
     for _ in range(refine_iters):
         a = assign(centroids)
         means = (
             a.select("cell", F.posexplode(F.col(vec_col)).alias("pos", "x"))
             .groupBy("cell", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(
+                F.sum(F.floor(F.col("x") * 1e12).cast("long")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                "cell",
+                "pos",
+                (
+                    F.col("s").cast("double")
+                    / (F.col("n").cast("double") * F.lit(1e12))
+                ).alias("m"),
+            )
             .groupBy("cell")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select("cell", F.transform(F.col("pm"), lambda s: s["m"]).alias("c_vec"))

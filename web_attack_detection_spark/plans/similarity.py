@@ -207,17 +207,125 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_ivf_topk", None, doc="IVF-bucketed approximate top-k (scale path)")
+# Engine-portable 63-bit mixer hash (operators/similarity.portable_hash63
+# twin): HUGEINT mod 2**64 arithmetic, final >> 1 -> non-negative BIGINT.
+_M64 = "CAST(18446744073709551616 AS HUGEINT)"
+
+
+def _h63_sql(col: str) -> str:
+    x1 = f"xor(CAST({col} AS HUGEINT), CAST({col} AS HUGEINT) >> 33)"
+    m1 = f"((({x1}) * 1640531527) % {_M64})"
+    x2 = f"xor({m1}, {m1} >> 29)"
+    m2 = f"((({x2}) * 2027808487) % {_M64})"
+    x3 = f"xor({m2}, {m2} >> 32)"
+    return f"CAST(({x3}) >> 1 AS BIGINT)"
+
+
+def _ivf_oracle(k_centroids: int = 16, n_probe: int = 4, k: int = 5) -> str:
+    """Full DuckDB replay of ivf_assign + ivf_topk + the recall audit:
+    portable-hash seed selection, one quantized-Lloyd refinement
+    (pico-unit integer sums -> one division per element, bit-identical
+    to the operator), fold-twin cosines, first-max tie rules via
+    ROW_NUMBER. Everything the Spark path computes, value-for-value."""
+    dot_uc = _SQL_DOT.format(a="t.u", b="c.c_vec")
+    dot_qc = _SQL_DOT.format(a="q.q_vec", b="c.c_vec")
+    dot_qa = _SQL_DOT.format(a="p.q_vec", b="a.u")
+    dot_qt = _SQL_DOT.format(a="q.q_vec", b="t.u")
+    return f"""
+WITH unit AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(x AS DOUBLE) / {_SQL_NORM.format(a='embedding')}) AS u
+  FROM embeddings
+),
+seeds AS (
+  SELECT vec_id AS cid, u AS c_vec FROM unit
+  ORDER BY {_h63_sql('vec_id')} ASC, cid ASC LIMIT {k_centroids}
+),
+cents0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY cid ASC) - 1 AS cell, c_vec FROM seeds
+),
+a0 AS (
+  SELECT vec_id, u, cell FROM (
+    SELECT t.vec_id, t.u, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                              ORDER BY {dot_uc} DESC, c.cell ASC) AS rn
+    FROM unit t CROSS JOIN cents0 c
+  ) WHERE rn = 1
+),
+means AS (
+  SELECT cell, i AS pos,
+         CAST(SUM(CAST(floor(u[i] * 1e12) AS BIGINT)) AS DOUBLE)
+           / (CAST(COUNT(*) AS DOUBLE) * 1e12) AS m
+  FROM a0, UNNEST(range(1, 65)) AS r(i)
+  GROUP BY cell, i
+),
+craw AS (SELECT cell, list(m ORDER BY pos) AS c_raw FROM means GROUP BY cell),
+cents1 AS (
+  SELECT cell,
+         list_transform(c_raw,
+           x -> CAST(x AS DOUBLE) / {_SQL_NORM.format(a='c_raw')}) AS c_vec
+  FROM craw
+),
+a1 AS (
+  SELECT vec_id, u, cell FROM (
+    SELECT t.vec_id, t.u, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                              ORDER BY {dot_uc} DESC, c.cell ASC) AS rn
+    FROM unit t CROSS JOIN cents1 c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, u AS q_vec FROM unit WHERE vec_id < 10),
+probes AS (
+  SELECT query_id, q_vec, cell FROM (
+    SELECT q.query_id, q.q_vec, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {dot_qc} DESC, c.cell ASC) AS rn
+    FROM q CROSS JOIN cents1 c
+  ) WHERE rn <= {n_probe}
+),
+served AS (
+  SELECT query_id, neighbor_id, CAST(rn AS INT) AS "rank", ROUND(cos, 6) AS cos FROM (
+    SELECT p.query_id, a.vec_id AS neighbor_id, {dot_qa} AS cos,
+           ROW_NUMBER() OVER (PARTITION BY p.query_id
+                              ORDER BY {dot_qa} DESC, a.vec_id ASC) AS rn
+    FROM probes p JOIN a1 a ON a.cell = p.cell
+    WHERE a.vec_id != p.query_id
+  ) WHERE rn <= {k}
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, t.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {dot_qt} DESC, t.vec_id ASC) AS rn
+    FROM q CROSS JOIN unit t WHERE t.vec_id != q.query_id
+  ) WHERE rn <= {k}
+),
+aud AS (
+  SELECT ROUND((SELECT COUNT(*) FROM served s
+                JOIN exact e USING (query_id, neighbor_id))
+               / (SELECT COUNT(*) FROM exact), 6) AS recall_at_k
+)
+SELECT s.query_id, s.neighbor_id, s."rank", s.cos, a.recall_at_k
+FROM served s, aud a
+"""
+
+
+@register("sim_ivf_topk", _ivf_oracle(), doc="IVF-bucketed approximate top-k, FULL oracle (portable-hash seeds, quantized Lloyd, fold-twin cosines)")
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: 16 cells, probe 4 — scans ~1/4 of the corpus per query.
-    Rows-only driver check; since round 6 the result carries the same
-    in-query ``recall_at_k`` audit as sim_ivf_indexed (served ∩ exact
-    brute-force top-k over the query batch — the oracle-scale
-    relation, not the serving path), bound-pinned alongside the
-    existing exact-baseline assertions in tests/test_similarity.py.
-    The brute-force audit is GATED by ``plans.audit.audit_scale_ok``
-    (corpus ≤ AUDIT_MAX_ROWS): above the bound ``recall_at_k`` is NULL
-    and only the IVF serving plan runs (r6 advice)."""
+    FULLY oracle-checked since round 7: the centroid seeding uses the
+    engine-portable mixer hash (operators/similarity.portable_hash63 —
+    xxhash64 had no DuckDB twin) and the Lloyd refinement sums
+    pico-unit integers instead of order-dependent float means, so the
+    DuckDB twin (:func:`_ivf_oracle`) replays the ENTIRE index build —
+    seed selection, refinement, assignment, probing, top-k, and the
+    recall audit — value-for-value (verified exact at sf0.001/0.01).
+    The in-query ``recall_at_k`` audit (served ∩ exact brute-force
+    top-k over the query batch) is GATED by
+    ``plans.audit.audit_scale_ok`` (corpus ≤ AUDIT_MAX_ROWS): above
+    the bound ``recall_at_k`` is NULL and only the IVF serving plan
+    runs (r6 advice); the oracle runs at checked scales only."""
     from web_attack_detection_spark.operators.similarity import brute_force_topk
 
     emb = load_table(spark, sf_dir, "embeddings")

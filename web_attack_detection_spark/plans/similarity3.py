@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from web_attack_detection_spark.io.sources import load_table
 from web_attack_detection_spark.operators.similarity import dot, l2_norm
-from web_attack_detection_spark.plans.similarity import _SQL_DOT, _SQL_NORM
+from web_attack_detection_spark.plans.similarity import _SQL_DOT, _SQL_NORM, _ivf_oracle
 from web_attack_detection_spark.plans.audit import audit_scale_ok
 from web_attack_detection_spark.plans.registry import register
 
@@ -477,8 +477,8 @@ def _ivf_store(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
 @register(
     "sim_ivf_indexed",
-    None,
-    doc="ANN top-k against a STORED cell-partitioned IVF index (DPP-pruned probes)",
+    _ivf_oracle(),
+    doc="ANN top-k against a STORED cell-partitioned IVF index (DPP-pruned probes), FULL oracle",
 )
 def sim_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``sim_ivf_topk`` semantics served from the PERSISTED index
@@ -489,9 +489,12 @@ def sim_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus. This is the ANN deployment shape at 100 TB: the index
     build (clustering + assignment) is paid once at ingest; per-batch
     query cost is |probed partitions|, enforced by partition pruning
-    rather than trust. Rows-only driver check (xxhash64 centroid
-    seeding is not expressible in the oracle engine), same as
-    sim_ivf_topk — but the result carries an in-query audit: exact
+    rather than trust. FULLY oracle-checked since round 7: centroid
+    seeding moved to the engine-portable mixer hash and the Lloyd
+    refinement to pico-unit integer sums, so the DuckDB twin replays
+    the WHOLE index build + serve value-for-value
+    (plans/similarity._ivf_oracle), same as sim_ivf_topk — and the
+    result still carries the in-query audit: exact
     brute-force top-k is recomputed for the same query batch (the
     oracle-scale relation, not the serving path) and ``recall_at_k``
     reports the served/exact overlap, bound-pinned in
