@@ -221,18 +221,15 @@ def _h63_sql(col: str) -> str:
     return f"CAST(({x3}) >> 1 AS BIGINT)"
 
 
-def _ivf_oracle(k_centroids: int = 16, n_probe: int = 4, k: int = 5) -> str:
-    """Full DuckDB replay of ivf_assign + ivf_topk + the recall audit:
-    portable-hash seed selection, one quantized-Lloyd refinement
-    (pico-unit integer sums -> one division per element, bit-identical
-    to the operator), fold-twin cosines, first-max tie rules via
-    ROW_NUMBER. Everything the Spark path computes, value-for-value."""
+def _ivf_index_cte(k_centroids: int = 16) -> str:
+    """The DuckDB replay of ivf_assign as a WITH-body prefix: unit
+    normalization, portable-hash seed selection, one quantized-Lloyd
+    refinement (pico-unit integer sums -> one division per element,
+    bit-identical to the operator), final assignment ``a1`` and
+    refined centroids ``cents1``. Shared by _ivf_oracle and the
+    quantized-IVF oracle (plans/similarity2)."""
     dot_uc = _SQL_DOT.format(a="t.u", b="c.c_vec")
-    dot_qc = _SQL_DOT.format(a="q.q_vec", b="c.c_vec")
-    dot_qa = _SQL_DOT.format(a="p.q_vec", b="a.u")
-    dot_qt = _SQL_DOT.format(a="q.q_vec", b="t.u")
-    return f"""
-WITH unit AS (
+    return f"""unit AS (
   SELECT vec_id,
          list_transform(embedding,
            x -> CAST(x AS DOUBLE) / {_SQL_NORM.format(a='embedding')}) AS u
@@ -274,7 +271,19 @@ a1 AS (
                               ORDER BY {dot_uc} DESC, c.cell ASC) AS rn
     FROM unit t CROSS JOIN cents1 c
   ) WHERE rn = 1
-),
+)"""
+
+
+def _ivf_oracle(k_centroids: int = 16, n_probe: int = 4, k: int = 5) -> str:
+    """Full DuckDB replay of ivf_assign + ivf_topk + the recall audit:
+    the shared index prefix (:func:`_ivf_index_cte`) plus probe
+    ranking, per-query top-k, and the served-vs-exact recall, all with
+    fold-twin cosines and first-max tie rules via ROW_NUMBER."""
+    dot_qc = _SQL_DOT.format(a="q.q_vec", b="c.c_vec")
+    dot_qa = _SQL_DOT.format(a="p.q_vec", b="a.u")
+    dot_qt = _SQL_DOT.format(a="q.q_vec", b="t.u")
+    return f"""
+WITH {_ivf_index_cte(k_centroids)},
 q AS (SELECT vec_id AS query_id, u AS q_vec FROM unit WHERE vec_id < 10),
 probes AS (
   SELECT query_id, q_vec, cell FROM (
@@ -350,10 +359,70 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return served.crossJoin(F.broadcast(audit)).orderBy("query_id", "rank")
 
 
+_IVF_CURVE_ORACLE = f"""
+WITH {{prefix}},
+q AS (SELECT vec_id AS query_id, u AS q_vec FROM unit WHERE vec_id < 10),
+nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q),
+crank AS (
+  SELECT q.query_id, c.cell,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+           ORDER BY {{dqc}} DESC, c.cell ASC) AS crank
+  FROM q CROSS JOIN cents1 c
+),
+c2 AS (
+  SELECT vec_id AS neighbor_id, cell,
+         list_transform(u, x -> CAST(x AS DOUBLE) / {{nrm_u}}) AS cv
+  FROM a1
+),
+scored AS (
+  SELECT q.query_id, t.neighbor_id, t.cell, {{dqt}} AS cos
+  FROM c2 t CROSS JOIN q WHERE t.neighbor_id != q.query_id
+),
+base AS (
+  SELECT s.query_id, s.neighbor_id, s.cos, cr.crank,
+         ROW_NUMBER() OVER (PARTITION BY s.query_id
+           ORDER BY s.cos DESC, s.neighbor_id ASC) AS erank
+  FROM scored s JOIN crank cr
+    ON s.query_id = cr.query_id AND s.cell = cr.cell
+),
+cand AS (
+  SELECT b.*, p.n_probe
+  FROM base b, (SELECT UNNEST([1, 2, 4, 8, 16]) AS n_probe) p
+  WHERE b.crank <= p.n_probe
+),
+ivf5 AS (
+  SELECT * FROM (
+    SELECT cand.*,
+           ROW_NUMBER() OVER (PARTITION BY query_id, n_probe
+             ORDER BY cos DESC, neighbor_id ASC) AS prank
+    FROM cand
+  ) WHERE prank <= 5
+),
+curve AS (
+  SELECT n_probe,
+         ROUND(SUM(CASE WHEN erank <= 5 THEN 1 ELSE 0 END)
+               / (5.0 * (SELECT n FROM nq)), 4) AS recall_at_5
+  FROM ivf5 GROUP BY n_probe
+),
+cost AS (
+  SELECT n_probe,
+         ROUND(COUNT(*) / (1.0 * (SELECT n FROM nq)), 1) AS avg_candidates
+  FROM cand GROUP BY n_probe
+)
+SELECT CAST(curve.n_probe AS BIGINT) AS n_probe, recall_at_5, avg_candidates
+FROM curve JOIN cost USING (n_probe)
+""".format(
+    prefix=_ivf_index_cte(16),
+    dqc=_SQL_DOT.format(a="q.q_vec", b="c.c_vec"),
+    nrm_u=_SQL_NORM.format(a="u"),
+    dqt=_SQL_DOT.format(a="q.q_vec", b="t.cv"),
+)
+
+
 @register(
     "sim_ivf_recall_curve",
-    None,
-    doc="IVF tuning curve: recall@5 and candidate cost vs n_probe from ONE scored pass (rows-only; invariants pytested)",
+    _IVF_CURVE_ORACLE,
+    doc="IVF tuning curve: recall@5 and candidate cost vs n_probe from ONE scored pass, FULL oracle",
 )
 def sim_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tuning table every ANN deployment derives before picking
@@ -367,7 +436,9 @@ def sim_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-seeded) but self-consistent by construction: probing all 16
     cells makes the candidate set the full corpus, so the last row's
     recall is EXACTLY 1.0 and recall is monotone in n_probe — both
-    pinned in tests/test_similarity.py. Scale shape: the scored pass
+    pinned in tests/test_similarity.py — and since round 7 the whole
+    curve is FULLY oracle-checked (the portable index replay of
+    _ivf_index_cte plus the same one-pass cell-rank tagging). Scale shape: the scored pass
     broadcasts queries and shuffles scalar triples only; at 100 TB the
     curve is estimated on a query/corpus sample (it tunes a knob, it
     is not a serving path)."""

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from web_attack_detection_spark.io.sources import load_table
 from web_attack_detection_spark.plans.registry import register
+from web_attack_detection_spark.plans.similarity import _SQL_DOT, _ivf_index_cte
 
 # per-vector symmetric int8 quantization (DuckDB side). Element order:
 # cast float→double FIRST in both engines, then abs/max/round —
@@ -161,10 +162,73 @@ def _quant_arr(vec):
     return F.transform(vec, lambda x: F.round(x.cast("double") * s).cast("int"))
 
 
+_INT_DOT = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(range(1, 65), i -> CAST({a}[i] AS BIGINT) * {b}[i])), "
+    "(acc, x) -> acc + x)"
+)
+
+_IVF_QUANT_ORACLE = f"""
+WITH {_ivf_index_cte(16)},
+qc AS (
+  SELECT vec_id, cell,
+         list_transform(u, x -> CAST(round(CAST(x AS DOUBLE)
+             * (127.0 / list_aggregate(
+                   list_transform(u, y -> abs(CAST(y AS DOUBLE))), 'max')))
+           AS INTEGER)) AS q
+  FROM a1
+),
+qp AS (
+  SELECT a1.vec_id AS query_id, qc.q AS pq, a1.u AS q_vec
+  FROM a1 JOIN qc ON a1.vec_id = qc.vec_id
+  WHERE a1.vec_id < 10
+),
+pc AS (
+  SELECT query_id, cell FROM (
+    SELECT p.query_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY p.query_id
+             ORDER BY {_SQL_DOT.format(a='p.q_vec', b='c.c_vec')} DESC,
+                      c.cell ASC) AS rn
+    FROM qp p CROSS JOIN cents1 c
+  ) WHERE rn <= 4
+),
+iv AS (
+  SELECT query_id, vec_id FROM (
+    SELECT p.query_id, t.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY p.query_id
+             ORDER BY {_INT_DOT.format(a='p.pq', b='t.q')} DESC,
+                      t.vec_id ASC) AS rnk
+    FROM qc t JOIN pc ON t.cell = pc.cell JOIN qp p ON p.query_id = pc.query_id
+    WHERE t.vec_id != p.query_id
+  ) WHERE rnk <= 5
+),
+ex AS (
+  SELECT query_id, vec_id FROM (
+    SELECT p.query_id, t.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY p.query_id
+             ORDER BY {_INT_DOT.format(a='p.pq', b='t.q')} DESC,
+                      t.vec_id ASC) AS rnk
+    FROM qc t CROSS JOIN qp p
+    WHERE t.vec_id != p.query_id
+  ) WHERE rnk <= 5
+),
+hits AS (
+  SELECT i.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM iv i SEMI JOIN ex e ON i.query_id = e.query_id AND i.vec_id = e.vec_id
+  GROUP BY i.query_id
+)
+SELECT q.query_id,
+       COALESCE(h.n_hit, 0) AS n_hit,
+       ROUND(COALESCE(h.n_hit, 0) / 5.0, 2) AS recall_at_5
+FROM (SELECT DISTINCT query_id FROM qp) q
+LEFT JOIN hits h ON q.query_id = h.query_id
+"""
+
+
 @register(
     "sim_ivf_quantized_topk",
-    None,
-    doc="IVF cell pruning + int8 integer scoring, with in-query recall vs quantized brute force",
+    _IVF_QUANT_ORACLE,
+    doc="IVF cell pruning + int8 integer scoring, FULL oracle (portable index replay + exact BIGINT dots)",
 )
 def sim_ivf_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full 100 TB ANN stack in one query: IVF assignment prunes
@@ -175,9 +239,11 @@ def sim_ivf_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the quantized brute force (what a production pipeline runs
     on a sample to tune n_probe): both paths share one quantized
     corpus, so recall isolates exactly the IVF pruning loss. Output
-    (query_id, n_hit, recall@5) is deterministic — integer scores,
-    id tiebreaks, deterministic seeding — but xxhash64 seeding has no
-    DuckDB twin, hence rows-only."""
+    (query_id, n_hit, recall@5) is deterministic — integer scores, id
+    tiebreaks, deterministic seeding — and since round 7 FULLY
+    oracle-checked: the portable-hash/quantized-Lloyd index replay
+    (plans/similarity._ivf_index_cte) plus the same int8 quantization
+    and exact-BIGINT dot folds in DuckDB."""
     from pyspark.sql import Window
 
     from web_attack_detection_spark.operators.similarity import dot, ivf_assign
