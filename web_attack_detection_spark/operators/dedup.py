@@ -459,12 +459,22 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, simhash: bigint) — 64-bit SimHash over whitespace tokens.
 
     Each token votes ±1 on each of 64 bit positions according to its
-    xxhash64; the signature bit is the vote sign. Expressed as explode
-    → 64 conditional-sum aggregates → bit reassembly; all JVM-side.
-    """
+    64-bit token hash; the signature bit is the vote sign. Expressed
+    as explode → 64 conditional-sum aggregates → bit reassembly; all
+    JVM-side. The token hash is the first 16 hex chars of md5 (two
+    32-bit conv halves packed hi<<32|lo — Java shiftleft, no ANSI
+    overflow check) — ENGINE-PORTABLE since round 7, so the
+    dedup_simhash oracle replays the whole signature pipeline in
+    DuckDB (xxhash64, the previous hash, has no twin there)."""
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn(
+        "h",
+        F.expr(
+            "SHIFTLEFT(CAST(CONV(SUBSTRING(md5(CAST(tok AS BINARY)), 1, 8), 16, 10) AS BIGINT), 32)"
+            " | CAST(CONV(SUBSTRING(md5(CAST(tok AS BINARY)), 9, 8), 16, 10) AS BIGINT)"
+        ),
+    )
     # compress repeated tokens FIRST: the bit-vote expressions then
     # run over |distinct (doc, token)| rows instead of |tokens| rows —
     # the expression evaluation dominates, so duplicate-heavy corpora

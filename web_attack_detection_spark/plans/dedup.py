@@ -239,11 +239,138 @@ def dedup_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash", None, doc="SimHash Hamming≤3 near-dup pairs")
+_SIMHASH_ORACLE = """
+WITH toks AS (
+  SELECT doc_id AS id, UNNEST(string_split_regex(text, '\\s+')) AS tok
+  FROM documents
+),
+th AS (
+  SELECT id, md5(tok) AS m, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY id, md5(tok)
+),
+hh AS (
+  SELECT id, cnt,
+         CAST(concat('0x', substr(m, 1, 8)) AS BIGINT) AS hi,
+         CAST(concat('0x', substr(m, 9, 8)) AS BIGINT) AS lo
+  FROM th
+),
+votes AS (
+  SELECT id, SUM(cnt) AS t,
+         SUM(cnt * ((lo >> 0) & 1)) AS s0,
+         SUM(cnt * ((lo >> 1) & 1)) AS s1,
+         SUM(cnt * ((lo >> 2) & 1)) AS s2,
+         SUM(cnt * ((lo >> 3) & 1)) AS s3,
+         SUM(cnt * ((lo >> 4) & 1)) AS s4,
+         SUM(cnt * ((lo >> 5) & 1)) AS s5,
+         SUM(cnt * ((lo >> 6) & 1)) AS s6,
+         SUM(cnt * ((lo >> 7) & 1)) AS s7,
+         SUM(cnt * ((lo >> 8) & 1)) AS s8,
+         SUM(cnt * ((lo >> 9) & 1)) AS s9,
+         SUM(cnt * ((lo >> 10) & 1)) AS s10,
+         SUM(cnt * ((lo >> 11) & 1)) AS s11,
+         SUM(cnt * ((lo >> 12) & 1)) AS s12,
+         SUM(cnt * ((lo >> 13) & 1)) AS s13,
+         SUM(cnt * ((lo >> 14) & 1)) AS s14,
+         SUM(cnt * ((lo >> 15) & 1)) AS s15,
+         SUM(cnt * ((lo >> 16) & 1)) AS s16,
+         SUM(cnt * ((lo >> 17) & 1)) AS s17,
+         SUM(cnt * ((lo >> 18) & 1)) AS s18,
+         SUM(cnt * ((lo >> 19) & 1)) AS s19,
+         SUM(cnt * ((lo >> 20) & 1)) AS s20,
+         SUM(cnt * ((lo >> 21) & 1)) AS s21,
+         SUM(cnt * ((lo >> 22) & 1)) AS s22,
+         SUM(cnt * ((lo >> 23) & 1)) AS s23,
+         SUM(cnt * ((lo >> 24) & 1)) AS s24,
+         SUM(cnt * ((lo >> 25) & 1)) AS s25,
+         SUM(cnt * ((lo >> 26) & 1)) AS s26,
+         SUM(cnt * ((lo >> 27) & 1)) AS s27,
+         SUM(cnt * ((lo >> 28) & 1)) AS s28,
+         SUM(cnt * ((lo >> 29) & 1)) AS s29,
+         SUM(cnt * ((lo >> 30) & 1)) AS s30,
+         SUM(cnt * ((lo >> 31) & 1)) AS s31,
+         SUM(cnt * ((hi >> 0) & 1)) AS s32,
+         SUM(cnt * ((hi >> 1) & 1)) AS s33,
+         SUM(cnt * ((hi >> 2) & 1)) AS s34,
+         SUM(cnt * ((hi >> 3) & 1)) AS s35,
+         SUM(cnt * ((hi >> 4) & 1)) AS s36,
+         SUM(cnt * ((hi >> 5) & 1)) AS s37,
+         SUM(cnt * ((hi >> 6) & 1)) AS s38,
+         SUM(cnt * ((hi >> 7) & 1)) AS s39,
+         SUM(cnt * ((hi >> 8) & 1)) AS s40,
+         SUM(cnt * ((hi >> 9) & 1)) AS s41,
+         SUM(cnt * ((hi >> 10) & 1)) AS s42,
+         SUM(cnt * ((hi >> 11) & 1)) AS s43,
+         SUM(cnt * ((hi >> 12) & 1)) AS s44,
+         SUM(cnt * ((hi >> 13) & 1)) AS s45,
+         SUM(cnt * ((hi >> 14) & 1)) AS s46,
+         SUM(cnt * ((hi >> 15) & 1)) AS s47,
+         SUM(cnt * ((hi >> 16) & 1)) AS s48,
+         SUM(cnt * ((hi >> 17) & 1)) AS s49,
+         SUM(cnt * ((hi >> 18) & 1)) AS s50,
+         SUM(cnt * ((hi >> 19) & 1)) AS s51,
+         SUM(cnt * ((hi >> 20) & 1)) AS s52,
+         SUM(cnt * ((hi >> 21) & 1)) AS s53,
+         SUM(cnt * ((hi >> 22) & 1)) AS s54,
+         SUM(cnt * ((hi >> 23) & 1)) AS s55,
+         SUM(cnt * ((hi >> 24) & 1)) AS s56,
+         SUM(cnt * ((hi >> 25) & 1)) AS s57,
+         SUM(cnt * ((hi >> 26) & 1)) AS s58,
+         SUM(cnt * ((hi >> 27) & 1)) AS s59,
+         SUM(cnt * ((hi >> 28) & 1)) AS s60,
+         SUM(cnt * ((hi >> 29) & 1)) AS s61,
+         SUM(cnt * ((hi >> 30) & 1)) AS s62,
+         SUM(cnt * ((hi >> 31) & 1)) AS s63
+  FROM hh GROUP BY id
+),
+sig AS (
+  SELECT id,
+         (CAST(CASE WHEN 2*s0 > t THEN 1 ELSE 0 END AS BIGINT) << 0) + (CAST(CASE WHEN 2*s1 > t THEN 1 ELSE 0 END AS BIGINT) << 1) + (CAST(CASE WHEN 2*s2 > t THEN 1 ELSE 0 END AS BIGINT) << 2) + (CAST(CASE WHEN 2*s3 > t THEN 1 ELSE 0 END AS BIGINT) << 3) + (CAST(CASE WHEN 2*s4 > t THEN 1 ELSE 0 END AS BIGINT) << 4) + (CAST(CASE WHEN 2*s5 > t THEN 1 ELSE 0 END AS BIGINT) << 5) + (CAST(CASE WHEN 2*s6 > t THEN 1 ELSE 0 END AS BIGINT) << 6) + (CAST(CASE WHEN 2*s7 > t THEN 1 ELSE 0 END AS BIGINT) << 7) + (CAST(CASE WHEN 2*s8 > t THEN 1 ELSE 0 END AS BIGINT) << 8) + (CAST(CASE WHEN 2*s9 > t THEN 1 ELSE 0 END AS BIGINT) << 9) + (CAST(CASE WHEN 2*s10 > t THEN 1 ELSE 0 END AS BIGINT) << 10) + (CAST(CASE WHEN 2*s11 > t THEN 1 ELSE 0 END AS BIGINT) << 11) + (CAST(CASE WHEN 2*s12 > t THEN 1 ELSE 0 END AS BIGINT) << 12) + (CAST(CASE WHEN 2*s13 > t THEN 1 ELSE 0 END AS BIGINT) << 13) + (CAST(CASE WHEN 2*s14 > t THEN 1 ELSE 0 END AS BIGINT) << 14) + (CAST(CASE WHEN 2*s15 > t THEN 1 ELSE 0 END AS BIGINT) << 15) + (CAST(CASE WHEN 2*s16 > t THEN 1 ELSE 0 END AS BIGINT) << 16) + (CAST(CASE WHEN 2*s17 > t THEN 1 ELSE 0 END AS BIGINT) << 17) + (CAST(CASE WHEN 2*s18 > t THEN 1 ELSE 0 END AS BIGINT) << 18) + (CAST(CASE WHEN 2*s19 > t THEN 1 ELSE 0 END AS BIGINT) << 19) + (CAST(CASE WHEN 2*s20 > t THEN 1 ELSE 0 END AS BIGINT) << 20) + (CAST(CASE WHEN 2*s21 > t THEN 1 ELSE 0 END AS BIGINT) << 21) + (CAST(CASE WHEN 2*s22 > t THEN 1 ELSE 0 END AS BIGINT) << 22) + (CAST(CASE WHEN 2*s23 > t THEN 1 ELSE 0 END AS BIGINT) << 23) + (CAST(CASE WHEN 2*s24 > t THEN 1 ELSE 0 END AS BIGINT) << 24) + (CAST(CASE WHEN 2*s25 > t THEN 1 ELSE 0 END AS BIGINT) << 25) + (CAST(CASE WHEN 2*s26 > t THEN 1 ELSE 0 END AS BIGINT) << 26) + (CAST(CASE WHEN 2*s27 > t THEN 1 ELSE 0 END AS BIGINT) << 27) + (CAST(CASE WHEN 2*s28 > t THEN 1 ELSE 0 END AS BIGINT) << 28) + (CAST(CASE WHEN 2*s29 > t THEN 1 ELSE 0 END AS BIGINT) << 29) + (CAST(CASE WHEN 2*s30 > t THEN 1 ELSE 0 END AS BIGINT) << 30) + (CAST(CASE WHEN 2*s31 > t THEN 1 ELSE 0 END AS BIGINT) << 31) AS lo,
+         (CAST(CASE WHEN 2*s32 > t THEN 1 ELSE 0 END AS BIGINT) << 0) + (CAST(CASE WHEN 2*s33 > t THEN 1 ELSE 0 END AS BIGINT) << 1) + (CAST(CASE WHEN 2*s34 > t THEN 1 ELSE 0 END AS BIGINT) << 2) + (CAST(CASE WHEN 2*s35 > t THEN 1 ELSE 0 END AS BIGINT) << 3) + (CAST(CASE WHEN 2*s36 > t THEN 1 ELSE 0 END AS BIGINT) << 4) + (CAST(CASE WHEN 2*s37 > t THEN 1 ELSE 0 END AS BIGINT) << 5) + (CAST(CASE WHEN 2*s38 > t THEN 1 ELSE 0 END AS BIGINT) << 6) + (CAST(CASE WHEN 2*s39 > t THEN 1 ELSE 0 END AS BIGINT) << 7) + (CAST(CASE WHEN 2*s40 > t THEN 1 ELSE 0 END AS BIGINT) << 8) + (CAST(CASE WHEN 2*s41 > t THEN 1 ELSE 0 END AS BIGINT) << 9) + (CAST(CASE WHEN 2*s42 > t THEN 1 ELSE 0 END AS BIGINT) << 10) + (CAST(CASE WHEN 2*s43 > t THEN 1 ELSE 0 END AS BIGINT) << 11) + (CAST(CASE WHEN 2*s44 > t THEN 1 ELSE 0 END AS BIGINT) << 12) + (CAST(CASE WHEN 2*s45 > t THEN 1 ELSE 0 END AS BIGINT) << 13) + (CAST(CASE WHEN 2*s46 > t THEN 1 ELSE 0 END AS BIGINT) << 14) + (CAST(CASE WHEN 2*s47 > t THEN 1 ELSE 0 END AS BIGINT) << 15) + (CAST(CASE WHEN 2*s48 > t THEN 1 ELSE 0 END AS BIGINT) << 16) + (CAST(CASE WHEN 2*s49 > t THEN 1 ELSE 0 END AS BIGINT) << 17) + (CAST(CASE WHEN 2*s50 > t THEN 1 ELSE 0 END AS BIGINT) << 18) + (CAST(CASE WHEN 2*s51 > t THEN 1 ELSE 0 END AS BIGINT) << 19) + (CAST(CASE WHEN 2*s52 > t THEN 1 ELSE 0 END AS BIGINT) << 20) + (CAST(CASE WHEN 2*s53 > t THEN 1 ELSE 0 END AS BIGINT) << 21) + (CAST(CASE WHEN 2*s54 > t THEN 1 ELSE 0 END AS BIGINT) << 22) + (CAST(CASE WHEN 2*s55 > t THEN 1 ELSE 0 END AS BIGINT) << 23) + (CAST(CASE WHEN 2*s56 > t THEN 1 ELSE 0 END AS BIGINT) << 24) + (CAST(CASE WHEN 2*s57 > t THEN 1 ELSE 0 END AS BIGINT) << 25) + (CAST(CASE WHEN 2*s58 > t THEN 1 ELSE 0 END AS BIGINT) << 26) + (CAST(CASE WHEN 2*s59 > t THEN 1 ELSE 0 END AS BIGINT) << 27) + (CAST(CASE WHEN 2*s60 > t THEN 1 ELSE 0 END AS BIGINT) << 28) + (CAST(CASE WHEN 2*s61 > t THEN 1 ELSE 0 END AS BIGINT) << 29) + (CAST(CASE WHEN 2*s62 > t THEN 1 ELSE 0 END AS BIGINT) << 30) + (CAST(CASE WHEN 2*s63 > t THEN 1 ELSE 0 END AS BIGINT) << 31) AS hi
+  FROM votes
+),
+bands AS (
+  SELECT id, lo, hi, b.band,
+         CASE b.band WHEN 0 THEN lo & 65535
+                     WHEN 1 THEN (lo >> 16) & 65535
+                     WHEN 2 THEN hi & 65535
+                     ELSE (hi >> 16) & 65535 END AS key
+  FROM sig, (SELECT UNNEST([0, 1, 2, 3]) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         a.lo AS alo, a.hi AS ahi, b.lo AS blo, b.hi AS bhi
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.id < b.id
+),
+pairs AS (
+  SELECT id_a, id_b,
+         CAST(bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) AS INTEGER)
+           AS hamming
+  FROM cand
+  WHERE bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) <= 3
+),
+exact AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs_exact
+  FROM sig a JOIN sig b ON a.id < b.id
+  WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+),
+banded AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs_banded FROM pairs)
+SELECT p.id_a, p.id_b, p.hamming, bn.n_pairs_banded, ex.n_pairs_exact,
+       bn.n_pairs_banded = ex.n_pairs_exact AS audit_recall_exact
+FROM pairs p, banded bn, exact ex
+"""
+
+
+@register("dedup_simhash", _SIMHASH_ORACLE, doc="SimHash Hamming<=3 near-dup pairs, FULL oracle (portable md5 token hash)")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash with pigeonhole banding; verify via bit_count(xor).
-    Rows-only (xxhash64 bit-votes aren't SQL-portable) — but since
-    round 6 the result carries the estimate-verify audit: the EXACT
+    FULLY oracle-checked since round 7: the token hash moved to md5
+    hex slices (engine-portable; operators/dedup.simhash64), so the
+    DuckDB twin replays the whole signature pipeline — bit votes,
+    sign test, 16-bit banding, Hamming verify — as two 32-bit halves
+    (a 64-bit signature literal would trip DuckDB's checked shifts).
+    Since round 6 the result also carries the estimate-verify audit:
+    the EXACT
     all-pairs Hamming≤3 relation over the (once-computed) signatures
     must equal the banded result pair-for-pair in count
     (``audit_recall_exact``; pigeonhole makes less a hard bug at
