@@ -232,14 +232,24 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig: array<bigint>) — k-permutation MinHash.
 
-    Permutation i is ``xxhash64(shingle, i)``; the signature element is
-    the min over the doc's shingles. Computed as ONE groupBy over the
-    exploded shingles with k min-aggregates — map-side combine makes
-    the shuffle carry k longs per doc, independent of doc length.
+    Permutation i hashes the shingle as the first 15 hex chars of
+    ``md5(i || ':' || shingle)`` — a 60-bit non-negative BIGINT that is
+    ENGINE-PORTABLE (round 7: the dedup_minhash_lsh oracle replays the
+    signatures in DuckDB; xxhash64, the previous permutation hash, has
+    no twin there). The signature element is the min over the doc's
+    shingles. Computed as ONE groupBy over the exploded shingles with
+    k min-aggregates — map-side combine makes the shuffle carry k
+    longs per doc, independent of doc length.
     """
     sh = shingles(df, text_col, id_col, n)
     aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(num_perm)
+        F.min(
+            F.expr(
+                f"CAST(CONV(SUBSTRING(md5(CAST(CONCAT('{i}:', shingle) AS BINARY)),"
+                " 1, 15), 16, 10) AS BIGINT)"
+            )
+        ).alias(f"h{i}")
+        for i in range(num_perm)
     ]
     sig = sh.groupBy("id").agg(*aggs)
     return sig.select("id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig"))
@@ -263,8 +273,17 @@ def minhash_candidate_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig")[j] for j in range(i * rows_per_band, (i + 1) * rows_per_band)]
+                        # the band key only needs EQUALITY of the slice:
+                        # a delimited string concat is engine-portable
+                        # (round 7) where xxhash64 was not
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[j]
+                                for j in range(
+                                    i * rows_per_band, (i + 1) * rows_per_band
+                                )
+                            ],
                         ).alias("bh"),
                     )
                     for i in range(bands)
