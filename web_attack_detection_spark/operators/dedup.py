@@ -1,7 +1,9 @@
 """Deduplication operators for training-data pipelines.
 
 Four tiers, all DataFrame-native (no Python UDFs anywhere — every
-hash is ``xxhash64``, JVM-side, codegen'd):
+hash is a JVM-side codegen'd expression; since round 7 the MinHash /
+SimHash hashes are md5-slice based so DuckDB oracles can replay them,
+xxhash64 remains where no oracle needs the hash):
 
 - **exact**: group identical keys, keep the smallest id. One shuffle.
 - **n-gram Jaccard** (exact near-dup): shingle → explode → self-join
@@ -9,7 +11,7 @@ hash is ``xxhash64``, JVM-side, codegen'd):
   O(pairs-sharing-a-shingle); the oracle-checkable ground truth the
   approximate tiers are tested against.
 - **MinHash + LSH** (approximate near-dup at scale): k permutations
-  via seeded xxhash64 min-aggregation, banded into b buckets; only
+  via salted-md5-slice min-aggregation, banded into b buckets; only
   docs sharing a band bucket become candidate pairs. Linear shuffle
   volume; the 100 TB path.
 - **SimHash**: 64-bit signature from per-token hash bit-votes;
@@ -227,27 +229,45 @@ def containment_pairs_exact(
 # ---------------------------------------------------------------------------
 
 
+# Universal-hash MinHash permutations over a 31-bit md5-derived base:
+# h_i(x) = (A[i]*x + B[i]) mod P with P = 2^31 - 1 (prime). Products
+# stay < 2^62 (ANSI-safe, no wrapping needed) and every op has an
+# exact DuckDB twin. Constants from a seeded PRNG, pinned at import.
+MINHASH_P = 2_147_483_647
+import random as _random
+
+_rng = _random.Random(0xC0FFEE)
+MINHASH_A = [(_rng.randrange(1, MINHASH_P) | 1) for _ in range(64)]
+MINHASH_B = [_rng.randrange(0, MINHASH_P) for _ in range(64)]
+del _rng
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, n: int = 3, num_perm: int = 32
 ) -> DataFrame:
     """(id, sig: array<bigint>) — k-permutation MinHash.
 
-    Permutation i hashes the shingle as the first 15 hex chars of
-    ``md5(i || ':' || shingle)`` — a 60-bit non-negative BIGINT that is
-    ENGINE-PORTABLE (round 7: the dedup_minhash_lsh oracle replays the
-    signatures in DuckDB; xxhash64, the previous permutation hash, has
-    no twin there). The signature element is the min over the doc's
-    shingles. Computed as ONE groupBy over the exploded shingles with
-    k min-aggregates — map-side combine makes the shuffle carry k
-    longs per doc, independent of doc length.
+    The permutation family is the textbook universal hash
+    ``(A[i]*base + B[i]) mod (2^31 - 1)`` over a 31-bit base drawn
+    from ``md5(shingle)`` — ONE md5 per shingle plus k three-op
+    integer hashes, every step ENGINE-PORTABLE (round 7: the
+    dedup_minhash_lsh oracle replays the signatures in DuckDB;
+    xxhash64, the previous permutation hash, has no twin there).
+    The signature element is the min over the doc's shingles.
+    Computed as ONE groupBy over the exploded shingles with k
+    min-aggregates — map-side combine makes the shuffle carry k longs
+    per doc, independent of doc length.
     """
     sh = shingles(df, text_col, id_col, n)
+    base = F.expr(
+        "CAST(CONV(SUBSTRING(md5(CAST(shingle AS BINARY)), 1, 8), 16, 10)"
+        f" AS BIGINT) & {MINHASH_P}"
+    )
+    sh = sh.withColumn("hb", base)
     aggs = [
         F.min(
-            F.expr(
-                f"CAST(CONV(SUBSTRING(md5(CAST(CONCAT('{i}:', shingle) AS BINARY)),"
-                " 1, 15), 16, 10) AS BIGINT)"
-            )
+            (F.col("hb") * F.lit(MINHASH_A[i]) + F.lit(MINHASH_B[i]))
+            % F.lit(MINHASH_P)
         ).alias(f"h{i}")
         for i in range(num_perm)
     ]

@@ -98,41 +98,47 @@ sh AS (
   SELECT DISTINCT id, array_to_string(t[i:i+2], ' ') AS shingle
   FROM toks, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS r(i)
 ),
+sigb AS (
+  SELECT id,
+         CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) & 2147483647
+           AS hb
+  FROM sh
+),
 sig AS (
   SELECT id,
-         MIN(CAST(concat('0x', substr(md5(CONCAT('0:', shingle)), 1, 15)) AS BIGINT)) AS h0,
-         MIN(CAST(concat('0x', substr(md5(CONCAT('1:', shingle)), 1, 15)) AS BIGINT)) AS h1,
-         MIN(CAST(concat('0x', substr(md5(CONCAT('2:', shingle)), 1, 15)) AS BIGINT)) AS h2,
-         MIN(CAST(concat('0x', substr(md5(CONCAT('3:', shingle)), 1, 15)) AS BIGINT)) AS h3,
-         MIN(CAST(concat('0x', substr(md5(CONCAT('4:', shingle)), 1, 15)) AS BIGINT)) AS h4,
-         MIN(CAST(concat('0x', substr(md5(CONCAT('5:', shingle)), 1, 15)) AS BIGINT)) AS h5,
-         MIN(CAST(concat('0x', substr(md5(CONCAT('6:', shingle)), 1, 15)) AS BIGINT)) AS h6,
-         MIN(CAST(concat('0x', substr(md5(CONCAT('7:', shingle)), 1, 15)) AS BIGINT)) AS h7,
-         MIN(CAST(concat('0x', substr(md5(CONCAT('8:', shingle)), 1, 15)) AS BIGINT)) AS h8,
-         MIN(CAST(concat('0x', substr(md5(CONCAT('9:', shingle)), 1, 15)) AS BIGINT)) AS h9,
-         MIN(CAST(concat('0x', substr(md5(CONCAT('10:', shingle)), 1, 15)) AS BIGINT)) AS h10,
-         MIN(CAST(concat('0x', substr(md5(CONCAT('11:', shingle)), 1, 15)) AS BIGINT)) AS h11,
-         MIN(CAST(concat('0x', substr(md5(CONCAT('12:', shingle)), 1, 15)) AS BIGINT)) AS h12,
-         MIN(CAST(concat('0x', substr(md5(CONCAT('13:', shingle)), 1, 15)) AS BIGINT)) AS h13,
-         MIN(CAST(concat('0x', substr(md5(CONCAT('14:', shingle)), 1, 15)) AS BIGINT)) AS h14,
-         MIN(CAST(concat('0x', substr(md5(CONCAT('15:', shingle)), 1, 15)) AS BIGINT)) AS h15,
-         MIN(CAST(concat('0x', substr(md5(CONCAT('16:', shingle)), 1, 15)) AS BIGINT)) AS h16,
-         MIN(CAST(concat('0x', substr(md5(CONCAT('17:', shingle)), 1, 15)) AS BIGINT)) AS h17,
-         MIN(CAST(concat('0x', substr(md5(CONCAT('18:', shingle)), 1, 15)) AS BIGINT)) AS h18,
-         MIN(CAST(concat('0x', substr(md5(CONCAT('19:', shingle)), 1, 15)) AS BIGINT)) AS h19,
-         MIN(CAST(concat('0x', substr(md5(CONCAT('20:', shingle)), 1, 15)) AS BIGINT)) AS h20,
-         MIN(CAST(concat('0x', substr(md5(CONCAT('21:', shingle)), 1, 15)) AS BIGINT)) AS h21,
-         MIN(CAST(concat('0x', substr(md5(CONCAT('22:', shingle)), 1, 15)) AS BIGINT)) AS h22,
-         MIN(CAST(concat('0x', substr(md5(CONCAT('23:', shingle)), 1, 15)) AS BIGINT)) AS h23,
-         MIN(CAST(concat('0x', substr(md5(CONCAT('24:', shingle)), 1, 15)) AS BIGINT)) AS h24,
-         MIN(CAST(concat('0x', substr(md5(CONCAT('25:', shingle)), 1, 15)) AS BIGINT)) AS h25,
-         MIN(CAST(concat('0x', substr(md5(CONCAT('26:', shingle)), 1, 15)) AS BIGINT)) AS h26,
-         MIN(CAST(concat('0x', substr(md5(CONCAT('27:', shingle)), 1, 15)) AS BIGINT)) AS h27,
-         MIN(CAST(concat('0x', substr(md5(CONCAT('28:', shingle)), 1, 15)) AS BIGINT)) AS h28,
-         MIN(CAST(concat('0x', substr(md5(CONCAT('29:', shingle)), 1, 15)) AS BIGINT)) AS h29,
-         MIN(CAST(concat('0x', substr(md5(CONCAT('30:', shingle)), 1, 15)) AS BIGINT)) AS h30,
-         MIN(CAST(concat('0x', substr(md5(CONCAT('31:', shingle)), 1, 15)) AS BIGINT)) AS h31
-  FROM sh GROUP BY id
+         MIN((hb * 2058367755 + 556613360) % 2147483647) AS h0,
+         MIN((hb * 1250378733 + 488839214) % 2147483647) AS h1,
+         MIN((hb * 1328920189 + 862986758) % 2147483647) AS h2,
+         MIN((hb * 372282287 + 1431692393) % 2147483647) AS h3,
+         MIN((hb * 35052691 + 1653509423) % 2147483647) AS h4,
+         MIN((hb * 260070993 + 431528743) % 2147483647) AS h5,
+         MIN((hb * 1425365893 + 224535992) % 2147483647) AS h6,
+         MIN((hb * 920539465 + 598863500) % 2147483647) AS h7,
+         MIN((hb * 409468655 + 723743592) % 2147483647) AS h8,
+         MIN((hb * 638079617 + 11716706) % 2147483647) AS h9,
+         MIN((hb * 1652464807 + 1089625331) % 2147483647) AS h10,
+         MIN((hb * 2033713063 + 96286478) % 2147483647) AS h11,
+         MIN((hb * 1010120343 + 2025278477) % 2147483647) AS h12,
+         MIN((hb * 873091423 + 1926321247) % 2147483647) AS h13,
+         MIN((hb * 910172515 + 1363754172) % 2147483647) AS h14,
+         MIN((hb * 1362467473 + 146013650) % 2147483647) AS h15,
+         MIN((hb * 1577225783 + 229221827) % 2147483647) AS h16,
+         MIN((hb * 708511553 + 511759879) % 2147483647) AS h17,
+         MIN((hb * 1389507383 + 714695731) % 2147483647) AS h18,
+         MIN((hb * 1784693825 + 1765617543) % 2147483647) AS h19,
+         MIN((hb * 2003597557 + 449155689) % 2147483647) AS h20,
+         MIN((hb * 347112817 + 1997759968) % 2147483647) AS h21,
+         MIN((hb * 2133395955 + 1696478464) % 2147483647) AS h22,
+         MIN((hb * 1638263923 + 1307417817) % 2147483647) AS h23,
+         MIN((hb * 1962772767 + 221907626) % 2147483647) AS h24,
+         MIN((hb * 908613597 + 1190148063) % 2147483647) AS h25,
+         MIN((hb * 1364526543 + 281240666) % 2147483647) AS h26,
+         MIN((hb * 932472843 + 1796390308) % 2147483647) AS h27,
+         MIN((hb * 1976978009 + 701113081) % 2147483647) AS h28,
+         MIN((hb * 656157899 + 1869851086) % 2147483647) AS h29,
+         MIN((hb * 1457334633 + 258005080) % 2147483647) AS h30,
+         MIN((hb * 212322979 + 562276511) % 2147483647) AS h31
+  FROM sigb GROUP BY id
 ),
 bands AS (
   SELECT id, 0 AS band, concat_ws(',', h0, h1, h2, h3) AS bh FROM sig UNION ALL
