@@ -231,6 +231,27 @@ def resize_media(
     )
 
 
+def phash_dct_basis_q(scale: int = 10_000):
+    """The 8×8 orthonormal DCT-II basis, integer-quantized at
+    ``scale`` — shared by phash_media's einsum kernel and the DuckDB
+    oracle generator (plans/multimodal.py) so both engines multiply
+    the SAME exact integers."""
+    import numpy as np
+
+    n_ = 8
+    C = np.array(
+        [
+            [
+                (np.sqrt(1 / n_) if k == 0 else np.sqrt(2 / n_))
+                * np.cos(np.pi * (2 * i + 1) * k / (2 * n_))
+                for i in range(n_)
+            ]
+            for k in range(n_)
+        ]
+    )
+    return np.round(C * scale).astype(np.int64)
+
+
 def phash_media(media: DataFrame, fake_decode: bool = True) -> DataFrame:
     """Perceptual hash per media row: (media_id, phash int).
 
@@ -249,6 +270,15 @@ def phash_media(media: DataFrame, fake_decode: bool = True) -> DataFrame:
     pairs within Hamming 2, because median-thresholding halves the
     entropy). One 8×8 matrix sandwich per row, batched as a single
     (n,8,8) einsum. 64-bit hash.
+
+    The DCT basis is QUANTIZED to integers (×1e4, round) since r7, so
+    every coefficient is an exact int64 — order-free and therefore
+    replayable by the DuckDB oracle (mm_phash_dedup became a FULL
+    oracle on the back of this).  Median-thresholded bits from the
+    quantized basis differ from the float basis only when a
+    coefficient sits within ~1e-4 of the median — and the hash
+    semantics are ours to define; exactness is worth more at 100 TB
+    than the 5th decimal of a cosine.
     """
     import numpy as np
 
@@ -257,26 +287,15 @@ def phash_media(media: DataFrame, fake_decode: bool = True) -> DataFrame:
             "real pHash needs a codec library; pass fake_decode=True"
         )
 
-    # orthonormal DCT-II matrix, k rows x n cols (k=n=8)
-    n_ = 8
-    C = np.array(
-        [
-            [
-                (np.sqrt(1 / n_) if k == 0 else np.sqrt(2 / n_))
-                * np.cos(np.pi * (2 * i + 1) * k / (2 * n_))
-                for i in range(n_)
-            ]
-            for k in range(n_)
-        ]
-    )
+    Cq = phash_dct_basis_q()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = [bytes(p) for p in pdf["payload"]]
             blocks = np.asarray(
-                _decode_batch_vectorized(payloads, k=64), dtype=np.float64
+                _decode_batch_vectorized(payloads, k=64), dtype=np.int64
             ).reshape(-1, 8, 8)
-            coeffs = np.einsum("ij,njk,kl->nil", C, blocks, C.T).reshape(-1, 64)
+            coeffs = np.einsum("ij,njk,kl->nil", Cq, blocks, Cq.T).reshape(-1, 64)
             # bit i = coefficient above the row's median (DC excluded
             # from the median the way pHash excludes it)
             med = np.median(coeffs[:, 1:], axis=1, keepdims=True)

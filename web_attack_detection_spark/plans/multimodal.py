@@ -276,29 +276,123 @@ def mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _phash_oracle() -> str:
+    """DuckDB replay of the ENTIRE pHash pipeline — FNV-chain decode
+    (recursive CTE, one step per payload byte), integer-quantized 8×8
+    DCT (exact int64 sums over the same basis literals the einsum
+    kernel multiplies — phash_dct_basis_q), median threshold (rank 32
+    of the 63 non-DC coefficients), two's-complement 64-bit packing,
+    16-bit banding, and the exact all-pairs Hamming audit."""
+    from web_attack_detection_spark.operators.multimodal import phash_dct_basis_q
+
+    basis = phash_dct_basis_q()
+    basis_rows = ", ".join(
+        f"({u}, {x}, {int(basis[u][x])})" for u in range(8) for x in range(8)
+    )
+    pow2_rows = ", ".join(f"({i}, CAST('{1 << i}' AS HUGEINT))" for i in range(64))
+    hexpos = "strpos('0123456789ABCDEF', h[2*(i+1)+1 : 2*(i+1)+1]) - 1"
+    hexpos2 = "strpos('0123456789ABCDEF', h[2*(i+1)+2 : 2*(i+1)+2]) - 1"
+    return f"""WITH RECURSIVE corpus AS (
+  SELECT doc_id AS media_id, encode(text) AS p FROM documents WHERE doc_id <= 400
+  UNION ALL
+  SELECT doc_id + 500000 AS media_id, encode(text) AS p
+  FROM documents WHERE doc_id <= 400 AND doc_id % 11 = 0
+), byt AS MATERIALIZED (
+  SELECT media_id, LEAST(octet_length(p), 256) AS nb,
+         substring(hex(p), 1, 512) AS h
+  FROM corpus
+), chain AS (
+  SELECT media_id, nb, h, -1 AS i, CAST(2166136261 AS BIGINT) AS acc FROM byt
+  UNION ALL
+  SELECT media_id, nb, h, i + 1,
+         (xor(acc, ({hexpos}) * 16 + ({hexpos2})) * 16777619) % 4294967296
+  FROM chain WHERE i + 1 < nb
+), pix AS MATERIALIZED (
+  SELECT media_id, i // 4 AS j, acc % 256 AS pv
+  FROM chain WHERE i >= 0 AND i % 4 = 0
+), grid AS MATERIALIZED (
+  SELECT c.media_id, g.j, COALESCE(pix.pv, 0) AS pv
+  FROM (SELECT media_id FROM corpus) c
+  CROSS JOIN UNNEST(range(0, 64)) AS g(j)
+  LEFT JOIN pix ON pix.media_id = c.media_id AND pix.j = g.j
+), basis(u, x, bq) AS (VALUES {basis_rows}
+), coeff AS MATERIALIZED (
+  SELECT g.media_id, bu.u AS cu, bv.u AS cv,
+         CAST(SUM(bu.bq * bv.bq * g.pv) AS BIGINT) AS cval
+  FROM grid g
+  JOIN basis bu ON bu.x = g.j // 8
+  JOIN basis bv ON bv.x = g.j % 8
+  GROUP BY g.media_id, bu.u, bv.u
+), med AS MATERIALIZED (
+  SELECT media_id, cval AS m
+  FROM (SELECT media_id, cval,
+               row_number() OVER (PARTITION BY media_id ORDER BY cval) AS rk
+        FROM coeff WHERE NOT (cu = 0 AND cv = 0))
+  WHERE rk = 32
+), pow2(i, v) AS (VALUES {pow2_rows}
+), ph AS MATERIALIZED (
+  SELECT s.media_id,
+         CAST(s.s - CASE WHEN s.s >= CAST('9223372036854775808' AS HUGEINT)
+                         THEN CAST('18446744073709551616' AS HUGEINT)
+                         ELSE CAST('0' AS HUGEINT) END AS BIGINT) AS phash
+  FROM (
+    SELECT c.media_id,
+           SUM(CASE WHEN c.cval > med.m THEN p2.v ELSE CAST('0' AS HUGEINT) END) AS s
+    FROM coeff c
+    JOIN med ON med.media_id = c.media_id
+    JOIN pow2 p2 ON p2.i = 8 * c.cu + c.cv
+    GROUP BY c.media_id
+  ) s
+), banded AS MATERIALIZED (
+  SELECT media_id, phash, b.band, (phash >> (b.band * 16)) & 65535 AS key
+  FROM ph CROSS JOIN UNNEST(range(0, 4)) AS b(band)
+), cand AS MATERIALIZED (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+                  a.phash AS ph_a, b.phash AS ph_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.media_id < b.media_id
+), ham AS MATERIALIZED (
+  SELECT id_a, id_b, CAST(bit_count(xor(ph_a, ph_b)) AS INTEGER) AS hamming
+  FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 2
+), nb_banded AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs_banded FROM ham
+), nb_exact AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs_exact
+  FROM ph a JOIN ph b
+    ON a.media_id < b.media_id AND bit_count(xor(a.phash, b.phash)) <= 2
+)
+SELECT h.id_a, h.id_b, h.hamming,
+       nb_banded.n_pairs_banded, nb_exact.n_pairs_exact,
+       nb_banded.n_pairs_banded = nb_exact.n_pairs_exact AS audit_recall_exact
+FROM ham h, nb_banded, nb_exact"""
+
+
 @register(
     "mm_phash_dedup",
-    None,
-    doc="perceptual-hash image dedup: DCT phash + banded Hamming pairs (stub decode)",
+    _phash_oracle(),
+    doc="perceptual-hash image dedup: integer-DCT phash + banded Hamming pairs, FULL oracle",
 )
 def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image near-dup detection end-to-end: fake-decode → 8×8 DCT
-    64-bit pHash (mapInPandas, batched einsum) → 16-bit-banded
-    candidate join → exact Hamming verify. The corpus is the documents-derived fake
-    media plus planted byte-identical copies (shifted ids) — the only
-    duplicates the non-locality-sensitive stand-in decode can surface;
-    a real decoder slots into the same pipeline and the banding then
-    finds perturbed near-copies too (operators/multimodal.phash_media).
-    Rows-only: a DCT inside mapInPandas has no SQL twin — but the
-    result carries an in-query audit (the dedup_minhash_lsh
-    estimate-verify pattern): the EXACT all-pairs Hamming relation is
-    recomputed at this oracle scale and the banded pipeline must
-    recover every pair (``audit_recall_exact``; with Hamming ≤ 2 and 4
-    bands the pigeonhole guarantee makes anything less a hard bug).
-    The all-pairs audit is GATED by ``plans.audit.audit_scale_ok``
-    (corpus ≤ AUDIT_MAX_ROWS): above the bound the audit columns are
-    NULL and only the banded join runs (r6 advice).  Planted-pair
-    recovery + scalar/vectorized decode equivalence are pytested."""
+    """Image near-dup detection end-to-end: fake-decode → 8×8
+    integer-quantized DCT 64-bit pHash (mapInPandas, batched int64
+    einsum) → 16-bit-banded candidate join → exact Hamming verify.
+    The corpus is the documents-derived fake media plus planted
+    byte-identical copies (shifted ids) — the only duplicates the
+    non-locality-sensitive stand-in decode can surface; a real
+    decoder slots into the same pipeline and the banding then finds
+    perturbed near-copies too (operators/multimodal.phash_media).
+    FULL ORACLE since round 7 (previously rows-only "a DCT inside
+    mapInPandas has no SQL twin"): quantizing the DCT basis at 1e-4
+    (phash_dct_basis_q, shared with the oracle generator) makes every
+    coefficient an exact order-free int64, so DuckDB replays decode
+    (FNV chain as a recursive CTE — one step per payload byte), DCT
+    (exact integer sums against the same basis literals), median
+    threshold, bit packing (two's-complement via HUGEINT), banding,
+    and both pair counts — the banded pipeline AND the exact
+    all-pairs audit hash-match end-to-end.  The all-pairs audit
+    remains GATED by ``plans.audit.audit_scale_ok`` (corpus ≤
+    AUDIT_MAX_ROWS): above the bound the audit columns are NULL and
+    only the banded join runs (r6 advice).  Planted-pair recovery +
+    scalar/vectorized decode equivalence are pytested."""
     from web_attack_detection_spark.io.sources import union_by_name
     from web_attack_detection_spark.operators.multimodal import (
         attach_fake_media,
