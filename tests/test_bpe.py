@@ -189,3 +189,100 @@ def test_oov_encode_matches_python_twin_and_vocab_state(spark):
         )
     ).count()
     assert mismatch == 0
+
+
+# ---------------------------------------------------------------------------
+# WordPiece trainer
+# ---------------------------------------------------------------------------
+
+
+def test_wordpiece_merge_sym_rule():
+    """The '##' concatenation rule: merging (l, ##r) strips the
+    continuation marker from the right symbol and keeps l's prefix
+    status (bare or ##)."""
+    from web_attack_detection_spark.functions.bpe import _wp_merge_sym
+
+    assert _wp_merge_sym("a", "##b") == "ab"
+    assert _wp_merge_sym("##a", "##b") == "##ab"
+    assert _wp_merge_sym("ab", "##cd") == "abcd"
+    # a bare right symbol (never produced by wrap_wordpiece, but the
+    # rule must still be total) concatenates unchanged
+    assert _wp_merge_sym("a", "b") == "ab"
+
+
+@given(
+    words=st.dictionaries(
+        st.text(alphabet="abc", min_size=1, max_size=6),
+        st.integers(min_value=1, max_value=9),
+        min_size=1,
+        max_size=8,
+    ),
+    n_rounds=st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=150, deadline=None)
+def test_wp_replace_chain_equals_tuple_trainer(words, n_rounds):
+    """The wrapped-replace state update with '##' continuations ==
+    the tuple-based WordPiece reference trainer (likelihood score,
+    same tie-break) — the WP twin of the BPE replace==greedy proof."""
+    from collections import Counter
+
+    from web_attack_detection_spark.functions.bpe import _wp_merge_sym
+
+    state = {
+        w: _wrap([c if i == 0 else "##" + c for i, c in enumerate(w)])
+        for w in words
+    }
+    merges = []
+    for r in range(1, n_rounds + 1):
+        pc: Counter = Counter()
+        sc: Counter = Counter()
+        for w, seq in state.items():
+            syms = _unwrap(seq)
+            for s in syms:
+                sc[s] += words[w]
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += words[w]
+        scored = {
+            k: float(v) / (float(sc[k[0]]) * float(sc[k[1]]))
+            for k, v in pc.items()
+            if v >= bpe.MIN_FREQ
+        }
+        if not scored:
+            break
+        (l, rr) = min(scored, key=lambda k: (-scored[k], k[0], k[1]))
+        merged = _wp_merge_sym(l, rr)
+        merges.append((r, l, rr, merged, pc[(l, rr)], scored[(l, rr)]))
+        pat, rep = US + l + US + US + rr + US, US + merged + US
+        state = {w: s.replace(pat, rep) for w, s in state.items()}
+    ref_merges, ref_state = bpe.wordpiece_train_py(words, n_rounds=n_rounds)
+    assert merges == ref_merges
+    assert {w: _unwrap(s) for w, s in state.items()} == ref_state
+
+
+def test_spark_wordpiece_matches_python_twin_on_fixture(spark):
+    """End-to-end: the distributed WordPiece trainer over sf0.001
+    documents == the pure-Python reference trainer (merges, scores,
+    and final state), and every merge rank is dense."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from web_attack_detection_spark.io.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    words = docs.select(F.explode(F.split("text", r"\s+")).alias("w"))
+    merges, state = bpe.wordpiece_train(words)
+    wc = Counter(r["w"] for r in words.filter(F.length("w") >= 1).collect())
+    py_merges, py_state = bpe.wordpiece_train_py(dict(wc))
+    assert merges == py_merges
+    got = {
+        r["w"]: tuple(r["t"])
+        for r in state.select("w", bpe.tokens_expr().alias("t")).collect()
+    }
+    assert got == py_state
+    assert [m[0] for m in merges] == list(range(1, len(merges) + 1))
+    # every continuation symbol in the final state still carries ##
+    for syms in got.values():
+        for i, s in enumerate(syms):
+            assert s.startswith("##") == (i > 0), syms

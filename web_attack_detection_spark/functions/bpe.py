@@ -217,3 +217,164 @@ def encode_word_py(word: str, merges) -> tuple:
     for _, left, right, _, _ in merges:
         syms = merge_word_py(syms, left, right)
     return syms
+
+
+# ---------------------------------------------------------------------------
+# WordPiece trainer (likelihood-scored merges, ## continuations)
+# ---------------------------------------------------------------------------
+
+# WordPiece (Schuster & Nakajima 2012; the BERT tokenizer) uses the
+# SAME wrapped-replace machinery as BPE above — only two things
+# change: (1) word-internal symbols carry the '##' continuation
+# prefix, so the initial state of "abc" is a, ##b, ##c and a merge of
+# (l, ##r) produces l##-stripped "l r" concatenation with l's prefix
+# status; (2) the merge ranked best each round maximizes the
+# LIKELIHOOD score freq(pair) / (freq(left) * freq(right)) instead of
+# raw pair frequency — the "merge the pair that most increases corpus
+# likelihood under a unigram model" rule.  Scores are one double
+# division of exact BIGINT counts (identical in Spark, DuckDB, and
+# the Python twin), ties break (left asc, right asc).
+WP_ROUNDS = 15
+
+
+def wrap_wordpiece(col) -> "F.Column":
+    """word -> US-wrapped WordPiece initial sequence: first char bare,
+    every later char '##'-prefixed."""
+    return F.concat(
+        F.lit(US),
+        F.array_join(
+            F.transform(
+                F.split(col, ""),
+                lambda c, i: F.when(i == 0, c).otherwise(F.concat(F.lit("##"), c)),
+            ),
+            _US2,
+        ),
+        F.lit(US),
+    )
+
+
+def _wp_merge_sym(left: str, right: str) -> str:
+    return left + (right[2:] if right.startswith("##") else right)
+
+
+def symbol_counts(state: DataFrame) -> DataFrame:
+    """Corpus-weighted occurrence count per symbol in the current
+    state — the unigram denominator of the WordPiece score.  One
+    |vocab|-proportional explode+sum per round (map-side combined);
+    output is |alphabet|+rounds rows, always broadcast-able."""
+    return (
+        state.select("cnt", F.explode(tokens_expr("seq")).alias("sym"))
+        .groupBy("sym")
+        .agg(F.sum("cnt").alias("f"))
+    )
+
+
+def wordpiece_train(
+    words: DataFrame,
+    n_rounds: int = WP_ROUNDS,
+    min_freq: int = MIN_FREQ,
+):
+    """Train a WordPiece merges table over a one-column ``w``
+    DataFrame of word occurrences.  Words containing '#' or US are
+    filtered (the '##' continuation marker must stay unambiguous —
+    documented representation constraint, same class as BPE's US
+    filter).  Returns ``(merges, final_state)`` with merges entries
+    ``(rank, left, right, merged, freq, score)``."""
+    wc = (
+        words.filter(
+            (F.length("w") >= 1)
+            & (~F.col("w").contains(US))
+            & (~F.col("w").contains("#"))
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    state = wc.select("w", "cnt", wrap_wordpiece(F.col("w")).alias("seq"))
+    state = state.localCheckpoint(eager=False)
+    merges: list[tuple[int, str, str, str, int, float]] = []
+    for r in range(1, n_rounds + 1):
+        pc = _pair_counts(state).filter(F.col("freq") >= min_freq)
+        sc = symbol_counts(state)
+        best = (
+            pc.join(
+                F.broadcast(sc.select(F.col("sym").alias("l"), F.col("f").alias("fl"))),
+                "l",
+            )
+            .join(
+                F.broadcast(sc.select(F.col("sym").alias("r"), F.col("f").alias("fr"))),
+                "r",
+            )
+            .withColumn(
+                "score",
+                F.col("freq").cast("double")
+                / (F.col("fl").cast("double") * F.col("fr").cast("double")),
+            )
+            .orderBy(F.col("score").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, rr = best[0]["l"], best[0]["r"]
+        freq, score = int(best[0]["freq"]), float(best[0]["score"])
+        merged = _wp_merge_sym(l, rr)
+        merges.append((r, l, rr, merged, freq, score))
+        state = state.withColumn(
+            "seq",
+            F.replace(
+                F.col("seq"),
+                F.lit(US + l + _US2 + rr + US),
+                F.lit(US + merged + US),
+            ),
+        ).localCheckpoint(eager=False)
+    return merges, state
+
+
+def wordpiece_train_py(
+    word_counts: dict, n_rounds: int = WP_ROUNDS, min_freq: int = MIN_FREQ
+):
+    """Single-process reference WordPiece trainer over ``{word:
+    count}`` — same double-division score, same tie-break."""
+    from collections import Counter
+
+    state = {
+        w: tuple(c if i == 0 else "##" + c for i, c in enumerate(w))
+        for w in word_counts
+        if w and US not in w and "#" not in w
+    }
+    counts = {w: c for w, c in word_counts.items() if w in state}
+    merges: list[tuple[int, str, str, str, int, float]] = []
+    for r in range(1, n_rounds + 1):
+        pc: Counter = Counter()
+        sc: Counter = Counter()
+        for w, syms in state.items():
+            c = counts[w]
+            for s in syms:
+                sc[s] += c
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        scored = {
+            k: float(v) / (float(sc[k[0]]) * float(sc[k[1]]))
+            for k, v in pc.items()
+            if v >= min_freq
+        }
+        if not scored:
+            break
+        (l, rr) = min(scored, key=lambda k: (-scored[k], k[0], k[1]))
+        merged = _wp_merge_sym(l, rr)
+        merges.append((r, l, rr, merged, pc[(l, rr)], scored[(l, rr)]))
+        new_state = {}
+        for w, syms in state.items():
+            out: list[str] = []
+            i = 0
+            n = len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == l and syms[i + 1] == rr:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_state[w] = tuple(out)
+        state = new_state
+    return merges, state

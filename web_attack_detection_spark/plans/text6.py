@@ -195,3 +195,126 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bool_and("ok").alias("reconstruct_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece trainer (likelihood-scored merges) — full oracle
+# ---------------------------------------------------------------------------
+
+_WP_STORE: dict[tuple[str, str], tuple[list, DataFrame]] = {}
+
+
+def _wp_trained(spark: SparkSession, sf_dir: str):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _WP_STORE:
+        docs = load_table(spark, sf_dir, "documents")
+        words = docs.select(F.explode(F.split("text", r"\s+")).alias("w"))
+        _WP_STORE[key] = bpe.wordpiece_train(words)
+    return _WP_STORE[key]
+
+
+def _wp_oracle_rounds(n_rounds: int) -> str:
+    """Chained-CTE replay of bpe.wordpiece_train: like _oracle_rounds
+    but with '##'-prefixed continuations in state_0, a per-round
+    symbol-count CTE (the unigram denominator), and the likelihood
+    score freq/(f_left*f_right) — ONE double division of exact BIGINT
+    counts, identical in Spark / DuckDB / the Python twin — as the
+    ranking key (ties: left asc, right asc)."""
+    parts = [
+        f"""WITH state_0 AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt,
+         '{_US}' || array_to_string(
+             list_transform(range(1, length(w) + 1),
+                 i -> CASE WHEN i = 1 THEN w[i] ELSE '##' || w[i] END),
+             '{_US2}') || '{_US}' AS seq
+  FROM (SELECT UNNEST(string_split_regex(text, '\\s+')) AS w FROM documents)
+  WHERE length(w) >= 1 AND NOT contains(w, '{_US}') AND NOT contains(w, '#')
+  GROUP BY w
+)"""
+    ]
+    for r in range(1, n_rounds + 1):
+        p = r - 1
+        parts.append(
+            f""", sc_{r} AS MATERIALIZED (
+  SELECT s AS sym, CAST(SUM(cnt) AS BIGINT) AS f
+  FROM (SELECT cnt, UNNEST(string_split(substring(seq, 2, length(seq) - 2),
+                                        '{_US2}')) AS s
+        FROM state_{p})
+  GROUP BY s
+), best_{r} AS MATERIALIZED (
+  SELECT CAST({r} AS BIGINT) AS merge_rank, l AS left_sym, r2 AS right_sym,
+         CASE WHEN r2 LIKE '##%' THEN l || substring(r2, 3) ELSE l || r2 END AS merged,
+         freq, score
+  FROM (
+    SELECT pc.l, pc.r2, pc.freq,
+           CAST(pc.freq AS DOUBLE) / (CAST(sl.f AS DOUBLE) * CAST(sr.f AS DOUBLE)) AS score
+    FROM (
+      SELECT syms[i] AS l, syms[i + 1] AS r2, CAST(SUM(cnt) AS BIGINT) AS freq
+      FROM (
+        SELECT cnt,
+               string_split(substring(seq, 2, length(seq) - 2), '{_US2}') AS syms
+        FROM state_{p}
+      ) t, UNNEST(range(1, len(syms))) AS u(i)
+      GROUP BY 1, 2
+    ) pc
+    JOIN sc_{r} sl ON sl.sym = pc.l
+    JOIN sc_{r} sr ON sr.sym = pc.r2
+    WHERE pc.freq >= {bpe.MIN_FREQ}
+  )
+  ORDER BY score DESC, l ASC, r2 ASC
+  LIMIT 1
+), state_{r} AS MATERIALIZED (
+  SELECT w, cnt,
+         coalesce(replace(seq,
+             (SELECT '{_US}' || left_sym || '{_US2}' || right_sym || '{_US}'
+                FROM best_{r}),
+             (SELECT '{_US}' || merged || '{_US}' FROM best_{r})),
+           seq) AS seq
+  FROM state_{p}
+)"""
+        )
+    return "".join(parts)
+
+
+_WP_TRAIN_ORACLE = (
+    _wp_oracle_rounds(bpe.WP_ROUNDS)
+    + "\nSELECT merge_rank, left_sym, right_sym, merged, freq, score FROM ("
+    + " UNION ALL ".join(
+        f"SELECT * FROM best_{r}" for r in range(1, bpe.WP_ROUNDS + 1)
+    )
+    + ") ORDER BY merge_rank"
+)
+
+
+@register(
+    "text_wordpiece_train",
+    _WP_TRAIN_ORACLE,
+    doc=f"WordPiece tokenizer training: {bpe.WP_ROUNDS} likelihood-ranked merge rounds, full oracle",
+)
+def text_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WordPiece trainer (Schuster & Nakajima 2012 — the BERT
+    tokenizer's algorithm), completing the tokenizer-training family
+    next to text_bpe_train: '##'-prefixed continuation symbols, and
+    each round merges the pair maximizing the unigram-likelihood
+    score freq(pair)/(freq(left)*freq(right)) rather than raw
+    frequency.  Returns the ranked merges table (rank, left, right,
+    merged, freq, score).
+
+    Same distributed shape as BPE (functions/bpe.py module doc): the
+    corpus collapses to its vocabulary ONCE; each round is one
+    |vocab|-proportional pair aggregation PLUS one symbol-count
+    aggregation (both map-side combined; the symbol table is
+    |alphabet|+rounds rows, always broadcast into the scoring join),
+    a one-row driver argmax, one codegen'd replace, and a per-round
+    localCheckpoint.  The score is ONE double division of exact
+    BIGINT counts, so ranking is engine-identical; the DuckDB oracle
+    replays all 15 rounds as chained MATERIALIZED CTEs and the
+    merges table hash-matches string-for-string, score-for-score.
+    Spark == pure-Python twin (bpe.wordpiece_train_py) is pytested
+    including the '##' merge-concatenation rule."""
+    merges, _ = _wp_trained(spark, sf_dir)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank long, left_sym string, right_sym string,"
+        " merged string, freq long, score double",
+    ).orderBy("merge_rank")
