@@ -1171,3 +1171,36 @@ def test_sequence_infer_simplex_audit(spark, qname):
     assert rows
     for r in rows:
         assert r["audit_prob_simplex"], r
+
+
+def test_decision_tree_exact_invariants(spark):
+    """ml_decision_tree_exact: leaves partition the corpus, internal
+    counts are consistent parent = left + right, the depth-2 train
+    accuracy is at least the root majority baseline (a split can
+    never hurt training accuracy), and predictions are leaf
+    majorities."""
+    import duckdb
+
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["path"]: r for r in QUERIES["ml_decision_tree_exact"].fn(spark, sf).collect()}
+    assert set(rows) == {"", "L", "R", "LL", "LR", "RL", "RR"}
+    n_corpus = duckdb.sql(
+        f"select count(*) from '{sf}/lineitem.parquet'"
+    ).fetchone()[0]
+    root = rows[""]
+    assert root["n"] == n_corpus
+    assert root["n"] == rows["L"]["n"] + rows["R"]["n"]
+    for side in ("L", "R"):
+        assert rows[side]["n"] == rows[side + "L"]["n"] + rows[side + "R"]["n"]
+        assert rows[side]["n_pos"] == rows[side + "L"]["n_pos"] + rows[side + "R"]["n_pos"]
+        assert not rows[side]["is_leaf"] and rows[side]["feature"] in ("q", "d", "t")
+    for p in ("LL", "LR", "RL", "RR"):
+        leaf = rows[p]
+        assert leaf["is_leaf"] and leaf["feature"] is None
+        assert leaf["pred"] == (1 if 2 * leaf["n_pos"] > leaf["n"] else 0)
+    baseline = max(root["n_pos"], root["n"] - root["n_pos"]) / root["n"]
+    assert root["train_accuracy"] >= baseline - 1e-12
+    assert 0.0 < root["train_accuracy"] <= 1.0

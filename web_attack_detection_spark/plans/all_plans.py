@@ -34,6 +34,7 @@ PLAN_MODULES = [
     "text4",
     "text5",
     "text6",
+    "treeq",
     "similarity",
     "similarity2",
     "similarity3",
@@ -55,8 +56,8 @@ for _mod in PLAN_MODULES:
 # Registry floor (bumped as queries land).  A registry smaller than
 # this means a plan module loaded but failed to register (the one
 # silent-shrink path imports can't catch).
-EXPECTED_MIN_QUERIES = 301
-EXPECTED_MIN_ORACLES = 282
+EXPECTED_MIN_QUERIES = 303
+EXPECTED_MIN_ORACLES = 287
 
 from web_attack_detection_spark.plans.registry import QUERIES as _Q  # noqa: E402
 

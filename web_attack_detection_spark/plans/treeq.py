@@ -1,0 +1,260 @@
+"""Exact decision-tree training as relational algebra (full oracle).
+
+MLlib's tree family (ml_gbt_train_eval, ml_random_forest_train_eval)
+is rows-only — impurity ties and float split midpoints are
+implementation-defined.  This module shows the histogram-based split
+search every distributed tree trainer actually runs (Spark MLlib,
+LightGBM, XGBoost-hist) is EXACTLY expressible: per-(feature, value,
+class) counts are one corpus-proportional aggregation; split scores
+are prefix sums over the tiny histogram; the argmax is deterministic
+with an explicit tie-break.  A depth-2 CART over lineitem trains
+bit-identically in Spark and DuckDB.
+
+Determinism contract: features are integer-quantized (quantity,
+discount×100, tax×100 — 50/11/9 distinct values), class counts are
+exact BIGINT, and a candidate's score
+``(n1L² + n0L²)/nL + (n1R² + n0R²)/nR`` is TWO IEEE divisions of
+exact integers plus one add — identical in the Python argmax
+(mirroring the SQL text op-for-op, the ml_pca_project discipline) and
+the oracle's ``ORDER BY score DESC, fname ASC, thr ASC``.
+
+Scale: fit = 2 corpus scans (depth levels), each producing a
+histogram bounded by |features|·|distinct values|·|nodes at level| —
+never corpus-proportional; the split decision is a driver argmax over
+that bounded table (fit-stats collect pattern).  That is the same
+communication shape MLlib's RandomForest uses (findBestSplits
+aggregates per-node histograms), minus its binning approximations.
+
+Reference anchor: the reference trains no trees (main.py's four
+models are dense/recurrent nets); this extends the engine's
+train-in-the-engine family (SURVEY.md §2.7 / deep-trainer precedent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from web_attack_detection_spark.io.sources import load_table
+from web_attack_detection_spark.plans.registry import register
+
+_FEATS = ("q", "d", "t")  # quantity, discount cents, tax cents
+
+
+def _best_split(hist: dict[tuple[str, int], tuple[int, int]]):
+    """Argmax over split candidates from a (fname, v) -> (n1, n)
+    histogram — the Python mirror of the oracle's score ORDER BY
+    (score DESC, fname ASC, thr ASC; candidates need both sides
+    non-empty).  Returns (fname, thr, n_l, n1_l, n_r, n1_r, totn,
+    tot1) or None when no candidate exists (pure/constant node)."""
+    from collections import defaultdict
+
+    byf: dict[str, dict[int, tuple[int, int]]] = defaultdict(dict)
+    for (f, v), (n1, n) in hist.items():
+        byf[f][v] = (n1, n)
+    best = None
+    best_key = None
+    for f in byf:
+        vals = sorted(byf[f])
+        tot1 = sum(byf[f][v][0] for v in vals)
+        totn = sum(byf[f][v][1] for v in vals)
+        cum1 = 0
+        cumn = 0
+        for v in vals:
+            cum1 += byf[f][v][0]
+            cumn += byf[f][v][1]
+            if cumn == 0 or totn - cumn == 0:
+                continue
+            s_l = cum1 * cum1 + (cumn - cum1) * (cumn - cum1)
+            r1 = tot1 - cum1
+            r0 = (totn - cumn) - r1
+            s_r = r1 * r1 + r0 * r0
+            score = float(s_l) / cumn + float(s_r) / (totn - cumn)
+            key = (-score, f, v)
+            if best_key is None or key < best_key:
+                best_key = key
+                best = (f, v, cumn, cum1, totn - cumn, tot1 - cum1, totn, tot1)
+    return best
+
+
+def _feat_case(sel: str) -> str:
+    return f"CASE {sel} WHEN 'q' THEN fq WHEN 'd' THEN fd ELSE ft END"
+
+
+_SCORE = (
+    "CAST(cum1*cum1 + (cumn-cum1)*(cumn-cum1) AS DOUBLE)/cumn"
+    " + CAST((tot1-cum1)*(tot1-cum1) + ((totn-cumn)-(tot1-cum1))*((totn-cumn)-(tot1-cum1)) AS DOUBLE)"
+    "/(totn-cumn)"
+)
+
+_TREE_ORACLE = f"""WITH base AS MATERIALIZED (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         CAST(ROUND(l_quantity) AS BIGINT) AS fq,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS fd,
+         CAST(ROUND(l_tax * 100) AS BIGINT) AS ft
+  FROM lineitem
+), hist0 AS MATERIALIZED (
+  SELECT f.fname, {_feat_case("f.fname")} AS v,
+         CAST(SUM(y) AS BIGINT) AS n1, CAST(COUNT(*) AS BIGINT) AS n
+  FROM base, (VALUES ('q'), ('d'), ('t')) f(fname)
+  GROUP BY 1, 2
+), pref0 AS MATERIALIZED (
+  SELECT fname, v,
+         CAST(SUM(n1) OVER w AS BIGINT) AS cum1,
+         CAST(SUM(n) OVER w AS BIGINT) AS cumn,
+         CAST(SUM(n1) OVER (PARTITION BY fname) AS BIGINT) AS tot1,
+         CAST(SUM(n) OVER (PARTITION BY fname) AS BIGINT) AS totn
+  FROM hist0
+  WINDOW w AS (PARTITION BY fname ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), best0 AS MATERIALIZED (
+  SELECT fname, v AS thr, cumn AS n_l, cum1 AS n1_l,
+         totn - cumn AS n_r, tot1 - cum1 AS n1_r, totn, tot1
+  FROM pref0 WHERE cumn > 0 AND totn - cumn > 0
+  ORDER BY {_SCORE} DESC, fname ASC, v ASC LIMIT 1
+), routed AS MATERIALIZED (
+  SELECT b.*, CASE WHEN ({_feat_case("(SELECT fname FROM best0)")})
+                        <= (SELECT thr FROM best0)
+                   THEN 'L' ELSE 'R' END AS side
+  FROM base b
+), hist1 AS MATERIALIZED (
+  SELECT side, f.fname, {_feat_case("f.fname")} AS v,
+         CAST(SUM(y) AS BIGINT) AS n1, CAST(COUNT(*) AS BIGINT) AS n
+  FROM routed, (VALUES ('q'), ('d'), ('t')) f(fname)
+  GROUP BY 1, 2, 3
+), pref1 AS MATERIALIZED (
+  SELECT side, fname, v,
+         CAST(SUM(n1) OVER w AS BIGINT) AS cum1,
+         CAST(SUM(n) OVER w AS BIGINT) AS cumn,
+         CAST(SUM(n1) OVER (PARTITION BY side, fname) AS BIGINT) AS tot1,
+         CAST(SUM(n) OVER (PARTITION BY side, fname) AS BIGINT) AS totn
+  FROM hist1
+  WINDOW w AS (PARTITION BY side, fname ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), best_l AS MATERIALIZED (
+  SELECT fname, v AS thr, cumn AS n_l, cum1 AS n1_l,
+         totn - cumn AS n_r, tot1 - cum1 AS n1_r
+  FROM pref1 WHERE side = 'L' AND cumn > 0 AND totn - cumn > 0
+  ORDER BY {_SCORE} DESC, fname ASC, v ASC LIMIT 1
+), best_r AS MATERIALIZED (
+  SELECT fname, v AS thr, cumn AS n_l, cum1 AS n1_l,
+         totn - cumn AS n_r, tot1 - cum1 AS n1_r
+  FROM pref1 WHERE side = 'R' AND cumn > 0 AND totn - cumn > 0
+  ORDER BY {_SCORE} DESC, fname ASC, v ASC LIMIT 1
+), leaves AS MATERIALIZED (
+  SELECT 'LL' AS path, n1_l AS n_pos, n_l AS n FROM best_l
+  UNION ALL SELECT 'LR', n1_r, n_r FROM best_l
+  UNION ALL SELECT 'RL', n1_l, n_l FROM best_r
+  UNION ALL SELECT 'RR', n1_r, n_r FROM best_r
+), acc AS MATERIALIZED (
+  SELECT CAST(SUM(GREATEST(n_pos, n - n_pos)) AS DOUBLE)
+         / (SELECT totn FROM best0) AS a
+  FROM leaves
+)
+SELECT '' AS path, FALSE AS is_leaf, fname AS feature, thr AS threshold,
+       totn AS n, tot1 AS n_pos, CAST(NULL AS INTEGER) AS pred,
+       (SELECT a FROM acc) AS train_accuracy
+FROM best0
+UNION ALL
+SELECT 'L', FALSE, l.fname, l.thr, b.n_l, b.n1_l, CAST(NULL AS INTEGER),
+       (SELECT a FROM acc)
+FROM best_l l, best0 b
+UNION ALL
+SELECT 'R', FALSE, r.fname, r.thr, b.n_r, b.n1_r, CAST(NULL AS INTEGER),
+       (SELECT a FROM acc)
+FROM best_r r, best0 b
+UNION ALL
+SELECT path, TRUE, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), n, n_pos,
+       CAST(CASE WHEN 2 * n_pos > n THEN 1 ELSE 0 END AS INTEGER),
+       (SELECT a FROM acc)
+FROM leaves"""
+
+
+@register(
+    "ml_decision_tree_exact",
+    _TREE_ORACLE,
+    doc="depth-2 CART via exact histogram split search, full oracle",
+)
+def ml_decision_tree_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-2 CART predicting returned lineitems (l_returnflag='R')
+    from quantized quantity/discount/tax — trained bit-identically in
+    Spark and DuckDB.  Output: the 7-node tree table (path, split
+    feature + threshold for internal nodes, class counts, leaf
+    majority predictions) plus the exact train accuracy.
+
+    Plan: level 0 is ONE scan aggregating the (feature, value, class)
+    histogram (map-side combined; ≤ 70 rows); the best split is a
+    driver argmax mirroring the oracle's ORDER BY text op-for-op
+    (Gini minimization via the equivalent sum-of-squares-over-size
+    maximization — two IEEE divisions per candidate).  Level 1 routes
+    rows by the chosen literal split inside the SAME aggregation
+    (one more scan, grouped by side) — no data ever moves, only
+    bounded histograms.  DuckDB replays both levels with window
+    prefix sums and the identical tie-break (score DESC, feature
+    ASC, threshold ASC), so the chosen splits, the leaf counts, and
+    the accuracy all hash-match.  Histogram-based split search is
+    what MLlib/LightGBM/XGBoost-hist run distributed; this pins its
+    exact-arithmetic core.  Pure or constant child nodes would make
+    a depth-1 side a leaf — impossible on this corpus (50/11/9
+    distinct values, ~25% positive) and asserted loudly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+        F.round("l_quantity").cast("long").alias("fq"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("fd"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("ft"),
+    )
+    stacked = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(f).alias("fname"), F.col(f"f{f}").alias("v"))
+                for f in _FEATS
+            ]
+        )
+    ).alias("s")
+
+    h0 = (
+        base.select("y", stacked)
+        .groupBy("s.fname", "s.v")
+        .agg(F.sum("y").alias("n1"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    hist0 = {(r["fname"], int(r["v"])): (int(r["n1"]), int(r["n"])) for r in h0}
+    root = _best_split(hist0)
+    if root is None:  # pragma: no cover - constant corpus
+        raise ValueError("no valid root split: constant features")
+    f0, t0, n_l, n1_l, n_r, n1_r, totn, tot1 = root
+
+    side = F.when(F.col(f"f{f0}") <= F.lit(t0), "L").otherwise("R").alias("side")
+    h1 = (
+        base.select("y", side, stacked)
+        .groupBy("side", "s.fname", "s.v")
+        .agg(F.sum("y").alias("n1"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    rows = [("", False, f0, t0, totn, tot1, None)]
+    leaves: list[tuple[str, int, int]] = []
+    for sd, nn, nn1 in (("L", n_l, n1_l), ("R", n_r, n1_r)):
+        hist = {
+            (r["fname"], int(r["v"])): (int(r["n1"]), int(r["n"]))
+            for r in h1
+            if r["side"] == sd
+        }
+        child = _best_split(hist)
+        if child is None:  # pragma: no cover - pure child node
+            raise ValueError(f"no valid split in child {sd}: pure/constant node")
+        fc, tc, cn_l, cn1_l, cn_r, cn1_r, ctot, ctot1 = child
+        assert (ctot, ctot1) == (nn, nn1)
+        rows.append((sd, False, fc, tc, nn, nn1, None))
+        leaves.append((sd + "L", cn_l, cn1_l))
+        leaves.append((sd + "R", cn_r, cn1_r))
+    correct = sum(max(n1, n - n1) for _, n, n1 in leaves)
+    acc = float(correct) / totn
+    out = rows + [
+        (p, True, None, None, n, n1, 1 if 2 * n1 > n else 0) for p, n, n1 in leaves
+    ]
+    return spark.createDataFrame(
+        [r + (acc,) for r in out],
+        "path string, is_leaf boolean, feature string, threshold long,"
+        " n long, n_pos long, pred int, train_accuracy double",
+    )
