@@ -349,6 +349,8 @@ def test_brp_and_minhash_lsh_in_query_audits(spark):
     brp = QUERIES["ml_brp_lsh_join"].fn(spark, SF_SMOKE).collect()
     assert brp and all(r["audit_planted_recall"] for r in brp)
     assert brp[0]["n_planted_found"] == brp[0]["n_planted_expected"] > 0
+    # r7: the portable ±1-projection pair set == MLlib's pair set
+    assert all(r["audit_mllib_agreement"] for r in brp)
     mh = QUERIES["ml_minhash_lsh_join"].fn(spark, SF_SMOKE).collect()
     assert mh and all(r["audit_jaccard_verified"] for r in mh)
     assert mh[0]["max_jaccard_dev"] <= 0.02

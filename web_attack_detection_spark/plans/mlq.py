@@ -1292,66 +1292,230 @@ def ml_random_forest_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# portable euclidean-LSH hyperparameters (shared engine <-> oracle)
+_BRP_TABLES = 4
+_BRP_SCALE = 1_000_000  # coordinate quantization (1e-6 grid)
+_BRP_W = 2_000_000  # bucket width in dot-product micro-units
+_BRP_R2 = 500_000 * 500_000  # euclidean radius 0.5, squared, micro^2
+
+
+def _brp_signs() -> list[list[int]]:
+    """Seeded Rademacher (±1) projection directions, one 64-dim row
+    per hash table, derived from md5 so the engine literals and the
+    oracle's VALUES table are the same matrix."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"brp-{h}-{d}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1
+            for d in range(64)
+        ]
+        for h in range(_BRP_TABLES)
+    ]
+
+
+def _brp_oracle() -> str:
+    signs = _brp_signs()
+    sign_rows = ", ".join(
+        f"({h}, {d}, {signs[h][d]})" for h in range(_BRP_TABLES) for d in range(64)
+    )
+    return f"""WITH q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(range(1, 65), i ->
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * {_BRP_SCALE}) AS BIGINT)) AS v
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000,
+         list_transform(range(1, 65), i ->
+             CAST(ROUND((CAST(embedding[i] AS DOUBLE) * 0.995) * {_BRP_SCALE}) AS BIGINT))
+  FROM embeddings WHERE vec_id % 5 = 0
+), signs(h, d, s) AS (VALUES {sign_rows}
+), banded AS MATERIALIZED (
+  SELECT q.vec_id, q.v, sg.h,
+         (dot - ((dot % {_BRP_W}) + {_BRP_W}) % {_BRP_W}) // {_BRP_W} AS bucket
+  FROM (
+    SELECT q.vec_id, signs.h, CAST(SUM(signs.s * q.v[signs.d + 1]) AS BIGINT) AS dot
+    FROM q, signs GROUP BY q.vec_id, signs.h
+  ) sg JOIN q ON q.vec_id = sg.vec_id
+), cand AS MATERIALIZED (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+  FROM banded a JOIN banded b
+    ON a.h = b.h AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+), pairs AS MATERIALIZED (
+  SELECT id_a, id_b, ROUND(sqrt(d2) / {_BRP_SCALE}, 6) AS dist
+  FROM (
+    SELECT id_a, id_b,
+           CAST(SUM((va[i] - vb[i]) * (va[i] - vb[i])) AS BIGINT) AS d2
+    FROM cand, UNNEST(range(1, 65)) AS u(i)
+    GROUP BY id_a, id_b
+  ) WHERE d2 <= {_BRP_R2}
+), audit AS MATERIALIZED (
+  SELECT CAST(COALESCE(SUM(CASE WHEN id_b - id_a = 10000 AND id_a % 5 = 0
+                                THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_planted_found,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings WHERE vec_id % 5 = 0)
+           AS n_planted_expected
+  FROM pairs
+)
+SELECT p.id_a, p.id_b, p.dist,
+       a.n_planted_found, a.n_planted_expected,
+       a.n_planted_found = a.n_planted_expected AS audit_planted_recall,
+       TRUE AS audit_mllib_agreement
+FROM pairs p, audit a"""
+
+
 @register(
     "ml_brp_lsh_join",
-    None,
-    doc="MLlib BucketedRandomProjectionLSH euclidean near-neighbor join",
+    _brp_oracle(),
+    doc="euclidean random-projection LSH join (portable ±1 projections), FULL oracle + MLlib agreement audit",
 )
 def ml_brp_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The euclidean-LSH primitive SURVEY §2.7 names
-    (BucketedRandomProjectionLSH), completing the LSH family next to
-    MinHashLSH (Jaccard): each vector is floor(proj/bucketLength)
-    bucketed per hash table and candidates equi-join on the bucket id —
-    the same linear-shuffle banding shape as operators/dedup.py, so the
-    100 TB story carries over (shuffle volume = tables x rows, never
-    all-pairs).
+    """The euclidean-LSH primitive SURVEY §2.7 names, completing the
+    LSH family next to MinHashLSH (Jaccard) — FULL ORACLE since round
+    7 (previously rows-only "projection directions are seeded but
+    implementation-defined"): the directions are now PORTABLE seeded
+    Rademacher ±1 vectors (md5-derived, shared literal-for-literal
+    with the oracle's VALUES table), so each projection is an EXACT
+    BIGINT dot product over 1e-6-quantized coordinates, the bucket id
+    an exact integer floor-division, and the verify-stage distance an
+    exact integer sum — DuckDB replays bucketing, candidate join, and
+    the distance filter bit-for-bit.  Same plan shape as before:
+    floor(proj/W) buckets per table, candidates equi-join on (table,
+    bucket) — shuffle volume = tables × rows, never all-pairs.
 
     The embeddings fixture has no close euclidean pairs (min organic
-    pair distance ~0.99 at sf0.01), so the query plants near-duplicates
-    — every 5th vector re-inserted scaled by 0.995 (distance ~=
-    0.005 x ||v||) — and joins at threshold 0.5: exactly the planted
-    pairs qualify. approxSimilarityJoin filters candidates by TRUE
-    distance, so precision is exact and only recall is probabilistic;
-    with bucketLength=0.05 — still ~10× the planted ~0.005·||v||
-    distance — and 4 tables, missing a planted pair needs all 4
-    projections to land the two points in different buckets (per-table
-    split probability ≲ d/L ≈ 0.1), i.e. ~1e-4 per pair —
-    tests/test_similarity.py asserts full planted recall. Rows-only
-    (projection directions are seeded but implementation-defined)."""
+    pair distance ~0.99 at sf0.01), so the query plants
+    near-duplicates — every 5th vector re-inserted scaled by 0.995 —
+    and joins at radius 0.5: exactly the planted pairs qualify
+    (``audit_planted_recall``).  MLlib's
+    BucketedRandomProjectionLSH.approxSimilarityJoin still runs
+    in-query over the same corpus and threshold; the two pair SETS
+    must agree exactly (``audit_mllib_agreement`` — both methods
+    verify by true distance, and no organic pair sits near the 0.5
+    boundary), so the MLlib path stays covered while the portable
+    path carries the oracle."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
 
     from web_attack_detection_spark.ml.pipeline import to_vector
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qbase = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda e: F.round(e * _BRP_SCALE).cast("long"),
+        ).alias("v"),
     )
-    planted = emb.filter(F.col("vec_id") % 5 == 0).select(
+    qplanted = emb.filter(F.col("vec_id") % 5 == 0).select(
         (F.col("vec_id") + 10000).alias("vec_id"),
-        F.transform("emb", lambda x: x * 0.995).alias("emb"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda e: F.round((e * 0.995) * _BRP_SCALE).cast("long"),
+        ).alias("v"),
     )
-    both = to_vector(emb.unionByName(planted), "emb", "fv").select("vec_id", "fv")
-    # cache: consumed by the LSH fit pass + both sides of the self-join
+    q = qbase.unionByName(qplanted).localCheckpoint()
+
+    signs = _brp_signs()
+    dots = [
+        F.aggregate(
+            F.zip_with(
+                "v",
+                F.array(*[F.lit(s) for s in signs[h]]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias(f"dot{h}")
+        for h in range(_BRP_TABLES)
+    ]
+    w = F.lit(_BRP_W)
+    banded = q.select("vec_id", "v", *dots).select(
+        "vec_id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(h).alias("h"),
+                        ((F.col(f"dot{h}") - F.pmod(F.col(f"dot{h}"), w)) / w)
+                        .cast("long")
+                        .alias("bucket"),
+                    )
+                    for h in range(_BRP_TABLES)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", "v", "bk.h", "bk.bucket")
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .distinct()
+    )
+    d2 = F.aggregate(
+        F.zip_with("va", "vb", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        cand.withColumn("d2", d2)
+        .filter(F.col("d2") <= F.lit(_BRP_R2))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.sqrt("d2") / _BRP_SCALE, 6).alias("dist"),
+        )
+        .localCheckpoint()
+    )
+
+    # --- MLlib agreement audit: same corpus, same threshold, pair
+    # sets must match exactly (both sides verify by true distance)
+    both = to_vector(
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .unionByName(
+            emb.filter(F.col("vec_id") % 5 == 0).select(
+                (F.col("vec_id") + 10000).alias("vec_id"),
+                F.transform(
+                    F.col("embedding").cast("array<double>"), lambda x: x * 0.995
+                ).alias("emb"),
+            )
+        ),
+        "emb",
+        "fv",
+    ).select("vec_id", "fv")
     both = both.cache()
     try:
         model = BucketedRandomProjectionLSH(
             inputCol="fv", outputCol="hashes", bucketLength=0.05, numHashTables=4, seed=42
         ).fit(both)
-        pairs = (
+        mllib_pairs = (
             model.approxSimilarityJoin(both, both, 0.5, distCol="dist")
             .select(
                 F.col("datasetA.vec_id").alias("id_a"),
                 F.col("datasetB.vec_id").alias("id_b"),
-                F.round(F.col("dist"), 6).alias("dist"),
             )
             .filter(F.col("id_a") < F.col("id_b"))
-            .localCheckpoint()
         )
+        mine = pairs.select("id_a", "id_b")
+        n_mismatch = (
+            mine.join(mllib_pairs, ["id_a", "id_b"], "left_anti").count()
+            + mllib_pairs.join(mine, ["id_a", "id_b"], "left_anti").count()
+        )
+        mllib_agree = bool(n_mismatch == 0)
     finally:
         both.unpersist()
-    # in-query planted-recall audit (round 6): exactly the planted
-    # copies qualify at threshold 0.5, so every (v, v+10000) pair must
-    # come back — recall of a KNOWN ground truth, computed from the
-    # (tiny, checkpointed) result
+
     n_expected = emb.filter(F.col("vec_id") % 5 == 0).count()
     audit = (
         pairs.agg(
@@ -1362,11 +1526,13 @@ def ml_brp_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("long")
             ).alias("n_planted_found")
         )
+        .select(F.coalesce("n_planted_found", F.lit(0)).alias("n_planted_found"))
         .withColumn("n_planted_expected", F.lit(n_expected))
         .withColumn(
             "audit_planted_recall",
             F.col("n_planted_found") == F.col("n_planted_expected"),
         )
+        .withColumn("audit_mllib_agreement", F.lit(mllib_agree))
     )
     return pairs.crossJoin(F.broadcast(audit)).orderBy("id_a", "id_b")
 
