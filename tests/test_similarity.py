@@ -353,4 +353,6 @@ def test_brp_and_minhash_lsh_in_query_audits(spark):
     assert all(r["audit_mllib_agreement"] for r in brp)
     mh = QUERIES["ml_minhash_lsh_join"].fn(spark, SF_SMOKE).collect()
     assert mh and all(r["audit_jaccard_verified"] for r in mh)
-    assert mh[0]["max_jaccard_dev"] <= 0.02
+    # r7: the portable md5-MinHash pair set == MLlib's pair set
+    assert all(r["audit_mllib_agreement"] for r in mh)
+    assert all(r["jaccard_dist"] <= 0.25 for r in mh)

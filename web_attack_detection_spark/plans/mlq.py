@@ -1149,106 +1149,180 @@ def ml_mlp_weights_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mh_join_oracle() -> str:
+    """DuckDB replay of the portable side of ml_minhash_lsh_join:
+    md5-based universal-hash MinHash signatures (the SAME A/B
+    constants operators/dedup.py multiplies), 8 single-hash OR-bands
+    (MLlib MinHashLSH's own banding shape), exact distinct-shingle
+    Jaccard verify at distance <= 0.25."""
+    from web_attack_detection_spark.operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+    )
+
+    sig_cols = ",\n         ".join(
+        f"MIN((hb * {MINHASH_A[i]} + {MINHASH_B[i]}) % {MINHASH_P}) AS h{i}"
+        for i in range(8)
+    )
+    bands = "\n  UNION ALL ".join(
+        f"SELECT id, {i} AS band, CAST(h{i} AS VARCHAR) AS bh FROM sig"
+        for i in range(8)
+    )
+    return f"""WITH toks AS (
+  SELECT doc_id AS id, string_split_regex(text, '\\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS r(i)
+),
+sigb AS (
+  SELECT id,
+         CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) & {MINHASH_P}
+           AS hb
+  FROM sh
+),
+sig AS (
+  SELECT id,
+         {sig_cols}
+  FROM sigb GROUP BY id
+),
+bands AS (
+  {bands}
+),
+cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.id < r.id
+),
+exactjd AS (
+  SELECT p.id_a, p.id_b,
+         1.0 - (p.n_common / CAST(sa.sz + sb.sz - p.n_common AS DOUBLE)) AS jd
+  FROM (
+    SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM sh a JOIN sh b USING (shingle)
+    WHERE a.id < b.id GROUP BY 1, 2
+  ) p
+  JOIN (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY id) sa
+    ON p.id_a = sa.id
+  JOIN (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY id) sb
+    ON p.id_b = sb.id
+  WHERE 1.0 - (p.n_common / CAST(sa.sz + sb.sz - p.n_common AS DOUBLE)) <= 0.25
+)
+SELECT c.id_a, c.id_b, ROUND(e.jd, 6) AS jaccard_dist,
+       TRUE AS audit_mllib_agreement,
+       TRUE AS audit_jaccard_verified
+FROM cand c JOIN exactjd e ON c.id_a = e.id_a AND c.id_b = e.id_b"""
+
+
 @register(
     "ml_minhash_lsh_join",
-    None,
-    doc="MLlib MinHashLSH approxSimilarityJoin over token sets",
+    _mh_join_oracle(),
+    doc="MinHash LSH near-dup join (portable md5 signatures), FULL oracle + MLlib agreement audit",
 )
 def ml_minhash_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The MLlib-native near-dup path SURVEY §2.7 names: Tokenizer → NGram(3)
-    shingles → binary HashingTF → MinHashLSH → approxSimilarityJoin at
-    Jaccard distance ≤ 0.25 (similarity ≥ 0.75 — near-dup territory;
-    looser thresholds explode the candidate volume quadratically). Complements the hand-rolled
-    operators/dedup.py pipeline (same problem, library primitive):
-    MLlib hashes each doc to ``numHashTables`` buckets and equi-joins
-    on the bucket key — identical plan shape to our banding, so the
-    scale story carries over. Rows-only (hash seeds are
-    implementation-defined); recall vs the exact pair set is asserted
-    in tests/test_dedup.py."""
+    """The MinHash-LSH near-dup join SURVEY §2.7 names — FULL ORACLE
+    since round 7 (previously rows-only "hash seeds are
+    implementation-defined"), the same treatment as ml_brp_lsh_join:
+    the output is driven by the PORTABLE md5-based universal-hash
+    MinHash (operators/dedup.minhash_signatures — the constants the
+    oracle's generated SQL multiplies), banded as 8 single-hash
+    OR-bands (MLlib MinHashLSH's own banding shape: numHashTables
+    tables, equi-join per table), then verified by the EXACT
+    distinct-3-gram-shingle Jaccard at distance <= 0.25 — one integer
+    division per candidate, so the returned pair set and distances
+    are engine-identical and DuckDB replays signatures, banding, and
+    verify end-to-end.
+
+    MLlib's Tokenizer -> NGram(3) -> binary HashingTF -> MinHashLSH ->
+    approxSimilarityJoin still runs in-query over the same corpus and
+    threshold: ``audit_mllib_agreement`` pins pair-set equality (both
+    paths verify by true Jaccard; HashingTF's 2^18-bucket collisions
+    are the only possible divergence) and ``audit_jaccard_verified``
+    pins max |MLlib distCol - exact Jaccard| <= 0.02 over the agreed
+    pairs.  Scale story unchanged: banding shuffle = tables × rows,
+    never all-pairs; the OR-construction (r=1) trades candidate
+    volume for the ~1-(1-s)^8 recall MLlib itself buys."""
     from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, Tokenizer
 
+    from web_attack_detection_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    # --- portable path (drives the output): md5 MinHash -> 8 OR-bands
+    # -> exact shingle-Jaccard verify
+    sig = minhash_signatures(docs, "text", "doc_id", n=3, num_perm=8)
+    cand = minhash_candidate_pairs(sig, bands=8, rows_per_band=1)
+    sh_rel = shingles(docs, "text", "doc_id", n=3)  # (id, shingle) distinct
+    sizes = sh_rel.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    inter = (
+        sh_rel.alias("a")
+        .join(sh_rel.alias("b"), "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    jd = F.lit(1.0) - F.col("n_common") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("n_common")
+    ).cast("double")
+    exactjd = (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn("jd", jd)
+        .filter(F.col("jd") <= 0.25)
+        .select("id_a", "id_b", "jd")
+    )
+    pairs = (
+        cand.join(exactjd, ["id_a", "id_b"])
+        .select("id_a", "id_b", F.round("jd", 6).alias("jaccard_dist"))
+        .localCheckpoint()
+    )
+
+    # --- MLlib audit path: same corpus, same threshold
     toks = Tokenizer(inputCol="text", outputCol="toks").transform(docs)
-    # 3-gram shingles, not unigrams: the corpus shares a small
-    # vocabulary, so unigram Jaccard ≥ 0.75 matches ~30% of all pairs;
-    # shingling restores discriminative power (same reason
-    # operators/dedup.py shingles before MinHash)
     sh = NGram(n=3, inputCol="toks", outputCol="shingles").transform(toks)
     tf = HashingTF(
         inputCol="shingles", outputCol="fv", binary=True, numFeatures=1 << 18
     ).transform(sh)
-    # MinHashLSH requires at least one non-zero entry per vector
     tf = tf.filter(F.size("shingles") > 0)
-    # cache the featurized side: it is consumed THREE times (the LSH
-    # fit pass + both sides of the self-join), and each pass would
-    # otherwise re-run Tokenizer→NGram→HashingTF over the full corpus.
-    # At cluster scale this is the standard persist-before-self-join —
-    # the featurization is the expensive narrow stage, the join fans
-    # out from it.
-    tf = tf.cache()
+    tf = tf.cache()  # LSH fit pass + both sides of the self-join
     try:
         model = MinHashLSH(
             inputCol="fv", outputCol="hashes", numHashTables=8, seed=42
         ).fit(tf)
-        # eager localCheckpoint pins the (small) verified-pair result so
-        # the featurized cache is released before returning (ADVICE r1:
-        # registry invocations must not accumulate cached relations)
-        pairs = (
-            model.approxSimilarityJoin(tf, tf, 0.25, distCol="jaccard_dist")
+        mllib_pairs = (
+            model.approxSimilarityJoin(tf, tf, 0.25, distCol="mdist")
             .select(
                 F.col("datasetA.doc_id").alias("id_a"),
                 F.col("datasetB.doc_id").alias("id_b"),
-                F.round(F.col("jaccard_dist"), 6).alias("jaccard_dist"),
+                F.col("mdist"),
             )
             .filter(F.col("id_a") < F.col("id_b"))
             .localCheckpoint()
         )
     finally:
         tf.unpersist()
-    # in-query exact-Jaccard verify (round 6, the estimate-verify
-    # pattern): recompute the TRUE distinct-shingle Jaccard for every
-    # returned pair relationally from the SAME pre-hash shingle arrays
-    # MLlib consumed (so the only possible deviation from distCol is a
-    # 2^18-bucket HashingTF collision) and pin the max deviation.
-    # Pairs are few (checkpointed); the shingle relation is one pass.
-    sh_rel = sh.select(
-        "doc_id", F.explode("shingles").alias("sh")
-    ).distinct()
-    sizes = sh_rel.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    inter = (
-        pairs.select("id_a", "id_b")
-        .join(sh_rel.withColumnsRenamed({"doc_id": "id_a"}), "id_a")
-        .join(sh_rel.withColumnsRenamed({"doc_id": "id_b"}), ["id_b", "sh"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    mine = pairs.select("id_a", "id_b")
+    n_mismatch = (
+        mine.join(mllib_pairs, ["id_a", "id_b"], "left_anti").count()
+        + mllib_pairs.join(mine, ["id_a", "id_b"], "left_anti").count()
     )
-    exact = (
-        pairs.join(inter, ["id_a", "id_b"], "left")
-        .join(
-            sizes.withColumnsRenamed({"doc_id": "id_a", "sz": "sz_a"}), "id_a"
-        )
-        .join(
-            sizes.withColumnsRenamed({"doc_id": "id_b", "sz": "sz_b"}), "id_b"
-        )
-        .select(
-            "jaccard_dist",
-            (
-                1.0
-                - F.coalesce(F.col("n_inter"), F.lit(0))
-                / (
-                    F.col("sz_a")
-                    + F.col("sz_b")
-                    - F.coalesce(F.col("n_inter"), F.lit(0))
-                )
-            ).alias("jd_exact"),
-        )
+    # distCol-vs-exact deviation over the agreed pairs (HashingTF
+    # collisions are the only source)
+    dev_row = (
+        mllib_pairs.join(exactjd, ["id_a", "id_b"])
+        .agg(F.max(F.abs(F.col("mdist") - F.col("jd"))).alias("dev"))
+        .first()
     )
-    audit = exact.agg(
-        F.round(F.max(F.abs(F.col("jd_exact") - F.col("jaccard_dist"))), 6).alias(
-            "max_jaccard_dev"
-        )
-    ).withColumn("audit_jaccard_verified", F.col("max_jaccard_dev") <= 0.02)
-    return pairs.crossJoin(F.broadcast(audit)).orderBy("id_a", "id_b")
+    dev_ok = dev_row["dev"] is None or float(dev_row["dev"]) <= 0.02
+    return (
+        pairs.withColumn("audit_mllib_agreement", F.lit(bool(n_mismatch == 0)))
+        .withColumn("audit_jaccard_verified", F.lit(bool(dev_ok)))
+        .orderBy("id_a", "id_b")
+    )
 
 
 @register(
