@@ -286,3 +286,17 @@ def test_spark_wordpiece_matches_python_twin_on_fixture(spark):
     for syms in got.values():
         for i, s in enumerate(syms):
             assert s.startswith("##") == (i > 0), syms
+
+
+def test_wordpiece_encode_conservation(spark):
+    """text_wordpiece_encode: every document reconstructs exactly
+    after stripping separators + symbol-start '##' markers, and token
+    counts are bounded by char counts."""
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    rows = QUERIES["text_wordpiece_encode"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["reconstruct_ok"], r
+        assert 0 < r["n_words"] <= r["n_tokens"] <= r["n_chars"], r

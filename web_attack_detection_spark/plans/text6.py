@@ -318,3 +318,73 @@ def text_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "merge_rank long, left_sym string, right_sym string,"
         " merged string, freq long, score double",
     ).orderBy("merge_rank")
+
+
+_WP_ENCODE_ORACLE = (
+    _wp_oracle_rounds(bpe.WP_ROUNDS)
+    + f"""
+, docw AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, UNNEST(string_split_regex(text, '\\s+')) AS w
+    FROM documents
+  ) WHERE length(w) >= 1 AND NOT contains(w, '{_US}') AND NOT contains(w, '#')
+)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(string_split(substring(s.seq, 2, length(s.seq) - 2),
+                                 '{_US2}'))) AS BIGINT) AS n_tokens,
+       CAST(SUM(length(d.w)) AS BIGINT) AS n_chars,
+       bool_and(replace(replace(s.seq, '{_US}{_US}' || '##', '{_US}{_US}'),
+                        '{_US}', '') = d.w) AS reconstruct_ok
+FROM docw d JOIN state_{bpe.WP_ROUNDS} s ON d.w = s.w
+GROUP BY d.doc_id
+"""
+)
+
+
+@register(
+    "text_wordpiece_encode",
+    _WP_ENCODE_ORACLE,
+    doc="encode the corpus with the trained WordPiece merges + conservation audit",
+)
+def text_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize every document with the trained WordPiece merges: per
+    doc, word count, token count, char count, and the conservation
+    audit — stripping the separators AND the '##' continuation
+    markers (only at symbol starts, i.e. after a separator pair) from
+    a word's final symbol sequence must reproduce the word exactly.
+    Same broadcast-join-against-final-state shape as text_bpe_encode;
+    the '#'-containing words are excluded on BOTH sides (the trainer's
+    documented representation constraint), so the join keys align.
+    Full oracle: the DuckDB twin retrains the same 15 rounds and
+    replays the reconstruction check."""
+    merges, state = _wp_trained(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    docw = docs.select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("w")
+    ).filter(
+        (F.length("w") >= 1)
+        & (~F.col("w").contains(_US))
+        & (~F.col("w").contains("#"))
+    )
+    # reconstruct: drop "##" where it starts a symbol (after the US2
+    # separator), then strip the separators
+    seq = F.col("seq")
+    rebuilt = F.replace(
+        F.replace(seq, F.lit(_US2 + "##"), F.lit(_US2)), F.lit(_US), F.lit("")
+    )
+    enc = state.select(
+        "w",
+        F.size(bpe.tokens_expr()).cast("long").alias("n_tok"),
+        (rebuilt == F.col("w")).alias("ok"),
+    )
+    return (
+        docw.join(F.broadcast(enc), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum(F.length("w").cast("long")).alias("n_chars"),
+            F.bool_and("ok").alias("reconstruct_ok"),
+        )
+    )
