@@ -379,12 +379,15 @@ def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     fitted in-query and pinned by ``audit_mllib_sane``: its
     trainingCost and the exact trainer's final SSE must agree within
     2× (measured ~1.0× at both fixture SFs).  Scale: each round is
-    ONE scan of the localCheckpoint-ed quantized corpus against
-    k·dim = 512 literal doubles (map-side, no shuffle) plus a
-    (k×dim)-row aggregate collect — the same per-iteration shape
+    ONE job — a scan of the localCheckpoint-ed quantized corpus
+    against k·dim = 512 literal doubles (map-side, no shuffle)
+    feeding a (k×dim)-row aggregate collect that carries the round's
+    exact SSE alongside the sums — the same per-iteration shape
     MLlib's distributed Lloyd shuffles; init is a TakeOrdered top-k,
-    never a full sort; lineage stays flat via per-round
-    localCheckpoint (asserted for the BPE twin of this pattern)."""
+    never a full sort; lineage is flat by construction (every round
+    derives from q + literals, never from the previous round's
+    DataFrame), so no per-round checkpoint is needed; bounded-collect
+    claim probed at 10× in tools/scale_probe_exactml.py."""
     from pyspark.ml.clustering import KMeans
 
     from web_attack_detection_spark.ml.pipeline import to_vector
@@ -429,20 +432,29 @@ def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         )
+        # no per-round localCheckpoint: every round's assignment
+        # derives DIRECTLY from the checkpointed q + literal centers
+        # (not from the previous round's DataFrame), so lineage is
+        # already flat and each round is exactly ONE job — the
+        # fit-stats collect below, which also carries the round SSE
+        # (distq repeats once per dim row, so sum(distq)/dim is exact)
         assigned = q.select(
             "vec_id",
             "v",
             best["cid"].alias("cid"),
             F.floor(best["dist"]).cast("long").alias("distq"),
-        ).localCheckpoint()
-        # fit-stats collect: k×dim exact BIGINT sums -> next centers
+        )
         stats = (
-            assigned.select("cid", F.posexplode("v").alias("d0", "x"))
+            assigned.select("cid", "distq", F.posexplode("v").alias("d0", "x"))
             .groupBy("cid", "d0")
-            .agg(F.sum("x").alias("sv"), F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.sum("x").alias("sv"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum("distq").alias("sd"),
+            )
             .collect()
         )
-        sse_trace.append(int(assigned.agg(F.sum("distq")).first()[0]))
+        sse_trace.append(sum(int(r["sd"]) for r in stats) // _KM_DIM)
         nxt: dict[int, list[float]] = {}
         for row in stats:
             nxt.setdefault(row["cid"], [0.0] * _KM_DIM)[row["d0"]] = row["sv"] / row["n"]
@@ -1274,6 +1286,7 @@ def ml_minhash_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("jd", jd)
         .filter(F.col("jd") <= 0.25)
         .select("id_a", "id_b", "jd")
+        .localCheckpoint()  # tiny; reused by the output join AND the MLlib dev audit
     )
     pairs = (
         cand.join(exactjd, ["id_a", "id_b"])
@@ -1366,10 +1379,20 @@ def ml_random_forest_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# portable euclidean-LSH hyperparameters (shared engine <-> oracle)
+# portable euclidean-LSH hyperparameters (shared engine <-> oracle).
+# The 4 projections form 2 AND-groups of 2; each vector multi-emits
+# the 4 corner keys (b1+{0,1}, b2+{0,1}) per group, so any pair whose
+# projection gap is <= W in BOTH dims of a group is caught
+# DETERMINISTICALLY (bucket indices differ by <= 1 => a corner
+# coincides).  Planted pairs have |Δdot| <= 0.005·64·SCALE·max|e| + 64
+# < 1.75e5 < W, so planted recall is GUARANTEED, not probabilistic —
+# while the AND-composition keeps candidate volume quadratically
+# smaller than single-projection buckets (the r7 first cut used one
+# W=2e6 bucket per table and degenerated toward all-pairs at sf0.1).
 _BRP_TABLES = 4
+_BRP_GROUPS = 2
 _BRP_SCALE = 1_000_000  # coordinate quantization (1e-6 grid)
-_BRP_W = 2_000_000  # bucket width in dot-product micro-units
+_BRP_W = 200_000  # bucket width in dot-product micro-units
 _BRP_R2 = 500_000 * 500_000  # euclidean radius 0.5, squared, micro^2
 
 
@@ -1406,23 +1429,38 @@ def _brp_oracle() -> str:
              CAST(ROUND((CAST(embedding[i] AS DOUBLE) * 0.995) * {_BRP_SCALE}) AS BIGINT))
   FROM embeddings WHERE vec_id % 5 = 0
 ), signs(h, d, s) AS (VALUES {sign_rows}
-), banded AS MATERIALIZED (
-  SELECT q.vec_id, q.v, sg.h,
-         (dot - ((dot % {_BRP_W}) + {_BRP_W}) % {_BRP_W}) // {_BRP_W} AS bucket
+), bgrid AS MATERIALIZED (
+  SELECT vec_id,
+         MAX(CASE WHEN h = 0 THEN b END) AS b0,
+         MAX(CASE WHEN h = 1 THEN b END) AS b1,
+         MAX(CASE WHEN h = 2 THEN b END) AS b2,
+         MAX(CASE WHEN h = 3 THEN b END) AS b3
   FROM (
-    SELECT q.vec_id, signs.h, CAST(SUM(signs.s * q.v[signs.d + 1]) AS BIGINT) AS dot
-    FROM q, signs GROUP BY q.vec_id, signs.h
-  ) sg JOIN q ON q.vec_id = sg.vec_id
+    SELECT vec_id, h,
+           (dot - ((dot % {_BRP_W}) + {_BRP_W}) % {_BRP_W}) // {_BRP_W} AS b
+    FROM (
+      SELECT q.vec_id, signs.h, CAST(SUM(signs.s * q.v[signs.d + 1]) AS BIGINT) AS dot
+      FROM q, signs GROUP BY q.vec_id, signs.h
+    )
+  ) GROUP BY vec_id
+), banded AS MATERIALIZED (
+  SELECT vec_id, gg.g,
+         (CASE gg.g WHEN 0 THEN b0 ELSE b2 END) + cc.c1 AS k1,
+         (CASE gg.g WHEN 0 THEN b1 ELSE b3 END) + cc.c2 AS k2
+  FROM bgrid, (VALUES (0), (1)) gg(g),
+       (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) cc(c1, c2)
 ), cand AS MATERIALIZED (
-  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM banded a JOIN banded b
-    ON a.h = b.h AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ON a.g = b.g AND a.k1 = b.k1 AND a.k2 = b.k2 AND a.vec_id < b.vec_id
 ), pairs AS MATERIALIZED (
   SELECT id_a, id_b, ROUND(sqrt(d2) / {_BRP_SCALE}, 6) AS dist
   FROM (
     SELECT id_a, id_b,
-           CAST(SUM((va[i] - vb[i]) * (va[i] - vb[i])) AS BIGINT) AS d2
-    FROM cand, UNNEST(range(1, 65)) AS u(i)
+           CAST(SUM((qa.v[i] - qb.v[i]) * (qa.v[i] - qb.v[i])) AS BIGINT) AS d2
+    FROM cand
+    JOIN q qa ON qa.vec_id = cand.id_a
+    JOIN q qb ON qb.vec_id = cand.id_b, UNNEST(range(1, 65)) AS u(i)
     GROUP BY id_a, id_b
   ) WHERE d2 <= {_BRP_R2}
 ), audit AS MATERIALIZED (
@@ -1457,6 +1495,17 @@ def ml_brp_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distance filter bit-for-bit.  Same plan shape as before:
     floor(proj/W) buckets per table, candidates equi-join on (table,
     bucket) — shuffle volume = tables × rows, never all-pairs.
+
+    Banding is 2 AND-groups of 2 projections with corner multi-emit
+    (each vector emits (b1+{{0,1}}, b2+{{0,1}}) per group): any pair
+    whose projection gap is <= W in both dims of a group has bucket
+    indices differing by <= 1, so a corner coincides — recall for the
+    planted pairs is GUARANTEED by arithmetic (|Δdot| < 1.75e5 < W =
+    2e5; see the hyperparameter comment), not probabilistic, while
+    the AND-composition keeps candidates quadratically below
+    single-projection buckets.  Shuffle volume = 8 key rows per
+    vector; vectors rejoin the (checkpointed) corpus only for the
+    verify stage.
 
     The embeddings fixture has no close euclidean pairs (min organic
     pair distance ~0.99 at sf0.01), so the query plants
@@ -1504,37 +1553,43 @@ def ml_brp_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         for h in range(_BRP_TABLES)
     ]
     w = F.lit(_BRP_W)
-    banded = q.select("vec_id", "v", *dots).select(
+    buckets = q.select("vec_id", *dots).select(
         "vec_id",
-        "v",
+        *[
+            ((F.col(f"dot{h}") - F.pmod(F.col(f"dot{h}"), w)) / w)
+            .cast("long")
+            .alias(f"b{h}")
+            for h in range(_BRP_TABLES)
+        ],
+    )
+    # corner multi-emit: 2 AND-groups x 4 corners = 8 keys per vector
+    banded = buckets.select(
+        "vec_id",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(h).alias("h"),
-                        ((F.col(f"dot{h}") - F.pmod(F.col(f"dot{h}"), w)) / w)
-                        .cast("long")
-                        .alias("bucket"),
+                        F.lit(g).alias("g"),
+                        (F.col(f"b{2 * g}") + F.lit(c1)).alias("k1"),
+                        (F.col(f"b{2 * g + 1}") + F.lit(c2)).alias("k2"),
                     )
-                    for h in range(_BRP_TABLES)
+                    for g in range(_BRP_GROUPS)
+                    for c1 in (0, 1)
+                    for c2 in (0, 1)
                 ]
             )
         ).alias("bk"),
-    ).select("vec_id", "v", "bk.h", "bk.bucket")
+    ).select("vec_id", "bk.g", "bk.k1", "bk.k2")
     cand = (
         banded.alias("a")
         .join(
             banded.alias("b"),
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.k1") == F.col("b.k1"))
+            & (F.col("a.k2") == F.col("b.k2"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
-        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
         .distinct()
     )
     d2 = F.aggregate(
@@ -1543,7 +1598,9 @@ def ml_brp_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     pairs = (
-        cand.withColumn("d2", d2)
+        cand.join(q.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(q.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+        .withColumn("d2", d2)
         .filter(F.col("d2") <= F.lit(_BRP_R2))
         .select(
             "id_a",
