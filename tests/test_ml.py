@@ -1204,3 +1204,28 @@ def test_decision_tree_exact_invariants(spark):
     baseline = max(root["n_pos"], root["n"] - root["n_pos"]) / root["n"]
     assert root["train_accuracy"] >= baseline - 1e-12
     assert 0.0 < root["train_accuracy"] <= 1.0
+
+
+def test_gbt_stumps_exact_invariants(spark):
+    """ml_gbt_stumps_exact: 4 dense rounds, each stump partitions the
+    corpus, and boosting beats the constant-mean predictor (train
+    RMSE strictly below the label standard deviation)."""
+    import duckdb
+
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(
+        QUERIES["ml_gbt_stumps_exact"].fn(spark, sf).collect(),
+        key=lambda r: r["round"],
+    )
+    assert [r["round"] for r in rows] == [1, 2, 3, 4]
+    n, sd = duckdb.sql(
+        f"select count(*), stddev_pop(l_extendedprice) from '{sf}/lineitem.parquet'"
+    ).fetchone()
+    for r in rows:
+        assert r["n_l"] + r["n_r"] == n
+        assert r["feature"] in ("q", "d", "t")
+        assert r["train_rmse"] == rows[0]["train_rmse"]  # one final metric
+    assert 0 < rows[0]["train_rmse"] < sd

@@ -258,3 +258,221 @@ def ml_decision_tree_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "path string, is_leaf boolean, feature string, threshold long,"
         " n long, n_pos long, pred int, train_accuracy double",
     )
+
+
+# ---------------------------------------------------------------------------
+# exact gradient-boosted stumps (regression GBM skeleton, full oracle)
+# ---------------------------------------------------------------------------
+
+_GBM_ROUNDS = 4
+_GBM_LR = 0.5
+
+
+def _gbm_best_stump(hist: dict[tuple[str, int], tuple[int, int]]):
+    """Regression twin of _best_split: maximize (ΣL)²/nL + (ΣR)²/nR
+    (equivalent to minimizing the post-split SSE), residual sums are
+    exact BIGINT, score = two IEEE divisions — mirrored op-for-op by
+    the oracle's ORDER BY.  hist maps (fname, v) -> (sum_r, n)."""
+    from collections import defaultdict
+
+    byf: dict[str, dict[int, tuple[int, int]]] = defaultdict(dict)
+    for (f, v), (sr, n) in hist.items():
+        byf[f][v] = (sr, n)
+    best = None
+    best_key = None
+    for f in byf:
+        vals = sorted(byf[f])
+        tot_r = sum(byf[f][v][0] for v in vals)
+        tot_n = sum(byf[f][v][1] for v in vals)
+        cum_r = 0
+        cum_n = 0
+        for v in vals:
+            cum_r += byf[f][v][0]
+            cum_n += byf[f][v][1]
+            if cum_n == 0 or tot_n - cum_n == 0:
+                continue
+            r_r = tot_r - cum_r
+            r_n = tot_n - cum_n
+            score = float(cum_r * cum_r) / cum_n + float(r_r * r_r) / r_n
+            key = (-score, f, v)
+            if best_key is None or key < best_key:
+                best_key = key
+                best = (f, v, cum_r, cum_n, r_r, r_n)
+    return best
+
+
+_GBM_SCORE = (
+    "CAST(cumr*cumr AS DOUBLE)/cumn"
+    " + CAST((totr-cumr)*(totr-cumr) AS DOUBLE)/(totn-cumn)"
+)
+
+
+def _gbm_oracle(rounds: int = _GBM_ROUNDS) -> str:
+    """Chained-CTE replay of the boosted-stump trainer.  Round m's
+    residual is FLOOR(y - F_{m-1}) where F is the left-associated sum
+    f0 + contrib_1 + ... + contrib_{m-1} (each contribution a CASE on
+    that round's stump, scaled by the 0.5 learning rate) — the same
+    IEEE expression the engine builds with literals, so the floored
+    residuals, the histograms, the chosen stumps, and the final SSE
+    are all bit-identical."""
+    parts = [
+        """WITH base AS MATERIALIZED (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y,
+         CAST(ROUND(l_quantity) AS BIGINT) AS fq,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS fd,
+         CAST(ROUND(l_tax * 100) AS BIGINT) AS ft
+  FROM lineitem
+), f0 AS MATERIALIZED (
+  SELECT CAST(SUM(y) AS DOUBLE) / COUNT(*) AS f0 FROM base
+)"""
+    ]
+
+    def f_expr(m: int) -> str:
+        """F_{m} as a left-associated sum expression over base row b."""
+        e = "(SELECT f0 FROM f0)"
+        for j in range(1, m + 1):
+            case = (
+                f"(CASE WHEN (CASE (SELECT fname FROM best_{j}) WHEN 'q' THEN b.fq"
+                f" WHEN 'd' THEN b.fd ELSE b.ft END) <= (SELECT thr FROM best_{j})"
+                f" THEN (SELECT gl FROM best_{j}) ELSE (SELECT gr FROM best_{j}) END)"
+                f" * {_GBM_LR}"
+            )
+            e = f"{e} + {case}"
+        return e
+
+    for m in range(1, rounds + 1):
+        prev_f = f_expr(m - 1)
+        parts.append(
+            f""", resid_{m} AS MATERIALIZED (
+  SELECT b.fq, b.fd, b.ft,
+         CAST(FLOOR(CAST(b.y AS DOUBLE) - ({prev_f})) AS BIGINT) AS r
+  FROM base b
+), hist_{m} AS MATERIALIZED (
+  SELECT f.fname, CASE f.fname WHEN 'q' THEN fq WHEN 'd' THEN fd ELSE ft END AS v,
+         CAST(SUM(r) AS BIGINT) AS sr, CAST(COUNT(*) AS BIGINT) AS n
+  FROM resid_{m}, (VALUES ('q'), ('d'), ('t')) f(fname)
+  GROUP BY 1, 2
+), best_{m} AS MATERIALIZED (
+  SELECT fname, v AS thr,
+         CAST(cumr AS DOUBLE)/cumn AS gl,
+         CAST(totr - cumr AS DOUBLE)/(totn - cumn) AS gr,
+         cumn AS n_l, totn - cumn AS n_r
+  FROM (
+    SELECT fname, v,
+           CAST(SUM(sr) OVER w AS BIGINT) AS cumr,
+           CAST(SUM(n) OVER w AS BIGINT) AS cumn,
+           CAST(SUM(sr) OVER (PARTITION BY fname) AS BIGINT) AS totr,
+           CAST(SUM(n) OVER (PARTITION BY fname) AS BIGINT) AS totn
+    FROM hist_{m}
+    WINDOW w AS (PARTITION BY fname ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+  ) WHERE cumn > 0 AND totn - cumn > 0
+  ORDER BY {_GBM_SCORE} DESC, fname ASC, v ASC LIMIT 1
+)"""
+        )
+    final_f = f_expr(rounds)
+    parts.append(
+        f""", sse AS MATERIALIZED (
+  SELECT CAST(SUM(rq * rq) AS DECIMAL(38, 0)) AS s, COUNT(*) AS n
+  FROM (SELECT CAST(FLOOR(CAST(b.y AS DOUBLE) - ({final_f})) AS BIGINT) AS rq
+        FROM base b)
+)
+"""
+        + "\nUNION ALL ".join(
+            f"""SELECT {m} AS round, fname AS feature, thr AS threshold,
+       gl AS gamma_l, gr AS gamma_r, n_l, n_r,
+       (SELECT ROUND(sqrt(CAST(s AS DOUBLE) / n) / 100, 6) FROM sse) AS train_rmse
+FROM best_{m}"""
+            for m in range(1, rounds + 1)
+        )
+    )
+    return "".join(parts)
+
+
+@register(
+    "ml_gbt_stumps_exact",
+    _gbm_oracle(),
+    doc=f"exact gradient-boosted stumps ({_GBM_ROUNDS} rounds, lr={_GBM_LR}), full oracle",
+)
+def ml_gbt_stumps_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient boosting's exact-arithmetic skeleton, completing the
+    tree family next to ml_decision_tree_exact: 4 rounds of depth-1
+    regression stumps predicting lineitem price (cents) from
+    quantized quantity/discount/tax, learning rate 0.5, squared-error
+    gradients.  Per round: residuals are FLOOR-quantized to BIGINT
+    cents (the ml_kmeans_clusters distq discipline — floor of a
+    bit-identical IEEE expression), so the (feature, value) histogram
+    sums are exact and order-free; the stump is chosen by the
+    regression split score (ΣL)²/nL + (ΣR)²/nR — two IEEE divisions —
+    with the tree query's deterministic tie-break; leaf values are
+    ONE division each.  The model F is a left-associated literal
+    expression, so the oracle's CASE-chain replay is bit-identical
+    round for round, down to the final train RMSE.
+
+    This is the GBM shape MLlib's GBTRegressor distributes (one
+    histogram pass per round over the corpus, fit-stats-sized
+    collect); the rows-only ml_gbt_train_eval keeps the library path
+    covered while this query pins the algorithm's exact core.  Scale:
+    4 scans + 4 bounded (70-row) collects; residual expressions are
+    whole-stage codegen over literals — nothing iterative touches the
+    driver beyond the argmax."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+        F.round("l_quantity").cast("long").alias("fq"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("fd"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("ft"),
+    ).localCheckpoint()  # 4 residual scans + the final SSE reuse it
+
+    m0 = base.agg(F.sum("y").alias("s"), F.count(F.lit(1)).alias("n")).first()
+    f0 = float(m0["s"]) / m0["n"]
+
+    stacked = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(f).alias("fname"), F.col(f"f{f}").alias("v"))
+                for f in ("q", "d", "t")
+            ]
+        )
+    ).alias("s")
+
+    stumps: list[tuple] = []  # (round, fname, thr, gl, gr, n_l, n_r)
+
+    def f_col():
+        e = F.lit(f0)
+        for _, fname, thr, gl, gr, _nl, _nr in stumps:
+            e = e + (
+                F.when(F.col(f"f{fname}") <= F.lit(thr), F.lit(gl)).otherwise(F.lit(gr))
+                * _GBM_LR
+            )
+        return e
+
+    for m in range(1, _GBM_ROUNDS + 1):
+        r = F.floor(F.col("y").cast("double") - f_col()).cast("long").alias("r")
+        h = (
+            base.select(r, stacked)
+            .groupBy("s.fname", "s.v")
+            .agg(F.sum("r").alias("sr"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        hist = {(row["fname"], int(row["v"])): (int(row["sr"]), int(row["n"])) for row in h}
+        bs = _gbm_best_stump(hist)
+        if bs is None:  # pragma: no cover - constant features
+            raise ValueError("no valid stump split")
+        fname, thr, cum_r, cum_n, r_r, r_n = bs
+        gl = float(cum_r) / cum_n
+        gr = float(r_r) / r_n
+        stumps.append((m, fname, thr, gl, gr, cum_n, r_n))
+
+    rq = F.floor(F.col("y").cast("double") - f_col()).cast("long")
+    sse = base.select((rq * rq).cast("decimal(38,0)").alias("r2")).agg(
+        F.sum("r2").alias("s"), F.count(F.lit(1)).alias("n")
+    ).first()
+    rmse = round(
+        __import__("math").sqrt(float(sse["s"]) / sse["n"]) / 100, 6
+    )
+    return spark.createDataFrame(
+        [s + (rmse,) for s in stumps],
+        "round int, feature string, threshold long, gamma_l double,"
+        " gamma_r double, n_l long, n_r long, train_rmse double",
+    )
