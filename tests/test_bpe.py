@@ -300,3 +300,49 @@ def test_wordpiece_encode_conservation(spark):
     for r in rows:
         assert r["reconstruct_ok"], r
         assert 0 < r["n_words"] <= r["n_tokens"] <= r["n_chars"], r
+
+
+def test_wp_oov_encode_matches_python_twin_and_vocab_state(spark):
+    """The WordPiece OOV serving path (chained-replace projection, no
+    join) must equal the pure-Python twin on UNSEEN words and the
+    trainer's final state on in-vocab words."""
+    from pyspark.sql import functions as F
+
+    from web_attack_detection_spark.io.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    words = docs.select(F.explode(F.split("text", r"\s+")).alias("w"))
+    merges, state = bpe.wordpiece_train(words)
+
+    oov = ["unseenword", "zzzzq", "a", "prefixation", "the"]
+    df = spark.createDataFrame([(w,) for w in oov], "w string").withColumn(
+        "seq", bpe.wp_encode_words_expr(F.col("w"), merges)
+    )
+    got = {
+        r["w"]: tuple(r["t"])
+        for r in df.select(
+            "w",
+            F.split(
+                F.expr("substring(seq, 2, length(seq) - 2)"), bpe.US + bpe.US, -1
+            ).alias("t"),
+        ).collect()
+    }
+    for w in oov:
+        assert got[w] == bpe.wp_encode_word_py(w, merges), w
+    # in-vocab: serving path == trainer final state
+    vocab_rows = state.select("w", bpe.tokens_expr().alias("t")).limit(50).collect()
+    vdf = spark.createDataFrame([(r["w"],) for r in vocab_rows], "w string")
+    served = {
+        r["w"]: tuple(r["t"])
+        for r in vdf.withColumn("seq", bpe.wp_encode_words_expr(F.col("w"), merges))
+        .select(
+            "w",
+            F.split(
+                F.expr("substring(seq, 2, length(seq) - 2)"), bpe.US + bpe.US, -1
+            ).alias("t"),
+        )
+        .collect()
+    }
+    for r in vocab_rows:
+        assert served[r["w"]] == tuple(r["t"]), r["w"]

@@ -378,3 +378,40 @@ def wordpiece_train_py(
             new_state[w] = tuple(out)
         state = new_state
     return merges, state
+
+
+def wp_encode_words_expr(col, merges) -> "F.Column":
+    """WordPiece twin of :func:`encode_words_expr` — the
+    out-of-vocabulary / serving path: wrap with '##' continuations,
+    then apply the ranked merges in order as ONE chained ``replace``
+    projection (no join, no shuffle, no state).  For in-vocabulary
+    words this equals the trainer's final state; arbitrary-word
+    equality vs the pure-Python twin is pinned in tests/test_bpe.py.
+    Returns the wrapped sequence string (compose with
+    :func:`tokens_expr`)."""
+    seq = wrap_wordpiece(col)
+    for _, left, right, merged, _freq, _score in merges:
+        seq = F.replace(
+            seq,
+            F.lit(US + left + _US2 + right + US),
+            F.lit(US + merged + US),
+        )
+    return seq
+
+
+def wp_encode_word_py(word: str, merges) -> tuple:
+    """Pure-Python twin of :func:`wp_encode_words_expr`."""
+    syms = tuple(c if i == 0 else "##" + c for i, c in enumerate(word))
+    for _, left, right, merged, _freq, _score in merges:
+        out: list[str] = []
+        i = 0
+        n = len(syms)
+        while i < n:
+            if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = tuple(out)
+    return syms
