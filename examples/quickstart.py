@@ -101,6 +101,26 @@ def main() -> int:
     )
     print(f"8. BPE: {len(merges)} merges trained; 'tokenization' -> {toks}")
 
+    # 9. WordPiece (the BERT tokenizer): likelihood-ranked merges with
+    # '##' continuations, same OOV chained-replace serving path
+    wp_merges, _ = bpe.wordpiece_train(words, n_rounds=10)
+    wp_toks = (
+        oov.select(bpe.wp_encode_words_expr(F.col("w"), wp_merges).alias("seq"))
+        .select(bpe.tokens_expr().alias("t"))
+        .first()["t"]
+    )
+    print(f"9. WordPiece: {len(wp_merges)} merges; 'tokenization' -> {wp_toks}")
+
+    # 10. Exact in-engine trees: a depth-2 CART and 4 boosted stumps,
+    # both trained bit-identically in Spark and the DuckDB oracle
+    tree = QUERIES["ml_decision_tree_exact"].fn(spark, sf_dir).collect()
+    acc = tree[0]["train_accuracy"]
+    gbm = QUERIES["ml_gbt_stumps_exact"].fn(spark, sf_dir).collect()
+    print(
+        f"10. exact trees: depth-2 CART acc {acc:.3f}; "
+        f"boosted stumps RMSE {gbm[0]['train_rmse']:.2f}"
+    )
+
     spark.stop()
     return 0
 
