@@ -1229,3 +1229,31 @@ def test_gbt_stumps_exact_invariants(spark):
         assert r["feature"] in ("q", "d", "t")
         assert r["train_rmse"] == rows[0]["train_rmse"]  # one final metric
     assert 0 < rows[0]["train_rmse"] < sd
+
+
+def test_random_forest_exact_invariants(spark):
+    """ml_random_forest_exact: 5 trees, each bagged on ~2/3 of the
+    corpus with the rotating 2-of-3 feature rule, leaf predictions
+    are bag majorities, and the exact ensemble accuracy beats or
+    matches the worst constant predictor."""
+    import duckdb
+
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+    from web_attack_detection_spark.plans.treeq import _rf_allowed
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(
+        QUERIES["ml_random_forest_exact"].fn(spark, sf).collect(),
+        key=lambda r: r["tree"],
+    )
+    assert [r["tree"] for r in rows] == [0, 1, 2, 3, 4]
+    n = duckdb.sql(f"select count(*) from '{sf}/lineitem.parquet'").fetchone()[0]
+    for r in rows:
+        assert r["feature"] in _rf_allowed(r["tree"]), r
+        assert 0.55 * n < r["n_bag"] < 0.78 * n  # ~2/3 md5 bag
+        assert r["pred_l"] in (0, 1) and r["pred_r"] in (0, 1)
+        assert r["ensemble_accuracy"] == rows[0]["ensemble_accuracy"]
+    # positives are ~1/3 of rows -> all-negative baseline ~2/3; the
+    # vote must do at least that well on train
+    assert rows[0]["ensemble_accuracy"] >= 0.6

@@ -476,3 +476,187 @@ def ml_gbt_stumps_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round int, feature string, threshold long, gamma_l double,"
         " gamma_r double, n_l long, n_r long, train_rmse double",
     )
+
+
+# ---------------------------------------------------------------------------
+# exact bagged stumps (random-forest skeleton, full oracle)
+# ---------------------------------------------------------------------------
+
+_RF_TREES = 5
+
+
+def _rf_allowed(b: int) -> tuple[str, ...]:
+    """Deterministic feature subsampling: tree b drops one of the
+    three features, rotating — the random-subspace idea with a
+    replayable rule."""
+    drop = ("q", "d", "t")[b % 3]
+    return tuple(f for f in ("q", "d", "t") if f != drop)
+
+
+_RF_BAG = (
+    "CAST(CONV(SUBSTRING(md5(CAST(CONCAT('rf', {b}, '-', l_orderkey, ':', "
+    "l_linenumber) AS BINARY)), 1, 8), 16, 10) AS BIGINT) % 3 < 2"
+)
+_RF_BAG_DUCK = (
+    "CAST(concat('0x', substr(md5(concat('rf', {b}, '-', l_orderkey, ':', "
+    "l_linenumber)), 1, 8)) AS BIGINT) % 3 < 2"
+)
+
+
+def _rf_oracle(n_trees: int = _RF_TREES) -> str:
+    """DuckDB replay of the bagged-stump forest: per-tree md5 bagging
+    (~2/3 of rows), per-tree histograms over its 2 allowed features,
+    the same Gini-equivalent argmax as the CART oracle, and the exact
+    majority-vote train accuracy over the FULL corpus."""
+    bags = "\n  UNION ALL ".join(
+        f"""SELECT {b} AS tree, CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         CAST(ROUND(l_quantity) AS BIGINT) AS fq,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS fd,
+         CAST(ROUND(l_tax * 100) AS BIGINT) AS ft
+  FROM lineitem WHERE {_RF_BAG_DUCK.format(b=b)}"""
+        for b in range(n_trees)
+    )
+    allow = " OR ".join(
+        f"(tree = {b} AND fname IN ({', '.join(repr(f) for f in _rf_allowed(b))}))"
+        for b in range(n_trees)
+    )
+    votes = " + ".join(
+        f"""(CASE WHEN (CASE (SELECT fname FROM best WHERE tree = {b})
+                  WHEN 'q' THEN b.fq WHEN 'd' THEN b.fd ELSE b.ft END)
+               <= (SELECT thr FROM best WHERE tree = {b})
+         THEN (SELECT pred_l FROM best WHERE tree = {b})
+         ELSE (SELECT pred_r FROM best WHERE tree = {b}) END)"""
+        for b in range(n_trees)
+    )
+    return f"""WITH bagged AS MATERIALIZED (
+  {bags}
+), hist AS MATERIALIZED (
+  SELECT tree, f.fname, {_feat_case("f.fname")} AS v,
+         CAST(SUM(y) AS BIGINT) AS n1, CAST(COUNT(*) AS BIGINT) AS n
+  FROM bagged, (VALUES ('q'), ('d'), ('t')) f(fname)
+  GROUP BY 1, 2, 3
+), pref AS MATERIALIZED (
+  SELECT tree, fname, v,
+         CAST(SUM(n1) OVER w AS BIGINT) AS cum1,
+         CAST(SUM(n) OVER w AS BIGINT) AS cumn,
+         CAST(SUM(n1) OVER (PARTITION BY tree, fname) AS BIGINT) AS tot1,
+         CAST(SUM(n) OVER (PARTITION BY tree, fname) AS BIGINT) AS totn
+  FROM hist WHERE {allow}
+  WINDOW w AS (PARTITION BY tree, fname ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), best AS MATERIALIZED (
+  SELECT tree, fname, thr, n_bag, n_bag_pos, pred_l, pred_r FROM (
+    SELECT tree, fname, v AS thr, totn AS n_bag, tot1 AS n_bag_pos,
+           CAST(CASE WHEN 2 * cum1 > cumn THEN 1 ELSE 0 END AS INTEGER) AS pred_l,
+           CAST(CASE WHEN 2 * (tot1 - cum1) > (totn - cumn) THEN 1 ELSE 0 END
+                AS INTEGER) AS pred_r,
+           row_number() OVER (PARTITION BY tree
+                              ORDER BY {_SCORE} DESC, fname ASC, v ASC) AS rk
+    FROM pref WHERE cumn > 0 AND totn - cumn > 0
+  ) WHERE rk = 1
+), full_base AS MATERIALIZED (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         CAST(ROUND(l_quantity) AS BIGINT) AS fq,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS fd,
+         CAST(ROUND(l_tax * 100) AS BIGINT) AS ft
+  FROM lineitem
+), acc AS MATERIALIZED (
+  SELECT CAST(SUM(CASE WHEN (CASE WHEN 2 * ({votes}) > {n_trees} THEN 1 ELSE 0 END) = y
+                       THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS a
+  FROM full_base b
+)
+SELECT tree, fname AS feature, thr AS threshold, n_bag, n_bag_pos,
+       pred_l, pred_r, (SELECT a FROM acc) AS ensemble_accuracy
+FROM best"""
+
+
+@register(
+    "ml_random_forest_exact",
+    _rf_oracle(),
+    doc=f"exact bagged-stump forest ({_RF_TREES} trees, md5 bagging + rotating feature subsets), full oracle",
+)
+def ml_random_forest_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The random-forest skeleton, completing the exact tree family
+    (single CART: ml_decision_tree_exact; boosting:
+    ml_gbt_stumps_exact; bagging: this): 5 depth-1 trees, each fitted
+    on a DETERMINISTIC md5 bag (~2/3 of rows — the same portable-hash
+    idiom as pipe_hash_split) over a rotating 2-of-3 feature subset
+    (the random-subspace rule, replayable), predicting returned
+    lineitems; the ensemble is the exact majority vote, scored over
+    the FULL corpus.  Every tree's histogram, argmax (Gini-equivalent
+    score, two IEEE divisions, score desc / feature asc / threshold
+    asc tie-break), leaf majorities, and the vote accuracy are exact
+    integer arithmetic — DuckDB replays bagging, fits, and vote
+    bit-for-bit.  The rows-only ml_random_forest_train_eval keeps
+    MLlib's feature-binned RF covered; this pins the algorithm's
+    exact core.  Scale: ONE scan computes all 5 trees' bagged
+    histograms simultaneously (explode = 5 bag flags × 3 features,
+    map-side combined into ≤ 5·70 rows), one more scan scores the
+    vote — bounded collects only (probed family:
+    tools/scale_probe_exactml.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+        F.round("l_quantity").cast("long").alias("fq"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("fd"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("ft"),
+    ).localCheckpoint()  # histogram scan + vote scan share it
+
+    bag = [F.expr(_RF_BAG.format(b=b)) for b in range(_RF_TREES)]
+    # one scan: (tree, fname, v) histograms for ALL trees at once
+    tagged = base.select(
+        "y",
+        *[F.col(c) for c in ("fq", "fd", "ft")],
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("tree"), bag[b].alias("inbag"))
+                      for b in range(_RF_TREES)])
+        ).alias("t"),
+    ).filter(F.col("t.inbag"))
+    stacked = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(f).alias("fname"), F.col(f"f{f}").alias("v"))
+                for f in ("q", "d", "t")
+            ]
+        )
+    ).alias("s")
+    h = (
+        tagged.select("y", F.col("t.tree").alias("tree"), stacked)
+        .groupBy("tree", "s.fname", "s.v")
+        .agg(F.sum("y").alias("n1"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    trees: list[tuple] = []
+    for b in range(_RF_TREES):
+        allowed = _rf_allowed(b)
+        hist = {
+            (r["fname"], int(r["v"])): (int(r["n1"]), int(r["n"]))
+            for r in h
+            if r["tree"] == b and r["fname"] in allowed
+        }
+        bs = _best_split(hist)
+        if bs is None:  # pragma: no cover - constant bag
+            raise ValueError(f"no valid split in tree {b}")
+        fname, thr, n_l, n1_l, n_r, n1_r, totn, tot1 = bs
+        pred_l = 1 if 2 * n1_l > n_l else 0
+        pred_r = 1 if 2 * n1_r > n_r else 0
+        trees.append((b, fname, thr, totn, tot1, pred_l, pred_r))
+
+    # exact majority vote over the FULL corpus (literal stumps)
+    vote = None
+    for b, fname, thr, _n, _n1, pl, pr in trees:
+        v = F.when(F.col(f"f{fname}") <= F.lit(thr), F.lit(pl)).otherwise(F.lit(pr))
+        vote = v if vote is None else vote + v
+    pred = F.when(2 * vote > _RF_TREES, 1).otherwise(0)
+    acc_row = base.agg(
+        F.avg((pred == F.col("y")).cast("double")).alias("a")
+    ).first()
+    # avg of 0/1 ints == exact count / n (one division) in both engines
+    acc = float(acc_row["a"])
+    return spark.createDataFrame(
+        [t + (acc,) for t in trees],
+        "tree int, feature string, threshold long, n_bag long, n_bag_pos long,"
+        " pred_l int, pred_r int, ensemble_accuracy double",
+    )
