@@ -346,3 +346,62 @@ def test_wp_oov_encode_matches_python_twin_and_vocab_state(spark):
     }
     for r in vocab_rows:
         assert served[r["w"]] == tuple(r["t"]), r["w"]
+
+
+def test_unigram_segment_dp_equals_bruteforce(spark):
+    """text_unigram_segment's packed-integer Viterbi really finds the
+    minimum-cost segmentation: for every distinct word of <= 8 chars
+    at sf0.001, the DP result (replayed via the oracle's wseg state)
+    equals a brute-force enumeration over all segmentations with the
+    same vocabulary costs — and the per-doc query output is
+    consistent with it."""
+    import duckdb
+
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+    from web_attack_detection_spark.plans.text6 import (
+        _UNI_FB,
+        _UNI_MAXG,
+        _uni_oracle,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    oracle = _uni_oracle()
+    head = oracle[: oracle.rindex("), docw AS")] + ")"
+    vocab = dict(con.execute(head + "\nSELECT gram, cost FROM vocab").fetchall())
+    wseg = dict(
+        con.execute(head + "\nSELECT w, comb FROM wseg WHERE length(w) <= 8").fetchall()
+    )
+    assert len(vocab) == 200 and wseg
+
+    def brute(w: str):
+        best = None
+        def rec(i, cost, ntok):
+            nonlocal best
+            if i == len(w):
+                cand = (cost, ntok)
+                if best is None or cand < best:
+                    best = cand
+                return
+            for k in range(1, min(_UNI_MAXG, len(w) - i) + 1):
+                g = w[i : i + k]
+                if g in vocab:
+                    rec(i + k, cost + vocab[g], ntok + 1)
+                elif k == 1:
+                    rec(i + 1, cost + _UNI_FB, ntok + 1)
+        rec(0, 0, 0)
+        return best
+
+    for w, comb in list(wseg.items()):
+        cost, ntok = comb // 1024, comb % 1024
+        assert (cost, ntok) == brute(w), w
+    # per-doc output consistency
+    rows = QUERIES["text_unigram_segment"].fn(spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert r["n_words"] <= r["n_tokens"], r
+        assert r["cost_unat"] > 0

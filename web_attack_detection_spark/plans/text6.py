@@ -388,3 +388,169 @@ def text_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bool_and("ok").alias("reconstruct_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM Viterbi segmentation (SentencePiece inference) — full oracle
+# ---------------------------------------------------------------------------
+
+_UNI_K = 200  # vocabulary size (top grams by corpus frequency)
+_UNI_MAXG = 4  # max piece length in characters
+_UNI_MAXW = 64  # max word length (longer words are filtered on both sides)
+_UNI_FB = 30_000_000  # fallback single-char cost, micro-nats (pinned literal)
+
+
+def _uni_oracle() -> str:
+    """DuckDB replay of the unigram segmenter: vocabulary = top-200
+    corpus 1..4-grams with micro-nat costs (the Kaplan-Meier
+    ROUND(1e6*ln) idiom), then per DISTINCT word an exact-integer
+    Viterbi DP as a recursive CTE carrying the dp list — state value
+    cost*1024 + n_tokens, so MIN is lexicographic (min cost, then
+    fewest pieces) and path sums stay linear."""
+    return f"""WITH RECURSIVE wc AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT UNNEST(string_split_regex(text, '\\s+')) AS w FROM documents)
+  WHERE length(w) >= 1 AND length(w) <= {_UNI_MAXW}
+  GROUP BY w
+), grams AS MATERIALIZED (
+  SELECT substring(w, p, k) AS gram, CAST(SUM(cnt) AS BIGINT) AS freq
+  FROM wc, UNNEST(range(1, {_UNI_MAXW + 1})) pp(p),
+       UNNEST(range(1, {_UNI_MAXG + 1})) kk(k)
+  WHERE p + k - 1 <= length(w)
+  GROUP BY 1
+), topk AS MATERIALIZED (
+  SELECT gram, freq FROM grams ORDER BY freq DESC, gram ASC LIMIT {_UNI_K}
+), vocab AS MATERIALIZED (
+  SELECT gram,
+         CAST(ROUND(1000000 * ln(CAST((SELECT SUM(freq) FROM topk) AS DOUBLE)
+                                 / freq)) AS BIGINT) AS cost
+  FROM topk
+), words AS MATERIALIZED (
+  SELECT DISTINCT w FROM wc
+), pos AS MATERIALIZED (
+  SELECT w.w, pp.p, kk.k, substring(w.w, pp.p - kk.k + 1, kk.k) AS gram
+  FROM words w, UNNEST(range(1, {_UNI_MAXW + 1})) pp(p),
+       UNNEST(range(1, {_UNI_MAXG + 1})) kk(k)
+  WHERE pp.p <= length(w.w) AND pp.p - kk.k + 1 >= 1
+), steps AS MATERIALIZED (
+  SELECT pos.w, pos.p, pos.k,
+         (COALESCE(v.cost, CASE WHEN pos.k = 1 THEN {_UNI_FB} END) * 1024 + 1)
+           AS stepc
+  FROM pos LEFT JOIN vocab v ON v.gram = pos.gram
+), cmap AS MATERIALIZED (
+  SELECT w, p, list(struct_pack(k := k, c := stepc) ORDER BY k) AS cands
+  FROM steps WHERE stepc IS NOT NULL AND p >= k
+  GROUP BY w, p
+), rec AS (
+  SELECT w, 0 AS i, [CAST(0 AS BIGINT)] AS dps FROM words
+  UNION ALL
+  SELECT r.w, r.i + 1, list_append(r.dps, list_min(
+      list_transform(c.cands, x -> r.dps[r.i + 2 - x.k] + x.c)))
+  FROM rec r JOIN cmap c ON c.w = r.w AND c.p = r.i + 1
+  WHERE r.i < length(r.w)
+), wseg AS MATERIALIZED (
+  SELECT w, dps[length(w) + 1] AS comb FROM rec WHERE i = length(w)
+), docw AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, UNNEST(string_split_regex(text, '\\s+')) AS w FROM documents
+  ) WHERE length(w) >= 1 AND length(w) <= {_UNI_MAXW}
+)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(s.comb % 1024) AS BIGINT) AS n_tokens,
+       CAST(SUM(s.comb // 1024) AS BIGINT) AS cost_unat
+FROM docw d JOIN wseg s ON d.w = s.w
+GROUP BY d.doc_id"""
+
+
+@register(
+    "text_unigram_segment",
+    _uni_oracle(),
+    doc=f"unigram-LM Viterbi segmentation (top-{_UNI_K} vocab, exact micro-nat DP), full oracle",
+)
+def text_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenization — SentencePiece's INFERENCE step —
+    completing the tokenizer family (BPE: merge ranks; WordPiece:
+    likelihood merges; unigram: per-word Viterbi over a piece
+    vocabulary).  The vocabulary is the corpus's top-200 1..4-grams
+    with micro-nat costs ROUND(1e6*ln(total/freq)) (the Kaplan-Meier
+    quantize-before-accumulate idiom); unknown single chars take a
+    pinned 30-nat fallback.  Per DISTINCT word, the minimum-cost
+    segmentation is an EXACT-INTEGER Viterbi DP: each dp state packs
+    cost*1024 + n_pieces into one BIGINT, so the min is lexicographic
+    (cheapest, then fewest pieces) and path sums stay additive — no
+    float ever enters the recurrence, which is why Spark's
+    aggregate-fold (a whole-stage-codegen array fold over the word's
+    positions, k<=4 lookbehind against a 200-entry literal map via
+    try_element_at) and DuckDB's recursive CTE (dp list +
+    correlated MIN over a steps relation) agree bit-for-bit.
+    Output: per-doc word/token counts and total segmentation cost.
+
+    Scale: the DP runs once per DISTINCT word (|vocab(words)|-
+    proportional, never corpus-proportional) and is pure map-side
+    codegen; docs join the segmented words by broadcast; the gram
+    count is one explode+sum (positions x 4) shuffle.  The top-200
+    cut is a TakeOrdered; the 200-entry cost map is ~bytes of plan
+    literals."""
+    docs = load_table(spark, sf_dir, "documents")
+    allw = docs.select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("w")
+    ).filter((F.length("w") >= 1) & (F.length("w") <= _UNI_MAXW))
+    wc = allw.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+
+    # vocabulary: top-K grams by exact corpus frequency, micro-nat costs
+    grams = (
+        wc.select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(1, length(w)), p -> "
+                    f"transform(sequence(1, least({_UNI_MAXG}, length(w) - p + 1)), "
+                    f"k -> substring(w, p, k))))"
+                )
+            ).alias("gram"),
+        )
+        .groupBy("gram")
+        .agg(F.sum("cnt").alias("freq"))
+    )
+    topk = grams.orderBy(F.col("freq").desc(), F.col("gram").asc()).limit(_UNI_K).collect()
+    tot = sum(int(r["freq"]) for r in topk)
+    cost_df = spark.createDataFrame(
+        [(r["gram"], int(r["freq"])) for r in topk], "gram string, freq long"
+    ).select(
+        "gram",
+        F.round(1000000 * F.log(F.lit(float(tot)) / F.col("freq"))).cast("long").alias("cost"),
+    )
+    vocab = {r["gram"]: int(r["cost"]) for r in cost_df.collect()}
+    # combined step values: cost*1024 + 1 (one piece)
+    step_map = F.create_map(
+        *[x for g, c in sorted(vocab.items()) for x in (F.lit(g), F.lit(c * 1024 + 1))]
+    )
+    fb_step = F.lit(_UNI_FB * 1024 + 1).cast("long")
+
+    def cand(acc, i, k):
+        gram = F.substring(F.col("w"), i - F.lit(k - 1), F.lit(k))
+        step = F.try_element_at(step_map, gram)
+        if k == 1:
+            step = F.coalesce(step, fb_step)
+        return F.when(i >= F.lit(k), F.element_at(acc, (i - F.lit(k - 1)).cast("int")) + step)
+
+    dps = F.aggregate(
+        F.sequence(F.lit(1), F.length("w")),
+        F.array(F.lit(0).cast("long")),
+        lambda acc, i: F.array_append(
+            acc, F.least(*[cand(acc, i, k) for k in range(1, _UNI_MAXG + 1)])
+        ),
+    )
+    wseg = wc.select(
+        "w", F.element_at(dps, F.length("w") + 1).alias("comb")
+    )
+    return (
+        allw.join(F.broadcast(wseg), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.col("comb") % 1024).alias("n_tokens"),
+            F.sum(F.expr("comb div 1024")).alias("cost_unat"),
+        )
+    )
