@@ -204,3 +204,49 @@ def test_oracle_scale_audits_gate_off_above_bound(spark, monkeypatch):
     assert rows and all(r["recall_at_k"] is None for r in rows)
     rows = QUERIES["dedup_minhash_lsh"].fn(spark, sf).collect()
     assert rows and all(r["recall_vs_exact"] is None for r in rows)
+    # r7 verdict #1: ml_minhash_lsh_join's MLlib approxSimilarityJoin
+    # agreement audit is gated the same way — and gating must NOT
+    # change the served pair set (the verify is exact either way)
+    rows = QUERIES["ml_minhash_lsh_join"].fn(spark, sf).collect()
+    assert rows and all(
+        r["audit_mllib_agreement"] is None and r["audit_jaccard_verified"] is None
+        for r in rows
+    )
+
+
+def test_minhash_join_verify_is_candidate_restricted(spark):
+    """r7 verdict #1 shape pin: ml_minhash_lsh_join's exact-Jaccard
+    verify runs only over banded candidates (|cand| × shingles/doc,
+    never the Σ df² global inverted-index self-join), and the
+    restriction loses nothing: the served pair set EQUALS the
+    unrestricted exact relation (distance <= 0.25) intersected with
+    the banded candidates."""
+    from web_attack_detection_spark.operators.dedup import (
+        jaccard_pairs_exact,
+        minhash_candidate_pairs,
+        minhash_signatures,
+    )
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    served = {
+        (r["id_a"], r["id_b"])
+        for r in QUERIES["ml_minhash_lsh_join"].fn(spark, sf).collect()
+    }
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    sig = minhash_signatures(docs, "text", "doc_id", n=3, num_perm=8)
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidate_pairs(sig, bands=8, rows_per_band=1).collect()
+    }
+    # jaccard_pairs_exact keeps similarity >= threshold; dist <= 0.25
+    # <=> sim >= 0.75
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs_exact(
+            docs, "text", "doc_id", n=3, threshold=0.75
+        ).collect()
+    }
+    assert served == (exact & cand)
+    assert served  # non-vacuous: planted near-dups exist at sf0.001

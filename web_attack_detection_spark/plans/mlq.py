@@ -1207,12 +1207,17 @@ cand AS (
   FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.id < r.id
 ),
 exactjd AS (
+  -- candidate-RESTRICTED exact Jaccard (mirrors the engine's gated
+  -- verify): intersections only for banded candidate pairs, never the
+  -- global shingle self-join
   SELECT p.id_a, p.id_b,
          1.0 - (p.n_common / CAST(sa.sz + sb.sz - p.n_common AS DOUBLE)) AS jd
   FROM (
-    SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
-    FROM sh a JOIN sh b USING (shingle)
-    WHERE a.id < b.id GROUP BY 1, 2
+    SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM cand c
+    JOIN sh a ON a.id = c.id_a
+    JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+    GROUP BY 1, 2
   ) p
   JOIN (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY id) sa
     ON p.id_a = sa.id
@@ -1220,10 +1225,10 @@ exactjd AS (
     ON p.id_b = sb.id
   WHERE 1.0 - (p.n_common / CAST(sa.sz + sb.sz - p.n_common AS DOUBLE)) <= 0.25
 )
-SELECT c.id_a, c.id_b, ROUND(e.jd, 6) AS jaccard_dist,
+SELECT e.id_a, e.id_b, ROUND(e.jd, 6) AS jaccard_dist,
        TRUE AS audit_mllib_agreement,
        TRUE AS audit_jaccard_verified
-FROM cand c JOIN exactjd e ON c.id_a = e.id_a AND c.id_b = e.id_b"""
+FROM exactjd e"""
 
 
 @register(
@@ -1240,20 +1245,27 @@ def ml_minhash_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's generated SQL multiplies), banded as 8 single-hash
     OR-bands (MLlib MinHashLSH's own banding shape: numHashTables
     tables, equi-join per table), then verified by the EXACT
-    distinct-3-gram-shingle Jaccard at distance <= 0.25 — one integer
-    division per candidate, so the returned pair set and distances
-    are engine-identical and DuckDB replays signatures, banding, and
-    verify end-to-end.
+    distinct-3-gram-shingle Jaccard at distance <= 0.25 — computed
+    ONLY for banded candidates (r7 verdict #1: the earlier global
+    ``sh ⋈ sh ON shingle`` inverted-index self-join cost
+    Σ_shingle df² and drove the output; now the intersection is
+    ``cand ⋈ sh(id_a) ⋈ sh(id_b ∧ same shingle)``, bounded by
+    |candidates| × shingles/doc, and still exact — the output set is
+    unchanged by construction since the old plan intersected exactjd
+    with cand anyway). DuckDB replays signatures, banding, and the
+    candidate-restricted verify end-to-end.
 
     MLlib's Tokenizer -> NGram(3) -> binary HashingTF -> MinHashLSH ->
     approxSimilarityJoin still runs in-query over the same corpus and
-    threshold: ``audit_mllib_agreement`` pins pair-set equality (both
-    paths verify by true Jaccard; HashingTF's 2^18-bucket collisions
-    are the only possible divergence) and ``audit_jaccard_verified``
-    pins max |MLlib distCol - exact Jaccard| <= 0.02 over the agreed
-    pairs.  Scale story unchanged: banding shuffle = tables × rows,
-    never all-pairs; the OR-construction (r=1) trades candidate
-    volume for the ~1-(1-s)^8 recall MLlib itself buys."""
+    threshold — GATED by ``audit_scale_ok`` like every dual-path audit
+    (approxSimilarityJoin on a self-join is an oracle-scale tool; NULL
+    audit columns above AUDIT_MAX_ROWS): ``audit_mllib_agreement``
+    pins pair-set equality (both paths verify by true Jaccard;
+    HashingTF's 2^18-bucket collisions are the only possible
+    divergence) and ``audit_jaccard_verified`` pins max |MLlib
+    distCol - exact Jaccard| <= 0.02 over the agreed pairs.  Scale
+    story: banding shuffle = tables × rows, verify = candidates ×
+    shingles/doc — never all-pairs anywhere in the serving plan."""
     from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, Tokenizer
 
     from web_attack_detection_spark.operators.dedup import (
@@ -1261,20 +1273,22 @@ def ml_minhash_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signatures,
         shingles,
     )
+    from web_attack_detection_spark.plans.audit import audit_scale_ok
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
     # --- portable path (drives the output): md5 MinHash -> 8 OR-bands
-    # -> exact shingle-Jaccard verify
+    # -> candidate-restricted exact shingle-Jaccard verify
     sig = minhash_signatures(docs, "text", "doc_id", n=3, num_perm=8)
-    cand = minhash_candidate_pairs(sig, bands=8, rows_per_band=1)
+    cand = minhash_candidate_pairs(sig, bands=8, rows_per_band=1).localCheckpoint()
     sh_rel = shingles(docs, "text", "doc_id", n=3)  # (id, shingle) distinct
     sizes = sh_rel.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    # n_common ONLY for banded candidates: cand ⋈ sh(id_a) ⋈ sh(id_b,
+    # same shingle) — |cand| × shingles/doc, not Σ_shingle df²
     inter = (
-        sh_rel.alias("a")
-        .join(sh_rel.alias("b"), "shingle")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        cand.join(sh_rel.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+        .join(sh_rel.select(F.col("id").alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
     )
     jd = F.lit(1.0) - F.col("n_common") / (
@@ -1286,54 +1300,59 @@ def ml_minhash_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("jd", jd)
         .filter(F.col("jd") <= 0.25)
         .select("id_a", "id_b", "jd")
-        .localCheckpoint()  # tiny; reused by the output join AND the MLlib dev audit
+        .localCheckpoint()  # tiny; reused by the output AND the MLlib dev audit
     )
-    pairs = (
-        cand.join(exactjd, ["id_a", "id_b"])
-        .select("id_a", "id_b", F.round("jd", 6).alias("jaccard_dist"))
-        .localCheckpoint()
+    pairs = exactjd.select(
+        "id_a", "id_b", F.round("jd", 6).alias("jaccard_dist")
     )
 
-    # --- MLlib audit path: same corpus, same threshold
-    toks = Tokenizer(inputCol="text", outputCol="toks").transform(docs)
-    sh = NGram(n=3, inputCol="toks", outputCol="shingles").transform(toks)
-    tf = HashingTF(
-        inputCol="shingles", outputCol="fv", binary=True, numFeatures=1 << 18
-    ).transform(sh)
-    tf = tf.filter(F.size("shingles") > 0)
-    tf = tf.cache()  # LSH fit pass + both sides of the self-join
-    try:
-        model = MinHashLSH(
-            inputCol="fv", outputCol="hashes", numHashTables=8, seed=42
-        ).fit(tf)
-        mllib_pairs = (
-            model.approxSimilarityJoin(tf, tf, 0.25, distCol="mdist")
-            .select(
-                F.col("datasetA.doc_id").alias("id_a"),
-                F.col("datasetB.doc_id").alias("id_b"),
-                F.col("mdist"),
+    # --- MLlib audit path: same corpus, same threshold — gated, the
+    # self-approxSimilarityJoin is an oracle-scale tool
+    if audit_scale_ok(docs):
+        toks = Tokenizer(inputCol="text", outputCol="toks").transform(docs)
+        sh = NGram(n=3, inputCol="toks", outputCol="shingles").transform(toks)
+        tf = HashingTF(
+            inputCol="shingles", outputCol="fv", binary=True, numFeatures=1 << 18
+        ).transform(sh)
+        tf = tf.filter(F.size("shingles") > 0)
+        tf = tf.cache()  # LSH fit pass + both sides of the self-join
+        try:
+            model = MinHashLSH(
+                inputCol="fv", outputCol="hashes", numHashTables=8, seed=42
+            ).fit(tf)
+            mllib_pairs = (
+                model.approxSimilarityJoin(tf, tf, 0.25, distCol="mdist")
+                .select(
+                    F.col("datasetA.doc_id").alias("id_a"),
+                    F.col("datasetB.doc_id").alias("id_b"),
+                    F.col("mdist"),
+                )
+                .filter(F.col("id_a") < F.col("id_b"))
+                .localCheckpoint()
             )
-            .filter(F.col("id_a") < F.col("id_b"))
-            .localCheckpoint()
+        finally:
+            tf.unpersist()
+        mine = pairs.select("id_a", "id_b")
+        n_mismatch = (
+            mine.join(mllib_pairs, ["id_a", "id_b"], "left_anti").count()
+            + mllib_pairs.join(mine, ["id_a", "id_b"], "left_anti").count()
         )
-    finally:
-        tf.unpersist()
-    mine = pairs.select("id_a", "id_b")
-    n_mismatch = (
-        mine.join(mllib_pairs, ["id_a", "id_b"], "left_anti").count()
-        + mllib_pairs.join(mine, ["id_a", "id_b"], "left_anti").count()
-    )
-    # distCol-vs-exact deviation over the agreed pairs (HashingTF
-    # collisions are the only source)
-    dev_row = (
-        mllib_pairs.join(exactjd, ["id_a", "id_b"])
-        .agg(F.max(F.abs(F.col("mdist") - F.col("jd"))).alias("dev"))
-        .first()
-    )
-    dev_ok = dev_row["dev"] is None or float(dev_row["dev"]) <= 0.02
+        # distCol-vs-exact deviation over the agreed pairs (HashingTF
+        # collisions are the only source)
+        dev_row = (
+            mllib_pairs.join(exactjd, ["id_a", "id_b"])
+            .agg(F.max(F.abs(F.col("mdist") - F.col("jd"))).alias("dev"))
+            .first()
+        )
+        dev_ok = dev_row["dev"] is None or float(dev_row["dev"]) <= 0.02
+        agree_col = F.lit(bool(n_mismatch == 0))
+        dev_col = F.lit(bool(dev_ok))
+    else:
+        agree_col = F.lit(None).cast("boolean")
+        dev_col = F.lit(None).cast("boolean")
     return (
-        pairs.withColumn("audit_mllib_agreement", F.lit(bool(n_mismatch == 0)))
-        .withColumn("audit_jaccard_verified", F.lit(bool(dev_ok)))
+        pairs.withColumn("audit_mllib_agreement", agree_col)
+        .withColumn("audit_jaccard_verified", dev_col)
         .orderBy("id_a", "id_b")
     )
 
