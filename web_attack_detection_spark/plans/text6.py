@@ -522,26 +522,10 @@ def text_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(1000000 * F.log(F.lit(float(tot)) / F.col("freq"))).cast("long").alias("cost"),
     )
     vocab = {r["gram"]: int(r["cost"]) for r in cost_df.collect()}
-    # combined step values: cost*1024 + 1 (one piece)
-    step_map = F.create_map(
-        *[x for g, c in sorted(vocab.items()) for x in (F.lit(g), F.lit(c * 1024 + 1))]
-    )
-    fb_step = F.lit(_UNI_FB * 1024 + 1).cast("long")
+    # packed forward dp shared with the trainer (functions/unigram.py)
+    from web_attack_detection_spark.functions import unigram
 
-    def cand(acc, i, k):
-        gram = F.substring(F.col("w"), i - F.lit(k - 1), F.lit(k))
-        step = F.try_element_at(step_map, gram)
-        if k == 1:
-            step = F.coalesce(step, fb_step)
-        return F.when(i >= F.lit(k), F.element_at(acc, (i - F.lit(k - 1)).cast("int")) + step)
-
-    dps = F.aggregate(
-        F.sequence(F.lit(1), F.length("w")),
-        F.array(F.lit(0).cast("long")),
-        lambda acc, i: F.array_append(
-            acc, F.least(*[cand(acc, i, k) for k in range(1, _UNI_MAXG + 1)])
-        ),
-    )
+    dps = unigram.dp_expr(vocab, word="w", max_gram=_UNI_MAXG, fallback=_UNI_FB)
     wseg = wc.select(
         "w", F.element_at(dps, F.length("w") + 1).alias("comb")
     )
@@ -553,4 +537,232 @@ def text_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("comb") % 1024).alias("n_tokens"),
             F.sum(F.expr("comb div 1024")).alias("cost_unat"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer TRAINING (hard-EM: Viterbi counts + prune) — full oracle
+# ---------------------------------------------------------------------------
+
+_UT_K = 120  # seed vocabulary size (top grams by corpus frequency)
+_UT_PRUNE = 20  # pieces pruned per EM round
+_UT_ROUNDS = 3  # EM rounds (final vocab: _UT_K - _UT_ROUNDS*_UT_PRUNE)
+
+_UT_STORE: dict[tuple[str, str], tuple[dict, list]] = {}
+
+
+def _ut_trained(spark: SparkSession, sf_dir: str) -> tuple[dict, list]:
+    """(final piece->cost dict, final [(piece, uses, cost)] rows) — one
+    training run per (session, sf_dir), the _BPE_STORE pattern."""
+    from web_attack_detection_spark.functions import unigram
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _UT_STORE:
+        return _UT_STORE[key]
+    docs = load_table(spark, sf_dir, "documents")
+    allw = docs.select(F.explode(F.split("text", r"\s+")).alias("w")).filter(
+        (F.length("w") >= 1) & (F.length("w") <= _UNI_MAXW)
+    )
+    # the word vocabulary: every round re-reads it — pin it once
+    wc = (
+        allw.groupBy("w").agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint()
+    )
+
+    # seed: top-_UT_K grams, micro-nat costs (text_unigram_segment's idiom)
+    grams = (
+        wc.select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(1, length(w)), p -> "
+                    f"transform(sequence(1, least({_UNI_MAXG}, length(w) - p + 1)), "
+                    f"k -> substring(w, p, k))))"
+                )
+            ).alias("gram"),
+        )
+        .groupBy("gram")
+        .agg(F.sum("cnt").alias("freq"))
+    )
+    topk = (
+        grams.orderBy(F.col("freq").desc(), F.col("gram").asc())
+        .limit(_UT_K)
+        .collect()
+    )
+    tot = sum(int(r["freq"]) for r in topk)
+    seed_df = spark.createDataFrame(
+        [(r["gram"], int(r["freq"])) for r in topk], "gram string, freq long"
+    ).select(
+        "gram",
+        F.round(1000000 * F.log(F.lit(float(tot)) / F.col("freq")))
+        .cast("long")
+        .alias("cost"),
+    )
+    costs = {r["gram"]: int(r["cost"]) for r in seed_df.collect()}
+
+    table: list = []
+    for r in range(1, _UT_ROUNDS + 1):
+        keep = max(_UT_K - r * _UT_PRUNE, 1)
+        # E: Viterbi-segment every DISTINCT word (two codegen folds)
+        wdp = wc.select("w", "cnt", unigram.dp_expr(costs).alias("dps"))
+        used = (
+            wdp.select("cnt", F.explode(unigram.pieces_expr(costs)).alias("gram"))
+            .groupBy("gram")
+            .agg(F.sum("cnt").cast("long").alias("uses"))
+        )
+        # M: keep the top pieces by usage, re-estimate costs over kept mass
+        kept = (
+            used.orderBy(F.col("uses").desc(), F.col("gram").asc())
+            .limit(keep)
+            .collect()
+        )
+        tot = sum(int(x["uses"]) for x in kept)
+        vdf = spark.createDataFrame(
+            [(x["gram"], int(x["uses"])) for x in kept], "gram string, uses long"
+        ).select(
+            "gram",
+            "uses",
+            F.round(1000000 * F.log(F.lit(float(tot)) / F.col("uses")))
+            .cast("long")
+            .alias("cost"),
+        )
+        rows = vdf.collect()
+        costs = {x["gram"]: int(x["cost"]) for x in rows}
+        table = rows
+    _UT_STORE[key] = (costs, table)
+    return _UT_STORE[key]
+
+
+def _ut_oracle() -> str:
+    """Chained replay of the hard-EM trainer: vocab_0 = seed costs;
+    each round rebuilds the per-position candidate lists against the
+    CURRENT vocab, re-runs the forward dp (recursive CTE carrying the
+    dp list), BACKTRACES the optimal pieces (recursive CTE walking pos
+    from length(w) to 0, picking the SMALLEST k whose step reproduces
+    the dp value — the same tie-break as the engine's fold), re-counts
+    corpus-weighted usage, prunes to the round's keep-size and
+    re-quantizes the micro-nat costs over the kept mass."""
+    parts = [
+        f"""WITH RECURSIVE wc AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT UNNEST(string_split_regex(text, '\\s+')) AS w FROM documents)
+  WHERE length(w) >= 1 AND length(w) <= {_UNI_MAXW}
+  GROUP BY w
+), grams AS MATERIALIZED (
+  SELECT substring(w, p, k) AS gram, CAST(SUM(cnt) AS BIGINT) AS freq
+  FROM wc, UNNEST(range(1, {_UNI_MAXW + 1})) pp(p),
+       UNNEST(range(1, {_UNI_MAXG + 1})) kk(k)
+  WHERE p + k - 1 <= length(w)
+  GROUP BY 1
+), topk AS MATERIALIZED (
+  SELECT gram, freq FROM grams ORDER BY freq DESC, gram ASC LIMIT {_UT_K}
+), vocab_0 AS MATERIALIZED (
+  SELECT gram,
+         CAST(ROUND(1000000 * ln(CAST((SELECT SUM(freq) FROM topk) AS DOUBLE)
+                                 / freq)) AS BIGINT) AS cost
+  FROM topk
+), words AS MATERIALIZED (
+  SELECT DISTINCT w FROM wc
+), pos AS MATERIALIZED (
+  SELECT w.w, pp.p, kk.k, substring(w.w, pp.p - kk.k + 1, kk.k) AS gram
+  FROM words w, UNNEST(range(1, {_UNI_MAXW + 1})) pp(p),
+       UNNEST(range(1, {_UNI_MAXG + 1})) kk(k)
+  WHERE pp.p <= length(w.w) AND pp.p - kk.k + 1 >= 1
+)"""
+    ]
+    for r in range(1, _UT_ROUNDS + 1):
+        p = r - 1
+        keep = max(_UT_K - r * _UT_PRUNE, 1)
+        parts.append(
+            f""", steps_{r} AS MATERIALIZED (
+  SELECT pos.w, pos.p, pos.k,
+         (COALESCE(v.cost, CASE WHEN pos.k = 1 THEN {_UNI_FB} END) * 1024 + 1)
+           AS stepc
+  FROM pos LEFT JOIN vocab_{p} v ON v.gram = pos.gram
+), cmap_{r} AS MATERIALIZED (
+  SELECT w, p, list(struct_pack(k := k, c := stepc) ORDER BY k) AS cands
+  FROM steps_{r} WHERE stepc IS NOT NULL AND p >= k
+  GROUP BY w, p
+), rec_{r} AS (
+  SELECT w, 0 AS i, [CAST(0 AS BIGINT)] AS dps FROM words
+  UNION ALL
+  SELECT q.w, q.i + 1, list_append(q.dps, list_min(
+      list_transform(c.cands, x -> q.dps[q.i + 2 - x.k] + x.c)))
+  FROM rec_{r} q JOIN cmap_{r} c ON c.w = q.w AND c.p = q.i + 1
+  WHERE q.i < length(q.w)
+), wdp_{r} AS MATERIALIZED (
+  SELECT w, dps FROM rec_{r} WHERE i = length(w)
+), bt_{r} AS (
+  SELECT w, dps, CAST(length(w) AS BIGINT) AS pos,
+         CAST([] AS VARCHAR[]) AS picked
+  FROM wdp_{r}
+  UNION ALL
+  SELECT b.w, b.dps, b.pos - b.kk,
+         list_append(b.picked, substring(b.w, b.pos - b.kk + 1, b.kk))
+  FROM (
+    SELECT b0.w, b0.dps, b0.pos, b0.picked,
+           list_min(list_transform(
+             list_filter(c.cands,
+                 x -> b0.dps[b0.pos - x.k + 1] + x.c = b0.dps[b0.pos + 1]),
+             x -> x.k)) AS kk
+    FROM bt_{r} b0 JOIN cmap_{r} c ON c.w = b0.w AND c.p = b0.pos
+    WHERE b0.pos > 0
+  ) b
+), uses_{r} AS MATERIALIZED (
+  SELECT gram, CAST(SUM(cnt) AS BIGINT) AS uses
+  FROM (SELECT w, UNNEST(picked) AS gram FROM bt_{r} WHERE pos = 0) u
+  JOIN wc ON wc.w = u.w
+  GROUP BY gram
+), kept_{r} AS MATERIALIZED (
+  SELECT gram, uses FROM uses_{r} ORDER BY uses DESC, gram ASC LIMIT {keep}
+), vocab_{r} AS MATERIALIZED (
+  SELECT gram, uses,
+         CAST(ROUND(1000000 * ln(CAST((SELECT SUM(uses) FROM kept_{r}) AS DOUBLE)
+                                 / uses)) AS BIGINT) AS cost
+  FROM kept_{r}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT gram AS piece, uses, cost AS cost_unat
+FROM vocab_{_UT_ROUNDS} ORDER BY uses DESC, piece ASC"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "text_unigram_train",
+    _ut_oracle(),
+    doc=f"unigram-LM tokenizer training: {_UT_ROUNDS} hard-EM rounds "
+    f"(Viterbi counts + prune {_UT_PRUNE}/round from {_UT_K} seeds), full oracle",
+)
+def text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unigram-LM tokenizer TRAINER (Kudo 2018 — SentencePiece's
+    algorithm, hard-EM variant), completing the tokenizer-training
+    family: BPE merges by frequency, WordPiece merges by likelihood,
+    unigram by segment-count re-estimation with pruning.  Seed = the
+    corpus's top-{_UT_K} 1..4-grams with micro-nat costs; each round
+    (E) Viterbi-segments every DISTINCT word under the current costs —
+    the same packed-integer DP as text_unigram_segment plus a
+    smallest-k backtrace, both whole-stage-codegen array folds
+    (functions/unigram.py) — then (M) re-counts corpus-weighted piece
+    usage, keeps the top (seed - round*{_UT_PRUNE}) pieces and
+    re-quantizes costs ROUND(1e6*ln(kept_total/uses)).  Returns the
+    final vocabulary (piece, uses, cost_unat).
+
+    Scale: per round, ONE |word-vocab|-proportional map-side segment
+    pass + one |pieces|-bounded usage aggregation; the driver collects
+    only the <= {_UT_K}-row usage table (the bounded-collect pattern of
+    ml_kmeans_clusters); the corpus itself shuffles once into the word
+    vocabulary.  Full oracle: DuckDB replays seed, every dp, every
+    backtrace, every prune as chained MATERIALIZED CTEs + 2 recursive
+    CTEs per round; hypothesis pins the Python twin
+    (functions/unigram.unigram_train_py) and the smallest-k backtrace
+    against brute-force enumeration (tests/test_unigram_train.py)."""
+    _, table = _ut_trained(spark, sf_dir)
+    return (
+        spark.createDataFrame(
+            [(r["gram"], int(r["uses"]), int(r["cost"])) for r in table],
+            "piece string, uses long, cost_unat long",
+        )
+        .orderBy(F.col("uses").desc(), F.col("piece").asc())
     )
