@@ -1149,7 +1149,6 @@ def test_train_eval_family_baseline_audits(spark):
     from web_attack_detection_spark.plans.registry import QUERIES
 
     for q in (
-        "ml_logreg_train_eval",
         "ml_naive_bayes_train_eval",
         "ml_mlp_train_eval",
         "ml_random_forest_train_eval",
@@ -1158,6 +1157,29 @@ def test_train_eval_family_baseline_audits(spark):
         assert 0.0 < row["baseline_accuracy"] < 1.0, q
         assert row["accuracy"] >= row["baseline_accuracy"] - 0.05, (q, row)
         assert row["n_train"] > 0 and row["n_test"] > 0
+
+
+def test_logreg_exact_gd_trajectory(spark):
+    """ml_logreg_train_eval (full oracle since r8): 8 exact-GD rounds,
+    every round's MLlib-parity audit holds, the gradient-norm trace
+    shrinks (convexity: full-batch GD at a stable step size), and the
+    final training accuracy is no worse than round 1's."""
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    rows = sorted(
+        QUERIES["ml_logreg_train_eval"].fn(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["round"],
+    )
+    assert [r["round"] for r in rows] == list(range(1, 9))
+    assert all(r["audit_mllib_acc_parity"] for r in rows)
+    assert all(r["n_train"] > 0 for r in rows)
+    gnorms = [
+        abs(r["g_bias"]) + abs(r["g_z1"]) + abs(r["g_z2"]) + abs(r["g_z3"])
+        for r in rows
+    ]
+    assert gnorms[-1] < gnorms[0]
+    assert rows[-1]["n_correct"] >= rows[0]["n_correct"]
 
 
 @pytest.mark.parametrize("qname", ["ml_cnn_infer", "ml_rnn_infer", "ml_lstm_infer"])

