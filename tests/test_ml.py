@@ -1182,6 +1182,28 @@ def test_logreg_exact_gd_trajectory(spark):
     assert rows[-1]["n_correct"] >= rows[0]["n_correct"]
 
 
+def test_als_exact_invariants(spark):
+    """ml_als_exact (full oracle since r8): 2 rounds x 5 items, the
+    quantized train SSE never increases round-over-round (alternating
+    ridge solves descend the regularized objective; quantization noise
+    is orders below the observed drop), every item keeps a factor row,
+    and the MLlib SSE-parity audit holds."""
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    rows = QUERIES["ml_als_exact"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 10
+    by_round = {}
+    for r in rows:
+        by_round.setdefault(r["round"], []).append(r)
+        assert r["audit_mllib_sse_sane"] is True
+        assert r["n_users"] > 0
+    assert sorted(by_round) == [1, 2]
+    assert {r["item_id"] for r in by_round[1]} == set(range(5))
+    sse = {rd: rows_[0]["sse_q"] for rd, rows_ in by_round.items()}
+    assert sse[2] <= sse[1]
+
+
 @pytest.mark.parametrize("qname", ["ml_cnn_infer", "ml_rnn_infer", "ml_lstm_infer"])
 def test_sequence_infer_simplex_audit(spark, qname):
     """Every class group's probability mass equals its row count

@@ -2552,3 +2552,248 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grid.unpersist()
     return row
+
+
+# ---------------------------------------------------------------------------
+# exact ALS (alternating integer normal equations) — full oracle (r7 verdict #5)
+# ---------------------------------------------------------------------------
+
+_ALS_ROUNDS = 2
+_ALS_S = 1000  # factor quantization grid (1e-3)
+_ALS_LAM = 100_000  # lambda * S^2 with lambda = 0.1
+_ALS_INIT = [(i, 1000, 100 * (i + 1)) for i in range(5)]  # pinned v_0
+
+
+def _als_oracle() -> str:
+    """Chained replay of the exact alternating trajectory: each
+    half-step solves the rank-2 normal equations (A + lambda*S^2 I) x
+    = S * b in CLOSED FORM — determinant and numerators are exact
+    HUGEINT products of BIGINT sums, each factor component ONE IEEE
+    division, then re-quantized to the S grid so the next half-step's
+    sums are exact integers again (the ml_gbt_stumps_exact pattern).
+    The per-round SSE quantizes e = (cnt*S^2 - uq.vq)/S^2 per pair and
+    floors e^2 to BIGINT — an order-free exact sum, the
+    ml_kmeans_clusters distq idiom."""
+    init_rows = ", ".join(f"({i}, {a}, {b})" for i, a, b in _ALS_INIT)
+    S, LAM = _ALS_S, _ALS_LAM
+    parts = [
+        f"""WITH ratings AS MATERIALIZED (
+  SELECT user_id,
+         CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1
+              WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END AS item_id,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+), v_0(item_id, v1q, v2q) AS (VALUES {init_rows})"""
+    ]
+    for r in range(1, _ALS_ROUNDS + 1):
+        p = r - 1
+        parts.append(
+            f""", ua_{r} AS MATERIALIZED (
+  SELECT user_id,
+         SUM(v.v1q * v.v1q) AS a11, SUM(v.v1q * v.v2q) AS a12,
+         SUM(v.v2q * v.v2q) AS a22,
+         SUM(t.cnt * v.v1q) AS c1, SUM(t.cnt * v.v2q) AS c2
+  FROM ratings t JOIN v_{p} v USING (item_id) GROUP BY user_id
+), uf_{r} AS MATERIALIZED (
+  SELECT user_id,
+         CAST(ROUND(CAST(CAST(a22 + {LAM} AS HUGEINT) * CAST(c1 * {S} AS HUGEINT) - CAST(a12 AS HUGEINT) * CAST(c2 * {S} AS HUGEINT) AS DOUBLE)
+              / CAST(CAST(a11 + {LAM} AS HUGEINT) * CAST(a22 + {LAM} AS HUGEINT) - CAST(a12 AS HUGEINT) * CAST(a12 AS HUGEINT) AS DOUBLE) * {float(S)}) AS BIGINT) AS uq1,
+         CAST(ROUND(CAST(CAST(a11 + {LAM} AS HUGEINT) * CAST(c2 * {S} AS HUGEINT) - CAST(a12 AS HUGEINT) * CAST(c1 * {S} AS HUGEINT) AS DOUBLE)
+              / CAST(CAST(a11 + {LAM} AS HUGEINT) * CAST(a22 + {LAM} AS HUGEINT) - CAST(a12 AS HUGEINT) * CAST(a12 AS HUGEINT) AS DOUBLE) * {float(S)}) AS BIGINT) AS uq2
+  FROM ua_{r}
+), ia_{r} AS MATERIALIZED (
+  SELECT item_id,
+         SUM(CAST(u.uq1 AS HUGEINT) * CAST(u.uq1 AS HUGEINT)) AS a11,
+         SUM(CAST(u.uq1 AS HUGEINT) * CAST(u.uq2 AS HUGEINT)) AS a12,
+         SUM(CAST(u.uq2 AS HUGEINT) * CAST(u.uq2 AS HUGEINT)) AS a22,
+         SUM(CAST(t.cnt AS HUGEINT) * CAST(u.uq1 AS HUGEINT)) AS c1,
+         SUM(CAST(t.cnt AS HUGEINT) * CAST(u.uq2 AS HUGEINT)) AS c2,
+         CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM ratings t JOIN uf_{r} u USING (user_id) GROUP BY item_id
+), v_{r} AS MATERIALIZED (
+  SELECT item_id, n_users,
+         CAST(ROUND(CAST((a22 + {LAM}) * (c1 * {S}) - a12 * (c2 * {S}) AS DOUBLE)
+              / CAST((a11 + {LAM}) * (a22 + {LAM}) - a12 * a12 AS DOUBLE) * {float(S)}) AS BIGINT) AS v1q,
+         CAST(ROUND(CAST((a11 + {LAM}) * (c2 * {S}) - a12 * (c1 * {S}) AS DOUBLE)
+              / CAST((a11 + {LAM}) * (a22 + {LAM}) - a12 * a12 AS DOUBLE) * {float(S)}) AS BIGINT) AS v2q
+  FROM ia_{r}
+), sse_{r} AS MATERIALIZED (
+  SELECT CAST(SUM(CAST(FLOOR(e * e) AS BIGINT)) AS BIGINT) AS s
+  FROM (
+    SELECT CAST(t.cnt * {S * S} - (u.uq1 * v.v1q + u.uq2 * v.v2q) AS DOUBLE) / {float(S * S)} AS e
+    FROM ratings t JOIN uf_{r} u USING (user_id) JOIN v_{r} v USING (item_id)
+  )
+)"""
+        )
+    parts.append(
+        "\nSELECT * FROM ("
+        + " UNION ALL ".join(
+            f"""SELECT CAST({r} AS BIGINT) AS round, item_id, v1q, v2q, n_users,
+       (SELECT s FROM sse_{r}) AS sse_q, TRUE AS audit_mllib_sse_sane
+  FROM v_{r}"""
+            for r in range(1, _ALS_ROUNDS + 1)
+        )
+        + ") ORDER BY round, item_id"
+    )
+    return "".join(parts)
+
+
+@register(
+    "ml_als_exact",
+    _als_oracle(),
+    doc=f"exact rank-2 ALS ({_ALS_ROUNDS} alternating integer normal-equation rounds), "
+    "full oracle + MLlib ALS SSE-parity audit",
+)
+def ml_als_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALS matrix factorization trained IN-ENGINE with exact
+    arithmetic, FULL ORACLE — the last seeded-iterative family
+    converted (r7 verdict #5; k-means/PCA/GBT/logreg took the same
+    treatment in r7/r8).  The user x item interaction matrix (event
+    counts over the 5 event types, the ml_als_recommend relation) is
+    factorized at rank 2: each half-step solves every user's (then
+    every item's) 2x2 ridge normal equations (A + 0.1*S^2 I) x = S*b
+    in closed form — A and b are exact BIGINT sums of S-quantized
+    factors, determinant/numerators exact DECIMAL(38,0)/HUGEINT
+    products, each factor component ONE IEEE division
+    (correctly-rounded in both engines), immediately re-quantized to
+    the S=1e-3 grid so the NEXT half-step's sums are exact integers
+    again.  The DuckDB twin replays both rounds verbatim; item
+    factors, per-item user counts AND the floored per-round SSE
+    hash-match (verified bit-exact at sf0.001/0.01/0.1; SSE
+    monotonically improves, pinned in tests).
+
+    MLlib's ALS (rank 2, regParam 0.1, maxIter 5, seed 42) still fits
+    in-query on the same ratings: ``audit_mllib_sse_sane`` pins its
+    train SSE (computed by joining its factor tables — never
+    model.transform, see ml_logreg_train_eval) within 4x of the exact
+    trainer's final SSE — different optima of the same objective.
+
+    Scale: the user-solve is ONE groupBy(user) aggregation against 10
+    broadcast item-factor literals; the item-solve is one
+    groupBy(item) over ratings ⋈ user-factors (co-keyed shuffle, the
+    exact shape MLlib's blocked ALS uses); the driver collects only
+    the 5-row item-factor table per round (bounded-collect).  HUGEINT
+    sums hold to ~1e9 users per item at these magnitudes."""
+    from pyspark.ml.recommendation import ALS
+
+    S, LAM = _ALS_S, _ALS_LAM
+    D38 = "decimal(38,0)"
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    item = (
+        F.when(F.col("event_type") == "click", 0)
+        .when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "purchase", 2)
+        .when(F.col("event_type") == "signup", 3)
+        .otherwise(4)
+    )
+    ratings = (
+        ev.select("user_id", item.alias("item_id"))
+        .groupBy("user_id", "item_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    ).localCheckpoint()  # reused by every half-step + both audits
+
+    V = list(_ALS_INIT)
+    rows = []
+    sse_final = 0
+    for r in range(1, _ALS_ROUNDS + 1):
+        v1 = F.element_at(F.array(*[F.lit(v[1]) for v in V]), F.col("item_id") + 1)
+        v2 = F.element_at(F.array(*[F.lit(v[2]) for v in V]), F.col("item_id") + 1)
+        ua = (
+            ratings.select("user_id", "cnt", v1.alias("v1"), v2.alias("v2"))
+            .groupBy("user_id")
+            .agg(
+                F.sum(F.col("v1") * F.col("v1")).alias("a11"),
+                F.sum(F.col("v1") * F.col("v2")).alias("a12"),
+                F.sum(F.col("v2") * F.col("v2")).alias("a22"),
+                F.sum(F.col("cnt") * F.col("v1")).alias("c1"),
+                F.sum(F.col("cnt") * F.col("v2")).alias("c2"),
+            )
+        )
+        a11 = (F.col("a11") + F.lit(LAM)).cast(D38)
+        a22 = (F.col("a22") + F.lit(LAM)).cast(D38)
+        a12 = F.col("a12").cast(D38)
+        b1 = (F.col("c1") * F.lit(S)).cast(D38)
+        b2 = (F.col("c2") * F.lit(S)).cast(D38)
+        det = a11 * a22 - a12 * a12
+        u1 = (a22 * b1 - a12 * b2).cast("double") / det.cast("double")
+        u2 = (a11 * b2 - a12 * b1).cast("double") / det.cast("double")
+        uf = ua.select(
+            "user_id",
+            F.round(u1 * F.lit(float(S))).cast("long").alias("uq1"),
+            F.round(u2 * F.lit(float(S))).cast("long").alias("uq2"),
+        ).localCheckpoint()  # reused by item-solve AND the SSE scan
+        ru = ratings.join(uf, "user_id")
+        ia = ru.groupBy("item_id").agg(
+            F.sum((F.col("uq1") * F.col("uq1")).cast(D38)).alias("a11"),
+            F.sum((F.col("uq1") * F.col("uq2")).cast(D38)).alias("a12"),
+            F.sum((F.col("uq2") * F.col("uq2")).cast(D38)).alias("a22"),
+            F.sum((F.col("cnt") * F.col("uq1")).cast(D38)).alias("c1"),
+            F.sum((F.col("cnt") * F.col("uq2")).cast(D38)).alias("c2"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+        )
+        ia11 = F.col("a11") + F.lit(LAM).cast(D38)
+        ia22 = F.col("a22") + F.lit(LAM).cast(D38)
+        ia12 = F.col("a12")
+        ib1 = F.col("c1") * F.lit(S).cast(D38)
+        ib2 = F.col("c2") * F.lit(S).cast(D38)
+        idet = ia11 * ia22 - ia12 * ia12
+        iv1 = (ia22 * ib1 - ia12 * ib2).cast("double") / idet.cast("double")
+        iv2 = (ia11 * ib2 - ia12 * ib1).cast("double") / idet.cast("double")
+        vrows = ia.select(
+            "item_id",
+            "n_users",
+            F.round(iv1 * F.lit(float(S))).cast("long").alias("v1q"),
+            F.round(iv2 * F.lit(float(S))).cast("long").alias("v2q"),
+        ).collect()
+        V = [
+            (int(x["item_id"]), int(x["v1q"]), int(x["v2q"]))
+            for x in sorted(vrows, key=lambda y: y["item_id"])
+        ]
+        nmap = {int(x["item_id"]): int(x["n_users"]) for x in vrows}
+        nv1 = F.element_at(F.array(*[F.lit(v[1]) for v in V]), F.col("item_id") + 1)
+        nv2 = F.element_at(F.array(*[F.lit(v[2]) for v in V]), F.col("item_id") + 1)
+        dot = F.col("uq1") * nv1 + F.col("uq2") * nv2  # S^2 units
+        e = (F.col("cnt") * F.lit(S * S) - dot).cast("double") / F.lit(float(S * S))
+        sse_final = int(
+            ru.agg(F.sum(F.floor(e * e).cast("long")).alias("s")).first()["s"]
+        )
+        for i, v1q_, v2q_ in V:
+            rows.append((r, i, v1q_, v2q_, nmap[i], sse_final))
+
+    # MLlib ALS SSE-parity audit: factor tables joined manually
+    als = ALS(
+        rank=2,
+        regParam=0.1,
+        maxIter=5,
+        seed=42,
+        userCol="user_id",
+        itemCol="item_id",
+        ratingCol="cnt",
+        coldStartStrategy="drop",
+    )
+    model = als.fit(ratings.withColumn("cnt", F.col("cnt").cast("float")))
+    ufac = model.userFactors.select(
+        F.col("id").alias("user_id"), F.col("features").alias("ufeat")
+    )
+    ifac = model.itemFactors.select(
+        F.col("id").alias("item_id"), F.col("features").alias("ifeat")
+    )
+    mll_e = F.col("cnt").cast("double") - F.aggregate(
+        F.zip_with("ufeat", "ifeat", lambda a, b: (a * b).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    mll_sse = float(
+        ratings.join(ufac, "user_id")
+        .join(F.broadcast(ifac), "item_id")
+        .agg(F.sum(mll_e * mll_e).alias("s"))
+        .first()["s"]
+    )
+    ours = float(sse_final)
+    sane = bool(mll_sse > 0.0 and 0.25 <= ours / mll_sse <= 4.0)
+
+    return spark.createDataFrame(
+        [(*row, sane) for row in rows],
+        "round long, item_id int, v1q long, v2q long, n_users long,"
+        " sse_q long, audit_mllib_sse_sane boolean",
+    ).orderBy("round", "item_id")
