@@ -712,3 +712,26 @@ def test_dropout_requires_fused_minibatch(spark):
             batch_size=32, exec_mode="allreduce", dropout=0.3,
         )
     df.unpersist()
+
+
+def test_seqnet_served_confusion_paths_agree(spark):
+    """ml_seqnet_served_confusion (r8): the codegen'd integer hard-tanh
+    recurrence and the numpy int64 Arrow path score every user
+    identically (audit boolean), and the confusion relation partitions
+    exactly the corpus's user population."""
+    import duckdb
+
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["ml_seqnet_served_confusion"].fn(spark, sf).collect()
+    assert rows
+    assert all(r["audit_numpy_agrees"] is True for r in rows)
+    n_users = duckdb.sql(
+        f"SELECT COUNT(DISTINCT user_id) FROM '{sf}/events.parquet'"
+    ).fetchone()[0]
+    assert sum(r["n_users"] for r in rows) == n_users
+    assert {r["label_type"] for r in rows} <= {
+        "click", "error", "purchase", "signup", "view"
+    }

@@ -594,3 +594,232 @@ def ml_mlp_train_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     val.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# served-confusion for the sequence-net family (r7 verdict #6): a PINNED
+# integer hard-tanh RNN served by BOTH engine paths — transpiled Catalyst
+# SQL (drives the full-oracle confusion relation) and the numpy/Arrow
+# executor path the trained nets use (row-level agreement audit)
+# ---------------------------------------------------------------------------
+
+_SEQN_T = 6  # sequence length (first T events per user, event_id order)
+_SEQN_H = 3  # hidden units
+_SEQN_CLAMP = 100  # hard-tanh saturation (integer clamp, no division)
+_SEQN_W = [2, -1, 1]  # input weights, one per hidden unit
+_SEQN_U = [[1, -1, 0], [0, 1, -1], [-1, 0, 1]]  # recurrent weights
+_SEQN_B = [1, -2, 3]  # hidden bias
+_SEQN_V = [[2, -1, 1], [-2, 1, 3], [1, 2, -1], [3, -2, -2], [-1, 3, 2]]
+_SEQN_C = [1, -1, 2, 0, -2]  # class bias
+
+
+def _seqn_oracle() -> str:
+    n_cls = len(_SEQN_V)
+    xs = ",\n         ".join(
+        f"COALESCE(MAX(CASE WHEN rn = {t} THEN x END), 0) AS x{t}"
+        for t in range(1, _SEQN_T + 1)
+    )
+    steps = []
+    for t in range(1, _SEQN_T + 1):
+        cols = ", ".join(
+            f"GREATEST(LEAST({_SEQN_U[i][0]}*h0 + {_SEQN_U[i][1]}*h1 + "
+            f"{_SEQN_U[i][2]}*h2 + {_SEQN_W[i]}*x{t} + {_SEQN_B[i]}, "
+            f"{_SEQN_CLAMP}), -{_SEQN_CLAMP}) AS nh{i}"
+            for i in range(_SEQN_H)
+        )
+        ren = ", ".join(f"nh{i} AS h{i}" for i in range(_SEQN_H))
+        steps.append(
+            f", st_{t} AS MATERIALIZED (\n  SELECT user_id, "
+            + ", ".join(f"x{u}" for u in range(1, _SEQN_T + 1))
+            + f", {ren} FROM (SELECT *, {cols} FROM st_{t-1})\n)"
+        )
+    margins = ", ".join(
+        f"({_SEQN_C[k]} + {_SEQN_V[k][0]}*h0 + {_SEQN_V[k][1]}*h1 + "
+        f"{_SEQN_V[k][2]}*h2) AS m{k}"
+        for k in range(n_cls)
+    )
+    cases = []
+    for k in range(n_cls - 1):
+        rest = ", ".join(f"m{j}" for j in range(k + 1, n_cls))
+        gt = f"GREATEST({rest})" if k < n_cls - 2 else f"m{n_cls-1}"
+        cases.append(f"WHEN m{k} >= {gt} THEN {k}")
+    case = "CASE " + " ".join(cases) + f" ELSE {n_cls-1} END"
+    return f"""
+WITH seq0 AS MATERIALIZED (
+  SELECT user_id, (CAST(ROUND(value * 100) AS BIGINT) % 16) - 8 AS x,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events
+), st_0 AS MATERIALIZED (
+  SELECT user_id,
+         {xs},
+         CAST(0 AS BIGINT) AS h0, CAST(0 AS BIGINT) AS h1,
+         CAST(0 AS BIGINT) AS h2
+  FROM seq0 WHERE rn <= {_SEQN_T} GROUP BY user_id
+){"".join(steps)}, scored AS MATERIALIZED (
+  SELECT user_id, {case} AS pred
+  FROM (SELECT user_id, {margins} FROM st_{_SEQN_T})
+), lab AS MATERIALIZED (
+  SELECT user_id, event_type FROM (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY COUNT(*) DESC, event_type ASC) AS rn
+    FROM events GROUP BY user_id, event_type
+  ) WHERE rn = 1
+)
+SELECT l.event_type AS label_type, CAST(s.pred AS INTEGER) AS pred_class,
+       CAST(COUNT(*) AS BIGINT) AS n_users, TRUE AS audit_numpy_agrees
+FROM scored s JOIN lab l USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+@register(
+    "ml_seqnet_served_confusion",
+    _seqn_oracle(),
+    doc="pinned integer hard-tanh RNN served by transpiled SQL AND the numpy/Arrow "
+    "path: full-oracle confusion relation + row-level path-agreement audit",
+)
+def ml_seqnet_served_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level check for the sequence-net SERVING machinery (r7
+    verdict #6): the trained CNN/RNN/LSTM queries are rows-only because
+    float weights have no SQL twin, so this query pins the machinery
+    they ride on with a model that DOES have one — a pinned
+    integer-weight recurrent net whose hard-tanh is an integer clamp
+    (GREATEST/LEAST, no division, no transcendental): h_t =
+    clamp(U.h_(t-1) + W.x_t + b, +-{_SEQN_CLAMP}) over each user's
+    first {_SEQN_T} events (event_id order, zero-padded), margins =
+    V.h_T + c, first-max argmax.  Every step is exact BIGINT in both
+    engines, so the per-(label, prediction) confusion relation is a
+    FULL oracle — DuckDB replays the unrolled recurrence as chained
+    MATERIALIZED CTEs (one per step; materialization stops the
+    3^T expression inlining blowup, the text_bpe_train lesson — the
+    Spark side chains one projection per step for the same reason).
+
+    The SAME pinned weights then score the SAME sequences through the
+    numpy int64 Arrow path (pandas_udf — the execution shape
+    ml/nets.py's trained inference uses): ``audit_numpy_agrees`` pins
+    row-for-row argmax equality between the codegen plan and the
+    Python-worker plan (np.argmax and array_position share the
+    first-max rule).  A drift in either serving path — Arrow batch
+    handling, clamp semantics, argmax ties — hash-mismatches the
+    driver compare or flips the audit.
+
+    Scale: one windowed rank per user (partitioned, bounded), one
+    groupBy(user) pivot to the fixed-width sequence, then pure
+    map-side projections; the confusion aggregate is <= 25 rows."""
+    import pandas as pd  # noqa: F401
+
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    events = load_table(spark, sf_dir, "events").drop("props", "ts")
+    x = (F.round(F.col("value") * 100).cast("long") % 16) - 8
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("event_id")
+    )
+    seq0 = events.select("user_id", x.alias("x"), rn.alias("rn")).filter(
+        F.col("rn") <= _SEQN_T
+    )
+    sq = seq0.groupBy("user_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("rn") == t, F.col("x"))), F.lit(0)
+            ).alias(f"x{t}")
+            for t in range(1, _SEQN_T + 1)
+        ]
+    )
+    # unrolled recurrence: ONE chained projection per step (a single
+    # expression tree would re-inline 3^T times under CollapseProject)
+    df = sq.select(
+        "user_id",
+        *[f"x{t}" for t in range(1, _SEQN_T + 1)],
+        *[F.lit(0).cast("long").alias(f"h{i}") for i in range(_SEQN_H)],
+    )
+    for t in range(1, _SEQN_T + 1):
+        pre = [
+            (
+                F.lit(_SEQN_U[i][0]) * F.col("h0")
+                + F.lit(_SEQN_U[i][1]) * F.col("h1")
+                + F.lit(_SEQN_U[i][2]) * F.col("h2")
+                + F.lit(_SEQN_W[i]) * F.col(f"x{t}")
+                + F.lit(_SEQN_B[i])
+            )
+            for i in range(_SEQN_H)
+        ]
+        df = df.select(
+            "user_id",
+            *[f"x{u}" for u in range(1, _SEQN_T + 1)],
+            *[
+                F.greatest(
+                    F.least(pre[i], F.lit(_SEQN_CLAMP).cast("long")),
+                    F.lit(-_SEQN_CLAMP).cast("long"),
+                ).alias(f"h{i}")
+                for i in range(_SEQN_H)
+            ],
+        )
+    margins = F.array(
+        *[
+            F.lit(_SEQN_C[k])
+            + F.lit(_SEQN_V[k][0]) * F.col("h0")
+            + F.lit(_SEQN_V[k][1]) * F.col("h1")
+            + F.lit(_SEQN_V[k][2]) * F.col("h2")
+            for k in range(len(_SEQN_V))
+        ]
+    )
+    scored = df.select(
+        "user_id",
+        *[f"x{t}" for t in range(1, _SEQN_T + 1)],
+        (F.array_position(margins, F.array_max(margins)) - 1)
+        .cast("int")
+        .alias("pred"),
+    ).localCheckpoint()  # reused by the confusion output AND the audit
+
+    # numpy/Arrow path with the SAME weights (int64-exact)
+    W, U, B = _SEQN_W, _SEQN_U, _SEQN_B
+    V, C, T, H, CL = _SEQN_V, _SEQN_C, _SEQN_T, _SEQN_H, _SEQN_CLAMP
+
+    def _np_pred_fn(xs):
+        import numpy as np
+        import pandas as pd
+
+        X = np.stack([np.asarray(v, dtype="int64") for v in xs.to_numpy()])
+        Ua = np.array(U, dtype="int64")
+        h = np.zeros((len(X), H), dtype="int64")
+        for t in range(T):
+            pre = (
+                h @ Ua.T
+                + np.outer(X[:, t], np.array(W, dtype="int64"))
+                + np.array(B, dtype="int64")
+            )
+            h = np.clip(pre, -CL, CL)
+        m = h @ np.array(V, dtype="int64").T + np.array(C, dtype="int64")
+        return pd.Series(np.argmax(m, axis=1).astype("int32"))
+
+    np_pred = pandas_udf(_np_pred_fn, "int")
+    xarr = F.array(*[F.col(f"x{t}") for t in range(1, _SEQN_T + 1)])
+    agree = scored.select(
+        (
+            F.sum((F.col("pred") == np_pred(xarr)).cast("long"))
+            == F.count(F.lit(1))
+        ).alias("ok")
+    ).first()["ok"]
+
+    lw = Window.partitionBy("user_id").orderBy(
+        F.col("c").desc(), F.col("event_type").asc()
+    )
+    lab = (
+        events.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", F.row_number().over(lw))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type")
+    )
+    return (
+        scored.join(lab, "user_id")
+        .groupBy(
+            F.col("event_type").alias("label_type"),
+            F.col("pred").alias("pred_class"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .withColumn("audit_numpy_agrees", F.lit(bool(agree)))
+        .orderBy("label_type", "pred_class")
+    )
