@@ -646,10 +646,11 @@ def test_gbt_and_als_shapes(spark):
     row = a[0]
     n_multi = int((pdf.groupby("user_id")["event_type"].nunique() >= 2).sum())
     assert row["n_users"] == n_multi
-    assert 0 <= row["als_hits"] <= row["n_users"]
+    assert 0 <= row["exact_hits"] <= row["n_users"]
     assert 0 <= row["pop_hits"] <= row["n_users"]
-    assert 0.0 <= row["als_hit_rate"] <= 1.0
+    assert 0.0 <= row["exact_hit_rate"] <= 1.0
     assert 0.0 <= row["pop_hit_rate"] <= 1.0
+    assert row["audit_mllib_hit_parity"] is True
 
 
 def test_feature_attribution_matches_numpy(spark):

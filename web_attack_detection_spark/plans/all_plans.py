@@ -57,7 +57,7 @@ for _mod in PLAN_MODULES:
 # this means a plan module loaded but failed to register (the one
 # silent-shrink path imports can't catch).
 EXPECTED_MIN_QUERIES = 310
-EXPECTED_MIN_ORACLES = 297
+EXPECTED_MIN_ORACLES = 298
 
 from web_attack_detection_spark.plans.registry import QUERIES as _Q  # noqa: E402
 

@@ -642,58 +642,258 @@ def ml_gbt_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# exact ALS (alternating integer normal equations) — full oracle (r7 verdict #5)
+# ---------------------------------------------------------------------------
+
+_ALS_ROUNDS = 2
+_ALS_S = 1000  # factor quantization grid (1e-3)
+_ALS_LAM = 100_000  # lambda * S^2 with lambda = 0.1
+_ALS_INIT = [(i, 1000, 100 * (i + 1)) for i in range(5)]  # pinned v_0
+
+
+def _als_rounds_sql(src: str) -> str:
+    """The {_ALS_ROUNDS} alternating rounds as chained CTE text, over
+    a ratings-shaped source CTE named ``src`` — shared by the
+    ml_als_exact oracle (src=ratings) and the ml_als_recommend oracle
+    (src=train, the leave-one-out split)."""
+    S, LAM = _ALS_S, _ALS_LAM
+    parts = []
+    for r in range(1, _ALS_ROUNDS + 1):
+        p = r - 1
+        parts.append(
+            f""", ua_{r} AS MATERIALIZED (
+  SELECT user_id,
+         SUM(v.v1q * v.v1q) AS a11, SUM(v.v1q * v.v2q) AS a12,
+         SUM(v.v2q * v.v2q) AS a22,
+         SUM(t.cnt * v.v1q) AS c1, SUM(t.cnt * v.v2q) AS c2
+  FROM {src} t JOIN v_{p} v USING (item_id) GROUP BY user_id
+), uf_{r} AS MATERIALIZED (
+  SELECT user_id,
+         CAST(ROUND(CAST(CAST(a22 + {LAM} AS HUGEINT) * CAST(c1 * {S} AS HUGEINT) - CAST(a12 AS HUGEINT) * CAST(c2 * {S} AS HUGEINT) AS DOUBLE)
+              / CAST(CAST(a11 + {LAM} AS HUGEINT) * CAST(a22 + {LAM} AS HUGEINT) - CAST(a12 AS HUGEINT) * CAST(a12 AS HUGEINT) AS DOUBLE) * {float(S)}) AS BIGINT) AS uq1,
+         CAST(ROUND(CAST(CAST(a11 + {LAM} AS HUGEINT) * CAST(c2 * {S} AS HUGEINT) - CAST(a12 AS HUGEINT) * CAST(c1 * {S} AS HUGEINT) AS DOUBLE)
+              / CAST(CAST(a11 + {LAM} AS HUGEINT) * CAST(a22 + {LAM} AS HUGEINT) - CAST(a12 AS HUGEINT) * CAST(a12 AS HUGEINT) AS DOUBLE) * {float(S)}) AS BIGINT) AS uq2
+  FROM ua_{r}
+), ia_{r} AS MATERIALIZED (
+  SELECT item_id,
+         SUM(CAST(u.uq1 AS HUGEINT) * CAST(u.uq1 AS HUGEINT)) AS a11,
+         SUM(CAST(u.uq1 AS HUGEINT) * CAST(u.uq2 AS HUGEINT)) AS a12,
+         SUM(CAST(u.uq2 AS HUGEINT) * CAST(u.uq2 AS HUGEINT)) AS a22,
+         SUM(CAST(t.cnt AS HUGEINT) * CAST(u.uq1 AS HUGEINT)) AS c1,
+         SUM(CAST(t.cnt AS HUGEINT) * CAST(u.uq2 AS HUGEINT)) AS c2,
+         CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM {src} t JOIN uf_{r} u USING (user_id) GROUP BY item_id
+), v_{r} AS MATERIALIZED (
+  SELECT item_id, n_users,
+         CAST(ROUND(CAST((a22 + {LAM}) * (c1 * {S}) - a12 * (c2 * {S}) AS DOUBLE)
+              / CAST((a11 + {LAM}) * (a22 + {LAM}) - a12 * a12 AS DOUBLE) * {float(S)}) AS BIGINT) AS v1q,
+         CAST(ROUND(CAST((a11 + {LAM}) * (c2 * {S}) - a12 * (c1 * {S}) AS DOUBLE)
+              / CAST((a11 + {LAM}) * (a22 + {LAM}) - a12 * a12 AS DOUBLE) * {float(S)}) AS BIGINT) AS v2q
+  FROM ia_{r}
+), sse_{r} AS MATERIALIZED (
+  SELECT CAST(SUM(CAST(FLOOR(e * e) AS BIGINT)) AS BIGINT) AS s
+  FROM (
+    SELECT CAST(t.cnt * {S * S} - (u.uq1 * v.v1q + u.uq2 * v.v2q) AS DOUBLE) / {float(S * S)} AS e
+    FROM {src} t JOIN uf_{r} u USING (user_id) JOIN v_{r} v USING (item_id)
+  )
+)"""
+        )
+    return "".join(parts)
+
+
+def _als_oracle() -> str:
+    """Chained replay of the exact alternating trajectory: each
+    half-step solves the rank-2 normal equations (A + lambda*S^2 I) x
+    = S * b in CLOSED FORM — determinant and numerators are exact
+    HUGEINT products of BIGINT sums, each factor component ONE IEEE
+    division, then re-quantized to the S grid so the next half-step's
+    sums are exact integers again (the ml_gbt_stumps_exact pattern).
+    The per-round SSE quantizes e = (cnt*S^2 - uq.vq)/S^2 per pair and
+    floors e^2 to BIGINT — an order-free exact sum, the
+    ml_kmeans_clusters distq idiom."""
+    init_rows = ", ".join(f"({i}, {a}, {b})" for i, a, b in _ALS_INIT)
+    return (
+        f"""WITH ratings AS MATERIALIZED (
+  SELECT user_id,
+         CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1
+              WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END AS item_id,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+), v_0(item_id, v1q, v2q) AS (VALUES {init_rows})"""
+        + _als_rounds_sql("ratings")
+        + "\nSELECT * FROM ("
+        + " UNION ALL ".join(
+            f"""SELECT CAST({r} AS BIGINT) AS round, item_id, v1q, v2q, n_users,
+       (SELECT s FROM sse_{r}) AS sse_q, TRUE AS audit_mllib_sse_sane
+  FROM v_{r}"""
+            for r in range(1, _ALS_ROUNDS + 1)
+        )
+        + ") ORDER BY round, item_id"
+    )
+
+
+_ALS_RECO_ORACLE_HEAD = """WITH base AS MATERIALIZED (
+  SELECT user_id,
+         CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1
+              WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END AS item_id,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+), ranked AS MATERIALIZED (
+  SELECT user_id, item_id, cnt,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY cnt DESC, item_id ASC) AS rn
+  FROM base
+), train AS MATERIALIZED (
+  SELECT user_id, item_id, cnt FROM ranked WHERE rn > 1
+), held AS MATERIALIZED (
+  SELECT r.user_id, r.item_id AS held_item
+  FROM ranked r
+  WHERE r.rn = 1
+    AND EXISTS (SELECT 1 FROM train t WHERE t.user_id = r.user_id)
+)"""
+
+
+def _als_reco_oracle() -> str:
+    init_rows = ", ".join(f"({i}, {a}, {b})" for i, a, b in _ALS_INIT)
+    R = _ALS_ROUNDS
+    return (
+        _ALS_RECO_ORACLE_HEAD
+        + f", v_0(item_id, v1q, v2q) AS (VALUES {init_rows})"
+        + _als_rounds_sql("train")
+        + f"""
+, cand AS MATERIALIZED (
+  SELECT u.user_id, v.item_id, u.uq1 * v.v1q + u.uq2 * v.v2q AS score
+  FROM uf_{R} u CROSS JOIN v_{R} v
+  WHERE NOT EXISTS (SELECT 1 FROM train t
+                    WHERE t.user_id = u.user_id AND t.item_id = v.item_id)
+), top2 AS MATERIALIZED (
+  SELECT user_id, item_id FROM (
+    SELECT user_id, item_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY score DESC, item_id ASC) AS rr
+    FROM cand
+  ) WHERE rr <= 2
+), ehits AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS h
+  FROM top2 t JOIN held h2
+    ON t.user_id = h2.user_id AND t.item_id = h2.held_item
+), pop AS MATERIALIZED (
+  SELECT item_id, CAST(SUM(cnt) AS BIGINT) AS score FROM train GROUP BY item_id
+), ptop2 AS MATERIALIZED (
+  SELECT user_id, item_id FROM (
+    SELECT h.user_id, p.item_id,
+           ROW_NUMBER() OVER (PARTITION BY h.user_id
+                              ORDER BY p.score DESC, p.item_id ASC) AS rr
+    FROM held h CROSS JOIN pop p
+    WHERE NOT EXISTS (SELECT 1 FROM train t
+                      WHERE t.user_id = h.user_id AND t.item_id = p.item_id)
+  ) WHERE rr <= 2
+), phits AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS h
+  FROM ptop2 t JOIN held h2
+    ON t.user_id = h2.user_id AND t.item_id = h2.held_item
+), nn AS MATERIALIZED (
+  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM train
+)
+SELECT nn.n AS n_users, e.h AS exact_hits,
+       ROUND(CAST(e.h AS DOUBLE) / nn.n, 6) AS exact_hit_rate,
+       p.h AS pop_hits,
+       ROUND(CAST(p.h AS DOUBLE) / nn.n, 6) AS pop_hit_rate,
+       TRUE AS audit_mllib_hit_parity
+FROM ehits e, phits p, nn"""
+    )
+
+
 @register(
     "ml_als_recommend",
-    None,
-    doc="MLlib ALS implicit-feedback recommender over user x event-type interactions",
+    _als_reco_oracle(),
+    doc="leave-one-out recommender eval served by the EXACT ALS factors, full "
+    "oracle + MLlib implicit-ALS hit-rate parity audit",
 )
 def ml_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Collaborative filtering, the remaining MLlib family: build the
-    implicit-feedback interaction matrix (user x event_type
-    engagement counts) from the event log, factorize with ALS (rank
-    8, implicit preferences — the Hu/Koren/Volinsky formulation), and
-    evaluate it with a leave-one-out ranking protocol (VERDICT r4 #4):
-    each user's MOST-interacted item is held out, ALS fits on the
-    rest, and the result row reports hit-rate@2 — how often the held
-    item appears in the user's top-2 ALS recommendations among items
-    NOT in that user's training set — next to the same protocol run
-    on a global-popularity ranker, the baseline every recommender
-    must justify itself against. ALS scales as alternating block
-    solves — each iteration is two shuffles keyed by user/item
-    blocks, no driver bottleneck; the evaluation adds one co-keyed
-    anti-join (candidates vs train) and a per-user top-2 window.
-    Seeded; rows-only (hit-rates are factorization-dependent), the
-    result row proving its own claim."""
+    """Collaborative-filtering evaluation, FULL ORACLE since round 8
+    (rows-only before: "hit-rates are factorization-dependent" — true
+    for MLlib's seeded blocked solver, no longer true now that the
+    engine owns a DETERMINISTIC exact trainer).  The leave-one-out
+    ranking protocol is unchanged (VERDICT r4 #4): each user's
+    most-interacted item (cnt desc, item_id asc) is held out, the
+    recommender fits on the rest, and hit-rate@2 counts how often the
+    held item lands in the user's top-2 among items NOT in that
+    user's train set, next to the same protocol on the
+    global-popularity ranker.  The ranker is now the exact rank-2
+    alternating trainer (_als_fit — the ml_als_exact arithmetic:
+    BIGINT normal-equation sums, HUGEINT determinants, one IEEE
+    division per component, re-quantized factors), so scores
+    uq·vq are exact BIGINTs, the top-2 windows are deterministic, and
+    DuckDB replays split, training rounds, scoring, ranking, and both
+    hit counts end-to-end.
+
+    MLlib's implicit-feedback ALS (rank 8, the Hu/Koren/Volinsky
+    formulation, seed 42) still fits in-query on the same split and
+    runs the same protocol: ``audit_mllib_hit_parity`` pins
+    |exact hit-rate - MLlib hit-rate| <= 0.35 — two factorizations of
+    one matrix must tell roughly the same ranking story (measured gap
+    <= 0.1 at fixture SFs; the tolerance absorbs the seeded solver's
+    spread, not a semantic gap).
+
+    Scale: the split is one partitioned window; training as
+    ml_als_exact; candidate scoring is |eval users| x 5 items
+    (map-side cross join against the 5-row broadcast factor table);
+    the protocol's anti-join and top-2 window are per-user bounded."""
     from pyspark.ml.recommendation import ALS
 
-    e = load_table(spark, sf_dir, "events")
-    inter = (
-        e.groupBy("user_id", "event_type")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn(
-            "item_id",
-            F.when(F.col("event_type") == "click", 0)
-            .when(F.col("event_type") == "view", 1)
-            .when(F.col("event_type") == "purchase", 2)
-            .when(F.col("event_type") == "signup", 3)
-            .otherwise(4),
-        )
-        .select("user_id", "item_id", "cnt")
-    )
-    # leave-one-out split: hold each user's top item (cnt desc, id asc)
+    ratings = _als_ratings(spark, sf_dir)
     uw = Window.partitionBy("user_id").orderBy(
         F.col("cnt").desc(), F.col("item_id").asc()
     )
-    ranked = inter.withColumn("_rn", F.row_number().over(uw)).cache()
-    train = ranked.filter(F.col("_rn") > 1).drop("_rn")
-    # users with >= 2 items are the evaluable population (a 1-item
-    # user has an empty train side — neither ranker ever sees them)
+    ranked = ratings.withColumn("_rn", F.row_number().over(uw)).localCheckpoint()
+    train = ranked.filter(F.col("_rn") > 1).drop("_rn").localCheckpoint()
     eval_users = train.select("user_id").distinct()
     held = (
         ranked.filter(F.col("_rn") == 1)
         .select("user_id", F.col("item_id").alias("held_item"))
         .join(eval_users, "user_id", "left_semi")
+        .localCheckpoint()
     )
+
+    # exact-ALS ranker (drives the oracle-checked output)
+    uf, V, _, _, _ = _als_fit(train)
+    items_df = spark.createDataFrame(V, "item_id int, v1q long, v2q long")
+    cand = (
+        uf.crossJoin(F.broadcast(items_df))
+        .select(
+            "user_id",
+            "item_id",
+            (F.col("uq1") * F.col("v1q") + F.col("uq2") * F.col("v2q")).alias(
+                "score"
+            ),
+        )
+        .join(train.select("user_id", "item_id"), ["user_id", "item_id"], "left_anti")
+    )
+
+    def top2_hits(c):
+        cw = Window.partitionBy("user_id").orderBy(
+            F.col("score").desc(), F.col("item_id").asc()
+        )
+        top2 = c.withColumn("_r", F.row_number().over(cw)).filter(F.col("_r") <= 2)
+        return top2.join(
+            held,
+            (top2.user_id == held.user_id) & (top2.item_id == held.held_item),
+            "inner",
+        ).count()
+
+    exact_hits = top2_hits(cand)
+    pop = train.groupBy("item_id").agg(F.sum("cnt").cast("long").alias("score"))
+    pop_cand = (
+        held.select("user_id")
+        .crossJoin(F.broadcast(pop))
+        .join(train.select("user_id", "item_id"), ["user_id", "item_id"], "left_anti")
+    )
+    pop_hits = top2_hits(pop_cand)
+    n_eval = eval_users.count()
+
+    # MLlib implicit-ALS parity audit: same split, same protocol
     als = ALS(
         userCol="user_id",
         itemCol="item_id",
@@ -705,24 +905,7 @@ def ml_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
         coldStartStrategy="drop",
     )
     model = als.fit(train)
-
-    def top2_hits(cand):
-        """cand: (user_id, item_id, score) candidates OUTSIDE the
-        user's train set → held-item hits within the per-user top-2."""
-        cw = Window.partitionBy("user_id").orderBy(
-            F.col("score").desc(), F.col("item_id").asc()
-        )
-        top2 = cand.withColumn("_r", F.row_number().over(cw)).filter(
-            F.col("_r") <= 2
-        )
-        return top2.join(
-            held,
-            (top2.user_id == held.user_id) & (top2.item_id == held.held_item),
-            "inner",
-        ).count()
-
-    # ALS candidates: all-item scores per user, minus training items
-    als_cand = (
+    mll_cand = (
         model.recommendForAllUsers(5)
         .select("user_id", F.explode("recommendations").alias("rec"))
         .select(
@@ -732,29 +915,22 @@ def ml_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(train.select("user_id", "item_id"), ["user_id", "item_id"], "left_anti")
     )
-    # popularity baseline: same protocol, score = global train count
-    pop = train.groupBy("item_id").agg(F.sum("cnt").cast("double").alias("score"))
-    pop_cand = (
-        held.select("user_id")
-        .crossJoin(F.broadcast(pop))
-        .join(train.select("user_id", "item_id"), ["user_id", "item_id"], "left_anti")
+    mll_hits = top2_hits(mll_cand)
+    parity = bool(
+        n_eval > 0 and abs(exact_hits - mll_hits) / n_eval <= 0.35
     )
-    n_eval = eval_users.count()
-    als_hits = top2_hits(als_cand)
-    pop_hits = top2_hits(pop_cand)
-    ranked.unpersist()
+
     return spark.createDataFrame(
-        [
-            (
-                n_eval,
-                als_hits,
-                round(als_hits / n_eval, 6) if n_eval else 0.0,
-                pop_hits,
-                round(pop_hits / n_eval, 6) if n_eval else 0.0,
-            )
-        ],
-        "n_users long, als_hits long, als_hit_rate double, "
-        "pop_hits long, pop_hit_rate double",
+        [(n_eval, exact_hits, pop_hits, parity)],
+        "n_users long, exact_hits long, pop_hits long,"
+        " audit_mllib_hit_parity boolean",
+    ).select(
+        "n_users",
+        "exact_hits",
+        F.round(F.col("exact_hits") / F.col("n_users"), 6).alias("exact_hit_rate"),
+        "pop_hits",
+        F.round(F.col("pop_hits") / F.col("n_users"), 6).alias("pop_hit_rate"),
+        "audit_mllib_hit_parity",
     )
 
 
@@ -2554,88 +2730,6 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return row
 
 
-# ---------------------------------------------------------------------------
-# exact ALS (alternating integer normal equations) — full oracle (r7 verdict #5)
-# ---------------------------------------------------------------------------
-
-_ALS_ROUNDS = 2
-_ALS_S = 1000  # factor quantization grid (1e-3)
-_ALS_LAM = 100_000  # lambda * S^2 with lambda = 0.1
-_ALS_INIT = [(i, 1000, 100 * (i + 1)) for i in range(5)]  # pinned v_0
-
-
-def _als_oracle() -> str:
-    """Chained replay of the exact alternating trajectory: each
-    half-step solves the rank-2 normal equations (A + lambda*S^2 I) x
-    = S * b in CLOSED FORM — determinant and numerators are exact
-    HUGEINT products of BIGINT sums, each factor component ONE IEEE
-    division, then re-quantized to the S grid so the next half-step's
-    sums are exact integers again (the ml_gbt_stumps_exact pattern).
-    The per-round SSE quantizes e = (cnt*S^2 - uq.vq)/S^2 per pair and
-    floors e^2 to BIGINT — an order-free exact sum, the
-    ml_kmeans_clusters distq idiom."""
-    init_rows = ", ".join(f"({i}, {a}, {b})" for i, a, b in _ALS_INIT)
-    S, LAM = _ALS_S, _ALS_LAM
-    parts = [
-        f"""WITH ratings AS MATERIALIZED (
-  SELECT user_id,
-         CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1
-              WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END AS item_id,
-         CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM events GROUP BY 1, 2
-), v_0(item_id, v1q, v2q) AS (VALUES {init_rows})"""
-    ]
-    for r in range(1, _ALS_ROUNDS + 1):
-        p = r - 1
-        parts.append(
-            f""", ua_{r} AS MATERIALIZED (
-  SELECT user_id,
-         SUM(v.v1q * v.v1q) AS a11, SUM(v.v1q * v.v2q) AS a12,
-         SUM(v.v2q * v.v2q) AS a22,
-         SUM(t.cnt * v.v1q) AS c1, SUM(t.cnt * v.v2q) AS c2
-  FROM ratings t JOIN v_{p} v USING (item_id) GROUP BY user_id
-), uf_{r} AS MATERIALIZED (
-  SELECT user_id,
-         CAST(ROUND(CAST(CAST(a22 + {LAM} AS HUGEINT) * CAST(c1 * {S} AS HUGEINT) - CAST(a12 AS HUGEINT) * CAST(c2 * {S} AS HUGEINT) AS DOUBLE)
-              / CAST(CAST(a11 + {LAM} AS HUGEINT) * CAST(a22 + {LAM} AS HUGEINT) - CAST(a12 AS HUGEINT) * CAST(a12 AS HUGEINT) AS DOUBLE) * {float(S)}) AS BIGINT) AS uq1,
-         CAST(ROUND(CAST(CAST(a11 + {LAM} AS HUGEINT) * CAST(c2 * {S} AS HUGEINT) - CAST(a12 AS HUGEINT) * CAST(c1 * {S} AS HUGEINT) AS DOUBLE)
-              / CAST(CAST(a11 + {LAM} AS HUGEINT) * CAST(a22 + {LAM} AS HUGEINT) - CAST(a12 AS HUGEINT) * CAST(a12 AS HUGEINT) AS DOUBLE) * {float(S)}) AS BIGINT) AS uq2
-  FROM ua_{r}
-), ia_{r} AS MATERIALIZED (
-  SELECT item_id,
-         SUM(CAST(u.uq1 AS HUGEINT) * CAST(u.uq1 AS HUGEINT)) AS a11,
-         SUM(CAST(u.uq1 AS HUGEINT) * CAST(u.uq2 AS HUGEINT)) AS a12,
-         SUM(CAST(u.uq2 AS HUGEINT) * CAST(u.uq2 AS HUGEINT)) AS a22,
-         SUM(CAST(t.cnt AS HUGEINT) * CAST(u.uq1 AS HUGEINT)) AS c1,
-         SUM(CAST(t.cnt AS HUGEINT) * CAST(u.uq2 AS HUGEINT)) AS c2,
-         CAST(COUNT(*) AS BIGINT) AS n_users
-  FROM ratings t JOIN uf_{r} u USING (user_id) GROUP BY item_id
-), v_{r} AS MATERIALIZED (
-  SELECT item_id, n_users,
-         CAST(ROUND(CAST((a22 + {LAM}) * (c1 * {S}) - a12 * (c2 * {S}) AS DOUBLE)
-              / CAST((a11 + {LAM}) * (a22 + {LAM}) - a12 * a12 AS DOUBLE) * {float(S)}) AS BIGINT) AS v1q,
-         CAST(ROUND(CAST((a11 + {LAM}) * (c2 * {S}) - a12 * (c1 * {S}) AS DOUBLE)
-              / CAST((a11 + {LAM}) * (a22 + {LAM}) - a12 * a12 AS DOUBLE) * {float(S)}) AS BIGINT) AS v2q
-  FROM ia_{r}
-), sse_{r} AS MATERIALIZED (
-  SELECT CAST(SUM(CAST(FLOOR(e * e) AS BIGINT)) AS BIGINT) AS s
-  FROM (
-    SELECT CAST(t.cnt * {S * S} - (u.uq1 * v.v1q + u.uq2 * v.v2q) AS DOUBLE) / {float(S * S)} AS e
-    FROM ratings t JOIN uf_{r} u USING (user_id) JOIN v_{r} v USING (item_id)
-  )
-)"""
-        )
-    parts.append(
-        "\nSELECT * FROM ("
-        + " UNION ALL ".join(
-            f"""SELECT CAST({r} AS BIGINT) AS round, item_id, v1q, v2q, n_users,
-       (SELECT s FROM sse_{r}) AS sse_q, TRUE AS audit_mllib_sse_sane
-  FROM v_{r}"""
-            for r in range(1, _ALS_ROUNDS + 1)
-        )
-        + ") ORDER BY round, item_id"
-    )
-    return "".join(parts)
 
 
 @register(
@@ -2676,8 +2770,50 @@ def ml_als_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums hold to ~1e9 users per item at these magnitudes."""
     from pyspark.ml.recommendation import ALS
 
-    S, LAM = _ALS_S, _ALS_LAM
-    D38 = "decimal(38,0)"
+    ratings = _als_ratings(spark, sf_dir)
+    uf, V, rows, sse_final, _ = _als_fit(ratings)
+
+    # MLlib ALS SSE-parity audit: factor tables joined manually
+    als = ALS(
+        rank=2,
+        regParam=0.1,
+        maxIter=5,
+        seed=42,
+        userCol="user_id",
+        itemCol="item_id",
+        ratingCol="cnt",
+        coldStartStrategy="drop",
+    )
+    model = als.fit(ratings.withColumn("cnt", F.col("cnt").cast("float")))
+    ufac = model.userFactors.select(
+        F.col("id").alias("user_id"), F.col("features").alias("ufeat")
+    )
+    ifac = model.itemFactors.select(
+        F.col("id").alias("item_id"), F.col("features").alias("ifeat")
+    )
+    mll_e = F.col("cnt").cast("double") - F.aggregate(
+        F.zip_with("ufeat", "ifeat", lambda a, b: (a * b).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    mll_sse = float(
+        ratings.join(ufac, "user_id")
+        .join(F.broadcast(ifac), "item_id")
+        .agg(F.sum(mll_e * mll_e).alias("s"))
+        .first()["s"]
+    )
+    ours = float(sse_final)
+    sane = bool(mll_sse > 0.0 and 0.25 <= ours / mll_sse <= 4.0)
+
+    return spark.createDataFrame(
+        [(*row, sane) for row in rows],
+        "round long, item_id int, v1q long, v2q long, n_users long,"
+        " sse_q long, audit_mllib_sse_sane boolean",
+    ).orderBy("round", "item_id")
+
+
+def _als_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, item_id, cnt) interaction counts, localCheckpoint-ed."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
     item = (
         F.when(F.col("event_type") == "click", 0)
@@ -2686,15 +2822,25 @@ def ml_als_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("event_type") == "signup", 3)
         .otherwise(4)
     )
-    ratings = (
+    return (
         ev.select("user_id", item.alias("item_id"))
         .groupBy("user_id", "item_id")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    ).localCheckpoint()  # reused by every half-step + both audits
+    ).localCheckpoint()
 
+
+def _als_fit(ratings: DataFrame):
+    """The exact alternating loop shared by ml_als_exact (fit on the
+    full matrix) and ml_als_recommend (fit on the leave-one-out train
+    split).  Returns (final user-factor DataFrame, final item-factor
+    list, per-round output rows, final SSE, per-item user counts)."""
+    S, LAM = _ALS_S, _ALS_LAM
+    D38 = "decimal(38,0)"
     V = list(_ALS_INIT)
-    rows = []
+    rows: list = []
     sse_final = 0
+    uf = None
+    nmap: dict = {}
     for r in range(1, _ALS_ROUNDS + 1):
         v1 = F.element_at(F.array(*[F.lit(v[1]) for v in V]), F.col("item_id") + 1)
         v2 = F.element_at(F.array(*[F.lit(v[2]) for v in V]), F.col("item_id") + 1)
@@ -2759,41 +2905,4 @@ def ml_als_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for i, v1q_, v2q_ in V:
             rows.append((r, i, v1q_, v2q_, nmap[i], sse_final))
-
-    # MLlib ALS SSE-parity audit: factor tables joined manually
-    als = ALS(
-        rank=2,
-        regParam=0.1,
-        maxIter=5,
-        seed=42,
-        userCol="user_id",
-        itemCol="item_id",
-        ratingCol="cnt",
-        coldStartStrategy="drop",
-    )
-    model = als.fit(ratings.withColumn("cnt", F.col("cnt").cast("float")))
-    ufac = model.userFactors.select(
-        F.col("id").alias("user_id"), F.col("features").alias("ufeat")
-    )
-    ifac = model.itemFactors.select(
-        F.col("id").alias("item_id"), F.col("features").alias("ifeat")
-    )
-    mll_e = F.col("cnt").cast("double") - F.aggregate(
-        F.zip_with("ufeat", "ifeat", lambda a, b: (a * b).cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    mll_sse = float(
-        ratings.join(ufac, "user_id")
-        .join(F.broadcast(ifac), "item_id")
-        .agg(F.sum(mll_e * mll_e).alias("s"))
-        .first()["s"]
-    )
-    ours = float(sse_final)
-    sane = bool(mll_sse > 0.0 and 0.25 <= ours / mll_sse <= 4.0)
-
-    return spark.createDataFrame(
-        [(*row, sane) for row in rows],
-        "round long, item_id int, v1q long, v2q long, n_users long,"
-        " sse_q long, audit_mllib_sse_sane boolean",
-    ).orderBy("round", "item_id")
+    return uf, V, rows, sse_final, nmap
