@@ -162,3 +162,27 @@ def test_trained_vocab_roundtrip_segments_corpus(spark):
         packed_py, pieces_py = unigram.viterbi_pieces_py(r["w"], costs)
         assert r["packed"] == packed_py
         assert pieces == pieces_py
+
+
+def test_unigram_encode_conservation(spark):
+    """text_unigram_encode: every document reconstructs exactly from
+    its backtraced pieces, token counts are positive and bounded by
+    character counts, and the per-doc word counts sum to the corpus's
+    filtered word population."""
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    rows = QUERIES["text_unigram_encode"].fn(spark, SF).collect()
+    assert rows
+    total_words = 0
+    for r in rows:
+        assert r["reconstruct_ok"] is True
+        assert 0 < r["n_tokens"]
+        assert r["n_words"] <= r["n_tokens"]  # >= 1 piece per word
+        total_words += r["n_words"]
+    want = sum(
+        1
+        for w, c in _word_counts(SF).items()
+        for _ in range(c)
+    )
+    assert total_words == want

@@ -632,15 +632,16 @@ def _ut_trained(spark: SparkSession, sf_dir: str) -> tuple[dict, list]:
     return _UT_STORE[key]
 
 
-def _ut_oracle() -> str:
-    """Chained replay of the hard-EM trainer: vocab_0 = seed costs;
-    each round rebuilds the per-position candidate lists against the
-    CURRENT vocab, re-runs the forward dp (recursive CTE carrying the
-    dp list), BACKTRACES the optimal pieces (recursive CTE walking pos
-    from length(w) to 0, picking the SMALLEST k whose step reproduces
-    the dp value — the same tie-break as the engine's fold), re-counts
-    corpus-weighted usage, prunes to the round's keep-size and
-    re-quantizes the micro-nat costs over the kept mass."""
+def _ut_chain() -> str:
+    """The hard-EM training chain (shared by the trainer oracle and
+    the encode oracle): vocab_0 = seed costs; each round rebuilds the
+    per-position candidate lists against the CURRENT vocab, re-runs
+    the forward dp (recursive CTE carrying the dp list), BACKTRACES
+    the optimal pieces (recursive CTE walking pos from length(w) to 0,
+    picking the SMALLEST k whose step reproduces the dp value — the
+    same tie-break as the engine's fold), re-counts corpus-weighted
+    usage, prunes to the round's keep-size and re-quantizes the
+    micro-nat costs over the kept mass."""
     parts = [
         f"""WITH RECURSIVE wc AS MATERIALIZED (
   SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -721,12 +722,75 @@ def _ut_oracle() -> str:
   FROM kept_{r}
 )"""
         )
-    parts.append(
-        f"""
+    return "".join(parts)
+
+
+def _ut_oracle() -> str:
+    return (
+        _ut_chain()
+        + f"""
 SELECT gram AS piece, uses, cost AS cost_unat
 FROM vocab_{_UT_ROUNDS} ORDER BY uses DESC, piece ASC"""
     )
-    return "".join(parts)
+
+
+def _ut_encode_oracle() -> str:
+    """Training chain + ONE more Viterbi/backtrace pass with the FINAL
+    vocab, aggregated per document with the reconstruction audit."""
+    R = _UT_ROUNDS
+    return (
+        _ut_chain()
+        + f""", steps_f AS MATERIALIZED (
+  SELECT pos.w, pos.p, pos.k,
+         (COALESCE(v.cost, CASE WHEN pos.k = 1 THEN {_UNI_FB} END) * 1024 + 1)
+           AS stepc
+  FROM pos LEFT JOIN vocab_{R} v ON v.gram = pos.gram
+), cmap_f AS MATERIALIZED (
+  SELECT w, p, list(struct_pack(k := k, c := stepc) ORDER BY k) AS cands
+  FROM steps_f WHERE stepc IS NOT NULL AND p >= k
+  GROUP BY w, p
+), rec_f AS (
+  SELECT w, 0 AS i, [CAST(0 AS BIGINT)] AS dps FROM words
+  UNION ALL
+  SELECT q.w, q.i + 1, list_append(q.dps, list_min(
+      list_transform(c.cands, x -> q.dps[q.i + 2 - x.k] + x.c)))
+  FROM rec_f q JOIN cmap_f c ON c.w = q.w AND c.p = q.i + 1
+  WHERE q.i < length(q.w)
+), wdp_f AS MATERIALIZED (
+  SELECT w, dps FROM rec_f WHERE i = length(w)
+), bt_f AS (
+  SELECT w, dps, CAST(length(w) AS BIGINT) AS pos,
+         CAST([] AS VARCHAR[]) AS picked
+  FROM wdp_f
+  UNION ALL
+  SELECT b.w, b.dps, b.pos - b.kk,
+         list_append(b.picked, substring(b.w, b.pos - b.kk + 1, b.kk))
+  FROM (
+    SELECT b0.w, b0.dps, b0.pos, b0.picked,
+           list_min(list_transform(
+             list_filter(c.cands,
+                 x -> b0.dps[b0.pos - x.k + 1] + x.c = b0.dps[b0.pos + 1]),
+             x -> x.k)) AS kk
+    FROM bt_f b0 JOIN cmap_f c ON c.w = b0.w AND c.p = b0.pos
+    WHERE b0.pos > 0
+  ) b
+), wenc AS MATERIALIZED (
+  SELECT w, dps[length(w) + 1] AS comb,
+         array_to_string(list_reverse(picked), '') = w AS ok
+  FROM bt_f WHERE pos = 0
+), docw_f AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, UNNEST(string_split_regex(text, '\\s+')) AS w FROM documents
+  ) WHERE length(w) >= 1 AND length(w) <= {_UNI_MAXW}
+)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(s.comb % 1024) AS BIGINT) AS n_tokens,
+       CAST(SUM(s.comb // 1024) AS BIGINT) AS cost_unat,
+       bool_and(s.ok) AS reconstruct_ok
+FROM docw_f d JOIN wenc s ON d.w = s.w
+GROUP BY d.doc_id"""
+    )
 
 
 @register(
@@ -765,4 +829,61 @@ def text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             "piece string, uses long, cost_unat long",
         )
         .orderBy(F.col("uses").desc(), F.col("piece").asc())
+    )
+
+
+@register(
+    "text_unigram_encode",
+    _ut_encode_oracle(),
+    doc="encode the corpus with the TRAINED unigram vocab (Viterbi + backtrace) "
+    "+ reconstruction audit, full oracle",
+)
+def text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize every document with the HARD-EM-TRAINED unigram
+    vocabulary — the train/encode symmetry the other two tokenizer
+    families already have (text_bpe_train/encode,
+    text_wordpiece_train/encode): text_unigram_segment serves the
+    SEED vocabulary, this query serves the trained one.  Per distinct
+    word, one packed-integer Viterbi (functions/unigram.dp_expr with
+    the trained costs) plus the smallest-k backtrace
+    (unigram.pieces_expr); per document: word count, piece count,
+    total micro-nat cost, and the conservation audit — concatenating
+    the backtraced pieces in word order must reproduce the word
+    exactly (``reconstruct_ok``), so segmentation never created,
+    destroyed, or reordered a character.
+
+    Full oracle: the DuckDB twin re-trains the same 3 EM rounds
+    (shared ``_ut_chain``) and replays the final Viterbi + backtrace
+    as one more recursive-CTE pair, then the same per-doc
+    aggregation.  Training is shared with text_unigram_train through
+    ``_ut_trained`` (one fit per session/sf_dir — the _BPE_STORE
+    pattern), so in a bench run the corpus trains once.  Scale: the
+    DP/backtrace run per DISTINCT word (map-side codegen folds); docs
+    join the |word-vocab|-sized encoded relation by broadcast."""
+    from web_attack_detection_spark.functions import unigram
+
+    costs, _ = _ut_trained(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    allw = docs.select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("w")
+    ).filter((F.length("w") >= 1) & (F.length("w") <= _UNI_MAXW))
+    words = allw.select("w").distinct()
+    wdp = words.select("w", unigram.dp_expr(costs).alias("dps"))
+    wenc = wdp.select(
+        "w",
+        F.element_at(F.col("dps"), F.length("w") + 1).alias("comb"),
+        (
+            F.concat_ws("", F.reverse(unigram.pieces_expr(costs)))
+            == F.col("w")
+        ).alias("ok"),
+    )
+    return (
+        allw.join(F.broadcast(wenc), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.col("comb") % 1024).alias("n_tokens"),
+            F.sum(F.expr("comb div 1024")).alias("cost_unat"),
+            F.bool_and("ok").alias("reconstruct_ok"),
+        )
     )
