@@ -972,3 +972,231 @@ def stream_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("decision"),
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming sequence-model serving: the pinned integer hard-tanh RNN
+# (plans/deepq.ml_seqnet_served_confusion) scored IN-STREAM per
+# (user, tumbling hour) — sequence assembly is ONE watermarked
+# streaming aggregation, the recurrence is stateless post-agg codegen
+# ---------------------------------------------------------------------------
+
+
+def _seqnet_stream_oracle() -> str:
+    from web_attack_detection_spark.plans.deepq import (
+        _SEQN_B,
+        _SEQN_C,
+        _SEQN_CLAMP,
+        _SEQN_H,
+        _SEQN_T,
+        _SEQN_U,
+        _SEQN_V,
+        _SEQN_W,
+    )
+
+    classes = ["click", "error", "purchase", "signup", "view"]
+    xs = ",\n         ".join(
+        f"COALESCE(MAX(CASE WHEN rn = {t} THEN x END), 0) AS x{t}"
+        for t in range(1, _SEQN_T + 1)
+    )
+    ccnt = ",\n         ".join(
+        f"SUM(CASE WHEN event_type = '{c}' THEN 1 ELSE 0 END) AS c{k}"
+        for k, c in enumerate(classes)
+    )
+    lbl_cases = []
+    n = len(classes)
+    for k in range(n - 1):
+        rest = ", ".join(f"c{j}" for j in range(k + 1, n))
+        gt = f"GREATEST({rest})" if k < n - 2 else f"c{n-1}"
+        lbl_cases.append(f"WHEN c{k} >= {gt} THEN '{classes[k]}'")
+    lbl_case = "CASE " + " ".join(lbl_cases) + f" ELSE '{classes[n-1]}' END"
+    carry = "user_id, window_start, " + ", ".join(
+        f"x{u}" for u in range(1, _SEQN_T + 1)
+    ) + ", " + ", ".join(f"c{k}" for k in range(n))
+    steps = []
+    for t in range(1, _SEQN_T + 1):
+        cols = ", ".join(
+            f"GREATEST(LEAST({_SEQN_U[i][0]}*h0 + {_SEQN_U[i][1]}*h1 + "
+            f"{_SEQN_U[i][2]}*h2 + {_SEQN_W[i]}*x{t} + {_SEQN_B[i]}, "
+            f"{_SEQN_CLAMP}), -{_SEQN_CLAMP}) AS nh{i}"
+            for i in range(_SEQN_H)
+        )
+        ren = ", ".join(f"nh{i} AS h{i}" for i in range(_SEQN_H))
+        steps.append(
+            f", sq_{t} AS MATERIALIZED (\n  SELECT {carry}, {ren}"
+            f" FROM (SELECT *, {cols} FROM sq_{t-1})\n)"
+        )
+    margins = ", ".join(
+        f"({_SEQN_C[k]} + {_SEQN_V[k][0]}*h0 + {_SEQN_V[k][1]}*h1 + "
+        f"{_SEQN_V[k][2]}*h2) AS m{k}"
+        for k in range(len(_SEQN_V))
+    )
+    pred_cases = []
+    nc = len(_SEQN_V)
+    for k in range(nc - 1):
+        rest = ", ".join(f"m{j}" for j in range(k + 1, nc))
+        gt = f"GREATEST({rest})" if k < nc - 2 else f"m{nc-1}"
+        pred_cases.append(f"WHEN m{k} >= {gt} THEN {k}")
+    pred_case = "CASE " + " ".join(pred_cases) + f" ELSE {nc-1} END"
+    return f"""
+WITH seq0 AS MATERIALIZED (
+  SELECT user_id,
+         strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+                  '%Y-%m-%d %H:%M:%S') AS window_start,
+         event_type,
+         (CAST(ROUND(value * 100) AS BIGINT) % 16) - 8 AS x,
+         ROW_NUMBER() OVER (PARTITION BY user_id,
+                                         date_trunc('hour', CAST(ts AS TIMESTAMP))
+                            ORDER BY event_id) AS rn
+  FROM events
+), sq_0 AS MATERIALIZED (
+  SELECT user_id, window_start,
+         {xs},
+         {ccnt},
+         CAST(0 AS BIGINT) AS h0, CAST(0 AS BIGINT) AS h1,
+         CAST(0 AS BIGINT) AS h2
+  FROM seq0 GROUP BY user_id, window_start
+){"".join(steps)}
+SELECT user_id, window_start, CAST({pred_case} AS INTEGER) AS pred_class,
+       {lbl_case} AS label_type
+FROM (SELECT *, {margins} FROM sq_{_SEQN_T})
+ORDER BY user_id, window_start"""
+
+
+@register(
+    "stream_seqnet_scoring",
+    _seqnet_stream_oracle(),
+    doc="pinned integer RNN served IN-STREAM: watermarked per-(user, hour) "
+    "sequence assembly + stateless codegen recurrence, oracle == batch SQL",
+)
+def stream_seqnet_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-model serving on a STREAM — the production shape for
+    the trained CNN/RNN/LSTM family: per (user, tumbling hour), the
+    window's events are assembled into an event_id-ordered sequence by
+    ONE watermarked streaming aggregation (sort_array over
+    collect_list — state is bounded per open window and evicted by the
+    watermark in update/append modes; the test harness replays in
+    complete mode like every stream_* query), and the pinned integer
+    hard-tanh RNN of plans/deepq.ml_seqnet_served_confusion scores the
+    first {6} events as a STATELESS post-aggregation projection chain
+    — whole-stage codegen, no Python worker, no second state store.
+    The window's majority event type (ties alphabetical) rides along
+    as the label, computed from the same collected list, so the
+    output needs no second streaming aggregation (Spark forbids
+    chained streaming aggs — the one structural constraint this query
+    is shaped around).
+
+    Output: one row per (user, hour window) — window start, predicted
+    class, label.  Oracle: the batch SQL formulation (windowing =
+    date_trunc, sequence = ROW_NUMBER pivot, the same chained
+    MATERIALIZED-CTE recurrence as the batch confusion query); replay
+    == batch on the time-ranged input files, so stream and oracle
+    match value-for-value.  Integer weights make every margin exact —
+    the same reason the serving path is audit-friendly in batch."""
+    return _replay(spark, sf_dir, _seqnet_stream_agg).orderBy(
+        "user_id", "window_start"
+    )
+
+
+def _seqnet_stream_agg(s: DataFrame) -> DataFrame:
+    """The stream_seqnet_scoring transformation, module-level so tests
+    can replay it chopped (maxFilesPerTrigger) against the unchopped
+    result."""
+    from web_attack_detection_spark.plans.deepq import (
+        _SEQN_B,
+        _SEQN_C,
+        _SEQN_CLAMP,
+        _SEQN_H,
+        _SEQN_T,
+        _SEQN_U,
+        _SEQN_V,
+        _SEQN_W,
+    )
+
+    classes = ["click", "error", "purchase", "signup", "view"]
+
+    x = (F.round(F.col("value") * 100).cast("long") % 16) - 8
+    src = s.withWatermark("ts", "30 minutes") if s.isStreaming else s
+    agg = src.groupBy("user_id", F.window("ts", "1 hour")).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("event_id").alias("eid"),
+                    x.alias("x"),
+                    F.col("event_type").alias("et"),
+                )
+            )
+        ).alias("seq")
+    )
+    def _cnt(c: str):
+        # nested fn, not a default-arg lambda: a 2-arg lambda would
+        # be read by F.filter as its (element, index) overload
+        return F.size(F.filter("seq", lambda e: e.getField("et") == F.lit(c)))
+
+    cnts = [_cnt(c) for c in classes]
+    lbl = None
+    for k in range(len(classes) - 2, -1, -1):
+        rest = cnts[k + 1 :]
+        gt = F.greatest(*rest) if len(rest) > 1 else rest[0]
+        cond = cnts[k] >= gt
+        lbl = (
+            F.when(cond, F.lit(classes[k])).otherwise(
+                lbl if lbl is not None else F.lit(classes[-1])
+            )
+        )
+    df = agg.select(
+        "user_id",
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        lbl.alias("label_type"),
+        *[
+            F.coalesce(
+                F.try_element_at(F.col("seq"), F.lit(t)).getField("x"),
+                F.lit(0).cast("long"),
+            ).alias(f"x{t}")
+            for t in range(1, _SEQN_T + 1)
+        ],
+        *[F.lit(0).cast("long").alias(f"h{i}") for i in range(_SEQN_H)],
+    )
+    carry = ["user_id", "window_start", "label_type"] + [
+        f"x{u}" for u in range(1, _SEQN_T + 1)
+    ]
+    for t in range(1, _SEQN_T + 1):
+        pre = [
+            (
+                F.lit(_SEQN_U[i][0]) * F.col("h0")
+                + F.lit(_SEQN_U[i][1]) * F.col("h1")
+                + F.lit(_SEQN_U[i][2]) * F.col("h2")
+                + F.lit(_SEQN_W[i]) * F.col(f"x{t}")
+                + F.lit(_SEQN_B[i])
+            )
+            for i in range(_SEQN_H)
+        ]
+        df = df.select(
+            *carry,
+            *[
+                F.greatest(
+                    F.least(pre[i], F.lit(_SEQN_CLAMP).cast("long")),
+                    F.lit(-_SEQN_CLAMP).cast("long"),
+                ).alias(f"h{i}")
+                for i in range(_SEQN_H)
+            ],
+        )
+    margins = F.array(
+        *[
+            F.lit(_SEQN_C[k])
+            + F.lit(_SEQN_V[k][0]) * F.col("h0")
+            + F.lit(_SEQN_V[k][1]) * F.col("h1")
+            + F.lit(_SEQN_V[k][2]) * F.col("h2")
+            for k in range(len(_SEQN_V))
+        ]
+    )
+    return df.select(
+        "user_id",
+        "window_start",
+        (F.array_position(margins, F.array_max(margins)) - 1)
+        .cast("int")
+        .alias("pred_class"),
+        "label_type",
+    )
