@@ -1302,3 +1302,181 @@ def test_random_forest_exact_invariants(spark):
     # positives are ~1/3 of rows -> all-negative baseline ~2/3; the
     # vote must do at least that well on train
     assert rows[0]["ensemble_accuracy"] >= 0.6
+
+
+def test_logreg_exact_gd_matches_numpy_twin(spark):
+    """Three-implementation agreement for the exact-GD logreg (the
+    unigram-family discipline): Spark == a numpy float64 mirror that
+    replays the identical trajectory — same quantization, same operand
+    order, integer gradient sums (order-free, so numpy's pairwise
+    summation is irrelevant). The DuckDB side is pinned by the oracle
+    sweep; this pins the algorithm against an independent runtime."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.mlq import (
+        _LRGD_LR,
+        _LRGD_ROUNDS,
+        _lrgd_round_half_away,
+    )
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (
+            tuple(
+                r[c]
+                for c in (
+                    "round",
+                    "g_bias",
+                    "g_z1",
+                    "g_z2",
+                    "g_z3",
+                    "n_correct",
+                    "w_bias_q",
+                    "w_z1_q",
+                    "w_z2_q",
+                    "w_z3_q",
+                    "n_train",
+                )
+            )
+            for r in QUERIES["ml_logreg_train_eval"].fn(spark, sf).collect()
+        )
+    )
+
+    pdf = pd.read_parquet(f"{sf}/events.parquet")
+    pdf = pdf[pdf["event_id"] % 4 != 1]
+    x1q = np.floor(pdf["value"].to_numpy() * 10000 + 0.5).astype("int64")
+    x2q = (pdf["user_id"].to_numpy() % 100).astype("int64")
+    x3q = (pdf["event_id"].to_numpy() % 100).astype("int64")
+    y = pdf["event_type"].isin(["purchase", "signup"]).to_numpy().astype("int64")
+    n = len(pdf)
+    zs = []
+    for xq in (x1q, x2q, x3q):
+        m = float(int(xq.sum())) / float(n)
+        q = float(int((xq.astype(object) ** 2).sum())) / float(n)
+        sd = math.sqrt(q - m * m)
+        zs.append((xq.astype("float64") - m) / sd)
+    z1, z2, z3 = zs
+    w = [0.0, 0.0, 0.0, 0.0]
+    n6 = float(n) * 1000000.0
+    want = []
+    for r in range(1, _LRGD_ROUNDS + 1):
+        m = w[0] + w[1] * z1 + w[2] * z2 + w[3] * z3
+        p = 1.0 / (1.0 + np.exp(-m))
+        resid = p - y.astype("float64")
+
+        def q6(a):
+            # Spark F.round HALF_UP == half away from zero
+            return np.where(
+                a >= 0, np.floor(a + 0.5), np.ceil(a - 0.5)
+            ).astype("int64")
+
+        grads = [
+            int(q6(resid * 1000000.0).sum()),
+            int(q6(resid * z1 * 1000000.0).sum()),
+            int(q6(resid * z2 * 1000000.0).sum()),
+            int(q6(resid * z3 * 1000000.0).sum()),
+        ]
+        nc = int(((m >= 0.0) == (y == 1)).sum())
+        for d in range(4):
+            w[d] = w[d] - _LRGD_LR * (float(grads[d]) / n6)
+        want.append(
+            (
+                r,
+                *grads,
+                nc,
+                *[_lrgd_round_half_away(w[d] * 1000000) for d in range(4)],
+                n,
+            )
+        )
+    assert got == sorted(want)
+
+
+def test_als_exact_matches_numpy_twin(spark):
+    """ml_als_exact vs a numpy/python mirror of the alternating
+    integer normal-equation rounds: exact int sums (object dtype to
+    avoid int64 overflow in the determinant products), one float
+    division per factor component, identical re-quantization."""
+    import numpy as np
+    import pandas as pd
+
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.mlq2 import (
+        _ALS_INIT,
+        _ALS_LAM,
+        _ALS_ROUNDS,
+        _ALS_S,
+    )
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r["round"], r["item_id"], r["v1q"], r["v2q"], r["n_users"], r["sse_q"])
+        for r in QUERIES["ml_als_exact"].fn(spark, sf).collect()
+    )
+
+    pdf = pd.read_parquet(f"{sf}/events.parquet")
+    imap = {"click": 0, "view": 1, "purchase": 2, "signup": 3}
+    pdf["item_id"] = pdf["event_type"].map(lambda t: imap.get(t, 4))
+    ratings = (
+        pdf.groupby(["user_id", "item_id"]).size().rename("cnt").reset_index()
+    )
+    S, LAM = _ALS_S, _ALS_LAM
+
+    def rhalf(x):
+        import math
+
+        return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+    V = {i: (a, b) for i, a, b in _ALS_INIT}
+    want = []
+    for r in range(1, _ALS_ROUNDS + 1):
+        # user solve (exact python ints)
+        uf = {}
+        for uid, grp in ratings.groupby("user_id"):
+            a11 = a12 = a22 = c1 = c2 = 0
+            for _, row in grp.iterrows():
+                v1, v2 = V[int(row["item_id"])]
+                cnt = int(row["cnt"])
+                a11 += v1 * v1
+                a12 += v1 * v2
+                a22 += v2 * v2
+                c1 += cnt * v1
+                c2 += cnt * v2
+            A11, A22 = a11 + LAM, a22 + LAM
+            det = A11 * A22 - a12 * a12
+            u1 = float(A22 * (c1 * S) - a12 * (c2 * S)) / float(det)
+            u2 = float(A11 * (c2 * S) - a12 * (c1 * S)) / float(det)
+            uf[uid] = (rhalf(u1 * float(S)), rhalf(u2 * float(S)))
+        # item solve
+        newV, nmap = {}, {}
+        for iid, grp in ratings.groupby("item_id"):
+            a11 = a12 = a22 = c1 = c2 = 0
+            for _, row in grp.iterrows():
+                u1, u2 = uf[row["user_id"]]
+                cnt = int(row["cnt"])
+                a11 += u1 * u1
+                a12 += u1 * u2
+                a22 += u2 * u2
+                c1 += cnt * u1
+                c2 += cnt * u2
+            A11, A22 = a11 + LAM, a22 + LAM
+            det = A11 * A22 - a12 * a12
+            v1 = float(A22 * (c1 * S) - a12 * (c2 * S)) / float(det)
+            v2 = float(A11 * (c2 * S) - a12 * (c1 * S)) / float(det)
+            newV[int(iid)] = (rhalf(v1 * float(S)), rhalf(v2 * float(S)))
+            nmap[int(iid)] = len(grp)
+        V = newV
+        sse = 0
+        for _, row in ratings.iterrows():
+            u1, u2 = uf[row["user_id"]]
+            v1, v2 = V[int(row["item_id"])]
+            e = float(int(row["cnt"]) * S * S - (u1 * v1 + u2 * v2)) / float(S * S)
+            sse += int(np.floor(e * e))
+        for i in sorted(V):
+            want.append((r, i, V[i][0], V[i][1], nmap[i], sse))
+    assert got == sorted(want)

@@ -68,9 +68,12 @@ QUERIES_10X = [
     "ml_kmeans_clusters",
     "ml_logreg_train_eval",
     "ml_als_exact",
+    "ml_als_recommend",
     "ml_seqnet_served_confusion",
+    "stream_seqnet_scoring",
     "text_bpe_train",
     "text_unigram_train",
+    "text_unigram_encode",
     "text_wordpiece_encode",
     "ml_rnn_train_dist",
     "ref_unsw_battery_summary",
