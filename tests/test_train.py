@@ -735,3 +735,24 @@ def test_seqnet_served_confusion_paths_agree(spark):
     assert {r["label_type"] for r in rows} <= {
         "click", "error", "purchase", "signup", "view"
     }
+
+
+def test_convnet_served_confusion_paths_agree(spark):
+    """ml_convnet_served_confusion (r8): the codegen'd integer
+    conv1d+clamp+max-pool and the numpy int64 Arrow path score every
+    user identically, and the confusion relation partitions exactly
+    the corpus's user population — together with the recurrent check,
+    both serving architectures are value-pinned."""
+    import duckdb
+
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["ml_convnet_served_confusion"].fn(spark, sf).collect()
+    assert rows
+    assert all(r["audit_numpy_agrees"] is True for r in rows)
+    n_users = duckdb.sql(
+        f"SELECT COUNT(DISTINCT user_id) FROM '{sf}/events.parquet'"
+    ).fetchone()[0]
+    assert sum(r["n_users"] for r in rows) == n_users

@@ -823,3 +823,209 @@ def ml_seqnet_served_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("audit_numpy_agrees", F.lit(bool(agree)))
         .orderBy("label_type", "pred_class")
     )
+
+
+# ---------------------------------------------------------------------------
+# served-confusion for the CONVOLUTIONAL family: pinned integer conv1d +
+# hard-tanh + max-pool — pure feed-forward expressions (no recursion),
+# served by transpiled SQL (full oracle) AND the numpy/Arrow path (audit)
+# ---------------------------------------------------------------------------
+
+_CONV_K = [[1, -2, 1], [2, 1, -1]]  # 2 filters, kernel width 3
+_CONV_BK = [3, -2]
+_CONV_V = [[2, -1], [-1, 2], [1, 1], [-2, -1], [1, -2]]  # 5 classes x 2
+_CONV_C = [0, 1, -1, 2, -2]
+
+
+def _convnet_oracle() -> str:
+    n_cls = len(_CONV_V)
+    n_pos = _SEQN_T - 2  # valid conv positions for kernel 3
+    xs = ",\n         ".join(
+        f"COALESCE(MAX(CASE WHEN rn = {t} THEN x END), 0) AS x{t}"
+        for t in range(1, _SEQN_T + 1)
+    )
+    acts = []
+    for f, (k, b) in enumerate(zip(_CONV_K, _CONV_BK)):
+        for p in range(1, n_pos + 1):
+            acts.append(
+                f"GREATEST(LEAST({k[0]}*x{p} + {k[1]}*x{p+1} + {k[2]}*x{p+2}"
+                f" + {b}, {_SEQN_CLAMP}), -{_SEQN_CLAMP}) AS a{f}_{p}"
+            )
+    pools = ", ".join(
+        f"GREATEST({', '.join(f'a{f}_{p}' for p in range(1, n_pos + 1))}) AS m{f}"
+        for f in range(len(_CONV_K))
+    )
+    margins = ", ".join(
+        f"({_CONV_C[k]} + {_CONV_V[k][0]}*m0 + {_CONV_V[k][1]}*m1) AS g{k}"
+        for k in range(n_cls)
+    )
+    cases = []
+    for k in range(n_cls - 1):
+        rest = ", ".join(f"g{j}" for j in range(k + 1, n_cls))
+        gt = f"GREATEST({rest})" if k < n_cls - 2 else f"g{n_cls-1}"
+        cases.append(f"WHEN g{k} >= {gt} THEN {k}")
+    case = "CASE " + " ".join(cases) + f" ELSE {n_cls-1} END"
+    return f"""
+WITH seq0 AS MATERIALIZED (
+  SELECT user_id, (CAST(ROUND(value * 100) AS BIGINT) % 16) - 8 AS x,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events
+), sq AS MATERIALIZED (
+  SELECT user_id,
+         {xs}
+  FROM seq0 WHERE rn <= {_SEQN_T} GROUP BY user_id
+), act AS MATERIALIZED (
+  SELECT user_id, {", ".join(acts)} FROM sq
+), pooled AS MATERIALIZED (
+  SELECT user_id, {pools} FROM act
+), scored AS MATERIALIZED (
+  SELECT user_id, {case} AS pred
+  FROM (SELECT user_id, {margins} FROM pooled)
+), lab AS MATERIALIZED (
+  SELECT user_id, event_type FROM (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY COUNT(*) DESC, event_type ASC) AS rn
+    FROM events GROUP BY user_id, event_type
+  ) WHERE rn = 1
+)
+SELECT l.event_type AS label_type, CAST(s.pred AS INTEGER) AS pred_class,
+       CAST(COUNT(*) AS BIGINT) AS n_users, TRUE AS audit_numpy_agrees
+FROM scored s JOIN lab l USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+@register(
+    "ml_convnet_served_confusion",
+    _convnet_oracle(),
+    doc="pinned integer conv1d+hard-tanh+max-pool served by transpiled SQL AND "
+    "the numpy/Arrow path: full-oracle confusion + path-agreement audit",
+)
+def ml_convnet_served_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CONVOLUTIONAL analog of ml_seqnet_served_confusion,
+    value-checking the other half of the trained-net serving machinery
+    (the reference's M2 is a Conv1D stack — cnn_model.py:19-40): a
+    pinned integer conv1d (2 filters, kernel 3, valid positions over
+    each user's first-{_SEQN_T} event sequence), hard-tanh as the
+    integer clamp, max-pool over positions (GREATEST — the exact
+    integer analog of Keras MaxPooling1D), and a linear read-out with
+    first-max argmax.  Feed-forward means NO recursion anywhere: the
+    whole network is one layer of plain expressions in both engines,
+    so the per-(label, prediction) confusion relation is a FULL
+    oracle.  The SAME weights score the SAME sequences through numpy
+    int64 on the Arrow path (conv as stacked shifted dots, np.clip,
+    max over the position axis, np.argmax) and
+    ``audit_numpy_agrees`` pins row-for-row agreement — together with
+    the recurrent check, both architectures' serving paths
+    (codegen SQL vs Python worker) are now value-pinned.
+
+    Scale: one partitioned window rank, one groupBy(user) pivot, then
+    pure map-side projections; output <= 25 rows."""
+    import pandas as pd  # noqa: F401
+
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    events = load_table(spark, sf_dir, "events").drop("props", "ts")
+    x = (F.round(F.col("value") * 100).cast("long") % 16) - 8
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("event_id"))
+    seq0 = events.select("user_id", x.alias("x"), rn.alias("rn")).filter(
+        F.col("rn") <= _SEQN_T
+    )
+    sq = seq0.groupBy("user_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("rn") == t, F.col("x"))), F.lit(0)
+            ).alias(f"x{t}")
+            for t in range(1, _SEQN_T + 1)
+        ]
+    )
+    n_pos = _SEQN_T - 2
+    clamp_hi = F.lit(_SEQN_CLAMP).cast("long")
+    clamp_lo = F.lit(-_SEQN_CLAMP).cast("long")
+    pooled_cols = []
+    for f, (k, b) in enumerate(zip(_CONV_K, _CONV_BK)):
+        acts = [
+            F.greatest(
+                F.least(
+                    F.lit(k[0]) * F.col(f"x{p}")
+                    + F.lit(k[1]) * F.col(f"x{p+1}")
+                    + F.lit(k[2]) * F.col(f"x{p+2}")
+                    + F.lit(b),
+                    clamp_hi,
+                ),
+                clamp_lo,
+            )
+            for p in range(1, n_pos + 1)
+        ]
+        pooled_cols.append(F.greatest(*acts).alias(f"m{f}"))
+    pooled = sq.select(
+        "user_id", *[f"x{t}" for t in range(1, _SEQN_T + 1)], *pooled_cols
+    )
+    margins = F.array(
+        *[
+            F.lit(_CONV_C[k])
+            + F.lit(_CONV_V[k][0]) * F.col("m0")
+            + F.lit(_CONV_V[k][1]) * F.col("m1")
+            for k in range(len(_CONV_V))
+        ]
+    )
+    scored = pooled.select(
+        "user_id",
+        *[f"x{t}" for t in range(1, _SEQN_T + 1)],
+        (F.array_position(margins, F.array_max(margins)) - 1)
+        .cast("int")
+        .alias("pred"),
+    ).localCheckpoint()  # reused by the confusion output AND the audit
+
+    K, BK, V, C, T, CL = _CONV_K, _CONV_BK, _CONV_V, _CONV_C, _SEQN_T, _SEQN_CLAMP
+
+    def _np_pred_fn(xs):
+        import numpy as np
+        import pandas as pd
+
+        X = np.stack([np.asarray(v, dtype="int64") for v in xs.to_numpy()])
+        pools = []
+        for k, b in zip(K, BK):
+            acts = np.stack(
+                [
+                    X[:, p] * k[0] + X[:, p + 1] * k[1] + X[:, p + 2] * k[2] + b
+                    for p in range(T - 2)
+                ],
+                axis=1,
+            )
+            pools.append(np.clip(acts, -CL, CL).max(axis=1))
+        m = np.stack(pools, axis=1) @ np.array(V, dtype="int64").T + np.array(
+            C, dtype="int64"
+        )
+        return pd.Series(np.argmax(m, axis=1).astype("int32"))
+
+    np_pred = pandas_udf(_np_pred_fn, "int")
+    xarr = F.array(*[F.col(f"x{t}") for t in range(1, _SEQN_T + 1)])
+    agree = scored.select(
+        (
+            F.sum((F.col("pred") == np_pred(xarr)).cast("long"))
+            == F.count(F.lit(1))
+        ).alias("ok")
+    ).first()["ok"]
+
+    lw = Window.partitionBy("user_id").orderBy(
+        F.col("c").desc(), F.col("event_type").asc()
+    )
+    lab = (
+        events.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", F.row_number().over(lw))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type")
+    )
+    return (
+        scored.join(lab, "user_id")
+        .groupBy(
+            F.col("event_type").alias("label_type"),
+            F.col("pred").alias("pred_class"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .withColumn("audit_numpy_agrees", F.lit(bool(agree)))
+        .orderBy("label_type", "pred_class")
+    )
