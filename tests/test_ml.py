@@ -1480,3 +1480,146 @@ def test_als_exact_matches_numpy_twin(spark):
         for i in sorted(V):
             want.append((r, i, V[i][0], V[i][1], nmap[i], sse))
     assert got == sorted(want)
+
+
+def test_mlp_exact_gd_trajectory(spark):
+    """ml_mlp_exact (NEW r9 — the trainer-conversion capstone): 6
+    exact-GD rounds of a 3->8->1 hard-tanh net.  Tidy-relation shape
+    invariants (41 params + 1 acc row per round, a final confusion
+    whose counts sum to the test split), asymmetry actually broke the
+    hidden-unit symmetry (round-6 hidden weights are not all equal),
+    and training accuracy does not degrade vs round 1."""
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.mlq import _MLPX_H, _MLPX_ROUNDS
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    rows = QUERIES["ml_mlp_exact"].fn(spark, "/root/testdata/sf0.001").collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["layer"], []).append(r)
+    assert len(by["hidden"]) == _MLPX_ROUNDS * _MLPX_H * 4
+    assert len(by["out"]) == _MLPX_ROUNDS * (_MLPX_H + 1)
+    assert len(by["acc"]) == _MLPX_ROUNDS
+    accs = sorted(by["acc"], key=lambda r: r["round"])
+    n_train = accs[0]["w_q"]
+    assert n_train > 0 and all(a["w_q"] == n_train for a in accs)
+    assert accs[-1]["grad_q"] >= accs[0]["grad_q"]  # train acc no worse
+    final_hidden = [
+        r["w_q"] for r in by["hidden"] if r["round"] == _MLPX_ROUNDS
+    ]
+    assert len(set(final_hidden)) > 1  # symmetry broken by pinned init
+    import duckdb
+
+    n_test = duckdb.sql(
+        "select count(*) from '/root/testdata/sf0.001/events.parquet'"
+        " where event_id % 4 = 1"
+    ).fetchone()[0]
+    assert sum(r["grad_q"] for r in by["cm"]) == n_test
+    assert all(r["pidx"] in (0, 1) for r in by["cm"])
+
+
+def test_mlp_exact_gd_matches_numpy_twin(spark):
+    """Three-implementation agreement for the exact-GD MLP (the
+    logreg-twin discipline): Spark == a numpy float64 mirror replaying
+    the identical trajectory — same pinned init, same left-associated
+    forward expressions, hard-tanh clamp, gated backprop, 1e6-quantized
+    order-free integer gradient sums.  The DuckDB side is pinned by the
+    oracle sweep; this pins the algorithm against an independent
+    runtime."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.mlq import (
+        _MLPX_H,
+        _MLPX_LR,
+        _MLPX_ROUNDS,
+        _lrgd_round_half_away,
+        _mlpx_init,
+    )
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        tuple(r[c] for c in ("round", "layer", "unit", "pidx", "grad_q", "w_q"))
+        for r in QUERIES["ml_mlp_exact"].fn(spark, sf).collect()
+    )
+
+    pdf = pd.read_parquet(f"{sf}/events.parquet")
+    istest = (pdf["event_id"] % 4 == 1).to_numpy()
+    x1q = np.floor(pdf["value"].to_numpy() * 10000 + 0.5).astype("int64")
+    x2q = (pdf["user_id"].to_numpy() % 100).astype("int64")
+    x3q = (pdf["event_id"].to_numpy() % 100).astype("int64")
+    y_all = pdf["event_type"].isin(["purchase", "signup"]).to_numpy().astype("int64")
+    tr = ~istest
+    n = int(tr.sum())
+    zs_tr, zs_te = [], []
+    for xq in (x1q, x2q, x3q):
+        m = float(int(xq[tr].sum())) / float(n)
+        q = float(int((xq[tr].astype(object) ** 2).sum())) / float(n)
+        sd = math.sqrt(q - m * m)
+        zs_tr.append((xq[tr].astype("float64") - m) / sd)
+        zs_te.append((xq[istest].astype("float64") - m) / sd)
+    y = y_all[tr]
+    H = _MLPX_H
+    W, V = _mlpx_init()
+    n6 = float(n) * 1000000.0
+
+    def q6(a):
+        return np.where(a >= 0, np.floor(a + 0.5), np.ceil(a - 0.5)).astype("int64")
+
+    def forward(zs):
+        pre = [
+            ((W[j - 1][0] + W[j - 1][1] * zs[0]) + W[j - 1][2] * zs[1])
+            + W[j - 1][3] * zs[2]
+            for j in range(1, H + 1)
+        ]
+        h = [np.maximum(np.minimum(p, 1.0), -1.0) for p in pre]
+        m = np.full_like(h[0], V[0])
+        for j in range(1, H + 1):
+            m = m + V[j] * h[j - 1]
+        return pre, h, m
+
+    want = []
+    for r in range(1, _MLPX_ROUNDS + 1):
+        pre, h, m = forward(zs_tr)
+        resid = 1.0 / (1.0 + np.exp(-m)) - y.astype("float64")
+        gvb = int(q6(resid * 1000000.0).sum())
+        gv = [int(q6(resid * h[j - 1] * 1000000.0).sum()) for j in range(1, H + 1)]
+        gw = {}
+        for j in range(1, H + 1):
+            dh = np.where(np.abs(pre[j - 1]) < 1.0, resid * V[j], 0.0)
+            gw[(j, 0)] = int(q6(dh * 1000000.0).sum())
+            for i in (1, 2, 3):
+                gw[(j, i)] = int(q6(dh * zs_tr[i - 1] * 1000000.0).sum())
+        nc = int(((m >= 0.0) == (y == 1)).sum())
+        for j in range(1, H + 1):
+            for i in range(4):
+                W[j - 1][i] = W[j - 1][i] - _MLPX_LR * (float(gw[(j, i)]) / n6)
+        V[0] = V[0] - _MLPX_LR * (float(gvb) / n6)
+        for j in range(1, H + 1):
+            V[j] = V[j] - _MLPX_LR * (float(gv[j - 1]) / n6)
+        for j in range(1, H + 1):
+            for i in range(4):
+                want.append(
+                    (r, "hidden", j, i, gw[(j, i)],
+                     _lrgd_round_half_away(W[j - 1][i] * 1000000))
+                )
+        want.append((r, "out", 0, 0, gvb, _lrgd_round_half_away(V[0] * 1000000)))
+        for j in range(1, H + 1):
+            want.append(
+                (r, "out", 0, j, gv[j - 1],
+                 _lrgd_round_half_away(V[j] * 1000000))
+            )
+        want.append((r, "acc", 0, 0, nc, n))
+    _, _, mt = forward(zs_te)
+    yt = y_all[istest]
+    pred = (mt >= 0.0).astype("int64")
+    for uy in (0, 1):
+        for up in (0, 1):
+            c = int(((yt == uy) & (pred == up)).sum())
+            if c:
+                want.append((_MLPX_ROUNDS, "cm", uy, up, c, 0))
+    assert got == sorted(want)

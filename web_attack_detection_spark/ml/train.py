@@ -28,10 +28,13 @@ data volume.  Full-batch gradients keep the loop deterministic (no
 per-worker RNG); minibatch SGD at scale is the same loop over a
 ``TABLESAMPLE`` of the cached set.
 
-Dropout layers in the reference are active only in training; they are
-omitted here (equivalent to Keras ``training=False`` regularization-free
-fitting) — documented, deterministic, and irrelevant to the
-architecture-parity claim.  Trained parameter dicts are IDENTICAL in
+Dropout layers in the reference (rate 0.3 after each recurrent block,
+0.5 after the CNN dense layer) ARE implemented here: inverted
+Dropout(p) masks drawn from a deterministically seeded ``rng`` inside
+each ``*_loss_grads`` (``dropout=...`` parameter, active in training
+only; inference never masks) — matching Keras ``training=True``
+semantics while staying reproducible.  Trained parameter dicts are
+IDENTICAL in
 shape to ``nets.seeded_*_params`` output, so they plug straight into
 ``nets.*_forward`` / ``inference.sequence_scorer`` for distributed
 scoring: train-in-engine -> score-anywhere.

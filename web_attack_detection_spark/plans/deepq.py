@@ -781,6 +781,8 @@ def ml_seqnet_served_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        if len(xs) == 0:  # Spark may hand an empty Arrow batch
+            return pd.Series([], dtype="int32")
         X = np.stack([np.asarray(v, dtype="int64") for v in xs.to_numpy()])
         Ua = np.array(U, dtype="int64")
         h = np.zeros((len(X), H), dtype="int64")
@@ -984,6 +986,8 @@ def ml_convnet_served_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        if len(xs) == 0:  # Spark may hand an empty Arrow batch
+            return pd.Series([], dtype="int32")
         X = np.stack([np.asarray(v, dtype="int64") for v in xs.to_numpy()])
         pools = []
         for k, b in zip(K, BK):

@@ -770,6 +770,450 @@ def ml_logreg_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("round")
 
 
+# exact-GD one-hidden-layer MLP (VERDICT r8 #1): the trainer-conversion
+# capstone — composes ml_logreg_train_eval's exact-GD trajectory (BIGINT
+# gradient sums, one IEEE division per update, chained MATERIALIZED
+# CTEs) with the integer clamp nonlinearity of the served nets
+# (plans/deepq.py: hard-tanh as GREATEST/LEAST — no per-hidden-unit
+# transcendental, so the hidden layer mirrors bit-exactly).
+_MLPX_ROUNDS = 6
+_MLPX_LR = 0.5  # textual literal "0.5" in the SQL below
+_MLPX_H = 8
+
+
+def _mlpx_init():
+    """Pinned asymmetric init, exact sixteenths (binary-representable;
+    ``repr`` round-trips them into DuckDB literals bit-identically):
+    hidden row j walks a mod-13 lattice, output weights alternate sign
+    with growing magnitude.  Zero init would freeze the net — symmetric
+    hidden units receive identical gradients forever — so asymmetry is
+    load-bearing, not cosmetic."""
+    W = [
+        [((3 * j + 5 * i + 1) % 13 - 6) / 16.0 for i in range(4)]
+        for j in range(1, _MLPX_H + 1)
+    ]
+    V = [0.0] + [
+        ((j % 2) * 2 - 1) * (j + 1) / 16.0 for j in range(1, _MLPX_H + 1)
+    ]
+    return W, V
+
+
+def _mlpx_oracle() -> str:
+    """Chained replay of the exact-GD 3->8->1(sigmoid) trajectory.
+    Per round: hidden pre-activations from the previous round's
+    weights (scalar subqueries over one-row MATERIALIZED CTEs),
+    hard-tanh via GREATEST/LEAST, one sigmoid residual per row (the
+    only transcendental — the established exp(-m) idiom), backprop
+    gates as CASE WHEN abs(pre) < 1.0 (exact float comparisons on
+    bit-identical inputs), every per-row gradient contribution
+    ROUND(...*1e6) summed as BIGINT (order-free exact), and each of
+    the 41 weight updates one division + one multiply-subtract.  The
+    output relation is tidy: one row per (round, layer, unit, param);
+    'acc' rows carry per-round train n_correct/n_train and 'cm' rows
+    the final held-out confusion."""
+    W0, V0 = _mlpx_init()
+    H, R, LR = _MLPX_H, _MLPX_ROUNDS, "0.5"
+    w0_cols = []
+    for j in range(1, H + 1):
+        for i in range(4):
+            w0_cols.append(f"{W0[j - 1][i]!r} AS w{j}_{i}")
+    w0_cols.append(f"{V0[0]!r} AS vb")
+    for j in range(1, H + 1):
+        w0_cols.append(f"{V0[j]!r} AS v{j}")
+    w0_body = ", ".join(w0_cols)
+    parts = [
+        f"""WITH base0 AS MATERIALIZED (
+  SELECT CAST(ROUND(value * 10000) AS BIGINT) AS x1q,
+         CAST(user_id % 100 AS BIGINT) AS x2q,
+         CAST(event_id % 100 AS BIGINT) AS x3q,
+         CASE WHEN event_type IN ('purchase','signup') THEN 1 ELSE 0 END AS y,
+         CASE WHEN event_id % 4 = 1 THEN 1 ELSE 0 END AS istest
+  FROM events
+), base AS MATERIALIZED (SELECT * FROM base0 WHERE istest = 0
+), mo0 AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x1q) AS s1, SUM(x2q) AS s2, SUM(x3q) AS s3,
+         SUM(x1q*x1q) AS s11, SUM(x2q*x2q) AS s22, SUM(x3q*x3q) AS s33
+  FROM base
+), mo1 AS MATERIALIZED (
+  SELECT n,
+         CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE) AS m1, CAST(s11 AS DOUBLE)/CAST(n AS DOUBLE) AS q1,
+         CAST(s2 AS DOUBLE)/CAST(n AS DOUBLE) AS m2, CAST(s22 AS DOUBLE)/CAST(n AS DOUBLE) AS q2,
+         CAST(s3 AS DOUBLE)/CAST(n AS DOUBLE) AS m3, CAST(s33 AS DOUBLE)/CAST(n AS DOUBLE) AS q3
+  FROM mo0
+), mo AS MATERIALIZED (
+  SELECT n, m1, sqrt(q1 - m1*m1) AS sd1, m2, sqrt(q2 - m2*m2) AS sd2,
+         m3, sqrt(q3 - m3*m3) AS sd3
+  FROM mo1
+), zrel AS MATERIALIZED (
+  SELECT y,
+         (CAST(x1q AS DOUBLE) - (SELECT m1 FROM mo)) / (SELECT sd1 FROM mo) AS z1,
+         (CAST(x2q AS DOUBLE) - (SELECT m2 FROM mo)) / (SELECT sd2 FROM mo) AS z2,
+         (CAST(x3q AS DOUBLE) - (SELECT m3 FROM mo)) / (SELECT sd3 FROM mo) AS z3
+  FROM base
+), ztest AS MATERIALIZED (
+  SELECT y,
+         (CAST(x1q AS DOUBLE) - (SELECT m1 FROM mo)) / (SELECT sd1 FROM mo) AS z1,
+         (CAST(x2q AS DOUBLE) - (SELECT m2 FROM mo)) / (SELECT sd2 FROM mo) AS z2,
+         (CAST(x3q AS DOUBLE) - (SELECT m3 FROM mo)) / (SELECT sd3 FROM mo) AS z3
+  FROM base0 WHERE istest = 1
+), w_0 AS MATERIALIZED (SELECT {w0_body})"""
+    ]
+
+    def pre_sql(j: int, p) -> str:
+        return (
+            f"(SELECT w{j}_0 FROM w_{p}) + (SELECT w{j}_1 FROM w_{p}) * z1"
+            f" + (SELECT w{j}_2 FROM w_{p}) * z2"
+            f" + (SELECT w{j}_3 FROM w_{p}) * z3"
+        )
+
+    def m_sql(p) -> str:
+        return f"(SELECT vb FROM w_{p})" + "".join(
+            f" + (SELECT v{j} FROM w_{p}) * h{j}" for j in range(1, H + 1)
+        )
+
+    hs = ",\n         ".join(
+        f"GREATEST(LEAST(pre{j}, 1.0), -1.0) AS h{j}" for j in range(1, H + 1)
+    )
+    for r in range(1, R + 1):
+        p = r - 1
+        pres = ",\n           ".join(
+            f"{pre_sql(j, p)} AS pre{j}" for j in range(1, H + 1)
+        )
+        pre_names = ", ".join(f"pre{j}" for j in range(1, H + 1))
+        g_cols = [
+            "CAST(SUM(CAST(ROUND(resid * 1000000.0) AS BIGINT)) AS BIGINT) AS gvb"
+        ]
+        for j in range(1, H + 1):
+            g_cols.append(
+                f"CAST(SUM(CAST(ROUND(resid * h{j} * 1000000.0) AS BIGINT)) AS BIGINT) AS gv{j}"
+            )
+        for j in range(1, H + 1):
+            dh = (
+                f"(CASE WHEN abs(pre{j}) < 1.0 THEN resid * (SELECT v{j} FROM w_{p})"
+                " ELSE 0.0 END)"
+            )
+            g_cols.append(
+                f"CAST(SUM(CAST(ROUND({dh} * 1000000.0) AS BIGINT)) AS BIGINT) AS gw{j}_0"
+            )
+            for i in (1, 2, 3):
+                g_cols.append(
+                    f"CAST(SUM(CAST(ROUND({dh} * z{i} * 1000000.0) AS BIGINT)) AS BIGINT) AS gw{j}_{i}"
+                )
+        g_cols.append(
+            "CAST(SUM(CASE WHEN (m >= 0.0) = (y = 1) THEN 1 ELSE 0 END) AS BIGINT) AS nc"
+        )
+        g_body = ",\n         ".join(g_cols)
+
+        def upd(wname: str, gname: str) -> str:
+            return (
+                f"(SELECT {wname} FROM w_{p}) - {LR} * (CAST({gname} AS DOUBLE)"
+                f" / (CAST((SELECT n FROM mo) AS DOUBLE) * 1000000.0)) AS {wname}"
+            )
+
+        w_cols = []
+        for j in range(1, H + 1):
+            for i in range(4):
+                w_cols.append(upd(f"w{j}_{i}", f"gw{j}_{i}"))
+        w_cols.append(upd("vb", "gvb"))
+        for j in range(1, H + 1):
+            w_cols.append(upd(f"v{j}", f"gv{j}"))
+        w_body = ",\n         ".join(w_cols)
+        parts.append(
+            f""", a_{r} AS MATERIALIZED (
+  SELECT y, z1, z2, z3, {pre_names},
+         {hs}
+  FROM (
+    SELECT y, z1, z2, z3,
+           {pres}
+    FROM zrel
+  )
+), b_{r} AS MATERIALIZED (
+  SELECT *, 1.0/(1.0 + exp(-m)) - CAST(y AS DOUBLE) AS resid
+  FROM (SELECT *, {m_sql(p)} AS m FROM a_{r})
+), g_{r} AS MATERIALIZED (
+  SELECT {g_body}
+  FROM b_{r}
+), w_{r} AS MATERIALIZED (
+  SELECT {w_body}
+  FROM g_{r}
+)"""
+        )
+    prest = ",\n           ".join(
+        f"{pre_sql(j, R)} AS pre{j}" for j in range(1, H + 1)
+    )
+    parts.append(
+        f""", at_f AS MATERIALIZED (
+  SELECT y,
+         {hs}
+  FROM (
+    SELECT y,
+           {prest}
+    FROM ztest
+  )
+), cm AS MATERIALIZED (
+  SELECT CAST(y AS BIGINT) AS unit,
+         CAST(CASE WHEN m >= 0.0 THEN 1 ELSE 0 END AS BIGINT) AS pidx,
+         CAST(COUNT(*) AS BIGINT) AS grad_q
+  FROM (SELECT y, {m_sql(R)} AS m FROM at_f) GROUP BY 1, 2
+)"""
+    )
+    branches = []
+    for r in range(1, R + 1):
+        for j in range(1, H + 1):
+            for i in range(4):
+                branches.append(
+                    f"SELECT CAST({r} AS BIGINT) AS round, 'hidden' AS layer,"
+                    f" CAST({j} AS BIGINT) AS unit, CAST({i} AS BIGINT) AS pidx,"
+                    f" (SELECT gw{j}_{i} FROM g_{r}) AS grad_q,"
+                    f" CAST(ROUND((SELECT w{j}_{i} FROM w_{r}) * 1000000) AS BIGINT) AS w_q"
+                )
+        branches.append(
+            f"SELECT CAST({r} AS BIGINT), 'out', CAST(0 AS BIGINT), CAST(0 AS BIGINT),"
+            f" (SELECT gvb FROM g_{r}),"
+            f" CAST(ROUND((SELECT vb FROM w_{r}) * 1000000) AS BIGINT)"
+        )
+        for j in range(1, H + 1):
+            branches.append(
+                f"SELECT CAST({r} AS BIGINT), 'out', CAST(0 AS BIGINT), CAST({j} AS BIGINT),"
+                f" (SELECT gv{j} FROM g_{r}),"
+                f" CAST(ROUND((SELECT v{j} FROM w_{r}) * 1000000) AS BIGINT)"
+            )
+        branches.append(
+            f"SELECT CAST({r} AS BIGINT), 'acc', CAST(0 AS BIGINT), CAST(0 AS BIGINT),"
+            f" (SELECT nc FROM g_{r}), (SELECT n FROM mo)"
+        )
+    branches.append(
+        f"SELECT CAST({R} AS BIGINT), 'cm', unit, pidx, grad_q,"
+        f" CAST(0 AS BIGINT) FROM cm"
+    )
+    parts.append(
+        "\nSELECT * FROM ("
+        + "\nUNION ALL ".join(branches)
+        + ") ORDER BY round, layer, unit, pidx"
+    )
+    return "".join(parts)
+
+
+@register(
+    "ml_mlp_exact",
+    _mlpx_oracle(),
+    doc=f"exact-GD one-hidden-layer MLP (3->{_MLPX_H}->1 sigmoid, hard-tanh "
+    f"hidden clamp, {_MLPX_ROUNDS} full-batch rounds), full oracle incl. "
+    "held-out confusion",
+)
+def ml_mlp_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-hidden-layer neural classifier trained IN-ENGINE by exact
+    full-batch gradient descent, FULL ORACLE — the capstone of the
+    trainer-conversion program (VERDICT r8 #1): the first query that
+    trains a net WITH a hidden layer entirely under DuckDB replay,
+    closing the nonlinear-trainer value-check gap.  Matches the
+    reference's Dense stack (mlp_model.py:17-34) at the architecture
+    level — a 3->8->1 net with a saturating hidden nonlinearity and a
+    sigmoid head (binary output == the 2-class softmax of the Keras
+    model, parameterized by the logit difference) — while the
+    reference trains driver-side in Keras (mlp_model.py:74-81), this
+    trains as Spark dataflow: one map-side aggregate job per round.
+
+    Exactness composition (both patterns proven in round 8):
+    hard-tanh hidden activation = GREATEST(LEAST(pre, 1), -1) — no
+    per-unit transcendental, its backprop gate is the exact float
+    comparison abs(pre) < 1 on bit-identical inputs (the
+    plans/deepq.py clamp idiom) — and the logreg exact-GD protocol
+    (plans/mlq.py ml_logreg_train_eval): quantized features,
+    standardization from exact BIGINT/DECIMAL moments, per-row
+    gradient contributions ROUND(.. * 1e6) summed order-free as
+    BIGINT, weight updates one IEEE division each, the sigmoid
+    residual the only per-row transcendental.  The DuckDB twin
+    replays all {_MLPX_ROUNDS} rounds as chained MATERIALIZED CTEs;
+    gradient sums, micro-quantized weights (41 parameters/round),
+    per-round train-accuracy counts AND the final held-out confusion
+    relation all hash-match.
+
+    Output: tidy (round, layer, unit, pidx, grad_q, w_q) — layer
+    'hidden' rows are the 8x4 first-layer params, 'out' the 9 head
+    params, 'acc' per-round (n_correct, n_train), 'cm' the final
+    test-split confusion (label, prediction, count).
+
+    Scale: per round ONE scan of the localCheckpoint-ed standardized
+    train relation feeding a 42-value aggregate collect — map-side
+    partials, no shuffle inside the loop, O(H*d) driver state; the
+    held-out confusion is one groupBy over the test split.  Long sums
+    hold to ~1e11 rows at these magnitudes (ml_logreg_train_eval's
+    bound applies per hidden unit unchanged)."""
+    import math
+
+    events = load_table(spark, sf_dir, "events").drop("props", "ts")
+    base_all = events.select(
+        F.round(F.col("value") * 10000).cast("long").alias("x1q"),
+        (F.col("user_id") % 100).cast("long").alias("x2q"),
+        (F.col("event_id") % 100).cast("long").alias("x3q"),
+        F.col("event_type").isin("purchase", "signup").cast("int").alias("y"),
+        (F.col("event_id") % 4 == 1).cast("int").alias("istest"),
+    )
+    base = base_all.filter(F.col("istest") == 0)
+    s = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(f"x{i}q").alias(f"s{i}") for i in (1, 2, 3)],
+        *[
+            F.sum((F.col(f"x{i}q") * F.col(f"x{i}q")).cast("decimal(38,0)")).alias(
+                f"s{i}{i}"
+            )
+            for i in (1, 2, 3)
+        ],
+    ).first()
+    n = int(s["n"])
+    mean, sd = {}, {}
+    for i in (1, 2, 3):
+        mean[i] = float(s[f"s{i}"]) / float(n)
+        q = float(s[f"s{i}{i}"]) / float(n)
+        sd[i] = math.sqrt(q - mean[i] * mean[i])
+
+    def _z(df: DataFrame) -> DataFrame:
+        return df.select(
+            "y",
+            *[
+                (
+                    (F.col(f"x{i}q").cast("double") - F.lit(mean[i])) / F.lit(sd[i])
+                ).alias(f"z{i}")
+                for i in (1, 2, 3)
+            ],
+        )
+
+    z = _z(base).localCheckpoint()  # one materialization reused by all rounds
+    H = _MLPX_H
+    W, V = _mlpx_init()
+    n6 = float(n) * 1000000.0
+    out: list = []
+
+    def _staged(rel: DataFrame) -> DataFrame:
+        """Forward pass with the CURRENT driver-held weights: chained
+        projections pre -> h -> m (textual mirror of the a_/b_ CTEs)."""
+        cur = rel.select(
+            "y",
+            "z1",
+            "z2",
+            "z3",
+            *[
+                (
+                    F.lit(W[j - 1][0])
+                    + F.lit(W[j - 1][1]) * F.col("z1")
+                    + F.lit(W[j - 1][2]) * F.col("z2")
+                    + F.lit(W[j - 1][3]) * F.col("z3")
+                ).alias(f"pre{j}")
+                for j in range(1, H + 1)
+            ],
+        )
+        cur = cur.select(
+            "*",
+            *[
+                F.greatest(F.least(F.col(f"pre{j}"), F.lit(1.0)), F.lit(-1.0)).alias(
+                    f"h{j}"
+                )
+                for j in range(1, H + 1)
+            ],
+        )
+        m = F.lit(V[0])
+        for j in range(1, H + 1):
+            m = m + F.lit(V[j]) * F.col(f"h{j}")
+        return cur.select("*", m.alias("m"))
+
+    for r in range(1, _MLPX_ROUNDS + 1):
+        cur = _staged(z).select(
+            "*",
+            (
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m")))
+                - F.col("y").cast("double")
+            ).alias("resid"),
+        )
+        aggs = [
+            F.sum(F.round(F.col("resid") * F.lit(1000000.0)).cast("long")).alias(
+                "gvb"
+            )
+        ]
+        for j in range(1, H + 1):
+            aggs.append(
+                F.sum(
+                    F.round(
+                        F.col("resid") * F.col(f"h{j}") * F.lit(1000000.0)
+                    ).cast("long")
+                ).alias(f"gv{j}")
+            )
+        for j in range(1, H + 1):
+            dh = F.when(
+                F.abs(F.col(f"pre{j}")) < F.lit(1.0),
+                F.col("resid") * F.lit(V[j]),
+            ).otherwise(F.lit(0.0))
+            aggs.append(
+                F.sum(F.round(dh * F.lit(1000000.0)).cast("long")).alias(f"gw{j}_0")
+            )
+            for i in (1, 2, 3):
+                aggs.append(
+                    F.sum(
+                        F.round(dh * F.col(f"z{i}") * F.lit(1000000.0)).cast("long")
+                    ).alias(f"gw{j}_{i}")
+                )
+        aggs.append(
+            F.sum(
+                ((F.col("m") >= F.lit(0.0)) == (F.col("y") == F.lit(1))).cast("long")
+            ).alias("nc")
+        )
+        g = cur.agg(*aggs).first()
+        # mirror of the w_{r} CTE: one division + one multiply-subtract
+        # per parameter, all reading the PREVIOUS round's weights
+        for j in range(1, H + 1):
+            for i in range(4):
+                W[j - 1][i] = W[j - 1][i] - _MLPX_LR * (
+                    float(g[f"gw{j}_{i}"]) / n6
+                )
+        V[0] = V[0] - _MLPX_LR * (float(g["gvb"]) / n6)
+        for j in range(1, H + 1):
+            V[j] = V[j] - _MLPX_LR * (float(g[f"gv{j}"]) / n6)
+        for j in range(1, H + 1):
+            for i in range(4):
+                out.append(
+                    (
+                        r,
+                        "hidden",
+                        j,
+                        i,
+                        int(g[f"gw{j}_{i}"]),
+                        _lrgd_round_half_away(W[j - 1][i] * 1000000),
+                    )
+                )
+        out.append(
+            (r, "out", 0, 0, int(g["gvb"]), _lrgd_round_half_away(V[0] * 1000000))
+        )
+        for j in range(1, H + 1):
+            out.append(
+                (
+                    r,
+                    "out",
+                    0,
+                    j,
+                    int(g[f"gv{j}"]),
+                    _lrgd_round_half_away(V[j] * 1000000),
+                )
+            )
+        out.append((r, "acc", 0, 0, int(g["nc"]), n))
+
+    cm = (
+        _staged(_z(base_all.filter(F.col("istest") == 1)))
+        .select("y", (F.col("m") >= F.lit(0.0)).cast("long").alias("pred"))
+        .groupBy("y", "pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .collect()
+    )
+    for row in cm:
+        out.append(
+            (_MLPX_ROUNDS, "cm", int(row["y"]), int(row["pred"]), int(row["cnt"]), 0)
+        )
+    return spark.createDataFrame(
+        out,
+        "round long, layer string, unit long, pidx long, grad_q long, w_q long",
+    ).orderBy("round", "layer", "unit", "pidx")
+
+
 _NB_CLASSES = ["click", "error", "purchase", "signup", "view"]
 
 _NB_LABEL_SQL = (

@@ -2829,6 +2829,23 @@ def _als_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
 
 
+def _als_vcol(V, pos):
+    """Key-based item-factor lookup: a CASE chain on item_id over the
+    driver-held factor list V (list of (item_id, v1q, v2q)).  Mirrors
+    the oracle's ``JOIN v_{r} USING (item_id)`` semantics exactly — an
+    item_id absent from V yields NULL (the oracle's inner join drops
+    it), never another item's factors.  Replaces the earlier positional
+    ``element_at(array(...), item_id + 1)``, which silently misread
+    factors whenever the item domain was non-contiguous (e.g. a
+    leave-one-out train split missing one event type)."""
+    expr = None
+    for item, v1q, v2q in V:
+        val = F.lit(v1q if pos == 1 else v2q)
+        cond = F.col("item_id") == F.lit(int(item))
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+    return expr
+
+
 def _als_fit(ratings: DataFrame):
     """The exact alternating loop shared by ml_als_exact (fit on the
     full matrix) and ml_als_recommend (fit on the leave-one-out train
@@ -2842,8 +2859,8 @@ def _als_fit(ratings: DataFrame):
     uf = None
     nmap: dict = {}
     for r in range(1, _ALS_ROUNDS + 1):
-        v1 = F.element_at(F.array(*[F.lit(v[1]) for v in V]), F.col("item_id") + 1)
-        v2 = F.element_at(F.array(*[F.lit(v[2]) for v in V]), F.col("item_id") + 1)
+        v1 = _als_vcol(V, 1)
+        v2 = _als_vcol(V, 2)
         ua = (
             ratings.select("user_id", "cnt", v1.alias("v1"), v2.alias("v2"))
             .groupBy("user_id")
@@ -2896,8 +2913,8 @@ def _als_fit(ratings: DataFrame):
             for x in sorted(vrows, key=lambda y: y["item_id"])
         ]
         nmap = {int(x["item_id"]): int(x["n_users"]) for x in vrows}
-        nv1 = F.element_at(F.array(*[F.lit(v[1]) for v in V]), F.col("item_id") + 1)
-        nv2 = F.element_at(F.array(*[F.lit(v[2]) for v in V]), F.col("item_id") + 1)
+        nv1 = _als_vcol(V, 1)
+        nv2 = _als_vcol(V, 2)
         dot = F.col("uq1") * nv1 + F.col("uq2") * nv2  # S^2 units
         e = (F.col("cnt") * F.lit(S * S) - dot).cast("double") / F.lit(float(S * S))
         sse_final = int(
