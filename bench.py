@@ -219,9 +219,26 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # engine-vs-protocol split (VERDICT r8 #6): the four serial
+    # reference-protocol trainers (Adam minibatch epochs over a
+    # hash-capped sample — wall time is the reference's training
+    # budget, not engine work) dominate ~15% of every window and bury
+    # engine regressions under trainer noise. total_engine excludes
+    # them so round-over-round engine deltas are directly readable.
+    protocol_trainers = {
+        "ml_cnn_train_dist",
+        "ml_rnn_train_dist",
+        "ml_lstm_train_dist",
+        "ml_mlp_train_protocol",
+    }
+    total_protocol = round(
+        sum(t for k, t in timings.items() if k in protocol_trainers), 4
+    )
     full = {
         "metric": "total_query_wall_clock",
         "value": round(sum(timings.values()), 4),
+        "total_engine": round(sum(timings.values()) - total_protocol, 4),
+        "total_protocol_trainers": total_protocol,
         "unit": "sec",
         "queries": timings,
         "reps": reps,
@@ -255,6 +272,7 @@ def main() -> None:
     compact = {
         "metric": "total_query_wall_clock",
         "value": full["value"],
+        "total_engine": full["total_engine"],
         "unit": "sec",
         "queries": {k: timings[k] for k in slowest},
         "n_queries": len(timings),

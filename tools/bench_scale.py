@@ -33,6 +33,12 @@ expected for the deep trainers (their BPTT python loop is
 hash-capped at _MAX_TRAIN rows by design — only the Spark dataflow
 scales).
 
+A second, SKEW-STRESSED pass (VERDICT r8 #2) measures the same volume
+with one hot near-dup document cluster and one hot event user planted
+(see SKEW_QUERIES below), recording band-bucket max/median and the
+candidate-pair upper bound so any skew wall-time ratio is attributed
+to inherent quadratic OUTPUT (pair semantics) vs plan blowup.
+
 Usage: python tools/bench_scale.py [--copies N] [--out BENCH_scale.json]
 """
 
@@ -78,6 +84,40 @@ QUERIES_10X = [
     "ml_rnn_train_dist",
     "ref_unsw_battery_summary",
     "pipe_training_corpus",
+    "ml_mlp_exact",
+    "flagship_pipeline",  # the driver's entry query (VERDICT r8 #3)
+]
+
+# --- skew-stressed variant (VERDICT r8 #2) --------------------------------
+# The uniform replication above proves no-accidental-quadratic but not
+# skew tolerance: real corpora are Zipfian and duplicate-heavy, and LSH
+# banding's classic 100 TB failure is one hot band bucket going
+# quadratic.  The skew dir plants, ON TOP of the uniform 10x dir:
+#   - one hot near-dup cluster: every doc with doc_id % 100 == 7 (1% of
+#     docs, ACROSS copies — the copy shift is a multiple of 100) gets
+#     the SAME literal text, forming one ~500-doc identical cluster at
+#     10x sf0.1 whose every band bucket is maximally hot;
+#   - one hot user: every event with event_id % 100 == 7 (1% of events,
+#     across copies) is reassigned to a single user_id — a hot groupBy /
+#     stream-state key.
+# Pair-emitting dedup queries have inherently quadratic OUTPUT in the
+# cluster size (C(500,2) = 124,750 near-dup pairs exist by definition);
+# the probe separates that inherent output from plan blowup by
+# recording band-bucket max/median and the candidate-pair upper bound
+# alongside wall time.
+SKEW_HOT_TEXT = (
+    "spark shuffles partition data across executors while catalyst "
+    "prunes columns from parquet scans and tungsten packs rows into "
+    "unsafe buffers before the adaptive planner coalesces the shuffle"
+)
+SKEW_HOT_USER = 424_242
+SKEW_QUERIES = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ml_minhash_lsh_join",
+    "pipe_training_corpus",
+    "stream_seqnet_scoring",  # hot stream-state key (one user-hour window)
+    "ml_als_exact",  # hot user's rating counts dominate one row
 ]
 
 # expected-sub-linear queries: the python-side train loop is
@@ -139,6 +179,79 @@ def materialize(spark, src: str, dst: str, copies: int) -> None:
     v.write.mode("overwrite").parquet(f"{dst}/events.parquet")
 
 
+def materialize_skew(spark, uniform_dir: str, dst: str) -> None:
+    """Derive the skewed 10x dir from the uniform one: same volume,
+    same schema, plus the hot near-dup cluster and the hot user."""
+    if os.path.isdir(dst):
+        shutil.rmtree(dst)
+    os.makedirs(dst, exist_ok=True)
+    docs = spark.read.parquet(f"{uniform_dir}/documents.parquet")
+    docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 100 == 7, F.lit(SKEW_HOT_TEXT)).otherwise(
+            F.col("text")
+        ),
+    ).write.mode("overwrite").parquet(f"{dst}/documents.parquet")
+    ev = spark.read.parquet(f"{uniform_dir}/events.parquet")
+    ev.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 100 == 7, F.lit(SKEW_HOT_USER)).otherwise(
+            F.col("user_id")
+        ),
+    ).write.mode("overwrite").parquet(f"{dst}/events.parquet")
+    # embeddings unchanged by the skew transforms; link the uniform copy
+    # so load_table finds it if a measured query ever needs it
+    os.symlink(
+        os.path.abspath(f"{uniform_dir}/embeddings.parquet"),
+        f"{dst}/embeddings.parquet",
+    )
+
+
+def band_bucket_stats(spark, d: str) -> dict:
+    """Band-bucket size distribution of the MinHash LSH banding
+    (8 bands x 4 rows, the dedup_minhash_lsh configuration) over a
+    documents dir — max, median, and the candidate-pair upper bound
+    sum(C(bucket,2)).  This is the quantity that goes quadratic when
+    one bucket runs hot; recording it alongside wall time attributes
+    any skew ratio mechanically."""
+    from web_attack_detection_spark.operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    sig = minhash_signatures(docs, "text", "doc_id", n=3, num_perm=32)
+    b = (
+        sig.select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.concat_ws(
+                                ",",
+                                *[F.col("sig")[j] for j in range(i * 4, (i + 1) * 4)],
+                            ).alias("bh"),
+                        )
+                        for i in range(8)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select(F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+        .groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    row = b.agg(
+        F.max("c").alias("mx"),
+        F.expr("percentile_approx(c, 0.5, 10000)").alias("med"),
+        F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("long").alias("ub"),
+    ).first()
+    return {
+        "bucket_max": int(row["mx"]),
+        "bucket_median": int(row["med"]),
+        "candidate_pairs_upper_bound": int(row["ub"]),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, default=10)
@@ -161,9 +274,16 @@ def main() -> None:
     build_s = round(time.perf_counter() - t0, 1)
     print(f"# 10x dir built in {build_s}s", file=sys.stderr)
 
+    from web_attack_detection_spark.plans.flagship import flagship_pipeline
+
+    def _resolve(name: str):
+        if name == "flagship_pipeline":
+            return lambda s, d: flagship_pipeline(s, d)
+        return QUERIES[name].fn
+
     result: dict = {}
     for name in QUERIES_10X:
-        fn = QUERIES[name].fn
+        fn = _resolve(name)
         entry: dict = {}
         for tag, d in (("t1", args.sf_dir), (f"t{args.copies}", args.scale_dir)):
             load0 = round(os.getloadavg()[0], 2)
@@ -181,6 +301,33 @@ def main() -> None:
         result[name] = entry
         print(f"# {name}: {entry}", file=sys.stderr)
 
+    # skew-stressed pass (VERDICT r8 #2): same 10x volume, hot keys in
+    t0 = time.perf_counter()
+    skew_dir = args.scale_dir.rstrip("/") + "_skew"
+    materialize_skew(spark, args.scale_dir, skew_dir)
+    skew_build_s = round(time.perf_counter() - t0, 1)
+    print(f"# skew dir built in {skew_build_s}s", file=sys.stderr)
+    skew_result: dict = {}
+    for name in SKEW_QUERIES:
+        fn = _resolve(name)
+        load0 = round(os.getloadavg()[0], 2)
+        t = time.perf_counter()
+        n = fn(spark, skew_dir).count()
+        entry = {
+            "t10_skew": round(time.perf_counter() - t, 2),
+            "t10_skew_rows": n,
+            "t10_skew_load": load0,
+        }
+        u = result.get(name)
+        if u:
+            entry["skew_vs_uniform"] = round(entry["t10_skew"] / u["t10"], 3)
+            entry["rows_vs_uniform"] = round(
+                entry["t10_skew_rows"] / max(u["t10_rows"], 1), 3
+            )
+        skew_result[name] = entry
+        print(f"# skew {name}: {entry}", file=sys.stderr)
+        gc.collect()
+
     out = {
         "metric": "per_unit_scale_ratio",
         "sf": args.sf_dir,
@@ -189,6 +336,16 @@ def main() -> None:
         "cpus": os.cpu_count(),
         "queries": result,
         "worst_ratio": max(v["ratio_per_unit"] for v in result.values()),
+        "skew": {
+            "hot_doc_cluster": "doc_id % 100 == 7 -> one identical text"
+            " (~1% of docs, one cross-copy near-dup cluster)",
+            "hot_user": f"event_id % 100 == 7 -> user_id {SKEW_HOT_USER}"
+            " (~1% of events on one key)",
+            "build_sec": skew_build_s,
+            "band_buckets_uniform": band_bucket_stats(spark, args.scale_dir),
+            "band_buckets_skew": band_bucket_stats(spark, skew_dir),
+            "queries": skew_result,
+        },
     }
     Path(args.out).write_text(json.dumps(out, indent=1) + "\n")
     print(json.dumps({k: v["ratio_per_unit"] for k, v in result.items()}))

@@ -119,10 +119,14 @@ def _replay(spark: SparkSession, sf_dir: str, agg_fn) -> DataFrame:
             q.processAllAvailable()
         finally:
             q.stop()
-    # materialize before the memory sink table goes away
-    return spark.createDataFrame(
-        spark.table(name).collect(), spark.table(name).schema
-    )
+    # Materialize before the memory sink table goes away — JVM-side
+    # (localCheckpoint copies the rows into the block manager and cuts
+    # lineage off the sink table).  The previous collect() +
+    # createDataFrame roundtrip serialized every result row through
+    # the Python driver twice; at the 10× scale probe that roundtrip
+    # was the dominant linear term of stream_seqnet_scoring's cost
+    # (~1M rows through Py4J — VERDICT r8 #4 attribution).
+    return spark.table(name).localCheckpoint(eager=True)
 
 
 _STREAM_HOURLY_ORACLE = f"""
