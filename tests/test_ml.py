@@ -1623,3 +1623,54 @@ def test_mlp_exact_gd_matches_numpy_twin(spark):
             if c:
                 want.append((_MLPX_ROUNDS, "cm", uy, up, c, 0))
     assert got == sorted(want)
+
+
+def test_mlp_adam_exact_trajectory_and_moments(spark):
+    """ml_mlp_adam_exact (r9 second wave): same net as ml_mlp_exact
+    trained with the reference's Adam (lr=1e-3, Keras defaults).
+    Shape invariants incl. the moment columns, moments start from zero
+    EMAs (round-1 m = 0.1*g exactly, in quantized units), GD-row
+    parity of the gradient sums in round 1 (identical init => identical
+    first forward pass), and the Adam step size is bounded by lr
+    (|w_1 - w_0| <= lr * (1 + tiny) per parameter)."""
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.mlq import (
+        _MLPX_H,
+        _MLPX_ROUNDS,
+        _mlpx_init,
+        _lrgd_round_half_away,
+    )
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["ml_mlp_adam_exact"].fn(spark, sf).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["layer"], []).append(r)
+    assert len(by["hidden"]) == _MLPX_ROUNDS * _MLPX_H * 4
+    assert len(by["out"]) == _MLPX_ROUNDS * (_MLPX_H + 1)
+    n = by["acc"][0]["w_q"]
+    r1 = [r for r in rows if r["round"] == 1 and r["layer"] in ("hidden", "out")]
+    for r in r1:
+        # m_1 = (1-0.9)*g/(n*1e6); quantized at 1e9 both sides
+        g = r["grad_q"] / (n * 1e6)
+        m1 = (1.0 - 0.9) * g
+        assert r["m_q"] == _lrgd_round_half_away(m1 * 1e9), r
+    # round-1 gradient sums equal the GD query's (identical init)
+    gd = {
+        (x["layer"], x["unit"], x["pidx"]): x["grad_q"]
+        for x in QUERIES["ml_mlp_exact"].fn(spark, sf).collect()
+        if x["round"] == 1 and x["layer"] in ("hidden", "out")
+    }
+    for r in r1:
+        assert gd[(r["layer"], r["unit"], r["pidx"])] == r["grad_q"]
+    # Adam step bound: |w_1 - w_0| <= lr * mhat/sqrt(vhat) ~= lr for
+    # the bias-corrected first step (equality up to eps damping)
+    W0, V0 = _mlpx_init()
+    for r in r1:
+        if r["layer"] == "hidden":
+            w0 = W0[r["unit"] - 1][r["pidx"]]
+        else:
+            w0 = V0[r["pidx"]]
+        step = abs(r["w_q"] / 1e6 - w0)
+        assert step <= 0.001 + 2e-6, r

@@ -798,21 +798,50 @@ def _mlpx_init():
     return W, V
 
 
-def _mlpx_oracle() -> str:
-    """Chained replay of the exact-GD 3->8->1(sigmoid) trajectory.
-    Per round: hidden pre-activations from the previous round's
-    weights (scalar subqueries over one-row MATERIALIZED CTEs),
-    hard-tanh via GREATEST/LEAST, one sigmoid residual per row (the
-    only transcendental — the established exp(-m) idiom), backprop
-    gates as CASE WHEN abs(pre) < 1.0 (exact float comparisons on
-    bit-identical inputs), every per-row gradient contribution
-    ROUND(...*1e6) summed as BIGINT (order-free exact), and each of
-    the 41 weight updates one division + one multiply-subtract.  The
-    output relation is tidy: one row per (round, layer, unit, param);
-    'acc' rows carry per-round train n_correct/n_train and 'cm' rows
-    the final held-out confusion."""
+# Adam hyperparameters — the reference's actual optimizer and values
+# (mlp_model.py:10-15: Adam lr=1e-3; Keras defaults beta1=0.9,
+# beta2=0.999, epsilon=1e-7).  Every literal below is shared
+# textually between the engine and the generated SQL.
+_MLPX_ADAM_LR = 0.001
+_MLPX_B1 = 0.9
+_MLPX_B2 = 0.999
+_MLPX_EPS = 1e-07
+
+
+def _mlpx_param_names() -> list:
+    """The 41 parameter column names in update order: hidden weights
+    w{j}_{i} (j unit, i 0=bias), then head vb, v{j}."""
+    H = _MLPX_H
+    names = [f"w{j}_{i}" for j in range(1, H + 1) for i in range(4)]
+    return names + ["vb"] + [f"v{j}" for j in range(1, H + 1)]
+
+
+def _mlpx_oracle(optimizer: str = "gd") -> str:
+    """Chained replay of the exact 3->8->1(sigmoid) training
+    trajectory.  Per round: hidden pre-activations from the previous
+    round's weights (scalar subqueries over one-row MATERIALIZED
+    CTEs), hard-tanh via GREATEST/LEAST, one sigmoid residual per row
+    (the only transcendental — the established exp(-m) idiom),
+    backprop gates as CASE WHEN abs(pre) < 1.0 (exact float
+    comparisons on bit-identical inputs), every per-row gradient
+    contribution ROUND(...*1e6) summed as BIGINT (order-free exact).
+
+    optimizer='gd': each of the 41 weight updates is one division +
+    one multiply-subtract (ml_mlp_exact).  optimizer='adam': the
+    reference's Adam — per parameter the first/second moment EMAs and
+    the bias-corrected step are a fixed chain of driver-side scalar
+    IEEE ops (3 multiplies, 2 adds, 2 divisions, one hardware sqrt),
+    mirrored textually; bias corrections 1-beta^t are Python-computed
+    literals injected by repr on BOTH sides (no POWER() in SQL).
+
+    The output relation is tidy: one row per (round, layer, unit,
+    param); 'acc' rows carry per-round train n_correct/n_train and
+    'cm' rows the final held-out confusion; the adam variant adds
+    quantized moment columns m_q (1e9) / v_q (1e12)."""
+    adam = optimizer == "adam"
     W0, V0 = _mlpx_init()
     H, R, LR = _MLPX_H, _MLPX_ROUNDS, "0.5"
+    pnames = _mlpx_param_names()
     w0_cols = []
     for j in range(1, H + 1):
         for i in range(4):
@@ -820,6 +849,9 @@ def _mlpx_oracle() -> str:
     w0_cols.append(f"{V0[0]!r} AS vb")
     for j in range(1, H + 1):
         w0_cols.append(f"{V0[j]!r} AS v{j}")
+    if adam:
+        w0_cols += [f"0.0 AS ma_{p}" for p in pnames]
+        w0_cols += [f"0.0 AS va_{p}" for p in pnames]
     w0_body = ", ".join(w0_cols)
     parts = [
         f"""WITH base0 AS MATERIALIZED (
@@ -905,20 +937,60 @@ def _mlpx_oracle() -> str:
         )
         g_body = ",\n         ".join(g_cols)
 
-        def upd(wname: str, gname: str) -> str:
-            return (
-                f"(SELECT {wname} FROM w_{p}) - {LR} * (CAST({gname} AS DOUBLE)"
-                f" / (CAST((SELECT n FROM mo) AS DOUBLE) * 1000000.0)) AS {wname}"
+        def gname_of(p_: str) -> str:
+            return "gvb" if p_ == "vb" else (
+                f"g{p_}" if p_.startswith("v") else f"g{p_}"
             )
 
-        w_cols = []
-        for j in range(1, H + 1):
-            for i in range(4):
-                w_cols.append(upd(f"w{j}_{i}", f"gw{j}_{i}"))
-        w_cols.append(upd("vb", "gvb"))
-        for j in range(1, H + 1):
-            w_cols.append(upd(f"v{j}", f"gv{j}"))
+        gd_cte = ""
+        if not adam:
+
+            def upd(wname: str, gname: str) -> str:
+                return (
+                    f"(SELECT {wname} FROM w_{p}) - {LR} * (CAST({gname} AS DOUBLE)"
+                    f" / (CAST((SELECT n FROM mo) AS DOUBLE) * 1000000.0)) AS {wname}"
+                )
+
+            w_cols = []
+            for j in range(1, H + 1):
+                for i in range(4):
+                    w_cols.append(upd(f"w{j}_{i}", f"gw{j}_{i}"))
+            w_cols.append(upd("vb", "gvb"))
+            for j in range(1, H + 1):
+                w_cols.append(upd(f"v{j}", f"gv{j}"))
+        else:
+            # normalized mean gradients once per round (mirrors the
+            # driver computing g = float(gsum)/n6 once per parameter)
+            gd_cols = ",\n         ".join(
+                f"CAST({gname_of(pn)} AS DOUBLE)"
+                f" / (CAST((SELECT n FROM mo) AS DOUBLE) * 1000000.0) AS d_{pn}"
+                for pn in pnames
+            )
+            gd_cte = f""", gd_{r} AS MATERIALIZED (
+  SELECT {gd_cols}
+  FROM g_{r}
+)"""
+            bc1 = 1.0 - _MLPX_B1**r
+            bc2 = 1.0 - _MLPX_B2**r
+            w_cols = []
+            for pn in pnames:
+                ma = (
+                    f"0.9 * (SELECT ma_{pn} FROM w_{p})"
+                    f" + (1.0 - 0.9) * (SELECT d_{pn} FROM gd_{r})"
+                )
+                va = (
+                    f"0.999 * (SELECT va_{pn} FROM w_{p})"
+                    f" + (1.0 - 0.999) * ((SELECT d_{pn} FROM gd_{r})"
+                    f" * (SELECT d_{pn} FROM gd_{r}))"
+                )
+                w_cols.append(f"{ma} AS ma_{pn}")
+                w_cols.append(f"{va} AS va_{pn}")
+                w_cols.append(
+                    f"(SELECT {pn} FROM w_{p}) - 0.001 * ((({ma}) / {bc1!r})"
+                    f" / (sqrt(({va}) / {bc2!r}) + 1e-07)) AS {pn}"
+                )
         w_body = ",\n         ".join(w_cols)
+        w_src = f"gd_{r}" if adam else f"g_{r}"
         parts.append(
             f""", a_{r} AS MATERIALIZED (
   SELECT y, z1, z2, z3, {pre_names},
@@ -934,9 +1006,9 @@ def _mlpx_oracle() -> str:
 ), g_{r} AS MATERIALIZED (
   SELECT {g_body}
   FROM b_{r}
-), w_{r} AS MATERIALIZED (
+){gd_cte}, w_{r} AS MATERIALIZED (
   SELECT {w_body}
-  FROM g_{r}
+  FROM {w_src}
 )"""
         )
     prest = ",\n           ".join(
@@ -958,6 +1030,15 @@ def _mlpx_oracle() -> str:
   FROM (SELECT y, {m_sql(R)} AS m FROM at_f) GROUP BY 1, 2
 )"""
     )
+    def mv_cols(pn: str, r: int) -> str:
+        if not adam:
+            return ""
+        return (
+            f", CAST(ROUND((SELECT ma_{pn} FROM w_{r}) * 1000000000) AS BIGINT) AS m_q"
+            f", CAST(ROUND((SELECT va_{pn} FROM w_{r}) * 1000000000000) AS BIGINT) AS v_q"
+        )
+
+    zeros_mv = ", CAST(0 AS BIGINT), CAST(0 AS BIGINT)" if adam else ""
     branches = []
     for r in range(1, R + 1):
         for j in range(1, H + 1):
@@ -967,25 +1048,28 @@ def _mlpx_oracle() -> str:
                     f" CAST({j} AS BIGINT) AS unit, CAST({i} AS BIGINT) AS pidx,"
                     f" (SELECT gw{j}_{i} FROM g_{r}) AS grad_q,"
                     f" CAST(ROUND((SELECT w{j}_{i} FROM w_{r}) * 1000000) AS BIGINT) AS w_q"
+                    f"{mv_cols(f'w{j}_{i}', r)}"
                 )
         branches.append(
             f"SELECT CAST({r} AS BIGINT), 'out', CAST(0 AS BIGINT), CAST(0 AS BIGINT),"
             f" (SELECT gvb FROM g_{r}),"
             f" CAST(ROUND((SELECT vb FROM w_{r}) * 1000000) AS BIGINT)"
+            f"{mv_cols('vb', r)}"
         )
         for j in range(1, H + 1):
             branches.append(
                 f"SELECT CAST({r} AS BIGINT), 'out', CAST(0 AS BIGINT), CAST({j} AS BIGINT),"
                 f" (SELECT gv{j} FROM g_{r}),"
                 f" CAST(ROUND((SELECT v{j} FROM w_{r}) * 1000000) AS BIGINT)"
+                f"{mv_cols(f'v{j}', r)}"
             )
         branches.append(
             f"SELECT CAST({r} AS BIGINT), 'acc', CAST(0 AS BIGINT), CAST(0 AS BIGINT),"
-            f" (SELECT nc FROM g_{r}), (SELECT n FROM mo)"
+            f" (SELECT nc FROM g_{r}), (SELECT n FROM mo){zeros_mv}"
         )
     branches.append(
         f"SELECT CAST({R} AS BIGINT), 'cm', unit, pidx, grad_q,"
-        f" CAST(0 AS BIGINT) FROM cm"
+        f" CAST(0 AS BIGINT){zeros_mv} FROM cm"
     )
     parts.append(
         "\nSELECT * FROM ("
@@ -995,20 +1079,17 @@ def _mlpx_oracle() -> str:
     return "".join(parts)
 
 
-@register(
-    "ml_mlp_exact",
-    _mlpx_oracle(),
-    doc=f"exact-GD one-hidden-layer MLP (3->{_MLPX_H}->1 sigmoid, hard-tanh "
-    f"hidden clamp, {_MLPX_ROUNDS} full-batch rounds), full oracle incl. "
-    "held-out confusion",
-)
-def ml_mlp_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _mlpx_train(
+    spark: SparkSession, sf_dir: str, optimizer: str = "gd"
+) -> DataFrame:
     """One-hidden-layer neural classifier trained IN-ENGINE by exact
-    full-batch gradient descent, FULL ORACLE — the capstone of the
-    trainer-conversion program (VERDICT r8 #1): the first query that
-    trains a net WITH a hidden layer entirely under DuckDB replay,
-    closing the nonlinear-trainer value-check gap.  Matches the
-    reference's Dense stack (mlp_model.py:17-34) at the architecture
+    full-batch gradient descent (optimizer='gd') or exact full-batch
+    Adam (optimizer='adam' — the reference's own optimizer and
+    hyperparameters, mlp_model.py:10-15), FULL ORACLE — the capstone
+    of the trainer-conversion program (VERDICT r8 #1): the first query
+    family that trains a net WITH a hidden layer entirely under DuckDB
+    replay, closing the nonlinear-trainer value-check gap.  Matches
+    the reference's Dense stack (mlp_model.py:17-34) at the architecture
     level — a 3->8->1 net with a saturating hidden nonlinearity and a
     sigmoid head (binary output == the 2-class softmax of the Keras
     model, parameterized by the logit difference) — while the
@@ -1085,6 +1166,9 @@ def ml_mlp_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     W, V = _mlpx_init()
     n6 = float(n) * 1000000.0
     out: list = []
+    adam = optimizer == "adam"
+    MA = [0.0] * (4 * H + H + 1)  # Adam first-moment EMAs (param order)
+    VA = [0.0] * (4 * H + H + 1)  # Adam second-moment EMAs
 
     def _staged(rel: DataFrame) -> DataFrame:
         """Forward pass with the CURRENT driver-held weights: chained
@@ -1159,43 +1243,55 @@ def ml_mlp_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nc")
         )
         g = cur.agg(*aggs).first()
-        # mirror of the w_{r} CTE: one division + one multiply-subtract
-        # per parameter, all reading the PREVIOUS round's weights
-        for j in range(1, H + 1):
-            for i in range(4):
-                W[j - 1][i] = W[j - 1][i] - _MLPX_LR * (
-                    float(g[f"gw{j}_{i}"]) / n6
+        # parameter bookkeeping in _mlpx_param_names() order: a flat
+        # view over (gradient-sum name, get weight, set weight, adam
+        # moment slot index)
+        pkeys = [(f"w{j}_{i}", f"gw{j}_{i}", (j - 1, i)) for j in range(1, H + 1) for i in range(4)]
+        pkeys.append(("vb", "gvb", (None, 0)))
+        pkeys += [(f"v{j}", f"gv{j}", (None, j)) for j in range(1, H + 1)]
+        if adam:
+            bc1 = 1.0 - _MLPX_B1**r
+            bc2 = 1.0 - _MLPX_B2**r
+        for k, (pn, gn, (wj, wi)) in enumerate(pkeys):
+            cur_w = W[wj][wi] if wj is not None else V[wi]
+            if not adam:
+                # mirror of the GD w_{r} CTE: one division + one
+                # multiply-subtract per parameter
+                new_w = cur_w - _MLPX_LR * (float(g[gn]) / n6)
+            else:
+                # mirror of the Adam w_{r} CTE: EMAs + bias-corrected
+                # step, all driver-side scalar IEEE ops
+                gd = float(g[gn]) / n6
+                MA[k] = 0.9 * MA[k] + (1.0 - 0.9) * gd
+                VA[k] = 0.999 * VA[k] + (1.0 - 0.999) * (gd * gd)
+                new_w = cur_w - 0.001 * (
+                    (MA[k] / bc1) / (math.sqrt(VA[k] / bc2) + 1e-07)
                 )
-        V[0] = V[0] - _MLPX_LR * (float(g["gvb"]) / n6)
-        for j in range(1, H + 1):
-            V[j] = V[j] - _MLPX_LR * (float(g[f"gv{j}"]) / n6)
-        for j in range(1, H + 1):
-            for i in range(4):
-                out.append(
-                    (
-                        r,
-                        "hidden",
-                        j,
-                        i,
-                        int(g[f"gw{j}_{i}"]),
-                        _lrgd_round_half_away(W[j - 1][i] * 1000000),
-                    )
-                )
-        out.append(
-            (r, "out", 0, 0, int(g["gvb"]), _lrgd_round_half_away(V[0] * 1000000))
-        )
-        for j in range(1, H + 1):
-            out.append(
-                (
-                    r,
-                    "out",
-                    0,
-                    j,
-                    int(g[f"gv{j}"]),
-                    _lrgd_round_half_away(V[j] * 1000000),
-                )
+            if wj is not None:
+                W[wj][wi] = new_w
+            else:
+                V[wi] = new_w
+        for k, (pn, gn, (wj, wi)) in enumerate(pkeys):
+            w_now = W[wj][wi] if wj is not None else V[wi]
+            layer = "hidden" if wj is not None else "out"
+            unit = (wj + 1) if wj is not None else 0
+            pidx = wi
+            row = (
+                r,
+                layer,
+                unit,
+                pidx,
+                int(g[gn]),
+                _lrgd_round_half_away(w_now * 1000000),
             )
-        out.append((r, "acc", 0, 0, int(g["nc"]), n))
+            if adam:
+                row = row + (
+                    _lrgd_round_half_away(MA[k] * 1000000000),
+                    _lrgd_round_half_away(VA[k] * 1000000000000),
+                )
+            out.append(row)
+        acc_row = (r, "acc", 0, 0, int(g["nc"]), n)
+        out.append(acc_row + (0, 0) if adam else acc_row)
 
     cm = (
         _staged(_z(base_all.filter(F.col("istest") == 1)))
@@ -1205,13 +1301,54 @@ def ml_mlp_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     for row in cm:
-        out.append(
-            (_MLPX_ROUNDS, "cm", int(row["y"]), int(row["pred"]), int(row["cnt"]), 0)
+        cm_row = (
+            _MLPX_ROUNDS, "cm", int(row["y"]), int(row["pred"]), int(row["cnt"]), 0,
         )
-    return spark.createDataFrame(
-        out,
-        "round long, layer string, unit long, pidx long, grad_q long, w_q long",
-    ).orderBy("round", "layer", "unit", "pidx")
+        out.append(cm_row + (0, 0) if adam else cm_row)
+    schema = "round long, layer string, unit long, pidx long, grad_q long, w_q long"
+    if adam:
+        schema += ", m_q long, v_q long"
+    return spark.createDataFrame(out, schema).orderBy(
+        "round", "layer", "unit", "pidx"
+    )
+
+
+@register(
+    "ml_mlp_exact",
+    _mlpx_oracle(),
+    doc=f"exact-GD one-hidden-layer MLP (3->{_MLPX_H}->1 sigmoid, hard-tanh "
+    f"hidden clamp, {_MLPX_ROUNDS} full-batch rounds), full oracle incl. "
+    "held-out confusion",
+)
+def ml_mlp_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See _mlpx_train (optimizer='gd'): plain full-batch exact-GD —
+    the trainer-conversion capstone (VERDICT r8 #1)."""
+    return _mlpx_train(spark, sf_dir, "gd")
+
+
+@register(
+    "ml_mlp_adam_exact",
+    _mlpx_oracle("adam"),
+    doc=f"exact-Adam one-hidden-layer MLP (reference optimizer lr=1e-3, "
+    f"beta1=0.9, beta2=0.999, eps=1e-7; {_MLPX_ROUNDS} full-batch rounds), "
+    "full oracle incl. moment EMAs + held-out confusion",
+)
+def ml_mlp_adam_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See _mlpx_train (optimizer='adam'): the SAME 3->8->1 hard-tanh
+    net trained with the reference's ACTUAL optimizer and
+    hyperparameters (mlp_model.py:10-15: Adam lr=1e-3, Keras-default
+    beta1=0.9 / beta2=0.999 / eps=1e-7).  Adam's per-parameter state
+    (first/second moment EMAs, bias corrections) is a chain of
+    driver-side scalar IEEE operations, so the full optimizer mirrors
+    bit-exactly in the DuckDB replay: the output carries, per round
+    and parameter, the BIGINT gradient sum, the 1e6-quantized weight,
+    AND the 1e9/1e12-quantized moments — every piece of Adam state is
+    value-checked, not just the final weights.  Bias corrections
+    1-beta^t are Python-computed literals injected by repr on both
+    sides (no POWER() parity risk).  Scale: identical to ml_mlp_exact
+    — the optimizer is O(params) driver math; per round still ONE
+    map-side aggregate scan."""
+    return _mlpx_train(spark, sf_dir, "adam")
 
 
 _NB_CLASSES = ["click", "error", "purchase", "signup", "view"]
