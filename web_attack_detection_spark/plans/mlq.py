@@ -670,15 +670,22 @@ def ml_logreg_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean[i] = float(s[f"s{i}"]) / float(n)
         q = float(s[f"s{i}{i}"]) / float(n)
         sd[i] = math.sqrt(q - mean[i] * mean[i])
-    z = base.select(
+    zsrc = base.select(
         "y",
         *[
             ((F.col(f"x{i}q").cast("double") - F.lit(mean[i])) / F.lit(sd[i])).alias(
                 f"z{i}"
             )
-            for i in (1, 2, 3)
+        for i in (1, 2, 3)
         ],
-    ).localCheckpoint()  # one materialization reused by all rounds + the audit
+    )
+    # flagship-style boost: the one-row-group fixture would otherwise
+    # run every round's aggregate single-threaded (order-free BIGINT
+    # sums — the repartition cannot change a bit)
+    target = max(spark.sparkContext.defaultParallelism // 2, 1)
+    if zsrc.rdd.getNumPartitions() < target:
+        zsrc = zsrc.repartition(target)
+    z = zsrc.localCheckpoint()  # one materialization reused by all rounds + the audit
 
     w = [0.0, 0.0, 0.0, 0.0]  # bias, w1, w2, w3 — zero init (round 1 is exp-free)
     n6 = float(n) * 1000000.0
@@ -1161,7 +1168,16 @@ def _mlpx_train(
             ],
         )
 
-    z = _z(base).localCheckpoint()  # one materialization reused by all rounds
+    # one materialization reused by all rounds; the fixture parquet is
+    # ONE row group, so without the flagship-style boost every round's
+    # 42-aggregate scan runs single-threaded (measured: 13.9 s -> the
+    # repartitioned run at sf0.1; BIGINT sums are order-free, so the
+    # repartition cannot change a single output bit)
+    zsrc = _z(base)
+    target = max(spark.sparkContext.defaultParallelism // 2, 1)
+    if zsrc.rdd.getNumPartitions() < target:
+        zsrc = zsrc.repartition(target)
+    z = zsrc.localCheckpoint()
     H = _MLPX_H
     W, V = _mlpx_init()
     n6 = float(n) * 1000000.0
