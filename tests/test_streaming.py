@@ -689,3 +689,27 @@ def test_seqnet_stream_chopped_replay_equals_unchopped(spark):
     }
     assert got == want
     assert got  # non-vacuous
+
+
+def test_stream_mlp_trained_scoring_totals(spark):
+    """stream_mlp_trained_scoring (r9): the exact-GD-trained MLP served
+    on the stream.  The windowed prediction counts must partition the
+    full events fixture (every event scored exactly once), predictions
+    are binary, and window starts are hour-aligned.  Value-level
+    stream==batch parity is the registry oracle's job (it replays
+    training AND scoring in DuckDB); this pins the conservation
+    invariants."""
+    import duckdb
+
+    from web_attack_detection_spark.plans import all_plans  # noqa: F401
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["stream_mlp_trained_scoring"].fn(spark, sf).collect()
+    assert rows
+    n_events = duckdb.sql(
+        f"select count(*) from '{sf}/events.parquet'"
+    ).fetchone()[0]
+    assert sum(r["n"] for r in rows) == n_events
+    assert {r["pred"] for r in rows} <= {0, 1}
+    assert all(r["window_start"].endswith(":00:00") for r in rows)

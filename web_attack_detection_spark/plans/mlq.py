@@ -823,15 +823,20 @@ def _mlpx_param_names() -> list:
     return names + ["vb"] + [f"v{j}" for j in range(1, H + 1)]
 
 
-def _mlpx_oracle(optimizer: str = "gd") -> str:
-    """Chained replay of the exact 3->8->1(sigmoid) training
-    trajectory.  Per round: hidden pre-activations from the previous
-    round's weights (scalar subqueries over one-row MATERIALIZED
-    CTEs), hard-tanh via GREATEST/LEAST, one sigmoid residual per row
-    (the only transcendental — the established exp(-m) idiom),
-    backprop gates as CASE WHEN abs(pre) < 1.0 (exact float
-    comparisons on bit-identical inputs), every per-row gradient
-    contribution ROUND(...*1e6) summed as BIGINT (order-free exact).
+def _mlpx_cte_parts(optimizer: str = "gd") -> list:
+    """The chained-CTE replay of the exact 3->8->1(sigmoid) training
+    trajectory, as a parts list WITHOUT the final SELECT — shared by
+    _mlpx_oracle (which appends the tidy-relation UNION) and the
+    stream-scoring oracle in plans/streamq (which appends a
+    score-all-events windowed aggregation over w_{ROUNDS}).
+
+    Per round: hidden pre-activations from the previous round's
+    weights (scalar subqueries over one-row MATERIALIZED CTEs),
+    hard-tanh via GREATEST/LEAST, one sigmoid residual per row (the
+    only transcendental — the established exp(-m) idiom), backprop
+    gates as CASE WHEN abs(pre) < 1.0 (exact float comparisons on
+    bit-identical inputs), every per-row gradient contribution
+    ROUND(...*1e6) summed as BIGINT (order-free exact).
 
     optimizer='gd': each of the 41 weight updates is one division +
     one multiply-subtract (ml_mlp_exact).  optimizer='adam': the
@@ -839,12 +844,7 @@ def _mlpx_oracle(optimizer: str = "gd") -> str:
     the bias-corrected step are a fixed chain of driver-side scalar
     IEEE ops (3 multiplies, 2 adds, 2 divisions, one hardware sqrt),
     mirrored textually; bias corrections 1-beta^t are Python-computed
-    literals injected by repr on BOTH sides (no POWER() in SQL).
-
-    The output relation is tidy: one row per (round, layer, unit,
-    param); 'acc' rows carry per-round train n_correct/n_train and
-    'cm' rows the final held-out confusion; the adam variant adds
-    quantized moment columns m_q (1e9) / v_q (1e12)."""
+    literals injected by repr on BOTH sides (no POWER() in SQL)."""
     adam = optimizer == "adam"
     W0, V0 = _mlpx_init()
     H, R, LR = _MLPX_H, _MLPX_ROUNDS, "0.5"
@@ -1037,6 +1037,19 @@ def _mlpx_oracle(optimizer: str = "gd") -> str:
   FROM (SELECT y, {m_sql(R)} AS m FROM at_f) GROUP BY 1, 2
 )"""
     )
+    return parts
+
+
+def _mlpx_oracle(optimizer: str = "gd") -> str:
+    """_mlpx_cte_parts plus the tidy-relation final SELECT: one row
+    per (round, layer, unit, param); 'acc' rows carry per-round train
+    n_correct/n_train and 'cm' rows the final held-out confusion; the
+    adam variant adds quantized moment columns m_q (1e9) / v_q
+    (1e12)."""
+    adam = optimizer == "adam"
+    H, R = _MLPX_H, _MLPX_ROUNDS
+    parts = _mlpx_cte_parts(optimizer)
+
     def mv_cols(pn: str, r: int) -> str:
         if not adam:
             return ""
@@ -1087,8 +1100,11 @@ def _mlpx_oracle(optimizer: str = "gd") -> str:
 
 
 def _mlpx_train(
-    spark: SparkSession, sf_dir: str, optimizer: str = "gd"
-) -> DataFrame:
+    spark: SparkSession,
+    sf_dir: str,
+    optimizer: str = "gd",
+    _return_model: bool = False,
+):
     """One-hidden-layer neural classifier trained IN-ENGINE by exact
     full-batch gradient descent (optimizer='gd') or exact full-batch
     Adam (optimizer='adam' — the reference's own optimizer and
@@ -1308,6 +1324,12 @@ def _mlpx_train(
             out.append(row)
         acc_row = (r, "acc", 0, 0, int(g["nc"]), n)
         out.append(acc_row + (0, 0) if adam else acc_row)
+
+    if _return_model:
+        # fitted weights + standardization stats for serving callers
+        # (plans/streamq.stream_mlp_trained_scoring) — bit-identical
+        # to the oracle's w_{ROUNDS} columns by trajectory mirroring
+        return {"W": W, "V": V, "mean": mean, "sd": sd, "n": n}
 
     cm = (
         _staged(_z(base_all.filter(F.col("istest") == 1)))

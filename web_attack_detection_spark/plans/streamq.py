@@ -1204,3 +1204,151 @@ def _seqnet_stream_agg(s: DataFrame) -> DataFrame:
         .alias("pred_class"),
         "label_type",
     )
+
+
+# ---------------------------------------------------------------------------
+# trained-model stream scoring: the exact-GD MLP served on the stream
+# ---------------------------------------------------------------------------
+
+
+def _stream_mlpx_oracle() -> str:
+    """The full ml_mlp_exact training replay (plans/mlq._mlpx_cte_parts,
+    'gd') extended with a score-everything windowed aggregation: an
+    extra zall CTE standardizes ALL events (train + test) with the
+    TRAIN moments, the forward pass runs with the w_{ROUNDS} trained
+    weights (scalar subqueries — the textual forms below must stay in
+    sync with _mlpx_cte_parts' pre/h/m builders), and the result is
+    the per-(hour window, predicted class) count relation the stream
+    emits."""
+    from web_attack_detection_spark.plans.mlq import (
+        _MLPX_H,
+        _MLPX_ROUNDS,
+        _mlpx_cte_parts,
+    )
+
+    H, R = _MLPX_H, _MLPX_ROUNDS
+
+    def pre(j: int) -> str:
+        return (
+            f"(SELECT w{j}_0 FROM w_{R}) + (SELECT w{j}_1 FROM w_{R}) * z1"
+            f" + (SELECT w{j}_2 FROM w_{R}) * z2"
+            f" + (SELECT w{j}_3 FROM w_{R}) * z3"
+        )
+
+    pres = ",\n           ".join(f"{pre(j)} AS pre{j}" for j in range(1, H + 1))
+    hs = ", ".join(
+        f"GREATEST(LEAST(pre{j}, 1.0), -1.0) AS h{j}" for j in range(1, H + 1)
+    )
+    msql = f"(SELECT vb FROM w_{R})" + "".join(
+        f" + (SELECT v{j} FROM w_{R}) * h{j}" for j in range(1, H + 1)
+    )
+    tail = f""", zall AS MATERIALIZED (
+  SELECT CAST(ts AS TIMESTAMP) AS t,
+         (CAST(CAST(ROUND(value * 10000) AS BIGINT) AS DOUBLE) - (SELECT m1 FROM mo)) / (SELECT sd1 FROM mo) AS z1,
+         (CAST(CAST(user_id % 100 AS BIGINT) AS DOUBLE) - (SELECT m2 FROM mo)) / (SELECT sd2 FROM mo) AS z2,
+         (CAST(CAST(event_id % 100 AS BIGINT) AS DOUBLE) - (SELECT m3 FROM mo)) / (SELECT sd3 FROM mo) AS z3
+  FROM events
+)
+SELECT strftime(date_trunc('hour', t), '%Y-%m-%d %H:%M:%S') AS window_start,
+       CAST(CASE WHEN m >= 0.0 THEN 1 ELSE 0 END AS BIGINT) AS pred,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT t, {msql} AS m
+  FROM (SELECT t, {hs} FROM (
+    SELECT t,
+           {pres}
+    FROM zall
+  ))
+)
+GROUP BY 1, 2 ORDER BY 1, 2"""
+    return "".join(_mlpx_cte_parts("gd")) + tail
+
+
+@register(
+    "stream_mlp_trained_scoring",
+    _stream_mlpx_oracle(),
+    doc="exact-GD-TRAINED MLP served on the stream: train-in-engine then "
+    "watermarked windowed scoring; oracle replays training AND scoring",
+)
+def stream_mlp_trained_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closes the train->serve loop on the streaming surface with a
+    TRAINED (not pinned) model: the exact-GD MLP of plans/mlq.
+    ml_mlp_exact is fitted in-engine (6 full-batch rounds, weights
+    bit-identical to the oracle's w_6 by trajectory mirroring), then
+    every arriving event is scored in-stream — standardize with the
+    TRAIN moments, hard-tanh forward pass as whole-stage-codegen
+    column expressions (no Python worker, no second state store) —
+    and aggregated into per-(tumbling hour, predicted class) counts
+    under a 30-minute watermark.  stream_seqnet_scoring proved pinned
+    integer weights on this path; this query upgrades the model to
+    one whose weights the oracle itself derives, so the DuckDB twin
+    replays training AND serving end-to-end.  The reference's
+    deployment story (train offline in Keras, score flows online) is
+    exactly this shape, Spark-first.
+
+    Scale: training is ml_mlp_exact's loop (one map-side aggregate
+    per round); serving adds one stateless projection chain before
+    the ONE windowed streaming aggregation — state is bounded by
+    open windows x 2 classes and evicted by the watermark."""
+    from web_attack_detection_spark.plans.mlq import _mlpx_train
+
+    model = _mlpx_train(spark, sf_dir, "gd", _return_model=True)
+    W, V, mean, sd = model["W"], model["V"], model["mean"], model["sd"]
+    H = len(W)
+
+    def agg_fn(s: DataFrame) -> DataFrame:
+        src = s.withWatermark("ts", "30 minutes") if s.isStreaming else s
+        xq = {
+            1: F.round(F.col("value") * 10000).cast("long"),
+            2: (F.col("user_id") % 100).cast("long"),
+            3: (F.col("event_id") % 100).cast("long"),
+        }
+        cur = src.select(
+            "ts",
+            *[
+                ((xq[i].cast("double") - F.lit(mean[i])) / F.lit(sd[i])).alias(
+                    f"z{i}"
+                )
+                for i in (1, 2, 3)
+            ],
+        )
+        cur = cur.select(
+            "ts",
+            *[
+                (
+                    F.lit(W[j - 1][0])
+                    + F.lit(W[j - 1][1]) * F.col("z1")
+                    + F.lit(W[j - 1][2]) * F.col("z2")
+                    + F.lit(W[j - 1][3]) * F.col("z3")
+                ).alias(f"pre{j}")
+                for j in range(1, H + 1)
+            ],
+        )
+        cur = cur.select(
+            "ts",
+            *[
+                F.greatest(F.least(F.col(f"pre{j}"), F.lit(1.0)), F.lit(-1.0)).alias(
+                    f"h{j}"
+                )
+                for j in range(1, H + 1)
+            ],
+        )
+        m = F.lit(V[0])
+        for j in range(1, H + 1):
+            m = m + F.lit(V[j]) * F.col(f"h{j}")
+        scored = cur.select(
+            "ts", (m >= F.lit(0.0)).cast("long").alias("pred")
+        )
+        return (
+            scored.groupBy(F.window("ts", "1 hour"), "pred")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .select(
+                F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                    "window_start"
+                ),
+                "pred",
+                "n",
+            )
+        )
+
+    return _replay(spark, sf_dir, agg_fn).orderBy("window_start", "pred")
