@@ -32,6 +32,36 @@ os.environ["PYTHONPATH"] = os.pathsep.join(
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Rep-spread contamination gate (VERDICT r9 #4): ambient host noise
+# shows up as ONE polluted rep (the r9 driver window shipped a query
+# with rep spread [2.87, 27.31] — 9.5× — yet n_contaminated stayed 0
+# because gating was load-average-only).  A query whose slowest rep
+# exceeds SPREAD_RERUN_RATIO × its fastest gets one full extra rep
+# batch, so the recorded median is computed over a sample dominated
+# by clean reps; queries still spread-polluted after the re-run are
+# marked contaminated alongside the load-gated ones.
+SPREAD_RERUN_RATIO = 3.0
+
+
+def spread_contaminated(
+    runs: list, ratio: float = SPREAD_RERUN_RATIO
+) -> bool:
+    """True when the rep spread indicates ambient interference — the
+    slowest rep is more than ``ratio``× the fastest.  Pure function so
+    the gate is unit-testable without a Spark session."""
+    return len(runs) > 1 and min(runs) > 0 and max(runs) / min(runs) > ratio
+
+
+def measure_reps(run_once, reps: int, ratio: float = SPREAD_RERUN_RATIO):
+    """Execute ``run_once()`` ``reps`` times; when the spread gate
+    trips (one polluted rep), execute one full extra batch before
+    the caller takes the median.  Returns (runs, reran)."""
+    runs = [run_once() for _ in range(reps)]
+    reran = spread_contaminated(runs, ratio)
+    if reran:
+        runs = runs + [run_once() for _ in range(reps)]
+    return runs, reran
+
 
 def _vs_prev(timings: dict, sidecar: str) -> dict | None:
     """Common-subset total ratio vs the git-committed previous sidecar,
@@ -185,15 +215,17 @@ def main() -> None:
     load_avg: dict[str, float] = {}
     contaminated: list[str] = []
 
+    spread_reruns: dict[str, list[float]] = {}
+
     def timed(name: str, fn) -> None:
-        runs: list[float] = []
         loads: list[float] = []
-        for _ in range(reps):
+
+        def run_once() -> float:
             loads.append(round(os.getloadavg()[0], 2))
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             n = df.count()
-            runs.append(round(time.perf_counter() - t0, 4))
+            elapsed = round(time.perf_counter() - t0, 4)
             assert n >= 0
             # release localCheckpoint block references between queries
             # (ContextCleaner frees them once Python lets go) — otherwise
@@ -201,12 +233,24 @@ def main() -> None:
             # and late queries measure eviction churn, not their own cost
             del df
             gc.collect()
+            return elapsed
+
+        runs, reran = measure_reps(run_once, reps)
+        if reran:
+            # record the ORIGINAL polluted spread so the artifact shows
+            # what tripped the gate, not just the post-rerun numbers
+            spread_reruns[name] = [min(runs[:reps]), max(runs[:reps])]
         # statistics.median averages the two middle elements for even
         # rep counts (ADVICE r3: upper-middle biased recorded timings up)
         timings[name] = round(statistics.median(runs), 4)
         spread[name] = [min(runs), max(runs)]
         load_avg[name] = max(loads)
-        if max(loads) > load_threshold:
+        if max(loads) > load_threshold or (
+            # the original batch already tripped the gate; if the fresh
+            # batch is ALSO spread-polluted the interference is ongoing,
+            # not a one-rep blip — mark the query contaminated
+            reran and spread_contaminated(runs[reps:])
+        ):
             contaminated.append(name)
 
     for name in sorted(QUERIES):
@@ -247,6 +291,8 @@ def main() -> None:
         "load_avg": load_avg,
         "load_threshold": load_threshold,
         "contaminated": contaminated,
+        "spread_rerun_ratio": SPREAD_RERUN_RATIO,
+        "spread_reruns": spread_reruns,
     }
     # The driver captures only a ~2 KB stdout tail; a 200-query map is
     # ~14 KB and has never parsed (BENCH_r01..03 all "parsed": null —
@@ -279,6 +325,7 @@ def main() -> None:
         "reps": reps,
         "sf": sf_val,
         "n_contaminated": len(contaminated),
+        "n_spread_reruns": len(spread_reruns),
         "full": sidecar,
     }
     # hard guarantee: stay inside the driver's capture window — drop

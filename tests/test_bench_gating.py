@@ -1,0 +1,72 @@
+"""Rep-spread contamination gate of bench.py (VERDICT r9 #4).
+
+The r9 driver window shipped ml_seqnet_served_confusion with rep
+spread [2.87, 27.31] — one 9.5× polluted rep — yet n_contaminated: 0,
+because gating was load-average-only.  These tests pin the pure gate
+functions (no Spark session needed): one polluted rep must trigger a
+flagged re-run, and only PERSISTENT interference marks the query
+contaminated.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+spec = importlib.util.spec_from_file_location("bench", REPO / "bench.py")
+bench = importlib.util.module_from_spec(spec)
+sys.modules.setdefault("bench", bench)
+spec.loader.exec_module(bench)
+
+
+def test_uniform_reps_do_not_trip_the_gate():
+    assert not bench.spread_contaminated([2.0, 2.1, 2.3])
+
+
+def test_one_polluted_rep_trips_the_gate():
+    # the r9 shape: two clean reps + one 9.5x ambient-noise rep
+    assert bench.spread_contaminated([2.87, 3.1, 27.31])
+
+
+def test_gate_needs_multiple_reps_and_positive_floor():
+    assert not bench.spread_contaminated([27.31])  # single rep: no spread
+    assert not bench.spread_contaminated([0.0, 5.0])  # zero floor guarded
+
+
+def test_polluted_rep_triggers_one_full_rerun_batch():
+    # fake timer: first batch has the outlier, the re-run batch is clean
+    seq = iter([2.0, 27.0, 2.1, 2.0, 2.2, 2.1])
+    calls = []
+
+    def run_once():
+        v = next(seq)
+        calls.append(v)
+        return v
+
+    runs, reran = bench.measure_reps(run_once, reps=3)
+    assert reran
+    assert len(runs) == 6  # 3 original + 3 re-run reps
+    # the median over the combined sample is dominated by clean reps
+    import statistics
+
+    assert statistics.median(runs) < 3.0
+
+
+def test_clean_batch_runs_exactly_reps_times():
+    seq = iter([2.0, 2.1, 2.2])
+    runs, reran = bench.measure_reps(lambda: next(seq), reps=3)
+    assert not reran
+    assert runs == [2.0, 2.1, 2.2]
+
+
+def test_persistent_noise_is_detectable_in_the_rerun_batch():
+    # bench.py marks a query contaminated only when the FRESH batch is
+    # itself spread-polluted (runs[reps:]) — ongoing interference, not
+    # a one-rep blip
+    reps = 3
+    one_blip = [2.0, 27.0, 2.1] + [2.0, 2.2, 2.1]
+    ongoing = [2.0, 27.0, 2.1] + [2.0, 19.0, 2.1]
+    assert not bench.spread_contaminated(one_blip[reps:])
+    assert bench.spread_contaminated(ongoing[reps:])

@@ -77,6 +77,8 @@ QUERIES_10X = [
     "ml_als_recommend",
     "ml_seqnet_served_confusion",
     "stream_seqnet_scoring",
+    "stream_join_left_outer",  # row-level append sink, JVM-pinned r10
+    "stream_stateful_totals",  # per-user cumulative state, JVM-pinned r10
     "text_bpe_train",
     "text_unigram_train",
     "text_unigram_encode",
@@ -117,6 +119,8 @@ SKEW_QUERIES = [
     "ml_minhash_lsh_join",
     "pipe_training_corpus",
     "stream_seqnet_scoring",  # hot stream-state key (one user-hour window)
+    "stream_stateful_totals",  # hot applyInPandasWithState key (VERDICT r9 #5)
+    "stream_join_left_outer",  # hot user fans out the stream-stream join
     "ml_als_exact",  # hot user's rating counts dominate one row
 ]
 
@@ -308,21 +312,24 @@ def main() -> None:
     skew_build_s = round(time.perf_counter() - t0, 1)
     print(f"# skew dir built in {skew_build_s}s", file=sys.stderr)
     skew_result: dict = {}
+    # key names derive from args.copies (ADVICE r9 #1: the previous
+    # hardcoded t10 raised KeyError when run with --copies != 10)
+    tN = f"t{args.copies}"
     for name in SKEW_QUERIES:
         fn = _resolve(name)
         load0 = round(os.getloadavg()[0], 2)
         t = time.perf_counter()
         n = fn(spark, skew_dir).count()
         entry = {
-            "t10_skew": round(time.perf_counter() - t, 2),
-            "t10_skew_rows": n,
-            "t10_skew_load": load0,
+            f"{tN}_skew": round(time.perf_counter() - t, 2),
+            f"{tN}_skew_rows": n,
+            f"{tN}_skew_load": load0,
         }
         u = result.get(name)
         if u:
-            entry["skew_vs_uniform"] = round(entry["t10_skew"] / u["t10"], 3)
+            entry["skew_vs_uniform"] = round(entry[f"{tN}_skew"] / u[tN], 3)
             entry["rows_vs_uniform"] = round(
-                entry["t10_skew_rows"] / max(u["t10_rows"], 1), 3
+                entry[f"{tN}_skew_rows"] / max(u[f"{tN}_rows"], 1), 3
             )
         skew_result[name] = entry
         print(f"# skew {name}: {entry}", file=sys.stderr)

@@ -823,6 +823,78 @@ def _mlpx_param_names() -> list:
     return names + ["vb"] + [f"v{j}" for j in range(1, H + 1)]
 
 
+# Shared standardization preamble (one textual source for every
+# exact-trainer oracle: ml_mlp_exact / ml_mlp_adam_exact here, the
+# stream-serving tail in plans/streamq, and ml_rnn_exact in
+# plans/rnnx): quantized features, exact BIGINT moments, one IEEE
+# division + hardware sqrt per standardization constant, train/test
+# split on event_id % 4.
+STDZ_BASE_CTES = """WITH base0 AS MATERIALIZED (
+  SELECT CAST(ROUND(value * 10000) AS BIGINT) AS x1q,
+         CAST(user_id % 100 AS BIGINT) AS x2q,
+         CAST(event_id % 100 AS BIGINT) AS x3q,
+         CASE WHEN event_type IN ('purchase','signup') THEN 1 ELSE 0 END AS y,
+         CASE WHEN event_id % 4 = 1 THEN 1 ELSE 0 END AS istest
+  FROM events
+), base AS MATERIALIZED (SELECT * FROM base0 WHERE istest = 0
+), mo0 AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x1q) AS s1, SUM(x2q) AS s2, SUM(x3q) AS s3,
+         SUM(x1q*x1q) AS s11, SUM(x2q*x2q) AS s22, SUM(x3q*x3q) AS s33
+  FROM base
+), mo1 AS MATERIALIZED (
+  SELECT n,
+         CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE) AS m1, CAST(s11 AS DOUBLE)/CAST(n AS DOUBLE) AS q1,
+         CAST(s2 AS DOUBLE)/CAST(n AS DOUBLE) AS m2, CAST(s22 AS DOUBLE)/CAST(n AS DOUBLE) AS q2,
+         CAST(s3 AS DOUBLE)/CAST(n AS DOUBLE) AS m3, CAST(s33 AS DOUBLE)/CAST(n AS DOUBLE) AS q3
+  FROM mo0
+), mo AS MATERIALIZED (
+  SELECT n, m1, sqrt(q1 - m1*m1) AS sd1, m2, sqrt(q2 - m2*m2) AS sd2,
+         m3, sqrt(q3 - m3*m3) AS sd3
+  FROM mo1
+), zrel AS MATERIALIZED (
+  SELECT y,
+         (CAST(x1q AS DOUBLE) - (SELECT m1 FROM mo)) / (SELECT sd1 FROM mo) AS z1,
+         (CAST(x2q AS DOUBLE) - (SELECT m2 FROM mo)) / (SELECT sd2 FROM mo) AS z2,
+         (CAST(x3q AS DOUBLE) - (SELECT m3 FROM mo)) / (SELECT sd3 FROM mo) AS z3
+  FROM base
+), ztest AS MATERIALIZED (
+  SELECT y,
+         (CAST(x1q AS DOUBLE) - (SELECT m1 FROM mo)) / (SELECT sd1 FROM mo) AS z1,
+         (CAST(x2q AS DOUBLE) - (SELECT m2 FROM mo)) / (SELECT sd2 FROM mo) AS z2,
+         (CAST(x3q AS DOUBLE) - (SELECT m3 FROM mo)) / (SELECT sd3 FROM mo) AS z3
+  FROM base0 WHERE istest = 1
+)"""
+
+
+# Shared textual forward-pass builders (ADVICE r9 #4): both the
+# training replay below AND plans/streamq._stream_mlpx_oracle's
+# score-all tail emit the SAME pre/h/m SQL through these three
+# functions, so a change to the forward-pass expressions cannot
+# silently desync the stream oracle from the training oracle.
+def _mlpx_pre_sql(j: int, wsrc: str) -> str:
+    """Hidden pre-activation for unit j with weights read from CTE
+    ``wsrc`` via scalar subqueries."""
+    return (
+        f"(SELECT w{j}_0 FROM {wsrc}) + (SELECT w{j}_1 FROM {wsrc}) * z1"
+        f" + (SELECT w{j}_2 FROM {wsrc}) * z2"
+        f" + (SELECT w{j}_3 FROM {wsrc}) * z3"
+    )
+
+
+def _mlpx_h_sql(j: int) -> str:
+    """Hard-tanh clamp of pre{j} — the exact, transcendental-free
+    hidden activation."""
+    return f"GREATEST(LEAST(pre{j}, 1.0), -1.0) AS h{j}"
+
+
+def _mlpx_m_sql(wsrc: str) -> str:
+    """Output margin from CTE ``wsrc``'s head weights over h1..hH."""
+    return f"(SELECT vb FROM {wsrc})" + "".join(
+        f" + (SELECT v{j} FROM {wsrc}) * h{j}" for j in range(1, _MLPX_H + 1)
+    )
+
+
 def _mlpx_cte_parts(optimizer: str = "gd") -> list:
     """The chained-CTE replay of the exact 3->8->1(sigmoid) training
     trajectory, as a parts list WITHOUT the final SELECT — shared by
@@ -861,59 +933,16 @@ def _mlpx_cte_parts(optimizer: str = "gd") -> list:
         w0_cols += [f"0.0 AS va_{p}" for p in pnames]
     w0_body = ", ".join(w0_cols)
     parts = [
-        f"""WITH base0 AS MATERIALIZED (
-  SELECT CAST(ROUND(value * 10000) AS BIGINT) AS x1q,
-         CAST(user_id % 100 AS BIGINT) AS x2q,
-         CAST(event_id % 100 AS BIGINT) AS x3q,
-         CASE WHEN event_type IN ('purchase','signup') THEN 1 ELSE 0 END AS y,
-         CASE WHEN event_id % 4 = 1 THEN 1 ELSE 0 END AS istest
-  FROM events
-), base AS MATERIALIZED (SELECT * FROM base0 WHERE istest = 0
-), mo0 AS MATERIALIZED (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         SUM(x1q) AS s1, SUM(x2q) AS s2, SUM(x3q) AS s3,
-         SUM(x1q*x1q) AS s11, SUM(x2q*x2q) AS s22, SUM(x3q*x3q) AS s33
-  FROM base
-), mo1 AS MATERIALIZED (
-  SELECT n,
-         CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE) AS m1, CAST(s11 AS DOUBLE)/CAST(n AS DOUBLE) AS q1,
-         CAST(s2 AS DOUBLE)/CAST(n AS DOUBLE) AS m2, CAST(s22 AS DOUBLE)/CAST(n AS DOUBLE) AS q2,
-         CAST(s3 AS DOUBLE)/CAST(n AS DOUBLE) AS m3, CAST(s33 AS DOUBLE)/CAST(n AS DOUBLE) AS q3
-  FROM mo0
-), mo AS MATERIALIZED (
-  SELECT n, m1, sqrt(q1 - m1*m1) AS sd1, m2, sqrt(q2 - m2*m2) AS sd2,
-         m3, sqrt(q3 - m3*m3) AS sd3
-  FROM mo1
-), zrel AS MATERIALIZED (
-  SELECT y,
-         (CAST(x1q AS DOUBLE) - (SELECT m1 FROM mo)) / (SELECT sd1 FROM mo) AS z1,
-         (CAST(x2q AS DOUBLE) - (SELECT m2 FROM mo)) / (SELECT sd2 FROM mo) AS z2,
-         (CAST(x3q AS DOUBLE) - (SELECT m3 FROM mo)) / (SELECT sd3 FROM mo) AS z3
-  FROM base
-), ztest AS MATERIALIZED (
-  SELECT y,
-         (CAST(x1q AS DOUBLE) - (SELECT m1 FROM mo)) / (SELECT sd1 FROM mo) AS z1,
-         (CAST(x2q AS DOUBLE) - (SELECT m2 FROM mo)) / (SELECT sd2 FROM mo) AS z2,
-         (CAST(x3q AS DOUBLE) - (SELECT m3 FROM mo)) / (SELECT sd3 FROM mo) AS z3
-  FROM base0 WHERE istest = 1
-), w_0 AS MATERIALIZED (SELECT {w0_body})"""
+        f"""{STDZ_BASE_CTES}, w_0 AS MATERIALIZED (SELECT {w0_body})"""
     ]
 
     def pre_sql(j: int, p) -> str:
-        return (
-            f"(SELECT w{j}_0 FROM w_{p}) + (SELECT w{j}_1 FROM w_{p}) * z1"
-            f" + (SELECT w{j}_2 FROM w_{p}) * z2"
-            f" + (SELECT w{j}_3 FROM w_{p}) * z3"
-        )
+        return _mlpx_pre_sql(j, f"w_{p}")
 
     def m_sql(p) -> str:
-        return f"(SELECT vb FROM w_{p})" + "".join(
-            f" + (SELECT v{j} FROM w_{p}) * h{j}" for j in range(1, H + 1)
-        )
+        return _mlpx_m_sql(f"w_{p}")
 
-    hs = ",\n         ".join(
-        f"GREATEST(LEAST(pre{j}, 1.0), -1.0) AS h{j}" for j in range(1, H + 1)
-    )
+    hs = ",\n         ".join(_mlpx_h_sql(j) for j in range(1, H + 1))
     for r in range(1, R + 1):
         p = r - 1
         pres = ",\n           ".join(
@@ -1111,13 +1140,17 @@ def _mlpx_train(
     hyperparameters, mlp_model.py:10-15), FULL ORACLE — the capstone
     of the trainer-conversion program (VERDICT r8 #1): the first query
     family that trains a net WITH a hidden layer entirely under DuckDB
-    replay, closing the nonlinear-trainer value-check gap.  Matches
-    the reference's Dense stack (mlp_model.py:17-34) at the architecture
-    level — a 3->8->1 net with a saturating hidden nonlinearity and a
-    sigmoid head (binary output == the 2-class softmax of the Keras
-    model, parameterized by the logit difference) — while the
-    reference trains driver-side in Keras (mlp_model.py:74-81), this
-    trains as Spark dataflow: one map-side aggregate job per round.
+    replay, closing the nonlinear-trainer value-check gap.  The net is
+    a REDUCED single-hidden-layer analogue of the reference's MLP
+    (mlp_model.py:17-34 is a 256/128/64 three-hidden-layer ReLU net
+    with dropout and softmax; this is 3->8->1 with a saturating hidden
+    nonlinearity and a sigmoid head — the binary specialization of the
+    softmax, parameterized by the logit difference).  The reduction is
+    what makes bit-exact replay possible; the full-size protocol twin
+    (plans/deepq ml_mlp_train_dist) keeps the reference's actual
+    architecture rows-only.  While the reference trains driver-side in
+    Keras (mlp_model.py:74-81), this trains as Spark dataflow: one
+    map-side aggregate job per round.
 
     Exactness composition (both patterns proven in round 8):
     hard-tanh hidden activation = GREATEST(LEAST(pre, 1), -1) — no
@@ -1373,9 +1406,13 @@ def ml_mlp_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ml_mlp_adam_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """See _mlpx_train (optimizer='adam'): the SAME 3->8->1 hard-tanh
-    net trained with the reference's ACTUAL optimizer and
-    hyperparameters (mlp_model.py:10-15: Adam lr=1e-3, Keras-default
-    beta1=0.9 / beta2=0.999 / eps=1e-7).  Adam's per-parameter state
+    net trained with the reference's optimizer hyperparameters
+    (mlp_model.py:10-15: Adam lr=1e-3, Keras-default beta1=0.9 /
+    beta2=0.999 / eps=1e-7) in the Adam paper's Algorithm-1
+    formulation (epsilon added to sqrt(v/bc2); Keras folds epsilon
+    into the uncorrected sqrt(v) via lr_t rescaling — slightly
+    different trajectories, same fixed points).  Adam's per-parameter
+    state
     (first/second moment EMAs, bias corrections) is a chain of
     driver-side scalar IEEE operations, so the full optimizer mirrors
     bit-exactly in the DuckDB replay: the output carries, per round

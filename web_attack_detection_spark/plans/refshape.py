@@ -214,9 +214,7 @@ def ref_unsw_stream_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.createDataFrame(
-        spark.table(name).collect(), spark.table(name).schema
-    )
+    return spark.table(name).localCheckpoint(eager=True)
 
 
 # battery prep contract: raw features = the 42 clean whitelist numerics

@@ -282,9 +282,11 @@ def stream_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.processAllAvailable()
         finally:
             q.stop()
-    res = spark.createDataFrame(
-        spark.table(name).collect(), spark.table(name).schema
-    )
+    # JVM-side pin (see _replay): the append-mode join sink is ROW-LEVEL
+    # (one row per view), so the old collect()+createDataFrame roundtrip
+    # was the same Py4J linear term attributed in VERDICT r8 #4 — at 10×
+    # scale ~1M rows crossing the driver twice before the reducing agg.
+    res = spark.table(name).localCheckpoint(eager=True)
     cutoff = (
         load_table(spark, sf_dir, "events")
         .agg((F.max("ts") - F.expr("INTERVAL 4 HOURS")).alias("c"))
@@ -340,9 +342,9 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.processAllAvailable()
         finally:
             q.stop()
-    res = spark.createDataFrame(
-        spark.table(name).collect(), spark.table(name).schema
-    )
+    # JVM-side pin (see _replay): update-mode emissions are cumulative
+    # per user — sf-proportional row count, so keep them out of Py4J.
+    res = spark.table(name).localCheckpoint(eager=True)
     return res.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
         F.max_by("total_value", "n_events").alias("total_value"),
@@ -390,9 +392,7 @@ try:  # pragma: no cover - protobuf absent in this image
                 q.processAllAvailable()
             finally:
                 q.stop()
-        res = spark.createDataFrame(
-            spark.table(name).collect(), spark.table(name).schema
-        )
+        res = spark.table(name).localCheckpoint(eager=True)
         return res.groupBy("user_id").agg(
             F.max("n_events").alias("n_events"),
             F.max_by("total_value", "n_events").alias("total_value"),
@@ -449,9 +449,7 @@ def stream_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.awaitTermination(timeout=300)
         finally:
             q.stop()
-    return spark.createDataFrame(
-        spark.table(name).collect(), spark.table(name).schema
-    )
+    return spark.table(name).localCheckpoint(eager=True)
 
 
 _SLIDING_STREAM_ORACLE = """
@@ -510,9 +508,7 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.processAllAvailable()
         finally:
             q.stop()
-    return spark.createDataFrame(
-        spark.table(name).collect(), spark.table(name).schema
-    )
+    return spark.table(name).localCheckpoint(eager=True)
 
 
 _JSON_DECODE_ORACLE = f"""
@@ -577,9 +573,7 @@ def stream_json_value_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.processAllAvailable()
         finally:
             q.stop()
-    return spark.createDataFrame(
-        spark.table(name).collect(), spark.table(name).schema
-    )
+    return spark.table(name).localCheckpoint(eager=True)
 
 
 # ---------------------------------------------------------------------------
@@ -1216,32 +1210,25 @@ def _stream_mlpx_oracle() -> str:
     'gd') extended with a score-everything windowed aggregation: an
     extra zall CTE standardizes ALL events (train + test) with the
     TRAIN moments, the forward pass runs with the w_{ROUNDS} trained
-    weights (scalar subqueries — the textual forms below must stay in
-    sync with _mlpx_cte_parts' pre/h/m builders), and the result is
-    the per-(hour window, predicted class) count relation the stream
-    emits."""
+    weights (built by the SAME _mlpx_pre_sql/_mlpx_h_sql/_mlpx_m_sql
+    helpers the training replay uses — ADVICE r9 #4: one textual
+    source, no sync hazard), and the result is the per-(hour window,
+    predicted class) count relation the stream emits."""
     from web_attack_detection_spark.plans.mlq import (
         _MLPX_H,
         _MLPX_ROUNDS,
         _mlpx_cte_parts,
+        _mlpx_h_sql,
+        _mlpx_m_sql,
+        _mlpx_pre_sql,
     )
 
     H, R = _MLPX_H, _MLPX_ROUNDS
-
-    def pre(j: int) -> str:
-        return (
-            f"(SELECT w{j}_0 FROM w_{R}) + (SELECT w{j}_1 FROM w_{R}) * z1"
-            f" + (SELECT w{j}_2 FROM w_{R}) * z2"
-            f" + (SELECT w{j}_3 FROM w_{R}) * z3"
-        )
-
-    pres = ",\n           ".join(f"{pre(j)} AS pre{j}" for j in range(1, H + 1))
-    hs = ", ".join(
-        f"GREATEST(LEAST(pre{j}, 1.0), -1.0) AS h{j}" for j in range(1, H + 1)
+    pres = ",\n           ".join(
+        f"{_mlpx_pre_sql(j, f'w_{R}')} AS pre{j}" for j in range(1, H + 1)
     )
-    msql = f"(SELECT vb FROM w_{R})" + "".join(
-        f" + (SELECT v{j} FROM w_{R}) * h{j}" for j in range(1, H + 1)
-    )
+    hs = ", ".join(_mlpx_h_sql(j) for j in range(1, H + 1))
+    msql = _mlpx_m_sql(f"w_{R}")
     tail = f""", zall AS MATERIALIZED (
   SELECT CAST(ts AS TIMESTAMP) AS t,
          (CAST(CAST(ROUND(value * 10000) AS BIGINT) AS DOUBLE) - (SELECT m1 FROM mo)) / (SELECT sd1 FROM mo) AS z1,
