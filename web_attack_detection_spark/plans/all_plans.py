@@ -41,6 +41,7 @@ PLAN_MODULES = [
     "pipelineq",
     "mlq",
     "mlq2",
+    "rnnx",
     "deepq",
     "multimodal",
     "streamq",
@@ -56,8 +57,8 @@ for _mod in PLAN_MODULES:
 # Registry floor (bumped as queries land).  A registry smaller than
 # this means a plan module loaded but failed to register (the one
 # silent-shrink path imports can't catch).
-EXPECTED_MIN_QUERIES = 316
-EXPECTED_MIN_ORACLES = 304
+EXPECTED_MIN_QUERIES = 317
+EXPECTED_MIN_ORACLES = 305
 
 from web_attack_detection_spark.plans.registry import QUERIES as _Q  # noqa: E402
 
