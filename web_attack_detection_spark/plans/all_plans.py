@@ -42,6 +42,7 @@ PLAN_MODULES = [
     "mlq",
     "mlq2",
     "rnnx",
+    "cnnx",
     "deepq",
     "multimodal",
     "streamq",
@@ -57,8 +58,8 @@ for _mod in PLAN_MODULES:
 # Registry floor (bumped as queries land).  A registry smaller than
 # this means a plan module loaded but failed to register (the one
 # silent-shrink path imports can't catch).
-EXPECTED_MIN_QUERIES = 317
-EXPECTED_MIN_ORACLES = 305
+EXPECTED_MIN_QUERIES = 318
+EXPECTED_MIN_ORACLES = 306
 
 from web_attack_detection_spark.plans.registry import QUERIES as _Q  # noqa: E402
 
