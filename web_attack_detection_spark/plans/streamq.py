@@ -1339,3 +1339,142 @@ def stream_mlp_trained_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _replay(spark, sf_dir, agg_fn).orderBy("window_start", "pred")
+
+
+# ---------------------------------------------------------------------------
+# trained-model stream scoring #2: the exact-GD recurrent net in-stream
+# ---------------------------------------------------------------------------
+
+
+def _stream_rnnx_oracle() -> str:
+    """The full ml_rnn_exact training replay (plans/rnnx._rnnx_cte_parts)
+    extended with a score-everything windowed aggregation, built from
+    the SAME _rnnx_pre_sql/_rnnx_m_sql builders the training replay
+    uses (one textual source — the ADVICE r9 #4 discipline): a zall
+    CTE standardizes ALL events with the TRAIN moments, the 3-step
+    recurrence runs forward with the w_{ROUNDS} trained weights, and
+    the result is the per-(hour window, predicted class) count
+    relation the stream emits."""
+    from web_attack_detection_spark.plans.rnnx import (
+        _RNNX_H,
+        _RNNX_ROUNDS,
+        _RNNX_T,
+        _rnnx_cte_parts,
+        _rnnx_m_sql,
+        _rnnx_pre_sql,
+    )
+
+    H, R, T = _RNNX_H, _RNNX_ROUNDS, _RNNX_T
+    inner = "zall"
+    for t in range(1, T + 1):
+        pres = ",\n           ".join(
+            f"{_rnnx_pre_sql(t, j, f'w_{R}')} AS pre{t}_{j}"
+            for j in range(1, H + 1)
+        )
+        inner = f"(SELECT *,\n           {pres}\n    FROM {inner})"
+        ss = ",\n           ".join(
+            f"GREATEST(LEAST(pre{t}_{j}, 1.0), -1.0) AS s{t}_{j}"
+            for j in range(1, H + 1)
+        )
+        inner = f"(SELECT *,\n           {ss}\n    FROM {inner})"
+    tail = f""", zall AS MATERIALIZED (
+  SELECT CAST(ts AS TIMESTAMP) AS t,
+         (CAST(CAST(ROUND(value * 10000) AS BIGINT) AS DOUBLE) - (SELECT m1 FROM mo)) / (SELECT sd1 FROM mo) AS z1,
+         (CAST(CAST(user_id % 100 AS BIGINT) AS DOUBLE) - (SELECT m2 FROM mo)) / (SELECT sd2 FROM mo) AS z2,
+         (CAST(CAST(event_id % 100 AS BIGINT) AS DOUBLE) - (SELECT m3 FROM mo)) / (SELECT sd3 FROM mo) AS z3
+  FROM events
+)
+SELECT strftime(date_trunc('hour', t), '%Y-%m-%d %H:%M:%S') AS window_start,
+       CAST(CASE WHEN m >= 0.0 THEN 1 ELSE 0 END AS BIGINT) AS pred,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT t, {_rnnx_m_sql(f'w_{R}')} AS m
+  FROM {inner}
+)
+GROUP BY 1, 2 ORDER BY 1, 2"""
+    return "".join(_rnnx_cte_parts()) + tail
+
+
+@register(
+    "stream_rnn_trained_scoring",
+    _stream_rnnx_oracle(),
+    doc="exact-GD-TRAINED recurrent net served on the stream: train "
+    "in-engine then watermarked windowed scoring; oracle replays "
+    "training AND scoring",
+)
+def stream_rnn_trained_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recurrent twin of stream_mlp_trained_scoring: the exact-GD
+    sequence net of plans/rnnx.ml_rnn_exact is fitted in-engine
+    (weights bit-identical to the oracle's w_5 by trajectory
+    mirroring), then every arriving event is scored in-stream — the
+    3-step hard-tanh recurrence unrolled into whole-stage-codegen
+    column expressions (no Python worker, no second state store) —
+    and aggregated into per-(tumbling hour, predicted class) counts
+    under a 30-minute watermark.  One DuckDB oracle replays BOTH the
+    BPTT training and the streaming inference end to end, so the
+    reference's recurrent deployment story (train offline, score
+    flows online; models/rnn_model.py) is value-pinned across the
+    whole train->serve loop.
+
+    Scale: training is ml_rnn_exact's loop (one map-side aggregate
+    per round); serving adds a stateless projection chain before ONE
+    windowed streaming aggregation — state bounded by open windows x
+    2 classes, evicted by the watermark."""
+    from web_attack_detection_spark.plans.rnnx import _RNNX_H, _RNNX_T, _rnnx_train
+
+    model = _rnnx_train(spark, sf_dir, _return_model=True)
+    B, U, R, V = model["B"], model["U"], model["R"], model["V"]
+    mean, sd = model["mean"], model["sd"]
+    H, T = _RNNX_H, _RNNX_T
+
+    def agg_fn(s: DataFrame) -> DataFrame:
+        src = s.withWatermark("ts", "30 minutes") if s.isStreaming else s
+        xq = {
+            1: F.round(F.col("value") * 10000).cast("long"),
+            2: (F.col("user_id") % 100).cast("long"),
+            3: (F.col("event_id") % 100).cast("long"),
+        }
+        cur = src.select(
+            "ts",
+            *[
+                ((xq[i].cast("double") - F.lit(mean[i])) / F.lit(sd[i])).alias(
+                    f"z{i}"
+                )
+                for i in (1, 2, 3)
+            ],
+        )
+        for t in range(1, T + 1):
+            pres = []
+            for j in range(1, H + 1):
+                e = F.lit(B[j - 1]) + F.lit(U[j - 1]) * F.col(f"z{t}")
+                if t > 1:
+                    for k in range(1, H + 1):
+                        e = e + F.lit(R[j - 1][k - 1]) * F.col(f"s{t - 1}_{k}")
+                pres.append(e.alias(f"pre{t}_{j}"))
+            cur = cur.select("*", *pres)
+            cur = cur.select(
+                "*",
+                *[
+                    F.greatest(
+                        F.least(F.col(f"pre{t}_{j}"), F.lit(1.0)), F.lit(-1.0)
+                    ).alias(f"s{t}_{j}")
+                    for j in range(1, H + 1)
+                ],
+            )
+        m = F.lit(V[0])
+        for j in range(1, H + 1):
+            m = m + F.lit(V[j]) * F.col(f"s3_{j}")
+        scored = cur.select("ts", (m >= F.lit(0.0)).cast("long").alias("pred"))
+        return (
+            scored.groupBy(F.window("ts", "1 hour"), "pred")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .select(
+                F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                    "window_start"
+                ),
+                "pred",
+                "n",
+            )
+        )
+
+    return _replay(spark, sf_dir, agg_fn).orderBy("window_start", "pred")
