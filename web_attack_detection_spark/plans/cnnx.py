@@ -269,7 +269,9 @@ def _cnnx_oracle() -> str:
     return "".join(parts)
 
 
-def _cnnx_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _cnnx_train(
+    spark: SparkSession, sf_dir: str, _return_model: bool = False
+) -> DataFrame:
     """Engine-side trainer: the Spark-dataflow mirror of the oracle.
     Reference spec anchor: models/cnn_model.py:19-40 (Conv1D ->
     MaxPooling1D -> Dense), main.py:138-151 (train/eval protocol)."""
@@ -462,6 +464,12 @@ def _cnnx_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (r, "out", 0, c, int(g[f"gv{c}"]), _lrgd_round_half_away(V[c] * 1000000))
             )
         out.append((r, "acc", 0, 0, int(g["nc"]), n))
+
+    if _return_model:
+        # fitted weights + standardization stats for serving callers
+        # (plans/streamq.stream_cnn_trained_scoring) — bit-identical
+        # to the oracle's w_{ROUNDS} columns by trajectory mirroring
+        return {"B": B, "K0": K0, "K1": K1, "V": V, "mean": mean, "sd": sd, "n": n}
 
     cm = (
         _fwd(_z(base_all.filter(F.col("istest") == 1)))

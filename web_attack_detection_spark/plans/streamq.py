@@ -1478,3 +1478,158 @@ def stream_rnn_trained_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _replay(spark, sf_dir, agg_fn).orderBy("window_start", "pred")
+
+
+# ---------------------------------------------------------------------------
+# trained-model stream scoring #3: the exact-GD conv net in-stream
+# ---------------------------------------------------------------------------
+
+
+def _stream_cnnx_oracle() -> str:
+    """The full ml_cnn_exact training replay (plans/cnnx._cnnx_cte_parts)
+    extended with a score-everything windowed aggregation, built from
+    the SAME _cnnx_pre_sql/_cnnx_m_sql builders the training replay
+    uses: a zall CTE standardizes ALL events with the TRAIN moments,
+    the conv -> max-pool -> head forward pass runs with the w_{ROUNDS}
+    trained weights, and the result is the per-(hour window, predicted
+    class) count relation the stream emits."""
+    from web_attack_detection_spark.plans.cnnx import (
+        _CNNX_C,
+        _CNNX_P,
+        _CNNX_ROUNDS,
+        _cnnx_cte_parts,
+        _cnnx_m_sql,
+        _cnnx_pre_sql,
+    )
+
+    C, R, P = _CNNX_C, _CNNX_ROUNDS, _CNNX_P
+    pres = ",\n           ".join(
+        f"{_cnnx_pre_sql(t, c, f'w_{R}')} AS pre{t}_{c}"
+        for t in range(1, P + 1)
+        for c in range(1, C + 1)
+    )
+    inner = f"(SELECT *,\n           {pres}\n    FROM zall)"
+    acts = ",\n           ".join(
+        f"GREATEST(LEAST(pre{t}_{c}, 1.0), -1.0) AS a{t}_{c}"
+        for t in range(1, P + 1)
+        for c in range(1, C + 1)
+    )
+    inner = f"(SELECT *,\n           {acts}\n    FROM {inner})"
+    pools = ",\n           ".join(
+        f"GREATEST(a1_{c}, a2_{c}) AS p{c}" for c in range(1, C + 1)
+    )
+    inner = f"(SELECT *,\n           {pools}\n    FROM {inner})"
+    tail = f""", zall AS MATERIALIZED (
+  SELECT CAST(ts AS TIMESTAMP) AS t,
+         (CAST(CAST(ROUND(value * 10000) AS BIGINT) AS DOUBLE) - (SELECT m1 FROM mo)) / (SELECT sd1 FROM mo) AS z1,
+         (CAST(CAST(user_id % 100 AS BIGINT) AS DOUBLE) - (SELECT m2 FROM mo)) / (SELECT sd2 FROM mo) AS z2,
+         (CAST(CAST(event_id % 100 AS BIGINT) AS DOUBLE) - (SELECT m3 FROM mo)) / (SELECT sd3 FROM mo) AS z3
+  FROM events
+)
+SELECT strftime(date_trunc('hour', t), '%Y-%m-%d %H:%M:%S') AS window_start,
+       CAST(CASE WHEN m >= 0.0 THEN 1 ELSE 0 END AS BIGINT) AS pred,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT t, {_cnnx_m_sql(f'w_{R}')} AS m
+  FROM {inner}
+)
+GROUP BY 1, 2 ORDER BY 1, 2"""
+    return "".join(_cnnx_cte_parts()) + tail
+
+
+@register(
+    "stream_cnn_trained_scoring",
+    _stream_cnnx_oracle(),
+    doc="exact-GD-TRAINED conv net served on the stream: train in-engine "
+    "then watermarked windowed scoring; oracle replays training AND scoring",
+)
+def stream_cnn_trained_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The convolutional leg of the train->serve program — with this
+    query ALL THREE of the reference's architecture families (Dense,
+    recurrent, conv; models/{mlp,rnn,cnn}_model.py) are trained
+    in-engine AND served in-stream under one end-to-end DuckDB oracle
+    each.  The exact-GD conv net of plans/cnnx.ml_cnn_exact is fitted
+    (weights bit-identical to the oracle's w_6 by trajectory
+    mirroring), then every arriving event is scored in-stream — the
+    shared-kernel conv, hard-tanh, and max-pool unrolled into
+    whole-stage-codegen expressions — and aggregated into
+    per-(tumbling hour, predicted class) counts under a 30-minute
+    watermark.
+
+    Scale: training is ml_cnn_exact's loop (one map-side 18-aggregate
+    scan per round); serving adds a stateless projection chain before
+    ONE windowed streaming aggregation — state bounded by open
+    windows x 2 classes, evicted by the watermark."""
+    from web_attack_detection_spark.plans.cnnx import (
+        _CNNX_C,
+        _CNNX_P,
+        _cnnx_train,
+    )
+
+    model = _cnnx_train(spark, sf_dir, _return_model=True)
+    B, K0, K1, V = model["B"], model["K0"], model["K1"], model["V"]
+    mean, sd = model["mean"], model["sd"]
+    C, P = _CNNX_C, _CNNX_P
+
+    def agg_fn(s: DataFrame) -> DataFrame:
+        src = s.withWatermark("ts", "30 minutes") if s.isStreaming else s
+        xq = {
+            1: F.round(F.col("value") * 10000).cast("long"),
+            2: (F.col("user_id") % 100).cast("long"),
+            3: (F.col("event_id") % 100).cast("long"),
+        }
+        cur = src.select(
+            "ts",
+            *[
+                ((xq[i].cast("double") - F.lit(mean[i])) / F.lit(sd[i])).alias(
+                    f"z{i}"
+                )
+                for i in (1, 2, 3)
+            ],
+        )
+        cur = cur.select(
+            "*",
+            *[
+                (
+                    F.lit(B[c - 1])
+                    + F.lit(K0[c - 1]) * F.col(f"z{t}")
+                    + F.lit(K1[c - 1]) * F.col(f"z{t + 1}")
+                ).alias(f"pre{t}_{c}")
+                for t in range(1, P + 1)
+                for c in range(1, C + 1)
+            ],
+        )
+        cur = cur.select(
+            "*",
+            *[
+                F.greatest(
+                    F.least(F.col(f"pre{t}_{c}"), F.lit(1.0)), F.lit(-1.0)
+                ).alias(f"a{t}_{c}")
+                for t in range(1, P + 1)
+                for c in range(1, C + 1)
+            ],
+        )
+        cur = cur.select(
+            "*",
+            *[
+                F.greatest(F.col(f"a1_{c}"), F.col(f"a2_{c}")).alias(f"p{c}")
+                for c in range(1, C + 1)
+            ],
+        )
+        m = F.lit(V[0])
+        for c in range(1, C + 1):
+            m = m + F.lit(V[c]) * F.col(f"p{c}")
+        scored = cur.select("ts", (m >= F.lit(0.0)).cast("long").alias("pred"))
+        return (
+            scored.groupBy(F.window("ts", "1 hour"), "pred")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .select(
+                F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                    "window_start"
+                ),
+                "pred",
+                "n",
+            )
+        )
+
+    return _replay(spark, sf_dir, agg_fn).orderBy("window_start", "pred")
