@@ -215,3 +215,52 @@ def test_rnn_exact_shape_and_bptt_invariants(rows):
     ).fetchone()[0]
     assert sum(r["grad_q"] for r in by["cm"]) == n_test
     assert all(r["pidx"] in (0, 1) for r in by["cm"])
+
+
+def test_rnn_adam_exact_trajectory_and_moments(spark):
+    """ml_rnn_adam_exact: same net trained with Keras' Adam
+    formulation (lr_t-folded bias corrections, epsilon on the
+    uncorrected sqrt(v)).  Round-1 moment relation m_1 = 0.1*g/(n*1e6)
+    exactly (quantized both sides), round-1 gradient parity with the
+    GD query (identical init => identical first forward pass), and
+    the first step is bounded by lr_t(1) * (1/(1+eps'))."""
+    from web_attack_detection_spark.plans.rnnx import _rnnx_lr_t
+
+    rows = QUERIES["ml_rnn_adam_exact"].fn(spark, SF).collect()
+    by: dict = {}
+    for r in rows:
+        by.setdefault(r["layer"], []).append(r)
+    H, R = _RNNX_H, _RNNX_ROUNDS
+    assert len(by["in"]) == R * H * 2
+    assert len(by["rec"]) == R * H * H
+    assert len(by["out"]) == R * (H + 1)
+    n = by["acc"][0]["w_q"]
+    r1 = [r for r in rows if r["round"] == 1 and r["layer"] in ("in", "rec", "out")]
+    for r in r1:
+        g = r["grad_q"] / (n * 1e6)
+        m1 = (1.0 - 0.9) * g
+        assert r["m_q"] == _lrgd_round_half_away(m1 * 1e9), r
+    gd = {
+        (x["layer"], x["unit"], x["pidx"]): x["grad_q"]
+        for x in QUERIES["ml_rnn_exact"].fn(spark, SF).collect()
+        if x["round"] == 1 and x["layer"] in ("in", "rec", "out")
+    }
+    for r in r1:
+        assert gd[(r["layer"], r["unit"], r["pidx"])] == r["grad_q"]
+    # Keras first step: |w_1 - w_0| = lr_t(1) * |m|/(sqrt(v)+eps)
+    # <= lr_t(1) * sqrt(10) for the first step (m/sqrt(v) = sqrt(0.1)
+    # when v's EMA has one sample... bound loosely by lr_t * 1/sqrt(0.1))
+    B0, U0, R0, V0 = _rnnx_init()
+    init = {}
+    for j in range(1, H + 1):
+        init[("in", j, 0)] = B0[j - 1]
+        init[("in", j, 1)] = U0[j - 1]
+        for k in range(1, H + 1):
+            init[("rec", j, k)] = R0[j - 1][k - 1]
+    init[("out", 0, 0)] = V0[0]
+    for j in range(1, H + 1):
+        init[("out", 0, j)] = V0[j]
+    bound = _rnnx_lr_t(1) / (0.1 ** 0.5) + 2e-6
+    for r in r1:
+        step = abs(r["w_q"] / 1e6 - init[(r["layer"], r["unit"], r["pidx"])])
+        assert step <= bound, r

@@ -65,6 +65,19 @@ _RNNX_T = 3  # timesteps (the three standardized features as a sequence)
 _RNNX_ROUNDS = 5
 _RNNX_LR = 0.5  # textual literal "0.5" in the SQL below
 
+# Adam hyperparameters for the ml_rnn_adam_exact twin — the
+# reference's values (rnn_model.py: Adam lr=1e-3; Keras defaults
+# beta1=0.9, beta2=0.999, epsilon=1e-7), and — unlike
+# ml_mlp_adam_exact's Algorithm-1 form — KERAS' OWN epsilon
+# placement: Keras folds the bias corrections into a per-step
+# learning rate lr_t = lr*sqrt(1-b2^t)/(1-b1^t) and applies epsilon
+# to the UNCORRECTED sqrt(v): w -= lr_t * m / (sqrt(v) + eps)
+# (ADVICE r9 #2 — both formulations now exist under oracle).
+_RNNX_ADAM_LR = 0.001
+_RNNX_B1 = 0.9
+_RNNX_B2 = 0.999
+_RNNX_EPS = 1e-07
+
 
 def _rnnx_init():
     """Pinned asymmetric init, exact sixteenths (binary-representable;
@@ -127,13 +140,31 @@ def _rnnx_c_sql(t: int, k: int, wsrc: str) -> str:
     return " + ".join(terms)
 
 
-def _rnnx_cte_parts() -> list:
+def _rnnx_lr_t(r: int) -> float:
+    """Keras Adam's folded per-step learning rate,
+    lr*sqrt(1-b2^t)/(1-b1^t) — computed ONCE in Python and injected
+    by repr on both sides (no POWER()/sqrt parity risk in SQL)."""
+    return (
+        _RNNX_ADAM_LR
+        * math.sqrt(1.0 - _RNNX_B2**r)
+        / (1.0 - _RNNX_B1**r)
+    )
+
+
+def _rnnx_cte_parts(optimizer: str = "gd") -> list:
     """The chained-CTE replay of the exact BPTT training trajectory,
     as a parts list WITHOUT the final SELECT (the tidy-relation UNION
-    is appended by _rnnx_oracle; a serving tail could be appended the
-    way plans/streamq extends _mlpx_cte_parts)."""
+    is appended by _rnnx_oracle; plans/streamq appends a serving tail
+    the way it extends _mlpx_cte_parts).
+
+    optimizer='gd': each weight update is one division + one
+    multiply-subtract.  optimizer='adam': KERAS' formulation — moment
+    EMAs per parameter, then w -= lr_t * m / (sqrt(v) + eps) with the
+    bias corrections folded into the repr-injected lr_t literal."""
+    adam = optimizer == "adam"
     B0, U0, R0, V0 = _rnnx_init()
     H, T, R = _RNNX_H, _RNNX_T, _RNNX_ROUNDS
+    pnames = _rnnx_param_names()
     w0_cols = [f"{B0[j - 1]!r} AS b{j}" for j in range(1, H + 1)]
     w0_cols += [f"{U0[j - 1]!r} AS u{j}" for j in range(1, H + 1)]
     w0_cols += [
@@ -143,6 +174,9 @@ def _rnnx_cte_parts() -> list:
     ]
     w0_cols.append(f"{V0[0]!r} AS vb")
     w0_cols += [f"{V0[j]!r} AS v{j}" for j in range(1, H + 1)]
+    if adam:
+        w0_cols += [f"0.0 AS ma_{p}" for p in pnames]
+        w0_cols += [f"0.0 AS va_{p}" for p in pnames]
     parts = [
         f"""{STDZ_BASE_CTES}, w_0 AS MATERIALIZED (SELECT {", ".join(w0_cols)})"""
     ]
@@ -211,21 +245,55 @@ def _rnnx_cte_parts() -> list:
             "CAST(SUM(CASE WHEN (m >= 0.0) = (y = 1) THEN 1 ELSE 0 END) AS BIGINT) AS nc"
         )
 
-        def upd(wname: str, gname: str) -> str:
-            return (
-                f"(SELECT {wname} FROM w_{p}) - {_RNNX_LR} * (CAST({gname} AS DOUBLE)"
-                f" / (CAST((SELECT n FROM mo) AS DOUBLE) * 1000000.0)) AS {wname}"
-            )
+        gd_cte = ""
+        if not adam:
 
-        w_cols = [upd(f"b{j}", f"gb{j}") for j in range(1, H + 1)]
-        w_cols += [upd(f"u{j}", f"gu{j}") for j in range(1, H + 1)]
-        w_cols += [
-            upd(f"r{j}_{k}", f"gr{j}_{k}")
-            for j in range(1, H + 1)
-            for k in range(1, H + 1)
-        ]
-        w_cols.append(upd("vb", "gvb"))
-        w_cols += [upd(f"v{j}", f"gv{j}") for j in range(1, H + 1)]
+            def upd(wname: str, gname: str) -> str:
+                return (
+                    f"(SELECT {wname} FROM w_{p}) - {_RNNX_LR} * (CAST({gname} AS DOUBLE)"
+                    f" / (CAST((SELECT n FROM mo) AS DOUBLE) * 1000000.0)) AS {wname}"
+                )
+
+            w_cols = [upd(f"b{j}", f"gb{j}") for j in range(1, H + 1)]
+            w_cols += [upd(f"u{j}", f"gu{j}") for j in range(1, H + 1)]
+            w_cols += [
+                upd(f"r{j}_{k}", f"gr{j}_{k}")
+                for j in range(1, H + 1)
+                for k in range(1, H + 1)
+            ]
+            w_cols.append(upd("vb", "gvb"))
+            w_cols += [upd(f"v{j}", f"gv{j}") for j in range(1, H + 1)]
+        else:
+            # normalized mean gradients once per round (mirrors the
+            # driver computing g = float(gsum)/n6 once per parameter;
+            # gradient-sum column name is uniformly "g" + param name)
+            gd_cols = ",\n         ".join(
+                f"CAST(g{pn} AS DOUBLE)"
+                f" / (CAST((SELECT n FROM mo) AS DOUBLE) * 1000000.0) AS d_{pn}"
+                for pn in pnames
+            )
+            gd_cte = f""", gd_{r} AS MATERIALIZED (
+  SELECT {gd_cols}
+  FROM g_{r}
+)"""
+            lr_t = _rnnx_lr_t(r)
+            w_cols = []
+            for pn in pnames:
+                ma = (
+                    f"0.9 * (SELECT ma_{pn} FROM w_{p})"
+                    f" + (1.0 - 0.9) * (SELECT d_{pn} FROM gd_{r})"
+                )
+                va = (
+                    f"0.999 * (SELECT va_{pn} FROM w_{p})"
+                    f" + (1.0 - 0.999) * ((SELECT d_{pn} FROM gd_{r})"
+                    f" * (SELECT d_{pn} FROM gd_{r}))"
+                )
+                w_cols.append(f"{ma} AS ma_{pn}")
+                w_cols.append(f"{va} AS va_{pn}")
+                w_cols.append(
+                    f"(SELECT {pn} FROM w_{p}) - {lr_t!r} * (({ma})"
+                    f" / (sqrt({va}) + 1e-07)) AS {pn}"
+                )
         g_body = ",\n         ".join(g_cols)
         w_body = ",\n         ".join(w_cols)
         parts.append(
@@ -257,9 +325,9 @@ def _rnnx_cte_parts() -> list:
 ), g_{r} AS MATERIALIZED (
   SELECT {g_body}
   FROM b_{r}
-), w_{r} AS MATERIALIZED (
+){gd_cte}, w_{r} AS MATERIALIZED (
   SELECT {w_body}
-  FROM g_{r}
+  FROM {"gd_" if adam else "g_"}{r}
 )"""
         )
     # held-out confusion with the trained weights
@@ -277,14 +345,26 @@ def _rnnx_cte_parts() -> list:
     return parts
 
 
-def _rnnx_oracle() -> str:
+def _rnnx_oracle(optimizer: str = "gd") -> str:
     """_rnnx_cte_parts plus the tidy-relation final SELECT: one row
     per (round, layer, unit, pidx) — layer 'in' rows carry (bias,
     input weight) as pidx 0/1, 'rec' rows the 4x4 recurrence, 'out'
     the 5 head params, 'acc' per-round (n_correct, n_train), 'cm' the
-    final held-out confusion."""
+    final held-out confusion; the adam variant adds quantized moment
+    columns m_q (1e9) / v_q (1e12)."""
+    adam = optimizer == "adam"
     H, R = _RNNX_H, _RNNX_ROUNDS
-    parts = _rnnx_cte_parts()
+    parts = _rnnx_cte_parts(optimizer)
+
+    def mv(pn: str, r: int) -> str:
+        if not adam:
+            return ""
+        return (
+            f", CAST(ROUND((SELECT ma_{pn} FROM w_{r}) * 1000000000) AS BIGINT) AS m_q"
+            f", CAST(ROUND((SELECT va_{pn} FROM w_{r}) * 1000000000000) AS BIGINT) AS v_q"
+        )
+
+    zeros_mv = ", CAST(0 AS BIGINT), CAST(0 AS BIGINT)" if adam else ""
     branches = []
     for r in range(1, R + 1):
         for j in range(1, H + 1):
@@ -293,11 +373,13 @@ def _rnnx_oracle() -> str:
                 f" CAST({j} AS BIGINT) AS unit, CAST(0 AS BIGINT) AS pidx,"
                 f" (SELECT gb{j} FROM g_{r}) AS grad_q,"
                 f" CAST(ROUND((SELECT b{j} FROM w_{r}) * 1000000) AS BIGINT) AS w_q"
+                f"{mv(f'b{j}', r)}"
             )
             branches.append(
                 f"SELECT CAST({r} AS BIGINT), 'in', CAST({j} AS BIGINT), CAST(1 AS BIGINT),"
                 f" (SELECT gu{j} FROM g_{r}),"
                 f" CAST(ROUND((SELECT u{j} FROM w_{r}) * 1000000) AS BIGINT)"
+                f"{mv(f'u{j}', r)}"
             )
         for j in range(1, H + 1):
             for k in range(1, H + 1):
@@ -305,25 +387,28 @@ def _rnnx_oracle() -> str:
                     f"SELECT CAST({r} AS BIGINT), 'rec', CAST({j} AS BIGINT), CAST({k} AS BIGINT),"
                     f" (SELECT gr{j}_{k} FROM g_{r}),"
                     f" CAST(ROUND((SELECT r{j}_{k} FROM w_{r}) * 1000000) AS BIGINT)"
+                    f"{mv(f'r{j}_{k}', r)}"
                 )
         branches.append(
             f"SELECT CAST({r} AS BIGINT), 'out', CAST(0 AS BIGINT), CAST(0 AS BIGINT),"
             f" (SELECT gvb FROM g_{r}),"
             f" CAST(ROUND((SELECT vb FROM w_{r}) * 1000000) AS BIGINT)"
+            f"{mv('vb', r)}"
         )
         for j in range(1, H + 1):
             branches.append(
                 f"SELECT CAST({r} AS BIGINT), 'out', CAST(0 AS BIGINT), CAST({j} AS BIGINT),"
                 f" (SELECT gv{j} FROM g_{r}),"
                 f" CAST(ROUND((SELECT v{j} FROM w_{r}) * 1000000) AS BIGINT)"
+                f"{mv(f'v{j}', r)}"
             )
         branches.append(
             f"SELECT CAST({r} AS BIGINT), 'acc', CAST(0 AS BIGINT), CAST(0 AS BIGINT),"
-            f" (SELECT nc FROM g_{r}), (SELECT n FROM mo)"
+            f" (SELECT nc FROM g_{r}), (SELECT n FROM mo){zeros_mv}"
         )
     branches.append(
         f"SELECT CAST({R} AS BIGINT), 'cm', unit, pidx, grad_q,"
-        f" CAST(0 AS BIGINT) FROM cm"
+        f" CAST(0 AS BIGINT){zeros_mv} FROM cm"
     )
     parts.append(
         "\nSELECT * FROM ("
@@ -334,13 +419,19 @@ def _rnnx_oracle() -> str:
 
 
 def _rnnx_train(
-    spark: SparkSession, sf_dir: str, _return_model: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    optimizer: str = "gd",
+    _return_model: bool = False,
 ):
     """Engine-side trainer: the Spark-dataflow mirror of the oracle.
     See the module docstring for semantics and exactness composition;
     reference spec anchor: models/rnn_model.py:17-34 (SimpleRNN
-    class), main.py:138-151 (the train/eval protocol)."""
+    class), main.py:138-151 (the train/eval protocol).
+    optimizer='adam' trains with Keras' Adam formulation (see
+    _rnnx_lr_t) — moment EMAs emitted as 1e9/1e12-quantized columns."""
     H, T = _RNNX_H, _RNNX_T
+    adam = optimizer == "adam"
     events = load_table(spark, sf_dir, "events").drop("props", "ts")
     base_all = events.select(
         F.round(F.col("value") * 10000).cast("long").alias("x1q"),
@@ -389,6 +480,9 @@ def _rnnx_train(
     B, U, R, V = _rnnx_init()
     n6 = float(n) * 1000000.0
     out: list = []
+    n_params = len(_rnnx_param_names())
+    MA = [0.0] * n_params  # Adam first-moment EMAs (param order)
+    VA = [0.0] * n_params  # Adam second-moment EMAs
 
     def _fwd(rel: DataFrame) -> DataFrame:
         """Forward pass with the CURRENT driver-held weights: chained
@@ -524,42 +618,71 @@ def _rnnx_train(
             ).alias("nc")
         )
         g = cur.agg(*aggs).first()
-        # weight updates (mirror of the w_ CTE: one division + one
-        # multiply-subtract per parameter), then tidy rows
+        # parameter bookkeeping in _rnnx_param_names() order: gradient
+        # column is uniformly "g" + param name; (layer, unit, pidx)
+        # carries the tidy-output address, get/set close over B/U/R/V
+        pkeys = []
         for j in range(1, H + 1):
-            B[j - 1] = B[j - 1] - _RNNX_LR * (float(g[f"gb{j}"]) / n6)
-            U[j - 1] = U[j - 1] - _RNNX_LR * (float(g[f"gu{j}"]) / n6)
+            pkeys.append((f"b{j}", ("in", j, 0), ("B", j - 1, None)))
+        for j in range(1, H + 1):
+            pkeys.append((f"u{j}", ("in", j, 1), ("U", j - 1, None)))
+        for j in range(1, H + 1):
             for k in range(1, H + 1):
-                R[j - 1][k - 1] = R[j - 1][k - 1] - _RNNX_LR * (
-                    float(g[f"gr{j}_{k}"]) / n6
+                pkeys.append((f"r{j}_{k}", ("rec", j, k), ("R", j - 1, k - 1)))
+        pkeys.append(("vb", ("out", 0, 0), ("V", 0, None)))
+        for j in range(1, H + 1):
+            pkeys.append((f"v{j}", ("out", 0, j), ("V", j, None)))
+        arrays = {"B": B, "U": U, "R": R, "V": V}
+
+        def _get(slot):
+            name, i, k_ = slot
+            a = arrays[name]
+            return a[i][k_] if k_ is not None else a[i]
+
+        def _set(slot, val):
+            name, i, k_ = slot
+            a = arrays[name]
+            if k_ is not None:
+                a[i][k_] = val
+            else:
+                a[i] = val
+
+        if adam:
+            lr_t = _rnnx_lr_t(r)
+        for kidx, (pn, _addr, slot) in enumerate(pkeys):
+            gsum = float(g[f"g{pn}"])
+            if not adam:
+                # mirror of the GD w_ CTE: one division + one
+                # multiply-subtract per parameter
+                _set(slot, _get(slot) - _RNNX_LR * (gsum / n6))
+            else:
+                # mirror of the Keras-Adam w_ CTE: moment EMAs + the
+                # lr_t-folded step, epsilon on the uncorrected sqrt(v)
+                gd = gsum / n6
+                MA[kidx] = 0.9 * MA[kidx] + (1.0 - 0.9) * gd
+                VA[kidx] = 0.999 * VA[kidx] + (1.0 - 0.999) * (gd * gd)
+                _set(
+                    slot,
+                    _get(slot)
+                    - lr_t * (MA[kidx] / (math.sqrt(VA[kidx]) + 1e-07)),
                 )
-        V[0] = V[0] - _RNNX_LR * (float(g["gvb"]) / n6)
-        for j in range(1, H + 1):
-            V[j] = V[j] - _RNNX_LR * (float(g[f"gv{j}"]) / n6)
-        for j in range(1, H + 1):
-            out.append(
-                (r, "in", j, 0, int(g[f"gb{j}"]), _lrgd_round_half_away(B[j - 1] * 1000000))
+        for kidx, (pn, (layer, unit, pidx), slot) in enumerate(pkeys):
+            row = (
+                r,
+                layer,
+                unit,
+                pidx,
+                int(g[f"g{pn}"]),
+                _lrgd_round_half_away(_get(slot) * 1000000),
             )
-            out.append(
-                (r, "in", j, 1, int(g[f"gu{j}"]), _lrgd_round_half_away(U[j - 1] * 1000000))
-            )
-            for k in range(1, H + 1):
-                out.append(
-                    (
-                        r,
-                        "rec",
-                        j,
-                        k,
-                        int(g[f"gr{j}_{k}"]),
-                        _lrgd_round_half_away(R[j - 1][k - 1] * 1000000),
-                    )
+            if adam:
+                row = row + (
+                    _lrgd_round_half_away(MA[kidx] * 1000000000),
+                    _lrgd_round_half_away(VA[kidx] * 1000000000000),
                 )
-        out.append((r, "out", 0, 0, int(g["gvb"]), _lrgd_round_half_away(V[0] * 1000000)))
-        for j in range(1, H + 1):
-            out.append(
-                (r, "out", 0, j, int(g[f"gv{j}"]), _lrgd_round_half_away(V[j] * 1000000))
-            )
-        out.append((r, "acc", 0, 0, int(g["nc"]), n))
+            out.append(row)
+        acc_row = (r, "acc", 0, 0, int(g["nc"]), n)
+        out.append(acc_row + (0, 0) if adam else acc_row)
 
     if _return_model:
         return {"B": B, "U": U, "R": R, "V": V, "mean": mean, "sd": sd, "n": n}
@@ -572,10 +695,13 @@ def _rnnx_train(
         .collect()
     )
     for row in cm:
-        out.append(
-            (_RNNX_ROUNDS, "cm", int(row["y"]), int(row["pred"]), int(row["cnt"]), 0)
+        cm_row = (
+            _RNNX_ROUNDS, "cm", int(row["y"]), int(row["pred"]), int(row["cnt"]), 0,
         )
+        out.append(cm_row + (0, 0) if adam else cm_row)
     schema = "round long, layer string, unit long, pidx long, grad_q long, w_q long"
+    if adam:
+        schema += ", m_q long, v_q long"
     return spark.createDataFrame(out, schema).orderBy(
         "round", "layer", "unit", "pidx"
     )
@@ -595,3 +721,26 @@ def ml_rnn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     BPTT, weights, per-round accuracy, and the held-out confusion all
     hash-match (VERDICT r9 #2)."""
     return _rnnx_train(spark, sf_dir)
+
+
+@register(
+    "ml_rnn_adam_exact",
+    _rnnx_oracle("adam"),
+    doc=f"exact-Adam recurrent net (reference hyperparameters lr=1e-3, "
+    f"beta1=0.9, beta2=0.999, eps=1e-7 in KERAS' epsilon placement; "
+    f"{_RNNX_ROUNDS} full-batch BPTT rounds), full oracle incl. moment "
+    "EMAs + held-out confusion",
+)
+def ml_rnn_adam_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME recurrent net trained with the reference's optimizer
+    (rnn_model.py: Adam lr=1e-3, Keras defaults) in KERAS' OWN
+    formulation — bias corrections folded into a per-step lr_t
+    (repr-injected literal) and epsilon applied to the UNCORRECTED
+    sqrt(v), the placement ADVICE r9 #2 distinguished from the Adam
+    paper's Algorithm-1 form that ml_mlp_adam_exact uses.  Both
+    formulations are now value-pinned end to end: per round and
+    parameter the output carries the BIGINT gradient sum, the
+    1e6-quantized weight, AND the 1e9/1e12-quantized moment EMAs.
+    Scale: identical to ml_rnn_exact — the optimizer is O(params)
+    driver math; per round still ONE map-side aggregate scan."""
+    return _rnnx_train(spark, sf_dir, "adam")
