@@ -1633,3 +1633,173 @@ def stream_cnn_trained_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _replay(spark, sf_dir, agg_fn).orderBy("window_start", "pred")
+
+
+# ---------------------------------------------------------------------------
+# trained-model stream scoring #4: the exact-GD LSTM in-stream
+# ---------------------------------------------------------------------------
+
+
+def _stream_lstmx_oracle() -> str:
+    """The full ml_lstm_exact training replay (plans/lstmx
+    _lstmx_cte_parts) extended with a score-everything windowed
+    aggregation built from the SAME _lstmx_fwd_sql/_lstmx_m_sql
+    builders the training replay uses: zall standardizes ALL events
+    with the TRAIN moments, the full gated cell runs forward with the
+    w_{ROUNDS} trained weights, and the result is the per-(hour
+    window, predicted class) count relation the stream emits."""
+    from web_attack_detection_spark.plans.lstmx import (
+        _LSTMX_ROUNDS,
+        _lstmx_cte_parts,
+        _lstmx_fwd_sql,
+        _lstmx_m_sql,
+    )
+
+    R = _LSTMX_ROUNDS
+    inner = _lstmx_fwd_sql(R, "zall")
+    tail = f""", zall AS MATERIALIZED (
+  SELECT CAST(ts AS TIMESTAMP) AS t,
+         (CAST(CAST(ROUND(value * 10000) AS BIGINT) AS DOUBLE) - (SELECT m1 FROM mo)) / (SELECT sd1 FROM mo) AS z1,
+         (CAST(CAST(user_id % 100 AS BIGINT) AS DOUBLE) - (SELECT m2 FROM mo)) / (SELECT sd2 FROM mo) AS z2,
+         (CAST(CAST(event_id % 100 AS BIGINT) AS DOUBLE) - (SELECT m3 FROM mo)) / (SELECT sd3 FROM mo) AS z3
+  FROM events
+)
+SELECT strftime(date_trunc('hour', t), '%Y-%m-%d %H:%M:%S') AS window_start,
+       CAST(CASE WHEN m >= 0.0 THEN 1 ELSE 0 END AS BIGINT) AS pred,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT t, {_lstmx_m_sql(f'w_{R}')} AS m
+  FROM {inner}
+)
+GROUP BY 1, 2 ORDER BY 1, 2"""
+    return "".join(_lstmx_cte_parts()) + tail
+
+
+@register(
+    "stream_lstm_trained_scoring",
+    _stream_lstmx_oracle(),
+    doc="exact-GD-TRAINED LSTM served on the stream: train in-engine "
+    "then watermarked windowed scoring; oracle replays training AND scoring",
+)
+def stream_lstm_trained_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSTM leg closes the 4x4: ALL FOUR of the reference's model
+    families (models/{mlp,rnn,cnn,lstm}_model.py) are now trained
+    in-engine AND served in-stream, each under one end-to-end DuckDB
+    oracle.  The exact-GD LSTM of plans/lstmx.ml_lstm_exact is fitted
+    (weights bit-identical to the oracle's w_4 by trajectory
+    mirroring), then every arriving event runs the full gated cell —
+    hard-sigmoid i/f/o gates, hard-tanh candidate, cell-state scan —
+    as whole-stage-codegen column expressions, and the predictions
+    aggregate into per-(tumbling hour, class) counts under a
+    30-minute watermark.
+
+    Scale: training is ml_lstm_exact's loop (one map-side
+    36-aggregate scan per round); serving adds a stateless projection
+    chain before ONE windowed streaming aggregation — state bounded
+    by open windows x 2 classes, evicted by the watermark."""
+    from web_attack_detection_spark.plans.lstmx import (
+        _GATES,
+        _LSTMX_H,
+        _LSTMX_T,
+        _lstmx_train,
+    )
+
+    model = _lstmx_train(spark, sf_dir, _return_model=True)
+    W, V = model["W"], model["V"]
+    mean, sd = model["mean"], model["sd"]
+    H, T = _LSTMX_H, _LSTMX_T
+
+    def agg_fn(s: DataFrame) -> DataFrame:
+        src = s.withWatermark("ts", "30 minutes") if s.isStreaming else s
+        xq = {
+            1: F.round(F.col("value") * 10000).cast("long"),
+            2: (F.col("user_id") % 100).cast("long"),
+            3: (F.col("event_id") % 100).cast("long"),
+        }
+        cur = src.select(
+            "ts",
+            *[
+                ((xq[i].cast("double") - F.lit(mean[i])) / F.lit(sd[i])).alias(
+                    f"z{i}"
+                )
+                for i in (1, 2, 3)
+            ],
+        )
+
+        def hsig_col(x):
+            return F.greatest(
+                F.least(F.lit(0.2) * x + F.lit(0.5), F.lit(1.0)), F.lit(0.0)
+            )
+
+        for t in range(1, T + 1):
+            pres = []
+            for g in _GATES:
+                for j in range(1, H + 1):
+                    e = F.lit(W[g][j - 1][0]) + F.lit(W[g][j - 1][1]) * F.col(
+                        f"z{t}"
+                    )
+                    if t > 1:
+                        for k in range(1, H + 1):
+                            e = e + F.lit(W[g][j - 1][1 + k]) * F.col(
+                                f"h{t - 1}_{k}"
+                            )
+                    pres.append(e.alias(f"pre{g}{t}_{j}"))
+            cur = cur.select("*", *pres)
+            acts = []
+            for j in range(1, H + 1):
+                acts.append(hsig_col(F.col(f"prei{t}_{j}")).alias(f"gi{t}_{j}"))
+                acts.append(hsig_col(F.col(f"pref{t}_{j}")).alias(f"gf{t}_{j}"))
+                acts.append(hsig_col(F.col(f"preo{t}_{j}")).alias(f"go{t}_{j}"))
+                acts.append(
+                    F.greatest(
+                        F.least(F.col(f"preg{t}_{j}"), F.lit(1.0)), F.lit(-1.0)
+                    ).alias(f"gg{t}_{j}")
+                )
+            cur = cur.select("*", *acts)
+            cells = []
+            for j in range(1, H + 1):
+                if t == 1:
+                    cells.append(
+                        (F.col(f"gi1_{j}") * F.col(f"gg1_{j}")).alias(f"c1_{j}")
+                    )
+                else:
+                    cells.append(
+                        (
+                            F.col(f"gf{t}_{j}") * F.col(f"c{t - 1}_{j}")
+                            + F.col(f"gi{t}_{j}") * F.col(f"gg{t}_{j}")
+                        ).alias(f"c{t}_{j}")
+                    )
+            cur = cur.select("*", *cells)
+            cur = cur.select(
+                "*",
+                *[
+                    F.greatest(
+                        F.least(F.col(f"c{t}_{j}"), F.lit(1.0)), F.lit(-1.0)
+                    ).alias(f"th{t}_{j}")
+                    for j in range(1, H + 1)
+                ],
+            )
+            cur = cur.select(
+                "*",
+                *[
+                    (F.col(f"go{t}_{j}") * F.col(f"th{t}_{j}")).alias(f"h{t}_{j}")
+                    for j in range(1, H + 1)
+                ],
+            )
+        m = F.lit(V[0])
+        for j in range(1, H + 1):
+            m = m + F.lit(V[j]) * F.col(f"h3_{j}")
+        scored = cur.select("ts", (m >= F.lit(0.0)).cast("long").alias("pred"))
+        return (
+            scored.groupBy(F.window("ts", "1 hour"), "pred")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .select(
+                F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                    "window_start"
+                ),
+                "pred",
+                "n",
+            )
+        )
+
+    return _replay(spark, sf_dir, agg_fn).orderBy("window_start", "pred")
