@@ -87,6 +87,9 @@ QUERIES_10X = [
     "ref_unsw_battery_summary",
     "pipe_training_corpus",
     "ml_mlp_exact",
+    "ml_rnn_exact",  # r10 exact trainers: BPTT / pool / gated-cell loops
+    "ml_cnn_exact",
+    "ml_lstm_exact",
     "flagship_pipeline",  # the driver's entry query (VERDICT r8 #3)
 ]
 

@@ -1198,3 +1198,187 @@ def pipe_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff.groupBy("source", "status").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# curriculum ordering by trained-model margin (round 10)
+# ---------------------------------------------------------------------------
+
+
+def _curriculum_oracle() -> str:
+    """The full ml_mlp_exact training replay extended with
+    model-difficulty curriculum staging: score ALL events with the
+    trained w_{ROUNDS} weights (the shared _mlpx_pre_sql/_mlpx_h_sql/
+    _mlpx_m_sql builders — one textual source with the trainer), take
+    EXACT quartiles of the 1e6-quantized |margin| (the
+    rel_percentile_disc rule: real data values at ceil(p*n) of the
+    sorted column), and bucket every example into 4 curriculum stages
+    — stage 0 = most confident (trained first), stage 3 = nearest the
+    decision boundary (trained last)."""
+    from web_attack_detection_spark.plans.mlq import (
+        _MLPX_H,
+        _MLPX_ROUNDS,
+        _mlpx_cte_parts,
+        _mlpx_h_sql,
+        _mlpx_m_sql,
+        _mlpx_pre_sql,
+    )
+
+    H, R = _MLPX_H, _MLPX_ROUNDS
+    pres = ",\n           ".join(
+        f"{_mlpx_pre_sql(j, f'w_{R}')} AS pre{j}" for j in range(1, H + 1)
+    )
+    hs = ", ".join(_mlpx_h_sql(j) for j in range(1, H + 1))
+    msql = _mlpx_m_sql(f"w_{R}")
+    tail = f""", zall AS MATERIALIZED (
+  SELECT CASE WHEN event_type IN ('purchase','signup') THEN 1 ELSE 0 END AS y,
+         (CAST(CAST(ROUND(value * 10000) AS BIGINT) AS DOUBLE) - (SELECT m1 FROM mo)) / (SELECT sd1 FROM mo) AS z1,
+         (CAST(CAST(user_id % 100 AS BIGINT) AS DOUBLE) - (SELECT m2 FROM mo)) / (SELECT sd2 FROM mo) AS z2,
+         (CAST(CAST(event_id % 100 AS BIGINT) AS DOUBLE) - (SELECT m3 FROM mo)) / (SELECT sd3 FROM mo) AS z3
+  FROM events
+), scored AS MATERIALIZED (
+  SELECT y,
+         CAST(ROUND(m * 1000000.0) AS BIGINT) AS mq,
+         abs(CAST(ROUND(m * 1000000.0) AS BIGINT)) AS a,
+         CASE WHEN m >= 0.0 THEN 1 ELSE 0 END AS pred
+  FROM (
+    SELECT y, {msql} AS m
+    FROM (SELECT y, {hs} FROM (
+      SELECT y,
+           {pres}
+      FROM zall
+    ))
+  )
+), qs AS (
+  SELECT vals[CAST(ceil(0.25 * nn) AS INTEGER)] AS q1,
+         vals[CAST(ceil(0.50 * nn) AS INTEGER)] AS q2,
+         vals[CAST(ceil(0.75 * nn) AS INTEGER)] AS q3
+  FROM (SELECT list_sort(list(a)) AS vals, COUNT(*) AS nn FROM scored)
+)
+SELECT CASE WHEN s.a > q.q3 THEN 0
+            WHEN s.a > q.q2 THEN 1
+            WHEN s.a > q.q1 THEN 2
+            ELSE 3 END AS stage,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(s.a) AS BIGINT) AS a_min,
+       CAST(MAX(s.a) AS BIGINT) AS a_max,
+       CAST(SUM(s.pred) AS BIGINT) AS n_positive,
+       CAST(SUM(CASE WHEN s.pred = s.y THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+FROM scored s, qs q
+GROUP BY 1 ORDER BY 1"""
+    return "".join(_mlpx_cte_parts("gd")) + tail
+
+
+@register(
+    "pipe_curriculum_order",
+    _curriculum_oracle(),
+    doc="curriculum staging by TRAINED-model margin: exact-GD MLP fit "
+    "in-engine, all examples bucketed into 4 stages by exact quartiles "
+    "of |margin| — training + scoring + staging all under one oracle",
+)
+def pipe_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difficulty-ordered curriculum for a training pipeline: fit the
+    exact-GD MLP (plans/mlq._mlpx_train, weights bit-identical to the
+    oracle's replay), score EVERY example with the trained margin,
+    and assign 4 curriculum stages by EXACT quartiles of |margin| —
+    most-confident examples first (stage 0), decision-boundary
+    examples last (stage 3), the classic easy-to-hard schedule, with
+    the difficulty signal coming from the model itself rather than a
+    static heuristic.  Per stage: population, |margin| range (1e6
+    ints), predicted positives, and agreement with labels.
+
+    Scale: training is ml_mlp_exact's loop; scoring is one stateless
+    codegen projection; the quartile boundaries come from the
+    DISTRIBUTED two-phase rank (operators/ranking.ranged_row_number —
+    the biggest sort is one range bucket, never the whole column),
+    then bucketing is a map-only CASE against 3 broadcast scalars.
+    The DuckDB twin keeps the sorted-list exact form, proving the
+    distributed boundary pass equal bit-for-bit."""
+    from web_attack_detection_spark.operators.ranking import ranged_row_number
+    from web_attack_detection_spark.plans.mlq import _mlpx_train
+
+    model = _mlpx_train(spark, sf_dir, "gd", _return_model=True)
+    W, V, mean, sd = model["W"], model["V"], model["mean"], model["sd"]
+    H = len(W)
+    events = load_table(spark, sf_dir, "events").drop("props", "ts")
+    cur = events.select(
+        F.col("event_type").isin("purchase", "signup").cast("int").alias("y"),
+        *[
+            (
+                (xq.cast("double") - F.lit(mean[i])) / F.lit(sd[i])
+            ).alias(f"z{i}")
+            for i, xq in (
+                (1, F.round(F.col("value") * 10000).cast("long")),
+                (2, (F.col("user_id") % 100).cast("long")),
+                (3, (F.col("event_id") % 100).cast("long")),
+            )
+        ],
+    )
+    cur = cur.select(
+        "y",
+        *[
+            (
+                F.lit(W[j - 1][0])
+                + F.lit(W[j - 1][1]) * F.col("z1")
+                + F.lit(W[j - 1][2]) * F.col("z2")
+                + F.lit(W[j - 1][3]) * F.col("z3")
+            ).alias(f"pre{j}")
+            for j in range(1, H + 1)
+        ],
+    )
+    cur = cur.select(
+        "y",
+        *[
+            F.greatest(F.least(F.col(f"pre{j}"), F.lit(1.0)), F.lit(-1.0)).alias(
+                f"h{j}"
+            )
+            for j in range(1, H + 1)
+        ],
+    )
+    m = F.lit(V[0])
+    for j in range(1, H + 1):
+        m = m + F.lit(V[j]) * F.col(f"h{j}")
+    scored = cur.select(
+        "y",
+        F.abs(F.round(m * F.lit(1000000.0)).cast("long")).alias("a"),
+        (m >= F.lit(0.0)).cast("long").alias("pred"),
+    ).localCheckpoint()
+    ranked = ranged_row_number(
+        scored.select("a"), "a", [F.col("a").asc()], total_col="nn"
+    )
+    q = (
+        ranked.filter(
+            (F.col("rn") == F.ceil(0.25 * F.col("nn")))
+            | (F.col("rn") == F.ceil(0.50 * F.col("nn")))
+            | (F.col("rn") == F.ceil(0.75 * F.col("nn")))
+        )
+        .groupBy()
+        .agg(
+            F.min(F.when(F.col("rn") == F.ceil(0.25 * F.col("nn")), F.col("a"))).alias("q1"),
+            F.min(F.when(F.col("rn") == F.ceil(0.50 * F.col("nn")), F.col("a"))).alias("q2"),
+            F.min(F.when(F.col("rn") == F.ceil(0.75 * F.col("nn")), F.col("a"))).alias("q3"),
+        )
+    )
+    staged = scored.crossJoin(F.broadcast(q)).select(
+        F.when(F.col("a") > F.col("q3"), 0)
+        .when(F.col("a") > F.col("q2"), 1)
+        .when(F.col("a") > F.col("q1"), 2)
+        .otherwise(3)
+        .alias("stage"),
+        "a",
+        "pred",
+        "y",
+    )
+    return (
+        staged.groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("a").cast("long").alias("a_min"),
+            F.max("a").cast("long").alias("a_max"),
+            F.sum("pred").cast("long").alias("n_positive"),
+            F.sum((F.col("pred") == F.col("y")).cast("long")).cast("long").alias(
+                "n_correct"
+            ),
+        )
+        .orderBy("stage")
+    )
