@@ -1,0 +1,58 @@
+"""Prefix-doubling suffix spectrum: invariants the oracle hash-match
+can't state on its own, plus a third-implementation (pure-Python)
+twin of the level partition on the smoke corpus."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from web_attack_detection_spark.io.sources import load_table
+from web_attack_detection_spark.plans.suffixq import _LEVELS, dedup_suffix_doubling
+
+from .conftest import SF_SMOKE
+
+
+def _python_spectrum(rows):
+    """Brute-force: group suffixes by materialized k-token prefix."""
+    out = {}
+    for k in _LEVELS:
+        groups: dict[tuple, list[int]] = defaultdict(list)
+        for doc_id, toks in rows:
+            for i in range(len(toks) - k + 1):
+                groups[tuple(toks[i : i + k])].append(doc_id)
+        rep = {p: ds for p, ds in groups.items() if len(ds) >= 2}
+        out[k] = {
+            "n_groups": len(groups),
+            "n_repeat_groups": len(rep),
+            "n_repeat_positions": sum(len(ds) for ds in rep.values()),
+            "max_group_positions": max((len(ds) for ds in rep.values()), default=0),
+            "max_docs_sharing": max((len(set(ds)) for ds in rep.values()), default=0),
+        }
+    return out
+
+
+def test_spectrum_matches_bruteforce(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    raw = [
+        (r["doc_id"], r["t"])
+        for r in docs.select("doc_id", F.split("text", r"\s+").alias("t")).collect()
+    ]
+    want = _python_spectrum(raw)
+    got = {r["prefix_len"]: r.asDict() for r in dedup_suffix_doubling(spark, SF_SMOKE).collect()}
+    assert sorted(got) == _LEVELS
+    for k in _LEVELS:
+        for col, v in want[k].items():
+            assert got[k][col] == v, f"level {k} {col}: {got[k][col]} != {v}"
+
+
+def test_spectrum_monotonicity(spark):
+    """Longer prefixes can only split groups: repeat mass is
+    non-increasing in k, and every level-2k repeat group implies a
+    level-k repeat group (so counts are non-increasing too)."""
+    rows = {r["prefix_len"]: r for r in dedup_suffix_doubling(spark, SF_SMOKE).collect()}
+    for lo, hi in zip(_LEVELS, _LEVELS[1:]):
+        assert rows[hi]["n_repeat_positions"] <= rows[lo]["n_repeat_positions"]
+        assert rows[hi]["max_group_positions"] <= rows[lo]["max_group_positions"]
+        assert rows[hi]["max_docs_sharing"] <= rows[lo]["max_docs_sharing"]

@@ -1,0 +1,172 @@
+"""Suffix-array-style exact-substring repeat analysis (prefix doubling).
+
+The published exact-substring training-data dedup method (the
+suffix-array approach of "Deduplicating Training Data Makes Language
+Models Better") groups corpus suffixes by their leading tokens and
+cuts passages whose prefix groups repeat.  ``text_repeated_passages``
+(plans/text3.py) covers the fixed-k reduction — materialize every
+k-token window and groupBy the window STRING.  That plan shuffles
+O(k) bytes per position; at 100 TB and k=50 the shuffle payload is
+~50x the corpus.
+
+This module adds the suffix-array construction itself, the way a
+distributed engine should run it: **prefix doubling**.  Suffixes are
+grouped by their first 2^r tokens for r = 0..5 where the level-2k
+group id is derived from the PAIR of level-k ids at (pos, pos+k) —
+every round shuffles two longs per position regardless of k.  That is
+the O(1)-shuffle-width scale story the k-gram reduction lacks, and at
+k=32 it is 5 rounds of narrow joins instead of a 32-token-wide
+shuffle key.
+
+Group ids are canonicalized as MIN(global position) over the group —
+a groupBy + min + join-back, NO ranking window — so the registry-wide
+plan guard (0 unbounded global windows) holds by construction and the
+partition stats are intrinsic (independent of tie order), which is
+what the DuckDB twin checks: the twin groups by the materialized
+k-token prefix string per level, the Spark side never materializes
+any prefix longer than one token.
+
+Reference anchor: the reference repo (train_test.py) has no dedup at
+all — this family exists for the training-data-pipeline surface the
+north star prescribes alongside SURVEY.md §2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from web_attack_detection_spark.io.sources import load_table
+from web_attack_detection_spark.plans.registry import register
+
+# Levels 2^0 .. 2^5: 32 tokens is the same order as the published
+# 50-token cut threshold, and the fixture's ~100-token docs keep
+# every level populated.
+_LEVELS = [1, 2, 4, 8, 16, 32]
+
+
+def _suffix_oracle() -> str:
+    """Unrolled per-level twin: DuckDB groups by the materialized
+    k-token prefix (space-joined — injective for same-arity tuples of
+    space-free tokens, and the corpus is whitespace-split)."""
+    parts = []
+    for k in _LEVELS:
+        parts.append(
+            f"""
+g{k} AS (
+  SELECT array_to_string(t[i:i+{k - 1}], ' ') AS pfx, doc_id
+  FROM pos WHERE i + {k - 1} <= n
+),
+s{k} AS (
+  SELECT pfx, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS nd
+  FROM g{k} GROUP BY pfx
+),
+r{k} AS (
+  SELECT CAST({k} AS INTEGER) AS prefix_len,
+         CAST(COUNT(*) AS BIGINT) AS n_groups,
+         CAST(COALESCE(SUM(CASE WHEN cnt >= 2 THEN 1 END), 0) AS BIGINT)
+           AS n_repeat_groups,
+         CAST(COALESCE(SUM(CASE WHEN cnt >= 2 THEN cnt END), 0) AS BIGINT)
+           AS n_repeat_positions,
+         CAST(COALESCE(MAX(CASE WHEN cnt >= 2 THEN cnt END), 0) AS BIGINT)
+           AS max_group_positions,
+         CAST(COALESCE(MAX(CASE WHEN cnt >= 2 THEN nd END), 0) AS BIGINT)
+           AS max_docs_sharing
+  FROM s{k}
+)"""
+        )
+    union = "\nUNION ALL\n".join(f"SELECT * FROM r{k}" for k in _LEVELS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+),
+pos AS (
+  SELECT doc_id, len(t) AS n, i, t
+  FROM toks, UNNEST(range(1, len(t) + 1)) AS r(i)
+),{",".join(parts)}
+SELECT * FROM ({union}) ORDER BY prefix_len
+"""
+
+
+def _level_stats(cur: DataFrame, k: int) -> DataFrame:
+    per = cur.groupBy("gid").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count_distinct("doc_id").alias("nd"),
+    )
+    rep = F.col("cnt") >= 2
+    return per.agg(
+        F.lit(k).alias("prefix_len"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.coalesce(F.sum(F.when(rep, 1)), F.lit(0)).cast("long").alias("n_repeat_groups"),
+        F.coalesce(F.sum(F.when(rep, F.col("cnt"))), F.lit(0))
+        .cast("long")
+        .alias("n_repeat_positions"),
+        F.coalesce(F.max(F.when(rep, F.col("cnt"))), F.lit(0))
+        .cast("long")
+        .alias("max_group_positions"),
+        F.coalesce(F.max(F.when(rep, F.col("nd"))), F.lit(0))
+        .cast("long")
+        .alias("max_docs_sharing"),
+    )
+
+
+@register(
+    "dedup_suffix_doubling",
+    _suffix_oracle(),
+    doc="suffix-array prefix doubling: repeat spectrum at 1..32-token prefixes",
+)
+def dedup_suffix_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat spectrum of the corpus at prefix lengths 1,2,4,8,16,32
+    via prefix doubling: level-2k groups come from the (level-k id at
+    pos, level-k id at pos+k) pair, never from materialized k-grams.
+
+    Per round: one inner self-join on (doc_id, pos+k) — which also
+    performs the ≥2k-tokens-remaining filter for free — then one
+    key-partitioned window MIN(gpos) for the canonical id.  Shuffle
+    payload per position is constant (two longs) at every level;
+    the k-gram alternative shuffles O(k) tokens.  localCheckpoint per
+    round truncates the 5-round lineage (the connected-components /
+    kmeans convention in this repo).
+
+    At 100 TB: positions are hash-partitioned by (doc_id, pos); group
+    sizes are bounded by true repeat mass, so the only skew risk is a
+    corpus-stopword level-1 group — which collapses into smaller
+    groups by level 4 (and the stats groupBy is a two-long key with
+    map-side partial agg either way).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", r"\s+").alias("t"))
+    pos = toks.select(
+        "doc_id", F.posexplode("t").alias("pos", "tok")
+    ).withColumn(
+        "gpos", F.col("doc_id").cast("long") * F.lit(1 << 32) + F.col("pos")
+    )
+    # level 1: the only token-keyed shuffle in the whole query — a
+    # key-PARTITIONED window min (one shuffle), not groupBy+join-back
+    # (two); the registry plan guard bans only unbounded GLOBAL windows.
+    from pyspark.sql.window import Window
+
+    cur = (
+        pos.withColumn("gid", F.min("gpos").over(Window.partitionBy("tok")))
+        .select("doc_id", "pos", "gpos", "gid")
+        .localCheckpoint()
+    )
+    stats = [_level_stats(cur, 1)]
+    for k in _LEVELS[1:]:
+        half = k // 2
+        right = cur.select(
+            "doc_id", (F.col("pos") - half).alias("pos"), F.col("gid").alias("gid_r")
+        )
+        cur = (
+            cur.join(right, ["doc_id", "pos"])
+            .withColumn(
+                "gid_new", F.min("gpos").over(Window.partitionBy("gid", "gid_r"))
+            )
+            .select("doc_id", "pos", "gpos", F.col("gid_new").alias("gid"))
+            .localCheckpoint()
+        )
+        stats.append(_level_stats(cur, k))
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("prefix_len")
