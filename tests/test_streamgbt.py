@@ -1,0 +1,51 @@
+"""stream_gbt_trained_scoring semantics beyond the oracle: trainer
+determinism on the events base and conservation of the scored mass."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from web_attack_detection_spark.io.sources import load_table
+from web_attack_detection_spark.plans.streamq import (
+    _GBTX_FEATS,
+    stream_gbt_trained_scoring,
+)
+from web_attack_detection_spark.plans.treeq import _gbm_fit, _gbm_predict_col
+
+from .conftest import SF_SMOKE
+
+
+def _events_base(spark):
+    ev = load_table(spark, SF_SMOKE, "events")
+    return ev.select(
+        F.round(F.col("value") * 10000).cast("long").alias("y"),
+        (F.col("user_id") % 100).cast("long").alias("fu"),
+        (F.col("event_id") % 100).cast("long").alias("fe"),
+        ((F.col("user_id") + F.col("event_id")) % 50).cast("long").alias("fj"),
+    )
+
+
+def test_gbt_fit_deterministic(spark):
+    base = _events_base(spark).localCheckpoint()
+    a = _gbm_fit(base, _GBTX_FEATS)
+    b = _gbm_fit(base, _GBTX_FEATS)
+    assert a == b
+    f0, stumps = a
+    assert len(stumps) == 4
+    # every stump splits on one of the declared features
+    assert {s[1] for s in stumps} <= set(_GBTX_FEATS)
+
+
+def test_stream_matches_batch_mass(spark):
+    """The windowed stream output must conserve the batch-side scored
+    mass: Σn = |events| and Σ sum_pred_q = batch sum of floor(F(x))."""
+    out = stream_gbt_trained_scoring(spark, SF_SMOKE).collect()
+    base = _events_base(spark).localCheckpoint()
+    f0, stumps = _gbm_fit(base, _GBTX_FEATS)
+    pq = F.floor(_gbm_predict_col(f0, stumps)).cast("long")
+    batch = base.select(pq.alias("pq")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pq").alias("s")
+    ).first()
+    assert sum(r["n"] for r in out) == batch["n"]
+    assert sum(r["sum_pred_q"] for r in out) == batch["s"]
+    assert all(r["min_pred_q"] <= r["max_pred_q"] for r in out)

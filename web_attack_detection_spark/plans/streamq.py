@@ -1803,3 +1803,129 @@ def stream_lstm_trained_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _replay(spark, sf_dir, agg_fn).orderBy("window_start", "pred")
+
+
+# ---------------------------------------------------------------------------
+# trained-model stream scoring #5: exact boosted stumps (tree family)
+# ---------------------------------------------------------------------------
+
+_GBTX_FEATS = ("u", "e", "j")
+
+_GBTX_BASE_SQL = """WITH base AS MATERIALIZED (
+  SELECT CAST(ROUND(value * 10000) AS BIGINT) AS y,
+         CAST(user_id % 100 AS BIGINT) AS fu,
+         CAST(event_id % 100 AS BIGINT) AS fe,
+         CAST((user_id + event_id) % 50 AS BIGINT) AS fj
+  FROM events
+), f0 AS MATERIALIZED (
+  SELECT CAST(SUM(y) AS DOUBLE) / COUNT(*) AS f0 FROM base
+)"""
+
+
+def _stream_gbtx_oracle() -> str:
+    """The boosted-stump training replay (plans/treeq._gbm_round_ctes /
+    _gbm_f_sql — the SAME builders ml_gbt_stumps_exact's oracle uses,
+    the ADVICE r9 #4 one-textual-source discipline) re-based onto
+    events, extended with a score-everything windowed aggregation:
+    every event's regression prediction F(x) is FLOOR-quantized to
+    BIGINT cents and aggregated per tumbling hour — count, exact sum,
+    min, max — the relation the stream emits."""
+    from web_attack_detection_spark.plans.treeq import (
+        _GBM_ROUNDS,
+        _gbm_f_sql,
+        _gbm_round_ctes,
+    )
+
+    parts = [_GBTX_BASE_SQL]
+    parts.extend(_gbm_round_ctes(_GBTX_FEATS, _GBM_ROUNDS))
+    fexpr = _gbm_f_sql(_GBM_ROUNDS, _GBTX_FEATS)
+    parts.append(
+        f""", ball AS MATERIALIZED (
+  SELECT CAST(ts AS TIMESTAMP) AS t,
+         CAST(user_id % 100 AS BIGINT) AS fu,
+         CAST(event_id % 100 AS BIGINT) AS fe,
+         CAST((user_id + event_id) % 50 AS BIGINT) AS fj
+  FROM events
+)
+SELECT strftime(date_trunc('hour', t), '%Y-%m-%d %H:%M:%S') AS window_start,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(pq) AS BIGINT) AS sum_pred_q,
+       CAST(MIN(pq) AS BIGINT) AS min_pred_q,
+       CAST(MAX(pq) AS BIGINT) AS max_pred_q
+FROM (SELECT t, CAST(FLOOR({fexpr}) AS BIGINT) AS pq FROM ball b)
+GROUP BY 1 ORDER BY 1"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "stream_gbt_trained_scoring",
+    _stream_gbtx_oracle(),
+    doc="exact boosted stumps trained on events in-engine, regression "
+    "predictions served on the stream; oracle replays training AND scoring",
+)
+def stream_gbt_trained_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extends the train->serve program beyond the reference's four
+    neural families to the TREE family: the exact-GD boosted-stump
+    regressor of plans/treeq.ml_gbt_stumps_exact is fitted on the
+    events table in-engine (4 rounds, one map-side 250-bucket
+    histogram scan each, lr=0.5), then every arriving event is scored
+    in-stream — the trained model is a left-associated CASE chain of
+    literals, pure whole-stage codegen — and FLOOR-quantized
+    predictions aggregate into per-tumbling-hour count/sum/min/max
+    under a 30-minute watermark.  The DuckDB twin replays training
+    AND serving through the very builders the batch oracle uses.
+
+    This is the shape a production fraud/attack scorer takes when the
+    model is a GBM rather than a net (the reference's Keras nets are
+    one deployment choice; XGBoost-style models are the other), and
+    the quantized-sum aggregate proves the regression path is exact —
+    not just argmax-stable — end to end.
+
+    Scale: training cost is 4 bounded histogram scans; serving is
+    stateless per-row arithmetic before ONE windowed aggregation —
+    state is bounded by open windows, evicted by the watermark."""
+    from web_attack_detection_spark.plans.treeq import (
+        _gbm_fit,
+        _gbm_predict_col,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.round(F.col("value") * 10000).cast("long").alias("y"),
+        (F.col("user_id") % 100).cast("long").alias("fu"),
+        (F.col("event_id") % 100).cast("long").alias("fe"),
+        ((F.col("user_id") + F.col("event_id")) % 50).cast("long").alias("fj"),
+    ).localCheckpoint()  # 4 histogram scans reuse it
+    f0, stumps = _gbm_fit(base, _GBTX_FEATS)
+
+    def agg_fn(s: DataFrame) -> DataFrame:
+        src = s.withWatermark("ts", "30 minutes") if s.isStreaming else s
+        featd = src.select(
+            "ts",
+            (F.col("user_id") % 100).cast("long").alias("fu"),
+            (F.col("event_id") % 100).cast("long").alias("fe"),
+            ((F.col("user_id") + F.col("event_id")) % 50).cast("long").alias("fj"),
+        )
+        pq = F.floor(_gbm_predict_col(f0, stumps)).cast("long").alias("pq")
+        scored = featd.select("ts", pq)
+        return (
+            scored.groupBy(F.window("ts", "1 hour"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("pq").cast("long").alias("sum_pred_q"),
+                F.min("pq").cast("long").alias("min_pred_q"),
+                F.max("pq").cast("long").alias("max_pred_q"),
+            )
+            .select(
+                F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                    "window_start"
+                ),
+                "n",
+                "sum_pred_q",
+                "min_pred_q",
+                "max_pred_q",
+            )
+        )
+
+    return _replay(spark, sf_dir, agg_fn).orderBy("window_start")

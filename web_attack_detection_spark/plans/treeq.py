@@ -307,50 +307,96 @@ _GBM_SCORE = (
 )
 
 
-def _gbm_oracle(rounds: int = _GBM_ROUNDS) -> str:
-    """Chained-CTE replay of the boosted-stump trainer.  Round m's
-    residual is FLOOR(y - F_{m-1}) where F is the left-associated sum
-    f0 + contrib_1 + ... + contrib_{m-1} (each contribution a CASE on
-    that round's stump, scaled by the 0.5 learning rate) — the same
-    IEEE expression the engine builds with literals, so the floored
-    residuals, the histograms, the chosen stumps, and the final SSE
-    are all bit-identical."""
-    parts = [
-        """WITH base AS MATERIALIZED (
-  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y,
-         CAST(ROUND(l_quantity) AS BIGINT) AS fq,
-         CAST(ROUND(l_discount * 100) AS BIGINT) AS fd,
-         CAST(ROUND(l_tax * 100) AS BIGINT) AS ft
-  FROM lineitem
-), f0 AS MATERIALIZED (
-  SELECT CAST(SUM(y) AS DOUBLE) / COUNT(*) AS f0 FROM base
-)"""
-    ]
+def _gbm_predict_col(f0: float, stumps: list[tuple]):
+    """The trained model F as a left-associated literal column
+    expression — the engine twin of ``_gbm_f_sql``."""
+    e = F.lit(f0)
+    for _, fname, thr, gl, gr, _nl, _nr in stumps:
+        e = e + (
+            F.when(F.col(f"f{fname}") <= F.lit(thr), F.lit(gl)).otherwise(F.lit(gr))
+            * _GBM_LR
+        )
+    return e
 
-    def f_expr(m: int) -> str:
-        """F_{m} as a left-associated sum expression over base row b."""
-        e = "(SELECT f0 FROM f0)"
-        for j in range(1, m + 1):
-            case = (
-                f"(CASE WHEN (CASE (SELECT fname FROM best_{j}) WHEN 'q' THEN b.fq"
-                f" WHEN 'd' THEN b.fd ELSE b.ft END) <= (SELECT thr FROM best_{j})"
-                f" THEN (SELECT gl FROM best_{j}) ELSE (SELECT gr FROM best_{j}) END)"
-                f" * {_GBM_LR}"
-            )
-            e = f"{e} + {case}"
-        return e
 
+def _gbm_fit(base: DataFrame, feats: tuple[str, str, str]) -> tuple[float, list[tuple]]:
+    """The exact-GD boosted-stump trainer, parameterized over the
+    base relation (columns y, f<a>, f<b>, f<c>) so both the lineitem
+    batch query and the events-trained streaming serve share one
+    implementation.  Per round: ONE map-side (feature, value)
+    histogram scan (bounded collect), driver argmax with the
+    deterministic (-score, fname, v) tie-break, leaf values one IEEE
+    division each."""
+    m0 = base.agg(F.sum("y").alias("s"), F.count(F.lit(1)).alias("n")).first()
+    f0 = float(m0["s"]) / m0["n"]
+
+    stacked = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(f).alias("fname"), F.col(f"f{f}").alias("v"))
+                for f in feats
+            ]
+        )
+    ).alias("s")
+
+    stumps: list[tuple] = []  # (round, fname, thr, gl, gr, n_l, n_r)
+    for m in range(1, _GBM_ROUNDS + 1):
+        r = F.floor(
+            F.col("y").cast("double") - _gbm_predict_col(f0, stumps)
+        ).cast("long").alias("r")
+        h = (
+            base.select(r, stacked)
+            .groupBy("s.fname", "s.v")
+            .agg(F.sum("r").alias("sr"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        hist = {(row["fname"], int(row["v"])): (int(row["sr"]), int(row["n"])) for row in h}
+        bs = _gbm_best_stump(hist)
+        if bs is None:  # pragma: no cover - constant features
+            raise ValueError("no valid stump split")
+        fname, thr, cum_r, cum_n, r_r, r_n = bs
+        gl = float(cum_r) / cum_n
+        gr = float(r_r) / r_n
+        stumps.append((m, fname, thr, gl, gr, cum_n, r_n))
+    return f0, stumps
+
+
+def _gbm_f_sql(m: int, feats: tuple[str, str, str]) -> str:
+    """F_{m} as a left-associated sum expression over base row b —
+    the ONE textual source for the model expression, shared by the
+    batch replay, the final-SSE tail, and the streaming-serve oracle
+    (the ADVICE r9 #4 no-drift discipline)."""
+    fa, fb, fc = feats
+    e = "(SELECT f0 FROM f0)"
+    for j in range(1, m + 1):
+        case = (
+            f"(CASE WHEN (CASE (SELECT fname FROM best_{j}) WHEN '{fa}' THEN b.f{fa}"
+            f" WHEN '{fb}' THEN b.f{fb} ELSE b.f{fc} END) <= (SELECT thr FROM best_{j})"
+            f" THEN (SELECT gl FROM best_{j}) ELSE (SELECT gr FROM best_{j}) END)"
+            f" * {_GBM_LR}"
+        )
+        e = f"{e} + {case}"
+    return e
+
+
+def _gbm_round_ctes(feats: tuple[str, str, str], rounds: int) -> list[str]:
+    """The per-round resid/hist/best CTE chain, parameterized over
+    the (single-char) feature names so the events-trained streaming
+    twin replays through the same builder as the lineitem batch
+    query."""
+    fa, fb, fc = feats
+    parts = []
     for m in range(1, rounds + 1):
-        prev_f = f_expr(m - 1)
+        prev_f = _gbm_f_sql(m - 1, feats)
         parts.append(
             f""", resid_{m} AS MATERIALIZED (
-  SELECT b.fq, b.fd, b.ft,
+  SELECT b.f{fa}, b.f{fb}, b.f{fc},
          CAST(FLOOR(CAST(b.y AS DOUBLE) - ({prev_f})) AS BIGINT) AS r
   FROM base b
 ), hist_{m} AS MATERIALIZED (
-  SELECT f.fname, CASE f.fname WHEN 'q' THEN fq WHEN 'd' THEN fd ELSE ft END AS v,
+  SELECT f.fname, CASE f.fname WHEN '{fa}' THEN f{fa} WHEN '{fb}' THEN f{fb} ELSE f{fc} END AS v,
          CAST(SUM(r) AS BIGINT) AS sr, CAST(COUNT(*) AS BIGINT) AS n
-  FROM resid_{m}, (VALUES ('q'), ('d'), ('t')) f(fname)
+  FROM resid_{m}, (VALUES ('{fa}'), ('{fb}'), ('{fc}')) f(fname)
   GROUP BY 1, 2
 ), best_{m} AS MATERIALIZED (
   SELECT fname, v AS thr,
@@ -370,7 +416,31 @@ def _gbm_oracle(rounds: int = _GBM_ROUNDS) -> str:
   ORDER BY {_GBM_SCORE} DESC, fname ASC, v ASC LIMIT 1
 )"""
         )
-    final_f = f_expr(rounds)
+    return parts
+
+
+def _gbm_oracle(rounds: int = _GBM_ROUNDS) -> str:
+    """Chained-CTE replay of the boosted-stump trainer.  Round m's
+    residual is FLOOR(y - F_{m-1}) where F is the left-associated sum
+    f0 + contrib_1 + ... + contrib_{m-1} (each contribution a CASE on
+    that round's stump, scaled by the 0.5 learning rate) — the same
+    IEEE expression the engine builds with literals, so the floored
+    residuals, the histograms, the chosen stumps, and the final SSE
+    are all bit-identical."""
+    feats = ("q", "d", "t")
+    parts = [
+        """WITH base AS MATERIALIZED (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y,
+         CAST(ROUND(l_quantity) AS BIGINT) AS fq,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS fd,
+         CAST(ROUND(l_tax * 100) AS BIGINT) AS ft
+  FROM lineitem
+), f0 AS MATERIALIZED (
+  SELECT CAST(SUM(y) AS DOUBLE) / COUNT(*) AS f0 FROM base
+)"""
+    ]
+    parts.extend(_gbm_round_ctes(feats, rounds))
+    final_f = _gbm_f_sql(rounds, feats)
     parts.append(
         f""", sse AS MATERIALIZED (
   SELECT CAST(SUM(rq * rq) AS DECIMAL(38, 0)) AS s, COUNT(*) AS n
@@ -424,47 +494,9 @@ def ml_gbt_stumps_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_tax") * 100).cast("long").alias("ft"),
     ).localCheckpoint()  # 4 residual scans + the final SSE reuse it
 
-    m0 = base.agg(F.sum("y").alias("s"), F.count(F.lit(1)).alias("n")).first()
-    f0 = float(m0["s"]) / m0["n"]
+    f0, stumps = _gbm_fit(base, ("q", "d", "t"))
 
-    stacked = F.explode(
-        F.array(
-            *[
-                F.struct(F.lit(f).alias("fname"), F.col(f"f{f}").alias("v"))
-                for f in ("q", "d", "t")
-            ]
-        )
-    ).alias("s")
-
-    stumps: list[tuple] = []  # (round, fname, thr, gl, gr, n_l, n_r)
-
-    def f_col():
-        e = F.lit(f0)
-        for _, fname, thr, gl, gr, _nl, _nr in stumps:
-            e = e + (
-                F.when(F.col(f"f{fname}") <= F.lit(thr), F.lit(gl)).otherwise(F.lit(gr))
-                * _GBM_LR
-            )
-        return e
-
-    for m in range(1, _GBM_ROUNDS + 1):
-        r = F.floor(F.col("y").cast("double") - f_col()).cast("long").alias("r")
-        h = (
-            base.select(r, stacked)
-            .groupBy("s.fname", "s.v")
-            .agg(F.sum("r").alias("sr"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        hist = {(row["fname"], int(row["v"])): (int(row["sr"]), int(row["n"])) for row in h}
-        bs = _gbm_best_stump(hist)
-        if bs is None:  # pragma: no cover - constant features
-            raise ValueError("no valid stump split")
-        fname, thr, cum_r, cum_n, r_r, r_n = bs
-        gl = float(cum_r) / cum_n
-        gr = float(r_r) / r_n
-        stumps.append((m, fname, thr, gl, gr, cum_n, r_n))
-
-    rq = F.floor(F.col("y").cast("double") - f_col()).cast("long")
+    rq = F.floor(F.col("y").cast("double") - _gbm_predict_col(f0, stumps)).cast("long")
     sse = base.select((rq * rq).cast("decimal(38,0)").alias("r2")).agg(
         F.sum("r2").alias("s"), F.count(F.lit(1)).alias("n")
     ).first()
