@@ -56,3 +56,29 @@ def test_spectrum_monotonicity(spark):
         assert rows[hi]["n_repeat_positions"] <= rows[lo]["n_repeat_positions"]
         assert rows[hi]["max_group_positions"] <= rows[lo]["max_group_positions"]
         assert rows[hi]["max_docs_sharing"] <= rows[lo]["max_docs_sharing"]
+
+
+def test_cut_matches_bruteforce(spark):
+    from web_attack_detection_spark.plans.suffixq import _CUT_K, dedup_suffix_cut
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    raw = [
+        (r["doc_id"], r["t"])
+        for r in docs.select("doc_id", F.split("text", r"\s+").alias("t")).collect()
+    ]
+    wins = defaultdict(list)
+    for doc_id, toks in raw:
+        for i in range(len(toks) - _CUT_K + 1):
+            wins[tuple(toks[i : i + _CUT_K])].append((doc_id, i))
+    covered = defaultdict(set)
+    for occ in wins.values():
+        if len(occ) >= 2:
+            for doc_id, i in sorted(occ)[1:]:  # keep the first occurrence
+                covered[doc_id].update(range(i, i + _CUT_K))
+    got = {r["doc_id"]: r.asDict() for r in dedup_suffix_cut(spark, SF_SMOKE).collect()}
+    assert set(got) == set(covered)
+    sizes = {doc_id: len(toks) for doc_id, toks in raw}
+    for doc_id, js in covered.items():
+        assert got[doc_id]["n_removed"] == len(js)
+        assert got[doc_id]["n_tokens"] == sizes[doc_id]
+        assert got[doc_id]["n_kept"] == sizes[doc_id] - len(js)

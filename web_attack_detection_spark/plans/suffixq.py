@@ -88,6 +88,47 @@ SELECT * FROM ({union}) ORDER BY prefix_len
 """
 
 
+def _doubling_levels(spark: SparkSession, sf_dir: str):
+    """The prefix-doubling chain itself, shared by the spectrum query
+    and the cut query: yields (k, positions-with-group-id) for each
+    level in _LEVELS, where gid = MIN(gpos) over the suffixes sharing
+    the first k tokens.  gpos = doc_id * 2^32 + pos is a globally
+    unique, (doc_id, pos)-ordered position id — so the canonical id
+    doubles as the 'first occurrence' marker the cut query keeps."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", r"\s+").alias("t"))
+    pos = toks.select(
+        "doc_id", F.posexplode("t").alias("pos", "tok")
+    ).withColumn(
+        "gpos", F.col("doc_id").cast("long") * F.lit(1 << 32) + F.col("pos")
+    )
+    # level 1: the only token-keyed shuffle in the whole chain — a
+    # key-PARTITIONED window min (one shuffle), not groupBy+join-back
+    # (two); the registry plan guard bans only unbounded GLOBAL windows.
+    cur = (
+        pos.withColumn("gid", F.min("gpos").over(Window.partitionBy("tok")))
+        .select("doc_id", "pos", "gpos", "gid")
+        .localCheckpoint()
+    )
+    yield 1, cur
+    for k in _LEVELS[1:]:
+        half = k // 2
+        right = cur.select(
+            "doc_id", (F.col("pos") - half).alias("pos"), F.col("gid").alias("gid_r")
+        )
+        cur = (
+            cur.join(right, ["doc_id", "pos"])
+            .withColumn(
+                "gid_new", F.min("gpos").over(Window.partitionBy("gid", "gid_r"))
+            )
+            .select("doc_id", "pos", "gpos", F.col("gid_new").alias("gid"))
+            .localCheckpoint()
+        )
+        yield k, cur
+
+
 def _level_stats(cur: DataFrame, k: int) -> DataFrame:
     per = cur.groupBy("gid").agg(
         F.count(F.lit(1)).alias("cnt"),
@@ -134,39 +175,111 @@ def dedup_suffix_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups by level 4 (and the stats groupBy is a two-long key with
     map-side partial agg either way).
     """
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split("text", r"\s+").alias("t"))
-    pos = toks.select(
-        "doc_id", F.posexplode("t").alias("pos", "tok")
-    ).withColumn(
-        "gpos", F.col("doc_id").cast("long") * F.lit(1 << 32) + F.col("pos")
-    )
-    # level 1: the only token-keyed shuffle in the whole query — a
-    # key-PARTITIONED window min (one shuffle), not groupBy+join-back
-    # (two); the registry plan guard bans only unbounded GLOBAL windows.
-    from pyspark.sql.window import Window
-
-    cur = (
-        pos.withColumn("gid", F.min("gpos").over(Window.partitionBy("tok")))
-        .select("doc_id", "pos", "gpos", "gid")
-        .localCheckpoint()
-    )
-    stats = [_level_stats(cur, 1)]
-    for k in _LEVELS[1:]:
-        half = k // 2
-        right = cur.select(
-            "doc_id", (F.col("pos") - half).alias("pos"), F.col("gid").alias("gid_r")
-        )
-        cur = (
-            cur.join(right, ["doc_id", "pos"])
-            .withColumn(
-                "gid_new", F.min("gpos").over(Window.partitionBy("gid", "gid_r"))
-            )
-            .select("doc_id", "pos", "gpos", F.col("gid_new").alias("gid"))
-            .localCheckpoint()
-        )
-        stats.append(_level_stats(cur, k))
+    stats = [
+        _level_stats(cur, k) for k, cur in _doubling_levels(spark, sf_dir)
+    ]
     out = stats[0]
     for s in stats[1:]:
         out = out.unionByName(s)
     return out.orderBy("prefix_len")
+
+
+# ---------------------------------------------------------------------------
+# the cut half: remove non-first occurrences of repeated 32-windows
+# ---------------------------------------------------------------------------
+
+_CUT_K = _LEVELS[-1]
+
+_CUT_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+),
+pos AS (
+  SELECT doc_id, len(t) AS n, i, t
+  FROM toks, UNNEST(range(1, len(t) + 1)) AS r(i)
+),
+win AS (
+  SELECT doc_id, i,
+         array_to_string(t[i:i+{_CUT_K - 1}], ' ') AS pfx,
+         doc_id * 4294967296 + (i - 1) AS gpos
+  FROM pos WHERE i + {_CUT_K - 1} <= n
+),
+rep AS (
+  SELECT pfx, MIN(gpos) AS keep
+  FROM win GROUP BY pfx HAVING COUNT(*) >= 2
+),
+cut AS (
+  SELECT w.doc_id, w.i FROM win w
+  JOIN rep r ON w.pfx = r.pfx AND w.gpos != r.keep
+),
+cov AS (
+  SELECT DISTINCT doc_id, i + off AS j
+  FROM cut, UNNEST(range(0, {_CUT_K})) o(off)
+),
+sizes AS (SELECT doc_id, len(t) AS n FROM toks)
+SELECT s.doc_id,
+       CAST(s.n AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_removed,
+       CAST(s.n - COUNT(*) AS BIGINT) AS n_kept
+FROM cov c JOIN sizes s ON c.doc_id = s.doc_id
+GROUP BY s.doc_id, s.n
+"""
+
+
+@register(
+    "dedup_suffix_cut",
+    _CUT_ORACLE,
+    doc=f"exact-substring cut: drop non-first occurrences of repeated "
+    f"{_CUT_K}-token windows, per-doc removal stats",
+)
+def dedup_suffix_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transformation half of exact-substring dedup (the published
+    method: keep ONE copy of every long repeated passage, cut the
+    rest): window starts whose level-32 group repeats and whose gpos
+    is not the group's canonical MIN are cut; the tokens they cover
+    (start .. start+31) are removed, and the query reports per-doc
+    before/removed/kept token counts for every affected doc.
+
+    The repeated-window relation comes from the SAME prefix-doubling
+    chain as dedup_suffix_doubling — the engine never materializes a
+    32-token window; the DuckDB twin does exactly that (groups by the
+    window string), which is the cross-implementation point.  'First
+    occurrence' is well-defined across engines because gpos ordering
+    is (doc_id, pos) ordering, independent of the 0/1 position base.
+
+    Scale: the chain's narrow joins, one small explode (32 offsets per
+    CUT window — proportional to duplicated mass, not corpus mass), a
+    distinct and a per-doc count.  The output feeds a join back onto
+    the corpus to rebuild cleaned text; counts are the oracle-checked
+    core because token-array surgery is deterministic given them."""
+    chain = dict(_doubling_levels(spark, sf_dir))
+    cur = chain[_CUT_K]
+    # groups with >=2 members: every member whose gpos != gid is cut
+    from pyspark.sql.window import Window
+
+    sized = cur.withColumn(
+        "c", F.count(F.lit(1)).over(Window.partitionBy("gid"))
+    )
+    cut = sized.filter((F.col("c") >= 2) & (F.col("gpos") != F.col("gid")))
+    cov = (
+        cut.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + _CUT_K - 1)).alias("j"),
+        )
+        .distinct()
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    sizes = docs.select(
+        "doc_id", F.size(F.split("text", r"\s+")).alias("n")
+    )
+    return (
+        cov.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("nr"))
+        .join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tokens"),
+            F.col("nr").cast("long").alias("n_removed"),
+            (F.col("n") - F.col("nr")).cast("long").alias("n_kept"),
+        )
+    )
