@@ -91,6 +91,9 @@ QUERIES_10X = [
     "ml_cnn_exact",
     "ml_lstm_exact",
     "flagship_pipeline",  # the driver's entry query (VERDICT r8 #3)
+    "dedup_suffix_doubling",  # r10: prefix-doubling chain, narrow joins
+    "dedup_suffix_cut",  # r10: keep-first substring removal off the chain
+    "stream_gbt_trained_scoring",  # r10: tree-family train->serve
 ]
 
 # --- skew-stressed variant (VERDICT r8 #2) --------------------------------
@@ -125,6 +128,8 @@ SKEW_QUERIES = [
     "stream_stateful_totals",  # hot applyInPandasWithState key (VERDICT r9 #5)
     "stream_join_left_outer",  # hot user fans out the stream-stream join
     "ml_als_exact",  # hot user's rating counts dominate one row
+    "dedup_suffix_doubling",  # hot identical cluster -> ~500-deep windows
+    "dedup_suffix_cut",  # cut mass grows with the hot cluster (output)
 ]
 
 # expected-sub-linear queries: the python-side train loop is
@@ -267,7 +272,22 @@ def main() -> None:
         "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
     ap.add_argument("--scale-dir", default="/tmp/spark_graft_scale10")
+    ap.add_argument(
+        "--only",
+        nargs="*",
+        default=None,
+        help="probe only queries with these name prefixes and MERGE the "
+        "rows into an existing --out sidecar (for incrementally adding "
+        "new queries without re-running the whole table)",
+    )
     args = ap.parse_args()
+
+    queries_10x = QUERIES_10X
+    skew_queries = SKEW_QUERIES
+    if args.only:
+        pf = tuple(args.only)
+        queries_10x = [n for n in QUERIES_10X if n.startswith(pf)]
+        skew_queries = [n for n in SKEW_QUERIES if n.startswith(pf)]
 
     from web_attack_detection_spark.plans import all_plans  # noqa: F401
     from web_attack_detection_spark.plans.registry import QUERIES
@@ -289,7 +309,7 @@ def main() -> None:
         return QUERIES[name].fn
 
     result: dict = {}
-    for name in QUERIES_10X:
+    for name in queries_10x:
         fn = _resolve(name)
         entry: dict = {}
         for tag, d in (("t1", args.sf_dir), (f"t{args.copies}", args.scale_dir)):
@@ -318,7 +338,7 @@ def main() -> None:
     # key names derive from args.copies (ADVICE r9 #1: the previous
     # hardcoded t10 raised KeyError when run with --copies != 10)
     tN = f"t{args.copies}"
-    for name in SKEW_QUERIES:
+    for name in skew_queries:
         fn = _resolve(name)
         load0 = round(os.getloadavg()[0], 2)
         t = time.perf_counter()
@@ -357,6 +377,17 @@ def main() -> None:
             "queries": skew_result,
         },
     }
+    if args.only and Path(args.out).exists():
+        # merge mode: update only the probed rows, keep everything else
+        prev = json.loads(Path(args.out).read_text())
+        prev["queries"].update(out["queries"])
+        prev["skew"]["queries"].update(out["skew"]["queries"])
+        prev["skew"]["band_buckets_uniform"] = out["skew"]["band_buckets_uniform"]
+        prev["skew"]["band_buckets_skew"] = out["skew"]["band_buckets_skew"]
+        prev["worst_ratio"] = max(
+            v["ratio_per_unit"] for v in prev["queries"].values()
+        )
+        out = prev
     Path(args.out).write_text(json.dumps(out, indent=1) + "\n")
     print(json.dumps({k: v["ratio_per_unit"] for k, v in result.items()}))
 
