@@ -356,3 +356,19 @@ def test_brp_and_minhash_lsh_in_query_audits(spark):
     # r7: the portable md5-MinHash pair set == MLlib's pair set
     assert all(r["audit_mllib_agreement"] for r in mh)
     assert all(r["jaccard_dist"] <= 0.25 for r in mh)
+
+
+def test_knn_graph_invariants(spark):
+    """Mutual graph is a subgraph of the directed one; histogram mass
+    equals the corpus; mutual degrees are bounded by k=3; edge totals
+    are internally consistent (sum of mutual degrees = 2 * edges)."""
+    from web_attack_detection_spark.plans.similarity import sim_knn_graph
+
+    rows = sim_knn_graph(spark, SF_SMOKE).collect()
+    emb_n = load_table(spark, SF_SMOKE, "embeddings").count()
+    assert sum(r["n_vectors"] for r in rows) == emb_n
+    assert all(0 <= r["mutual_degree"] <= 3 for r in rows)
+    nd = rows[0]["n_directed_edges"]
+    nm = rows[0]["n_mutual_edges"]
+    assert 0 < nm * 2 <= nd
+    assert sum(r["mutual_degree"] * r["n_vectors"] for r in rows) == 2 * nm

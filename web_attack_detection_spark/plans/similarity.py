@@ -524,3 +524,117 @@ def sim_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n_probe").cast("long"), "recall_at_5", "avg_candidates")
         .orderBy("n_probe")
     )
+
+
+# ---------------------------------------------------------------------------
+# mutual-kNN graph over the IVF cells (the SemDeDup / graph-filter
+# substrate): directed 3-NN within each cell, mutual-edge reduction,
+# degree histogram.
+# ---------------------------------------------------------------------------
+
+_KNN_GRAPH_ORACLE = f"""
+WITH {_ivf_index_cte(16)},
+scored AS (
+  SELECT x.vec_id AS src, y.vec_id AS dst,
+         {_SQL_DOT.format(a='x.u', b='y.u')} AS cos
+  FROM a1 x JOIN a1 y ON x.cell = y.cell AND x.vec_id != y.vec_id
+),
+edges AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           ROW_NUMBER() OVER (PARTITION BY src
+                              ORDER BY cos DESC, dst ASC) AS rn
+    FROM scored
+  ) WHERE rn <= 3
+),
+mut AS (
+  SELECT e.src, e.dst FROM edges e
+  JOIN edges r ON e.src = r.dst AND e.dst = r.src
+),
+mdeg AS (
+  SELECT a.vec_id, COALESCE(m.c, 0) AS d
+  FROM a1 a LEFT JOIN (SELECT src, COUNT(*) AS c FROM mut GROUP BY src) m
+  ON a.vec_id = m.src
+),
+tot AS (
+  SELECT CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_directed_edges,
+         CAST((SELECT COUNT(*) FROM mut) / 2 AS BIGINT) AS n_mutual_edges
+)
+SELECT CAST(d AS INTEGER) AS mutual_degree,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       t.n_directed_edges, t.n_mutual_edges
+FROM mdeg, tot t
+GROUP BY d, t.n_directed_edges, t.n_mutual_edges
+ORDER BY mutual_degree
+"""
+
+
+@register(
+    "sim_knn_graph",
+    _KNN_GRAPH_ORACLE,
+    doc="mutual 3-NN graph within IVF cells: degree histogram + edge totals, full oracle",
+)
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kNN-graph primitive behind SemDeDup-style semantic dedup and
+    graph-based quality filtering: each vector's 3 nearest neighbors
+    WITHIN ITS IVF CELL (single-probe semantics — the candidate
+    restriction that makes an all-pairs graph feasible at scale),
+    reduced to the MUTUAL graph (edges kept only when both endpoints
+    pick each other), reported as the mutual-degree histogram plus
+    directed/mutual edge totals.
+
+    The oracle replays the ENTIRE pipeline off the shared IVF index
+    CTE (portable-hash seeds, quantized Lloyd, fold-twin cosines) —
+    the same prefix sim_ivf_topk's oracle uses, so index drift would
+    break two oracles at once.
+
+    Scale: the only quadratic term is per-cell (Σ|cell|² pairs), which
+    is the IVF contract — cells are corpus/k-sized, and a skewed cell
+    shows up in the sidecar's band-bucket stats.  The 3-NN cut is a
+    bounded per-src window; the mutual join keys on (src, dst) pairs
+    — both narrow after the cut.  At 100 TB you persist `assigned`
+    bucketed by cell and the pair join is co-located."""
+    from web_attack_detection_spark.operators.similarity import dot as _dot
+    from web_attack_detection_spark.operators.similarity import ivf_assign
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, assigned = ivf_assign(emb, k_centroids=16)
+    a = assigned.select("vec_id", "cell", F.col("embedding").alias("u"))
+    x, y = a.alias("x"), a.alias("y")
+    scored = (
+        x.join(y, "cell")
+        .filter(F.col("x.vec_id") != F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("src"),
+            F.col("y.vec_id").alias("dst"),
+            _dot(F.col("x.u"), F.col("y.u")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst").asc())
+    edges = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("src", "dst")
+        .localCheckpoint()  # reused by the mutual join AND both totals
+    )
+    mut = edges.alias("e").join(
+        edges.select(F.col("src").alias("dst"), F.col("dst").alias("src")),
+        ["src", "dst"],
+    )
+    mdeg = (
+        a.select("vec_id")
+        .join(mut.groupBy("src").agg(F.count(F.lit(1)).alias("c")),
+              a["vec_id"] == F.col("src"), "left")
+        .select(F.coalesce(F.col("c"), F.lit(0)).alias("d"))
+    )
+    tot = edges.agg(F.count(F.lit(1)).cast("long").alias("n_directed_edges")).crossJoin(
+        mut.agg((F.count(F.lit(1)) / 2).cast("long").alias("n_mutual_edges"))
+    )
+    return (
+        mdeg.groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+        .select(F.col("d").cast("int").alias("mutual_degree"), "n_vectors")
+        .crossJoin(F.broadcast(tot))
+        .orderBy("mutual_degree")
+    )
