@@ -49,3 +49,30 @@ def test_stream_matches_batch_mass(spark):
     assert sum(r["n"] for r in out) == batch["n"]
     assert sum(r["sum_pred_q"] for r in out) == batch["s"]
     assert all(r["min_pred_q"] <= r["max_pred_q"] for r in out)
+
+
+def test_newton_booster_semantics(spark):
+    """Semantic checks the oracle can't make: round structure, feature
+    domain, Newton-step boundedness, and that train accuracy beats the
+    minority-class rate (the F=0 start predicts all-1, so any learning
+    must at least match the better constant predictor's floor)."""
+    from web_attack_detection_spark.plans.treeq import (
+        _GBC_FEATS,
+        _gbc_predict_col,
+        ml_gbt_classify_exact,
+    )
+
+    rows = ml_gbt_classify_exact(spark, SF_SMOKE).collect()
+    assert [r["round"] for r in rows] == [1, 2, 3]
+    assert all(r["feature"] in _GBC_FEATS for r in rows)
+    # w_l/w_r are Newton steps: bounded by |g|/lambda and finite
+    assert all(abs(r["w_l"]) < 1e6 and abs(r["w_r"]) < 1e6 for r in rows)
+    acc = rows[0]["train_acc"]
+    assert 0.0 <= acc <= 1.0
+    # majority-class baseline: the booster should never be worse than
+    # predicting all-0/all-1 at F=0 (pred = F>=0 -> all 1 at round 0)
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    pos_rate = li.agg(
+        F.avg((F.col("l_returnflag") == "R").cast("int")).alias("p")
+    ).first()["p"]
+    assert acc >= min(pos_rate, 1 - pos_rate)

@@ -692,3 +692,258 @@ def ml_random_forest_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tree int, feature string, threshold long, n_bag long, n_bag_pos long,"
         " pred_l int, pred_r int, ensemble_accuracy double",
     )
+
+
+# ---------------------------------------------------------------------------
+# exact Newton-boosted logistic stumps (the XGBoost objective, full
+# oracle): second-order leaf weights w = -G/(H+lambda), hard-sigmoid
+# link so the replay is exp-free.
+# ---------------------------------------------------------------------------
+
+_GBC_ROUNDS = 3
+_GBC_LR = 0.5
+_GBC_LAMBDA = 1.0
+_GBC_FEATS = ("q", "d", "p")
+
+
+def _gbc_f_sql(m: int) -> str:
+    """F_{m} over base row b for the logistic booster — same
+    left-associated shape as _gbm_f_sql but with f0 = 0 and the round
+    leaves being Newton weights (already lr-scaled in wl/wr)."""
+    fa, fb, fc = _GBC_FEATS
+    e = "0.0"
+    for j in range(1, m + 1):
+        case = (
+            f"(CASE WHEN (CASE (SELECT fname FROM cbest_{j}) WHEN '{fa}' THEN b.f{fa}"
+            f" WHEN '{fb}' THEN b.f{fb} ELSE b.f{fc} END) <= (SELECT thr FROM cbest_{j})"
+            f" THEN (SELECT wl FROM cbest_{j}) ELSE (SELECT wr FROM cbest_{j}) END)"
+            f" * {_GBC_LR}"
+        )
+        e = f"{e} + {case}"
+    return e
+
+
+def _gbc_p_sql(f_expr: str) -> str:
+    """Hard-sigmoid link p = clamp(0.25 F + 0.5, 0, 1) — piecewise
+    linear, so the oracle never calls exp (libm results are not
+    bit-portable across engines; clamp arithmetic is)."""
+    return f"GREATEST(LEAST(0.25 * ({f_expr}) + 0.5, 1.0), 0.0)"
+
+
+_GBC_SCORE = (
+    "CAST(cumg AS DOUBLE) / 1000000 * (CAST(cumg AS DOUBLE) / 1000000)"
+    f" / (CAST(cumh AS DOUBLE) / 1000000 + {_GBC_LAMBDA})"
+    " + CAST(totg - cumg AS DOUBLE) / 1000000 * (CAST(totg - cumg AS DOUBLE) / 1000000)"
+    f" / (CAST(toth - cumh AS DOUBLE) / 1000000 + {_GBC_LAMBDA})"
+)
+
+
+def _gbc_oracle(rounds: int = _GBC_ROUNDS) -> str:
+    """Chained-CTE replay of the Newton booster: per round, the row
+    gradients g = p - y and hessians h = p(1-p) are FLOOR-quantized to
+    micro-units (exact BIGINT histogram sums, order-free); the stump
+    maximizes the XGBoost gain surrogate GL^2/(HL+l) + GR^2/(HR+l)
+    (each term one multiply + one divide over micro-descaled doubles,
+    mirrored textually by the engine's Python argmax); leaf weights
+    are -G/(H+l).  f0 = 0, so no log-odds (and no ln) anywhere."""
+    fa, fb, fc = _GBC_FEATS
+    parts = [
+        """WITH base AS MATERIALIZED (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         CAST(ROUND(l_quantity) AS BIGINT) AS fq,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS fd,
+         CAST(ROUND(l_extendedprice / 1000) AS BIGINT) AS fp
+  FROM lineitem
+)"""
+    ]
+    for m in range(1, rounds + 1):
+        p_prev = _gbc_p_sql(_gbc_f_sql(m - 1))
+        parts.append(
+            f""", cgh_{m} AS MATERIALIZED (
+  SELECT b.f{fa}, b.f{fb}, b.f{fc},
+         CAST(FLOOR(({p_prev} - b.y) * 1000000) AS BIGINT) AS gq,
+         CAST(FLOOR(({p_prev} * (1.0 - {p_prev})) * 1000000) AS BIGINT) AS hq
+  FROM base b
+), chist_{m} AS MATERIALIZED (
+  SELECT f.fname, CASE f.fname WHEN '{fa}' THEN f{fa} WHEN '{fb}' THEN f{fb} ELSE f{fc} END AS v,
+         CAST(SUM(gq) AS BIGINT) AS sg, CAST(SUM(hq) AS BIGINT) AS sh,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM cgh_{m}, (VALUES ('{fa}'), ('{fb}'), ('{fc}')) f(fname)
+  GROUP BY 1, 2
+), cbest_{m} AS MATERIALIZED (
+  SELECT fname, v AS thr,
+         -(CAST(cumg AS DOUBLE) / 1000000) / (CAST(cumh AS DOUBLE) / 1000000 + {_GBC_LAMBDA}) AS wl,
+         -(CAST(totg - cumg AS DOUBLE) / 1000000) / (CAST(toth - cumh AS DOUBLE) / 1000000 + {_GBC_LAMBDA}) AS wr,
+         cumn AS n_l, totn - cumn AS n_r
+  FROM (
+    SELECT fname, v,
+           CAST(SUM(sg) OVER w AS BIGINT) AS cumg,
+           CAST(SUM(sh) OVER w AS BIGINT) AS cumh,
+           CAST(SUM(n) OVER w AS BIGINT) AS cumn,
+           CAST(SUM(sg) OVER (PARTITION BY fname) AS BIGINT) AS totg,
+           CAST(SUM(sh) OVER (PARTITION BY fname) AS BIGINT) AS toth,
+           CAST(SUM(n) OVER (PARTITION BY fname) AS BIGINT) AS totn
+    FROM chist_{m}
+    WINDOW w AS (PARTITION BY fname ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+  ) WHERE cumn > 0 AND totn - cumn > 0
+  ORDER BY {_GBC_SCORE} DESC, fname ASC, v ASC LIMIT 1
+)"""
+        )
+    final_f = _gbc_f_sql(rounds)
+    parts.append(
+        f""", cacc AS MATERIALIZED (
+  SELECT ROUND(SUM(CASE WHEN (CASE WHEN ({final_f}) >= 0.0 THEN 1 ELSE 0 END) = b.y
+                        THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS acc
+  FROM base b
+)
+"""
+        + "\nUNION ALL ".join(
+            f"""SELECT {m} AS round, fname AS feature, thr AS threshold,
+       wl AS w_l, wr AS w_r, n_l, n_r,
+       (SELECT acc FROM cacc) AS train_acc
+FROM cbest_{m}"""
+            for m in range(1, rounds + 1)
+        )
+    )
+    return "".join(parts)
+
+
+def _gbc_best_stump(hist: dict[tuple[str, int], tuple[int, int, int]]):
+    """Newton-gain argmax over the micro-unit (g, h) histogram —
+    mirrors _GBC_SCORE term for term in Python doubles (cum/1e6 is an
+    exact rescale; the gain is one multiply + one divide per side)."""
+    from collections import defaultdict
+
+    byf: dict[str, dict[int, tuple[int, int, int]]] = defaultdict(dict)
+    for (f, v), t in hist.items():
+        byf[f][v] = t
+    best = None
+    best_key = None
+    lam = _GBC_LAMBDA
+    for f in byf:
+        vals = sorted(byf[f])
+        totg = sum(byf[f][v][0] for v in vals)
+        toth = sum(byf[f][v][1] for v in vals)
+        totn = sum(byf[f][v][2] for v in vals)
+        cumg = cumh = cumn = 0
+        for v in vals:
+            cumg += byf[f][v][0]
+            cumh += byf[f][v][1]
+            cumn += byf[f][v][2]
+            if cumn == 0 or totn - cumn == 0:
+                continue
+            gl = cumg / 1e6
+            hl = cumh / 1e6
+            gr = (totg - cumg) / 1e6
+            hr = (toth - cumh) / 1e6
+            score = gl * gl / (hl + lam) + gr * gr / (hr + lam)
+            key = (-score, f, v)
+            if best_key is None or key < best_key:
+                best_key = key
+                best = (f, v, cumg, cumh, cumn, totg - cumg, toth - cumh, totn - cumn)
+    return best
+
+
+def _gbc_predict_col(stumps: list[tuple]):
+    """F as a left-associated literal expression (f0 = 0)."""
+    e = F.lit(0.0)
+    for _, fname, thr, wl, wr, _nl, _nr in stumps:
+        e = e + (
+            F.when(F.col(f"f{fname}") <= F.lit(thr), F.lit(wl)).otherwise(F.lit(wr))
+            * _GBC_LR
+        )
+    return e
+
+
+@register(
+    "ml_gbt_classify_exact",
+    _gbc_oracle(),
+    doc=f"exact Newton-boosted logistic stumps ({_GBC_ROUNDS} rounds, "
+    f"lambda={_GBC_LAMBDA}, hard-sigmoid link), full oracle",
+)
+def ml_gbt_classify_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CLASSIFICATION half of exact boosting, completing the tree
+    program: ml_gbt_stumps_exact pins first-order squared-error GBM;
+    this query pins the second-order (Newton) logistic objective that
+    XGBoost/LightGBM actually optimize — per-row gradients g = p - y
+    and hessians h = p(1-p), split gain GL²/(HL+λ) + GR²/(HR+λ), leaf
+    weights w = -G/(H+λ) — predicting returned lineitems from
+    quantized quantity/discount/price-bucket.
+
+    The link is a HARD sigmoid (clamp(0.25F + 0.5, 0, 1)): piecewise-
+    linear like the mlpx/lstmx activations, so neither engine calls
+    exp and the whole trajectory stays bit-portable.  g and h are
+    FLOOR-quantized to micro-units per row, making the histogram sums
+    exact BIGINTs (order-free over any partitioning); the gain and
+    the leaf weights are short IEEE expressions mirrored textually by
+    the oracle (micro-descale, one multiply, one divide).
+
+    Scale: identical to the GBM skeleton — one map-side histogram
+    scan per round (~160 buckets collected), model applied as a
+    literal CASE chain in whole-stage codegen, nothing iterative on
+    the driver beyond the argmax.  Reference anchor: the reference's
+    only classifier family is Keras nets (models/*.py); boosted trees
+    are the standard tabular alternative a user of this engine would
+    reach for."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        (F.col("l_returnflag") == "R").cast("long").alias("y"),
+        F.round("l_quantity").cast("long").alias("fq"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("fd"),
+        F.round(F.col("l_extendedprice") / 1000).cast("long").alias("fp"),
+    ).localCheckpoint()  # 3 g/h scans + the accuracy pass reuse it
+
+    stacked = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(f).alias("fname"), F.col(f"f{f}").alias("v"))
+                for f in _GBC_FEATS
+            ]
+        )
+    ).alias("s")
+
+    stumps: list[tuple] = []  # (round, fname, thr, wl, wr, n_l, n_r)
+    for m in range(1, _GBC_ROUNDS + 1):
+        fcol = _gbc_predict_col(stumps)
+        p = F.greatest(
+            F.least(F.lit(0.25) * fcol + F.lit(0.5), F.lit(1.0)), F.lit(0.0)
+        )
+        gq = F.floor((p - F.col("y")) * 1e6).cast("long").alias("gq")
+        hq = F.floor((p * (F.lit(1.0) - p)) * 1e6).cast("long").alias("hq")
+        h = (
+            base.select(gq, hq, stacked)
+            .groupBy("s.fname", "s.v")
+            .agg(
+                F.sum("gq").alias("sg"),
+                F.sum("hq").alias("sh"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        hist = {
+            (row["fname"], int(row["v"])): (int(row["sg"]), int(row["sh"]), int(row["n"]))
+            for row in h
+        }
+        bs = _gbc_best_stump(hist)
+        if bs is None:  # pragma: no cover - constant features
+            raise ValueError("no valid stump split")
+        fname, thr, cumg, cumh, n_l, rg, rh, n_r = bs
+        wl = -(cumg / 1e6) / (cumh / 1e6 + _GBC_LAMBDA)
+        wr = -(rg / 1e6) / (rh / 1e6 + _GBC_LAMBDA)
+        stumps.append((m, fname, thr, wl, wr, n_l, n_r))
+
+    pred = (_gbc_predict_col(stumps) >= F.lit(0.0)).cast("long")
+    accr = base.agg(
+        F.round(
+            F.sum((pred == F.col("y")).cast("int"))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("acc")
+    ).first()
+    acc = float(accr["acc"])
+    return spark.createDataFrame(
+        [s + (acc,) for s in stumps],
+        "round int, feature string, threshold long, w_l double,"
+        " w_r double, n_l long, n_r long, train_acc double",
+    )
