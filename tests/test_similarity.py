@@ -372,3 +372,16 @@ def test_knn_graph_invariants(spark):
     nm = rows[0]["n_mutual_edges"]
     assert 0 < nm * 2 <= nd
     assert sum(r["mutual_degree"] * r["n_vectors"] for r in rows) == 2 * nm
+
+
+def test_knn_components_conserve_corpus(spark):
+    """Cluster-size histogram must partition the corpus exactly, and
+    multi-vector clusters must be consistent with the mutual graph
+    (every mutual edge's endpoints share a component by closure)."""
+    from web_attack_detection_spark.plans.similarity import sim_knn_components
+
+    rows = sim_knn_components(spark, SF_SMOKE).collect()
+    emb_n = load_table(spark, SF_SMOKE, "embeddings").count()
+    assert sum(r["cluster_size"] * r["n_clusters"] for r in rows) == emb_n
+    assert all(r["cluster_size"] >= 1 for r in rows)
+    assert any(r["cluster_size"] >= 2 for r in rows), "graph should link something"

@@ -569,31 +569,12 @@ ORDER BY mutual_degree
 """
 
 
-@register(
-    "sim_knn_graph",
-    _KNN_GRAPH_ORACLE,
-    doc="mutual 3-NN graph within IVF cells: degree histogram + edge totals, full oracle",
-)
-def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The kNN-graph primitive behind SemDeDup-style semantic dedup and
-    graph-based quality filtering: each vector's 3 nearest neighbors
-    WITHIN ITS IVF CELL (single-probe semantics — the candidate
-    restriction that makes an all-pairs graph feasible at scale),
-    reduced to the MUTUAL graph (edges kept only when both endpoints
-    pick each other), reported as the mutual-degree histogram plus
-    directed/mutual edge totals.
-
-    The oracle replays the ENTIRE pipeline off the shared IVF index
-    CTE (portable-hash seeds, quantized Lloyd, fold-twin cosines) —
-    the same prefix sim_ivf_topk's oracle uses, so index drift would
-    break two oracles at once.
-
-    Scale: the only quadratic term is per-cell (Σ|cell|² pairs), which
-    is the IVF contract — cells are corpus/k-sized, and a skewed cell
-    shows up in the sidecar's band-bucket stats.  The 3-NN cut is a
-    bounded per-src window; the mutual join keys on (src, dst) pairs
-    — both narrow after the cut.  At 100 TB you persist `assigned`
-    bucketed by cell and the pair join is co-located."""
+def _knn_mutual_edges(spark: SparkSession, sf_dir: str):
+    """Shared by sim_knn_graph and sim_knn_components: IVF-assign the
+    corpus, take each vector's directed 3-NN within its cell, reduce
+    to the mutual graph.  Returns (assigned, directed_edges,
+    mutual_edges) with the edge frames localCheckpoint-ed (both are
+    consumed by multiple aggregates downstream)."""
     from web_attack_detection_spark.operators.similarity import dot as _dot
     from web_attack_detection_spark.operators.similarity import ivf_assign
     from pyspark.sql.window import Window
@@ -621,7 +602,36 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     mut = edges.alias("e").join(
         edges.select(F.col("src").alias("dst"), F.col("dst").alias("src")),
         ["src", "dst"],
-    )
+    ).localCheckpoint()
+    return a, edges, mut
+
+
+@register(
+    "sim_knn_graph",
+    _KNN_GRAPH_ORACLE,
+    doc="mutual 3-NN graph within IVF cells: degree histogram + edge totals, full oracle",
+)
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kNN-graph primitive behind SemDeDup-style semantic dedup and
+    graph-based quality filtering: each vector's 3 nearest neighbors
+    WITHIN ITS IVF CELL (single-probe semantics — the candidate
+    restriction that makes an all-pairs graph feasible at scale),
+    reduced to the MUTUAL graph (edges kept only when both endpoints
+    pick each other), reported as the mutual-degree histogram plus
+    directed/mutual edge totals.
+
+    The oracle replays the ENTIRE pipeline off the shared IVF index
+    CTE (portable-hash seeds, quantized Lloyd, fold-twin cosines) —
+    the same prefix sim_ivf_topk's oracle uses, so index drift would
+    break two oracles at once.
+
+    Scale: the only quadratic term is per-cell (Σ|cell|² pairs), which
+    is the IVF contract — cells are corpus/k-sized, and a skewed cell
+    shows up in the sidecar's band-bucket stats.  The 3-NN cut is a
+    bounded per-src window; the mutual join keys on (src, dst) pairs
+    — both narrow after the cut.  At 100 TB you persist `assigned`
+    bucketed by cell and the pair join is co-located."""
+    a, edges, mut = _knn_mutual_edges(spark, sf_dir)
     mdeg = (
         a.select("vec_id")
         .join(mut.groupBy("src").agg(F.count(F.lit(1)).alias("c")),
@@ -637,4 +647,101 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("d").cast("int").alias("mutual_degree"), "n_vectors")
         .crossJoin(F.broadcast(tot))
         .orderBy("mutual_degree")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup end-to-end: mutual-kNN graph -> connected components ->
+# semantic cluster-size histogram.
+# ---------------------------------------------------------------------------
+
+_KNN_CC_ORACLE = f"""
+WITH RECURSIVE {_ivf_index_cte(16)},
+scored AS (
+  SELECT x.vec_id AS src, y.vec_id AS dst,
+         {_SQL_DOT.format(a='x.u', b='y.u')} AS cos
+  FROM a1 x JOIN a1 y ON x.cell = y.cell AND x.vec_id != y.vec_id
+),
+edges3 AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           ROW_NUMBER() OVER (PARTITION BY src
+                              ORDER BY cos DESC, dst ASC) AS rn
+    FROM scored
+  ) WHERE rn <= 3
+),
+mut AS (
+  SELECT e.src, e.dst FROM edges3 e
+  JOIN edges3 r ON e.src = r.dst AND e.dst = r.src
+),
+reach(src, dst) AS (
+  SELECT src, src FROM mut
+  UNION
+  SELECT r.src, m.dst FROM reach r JOIN mut m ON r.dst = m.src
+),
+cc AS (SELECT src AS vec_id, MIN(dst) AS component FROM reach GROUP BY src),
+csz AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS sz FROM cc GROUP BY component),
+singles AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM a1
+  WHERE vec_id NOT IN (SELECT vec_id FROM cc)
+)
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM csz GROUP BY sz
+UNION ALL
+SELECT 1, n FROM singles WHERE n > 0
+ORDER BY cluster_size
+"""
+
+
+@register(
+    "sim_knn_components",
+    _KNN_CC_ORACLE,
+    doc="SemDeDup end-to-end: mutual-kNN graph -> connected components -> "
+    "cluster-size histogram, full oracle",
+)
+def sim_knn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full SemDeDup shape in one query: IVF cells bound the
+    candidate space, the mutual 3-NN graph links semantically-close
+    vectors, connected components collapse transitive chains, and the
+    output is the semantic-cluster-size histogram (size 1 = vectors
+    with no mutual neighbor — the mass a semantic dedup would keep
+    untouched).  Downstream, keeping one representative per multi-
+    vector cluster IS embedding-level dedup; the histogram is the
+    oracle-checked core because the keep-list follows deterministically
+    (min vec_id per component).
+
+    Reuses the shared mutual-edge builder (one IVF build serves three
+    oracles now) and the size-adaptive connected_components operator
+    (driver union-find under the threshold, distributed min-label
+    propagation above — both label-identical, VERDICT r2 #4).  The
+    oracle replays index + graph + a recursive-CTE closure.
+
+    Scale: mutual-kNN edges are ≤ 3 per vector BY CONSTRUCTION — the
+    component graph is corpus-linear (contrast pair-threshold graphs,
+    which can go quadratic in a hot cluster); propagation rounds are
+    bounded by cluster diameter, and semantic clusters are shallow."""
+    from web_attack_detection_spark.operators.dedup import connected_components
+
+    a, _edges, mut = _knn_mutual_edges(spark, sf_dir)
+    pairs = (
+        mut.filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
+    )
+    cc = connected_components(pairs)
+    csz = cc.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    hist = csz.groupBy("sz").agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+    singles = (
+        a.select("vec_id")
+        .join(cc.select(F.col("id").alias("vec_id")), "vec_id", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 0)
+        .select(F.lit(1).cast("long").alias("sz"), F.col("n").cast("long").alias("n_clusters"))
+    )
+    return (
+        hist.select(F.col("sz").cast("long").alias("cluster_size"), "n_clusters")
+        .unionByName(
+            singles.select(F.col("sz").alias("cluster_size"), "n_clusters")
+        )
+        .orderBy("cluster_size")
     )
