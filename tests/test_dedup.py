@@ -250,3 +250,14 @@ def test_minhash_join_verify_is_candidate_restricted(spark):
     }
     assert served == (exact & cand)
     assert served  # non-vacuous: planted near-dups exist at sf0.001
+
+
+def test_cross_signal_audit_margins(spark):
+    """The 2x2 margins must be internally consistent with the two
+    source pair relations."""
+    from web_attack_detection_spark.plans.dedup import dedup_cross_signal_audit
+
+    r = dedup_cross_signal_audit(spark, SF_SMOKE).first()
+    assert r["n_both"] + r["n_lexical_only"] == r["n_lexical_total"]
+    assert r["n_both"] + r["n_embedding_only"] == r["n_embedding_total"]
+    assert r["n_lexical_total"] > 0  # planted lexical near-dups exist

@@ -1080,3 +1080,130 @@ def dedup_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return _dedup_against_index(spark, batch, m_sh, m_tx)
+
+
+# ---------------------------------------------------------------------------
+# cross-signal agreement: lexical (3-gram Jaccard) vs embedding
+# (cosine) near-dup pairs over the common id range.
+# ---------------------------------------------------------------------------
+
+
+def _cross_signal_oracle() -> str:
+    """Composes the two proven pair relations — the exact-Jaccard CTE
+    from this module and the unit-normalized cosine fold from
+    plans/similarity — into one agreement matrix via FULL OUTER JOIN.
+    Both sides are restricted to ids present in BOTH tables (the
+    fixtures share an id range only partially at some SFs)."""
+    from web_attack_detection_spark.plans.similarity import (
+        _SQL_DOT,
+        _SQL_UNIT_CTE,
+    )
+
+    return f"""
+WITH jp AS ({_JACCARD_ORACLE}),
+{_SQL_UNIT_CTE.strip()},
+ep AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM unit a
+  JOIN unit b ON a.vec_id < b.vec_id
+  WHERE {_SQL_DOT.format(a='a.u', b='b.u')} >= 0.45
+),
+common AS (
+  SELECT doc_id AS id FROM documents
+  INTERSECT
+  SELECT vec_id FROM embeddings
+),
+jc AS (
+  SELECT id_a, id_b FROM jp
+  WHERE id_a IN (SELECT id FROM common) AND id_b IN (SELECT id FROM common)
+),
+ec AS (
+  SELECT id_a, id_b FROM ep
+  WHERE id_a IN (SELECT id FROM common) AND id_b IN (SELECT id FROM common)
+),
+m AS (
+  SELECT COALESCE(j.id_a, e.id_a) AS id_a,
+         j.id_a IS NOT NULL AS lex,
+         e.id_a IS NOT NULL AS emb
+  FROM jc j FULL OUTER JOIN ec e
+  ON j.id_a = e.id_a AND j.id_b = e.id_b
+)
+SELECT CAST(COALESCE(SUM(CASE WHEN lex AND emb THEN 1 END), 0) AS BIGINT) AS n_both,
+       CAST(COALESCE(SUM(CASE WHEN lex AND NOT emb THEN 1 END), 0) AS BIGINT) AS n_lexical_only,
+       CAST(COALESCE(SUM(CASE WHEN emb AND NOT lex THEN 1 END), 0) AS BIGINT) AS n_embedding_only,
+       CAST((SELECT COUNT(*) FROM jc) AS BIGINT) AS n_lexical_total,
+       CAST((SELECT COUNT(*) FROM ec) AS BIGINT) AS n_embedding_total
+FROM m
+"""
+
+
+@register(
+    "dedup_cross_signal_audit",
+    _cross_signal_oracle(),
+    doc="lexical (3-gram Jaccard) vs embedding (cosine) near-dup pair "
+    "agreement matrix, full oracle",
+)
+def dedup_cross_signal_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The calibration audit run before choosing a dedup signal: how
+    much do the lexical (exact 3-gram Jaccard >= 0.2) and semantic
+    (embedding cosine >= 0.45) near-dup pair sets agree?  Reports the
+    2x2 margin — pairs found by both, by each signal alone, and the
+    per-signal totals — over the ids present in BOTH tables.  High
+    embedding-only mass means the corpus has rewordings MinHash-class
+    dedup misses; high lexical-only mass means the embedding threshold
+    is too tight.  Both pair relations are this repo's established
+    bit-exact primitives (jaccard_pairs_exact, cosine_pairs_blocked);
+    the composition is one FULL OUTER JOIN on the pair key plus exact
+    counts, so the whole audit inherits their oracles.
+
+    Scale: both pair stages are oracle-scale ground-truth tools by
+    their own docs (at 100 TB each swaps for its LSH/IVF candidate
+    variant — dedup_minhash_lsh, sim_knn_graph — without changing this
+    composition); the join key is the (id_a, id_b) pair, output is
+    near-dup-mass-proportional, and the final aggregate is one row."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    common = (
+        docs.select(F.col("doc_id").alias("id"))
+        .join(emb.select(F.col("vec_id").alias("id")), "id")
+        .localCheckpoint()
+    )
+    from web_attack_detection_spark.operators.similarity import (
+        cosine_pairs_blocked,
+    )
+
+    jp = jaccard_pairs_exact(docs, "text", "doc_id", n=3, threshold=0.2)
+    ep = cosine_pairs_blocked(emb, threshold=0.45).select("id_a", "id_b")
+
+    def restrict(p: DataFrame) -> DataFrame:
+        return (
+            p.join(F.broadcast(common).withColumnRenamed("id", "id_a"), "id_a")
+            .join(F.broadcast(common).withColumnRenamed("id", "id_b"), "id_b")
+            .select("id_a", "id_b")
+        )
+
+    jc = restrict(jp.select("id_a", "id_b")).localCheckpoint()
+    ec = restrict(ep).localCheckpoint()
+    m = (
+        jc.withColumn("lex", F.lit(True))
+        .join(ec.withColumn("emb", F.lit(True)), ["id_a", "id_b"], "full_outer")
+        .select(
+            F.coalesce(F.col("lex"), F.lit(False)).alias("lex"),
+            F.coalesce(F.col("emb"), F.lit(False)).alias("emb"),
+        )
+    )
+    counts = m.agg(
+        F.coalesce(F.sum(F.when(F.col("lex") & F.col("emb"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_both"),
+        F.coalesce(F.sum(F.when(F.col("lex") & ~F.col("emb"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_lexical_only"),
+        F.coalesce(F.sum(F.when(F.col("emb") & ~F.col("lex"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_embedding_only"),
+    )
+    totals = jc.agg(F.count(F.lit(1)).cast("long").alias("n_lexical_total")).crossJoin(
+        ec.agg(F.count(F.lit(1)).cast("long").alias("n_embedding_total"))
+    )
+    return counts.crossJoin(F.broadcast(totals))
