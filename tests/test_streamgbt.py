@@ -76,3 +76,21 @@ def test_newton_booster_semantics(spark):
         F.avg((F.col("l_returnflag") == "R").cast("int")).alias("p")
     ).first()["p"]
     assert acc >= min(pos_rate, 1 - pos_rate)
+
+
+def test_gbm_oracle_builder_stability():
+    """The treeq GBM builders feed BOTH ml_gbt_stumps_exact's oracle
+    and stream_gbt_trained_scoring's (one textual source).  Pin the
+    batch oracle's exact bytes so a builder edit that would silently
+    shift the lineitem replay fails here first (the r10 refactor was
+    verified byte-identical against this same hash)."""
+    import hashlib
+
+    from web_attack_detection_spark.plans.registry import QUERIES
+
+    h = hashlib.sha256(QUERIES["ml_gbt_stumps_exact"].oracle.encode()).hexdigest()
+    assert h == "e5f6518177636bba0cdbc81de665466c7fe7fb76905e2e65bd3bd1877a4f055e"
+    # and the stream twin must actually flow through the shared builders
+    from web_attack_detection_spark.plans.treeq import _gbm_f_sql
+    stream_oracle = QUERIES["stream_gbt_trained_scoring"].oracle
+    assert _gbm_f_sql(4, ("u", "e", "j")) in stream_oracle
