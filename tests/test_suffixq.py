@@ -82,3 +82,18 @@ def test_cut_matches_bruteforce(spark):
         assert got[doc_id]["n_removed"] == len(js)
         assert got[doc_id]["n_tokens"] == sizes[doc_id]
         assert got[doc_id]["n_kept"] == sizes[doc_id] - len(js)
+
+
+def test_survivors_consistent_with_cut(spark):
+    from web_attack_detection_spark.plans.suffixq import (
+        dedup_suffix_cut,
+        dedup_suffix_survivors,
+    )
+
+    s = dedup_suffix_survivors(spark, SF_SMOKE).first()
+    cut = dedup_suffix_cut(spark, SF_SMOKE).collect()
+    assert s["covered_tokens"] == sum(r["n_removed"] for r in cut)
+    dropped = {r["doc_id"] for r in cut if 2 * r["n_removed"] >= r["n_tokens"]}
+    assert s["n_survivors"] == s["n_docs"] - len(dropped)
+    assert 0 < s["n_survivors"] <= s["n_docs"]
+    assert s["surviving_tokens"] <= s["n_tokens"]

@@ -60,8 +60,8 @@ for _mod in PLAN_MODULES:
 # Registry floor (bumped as queries land).  A registry smaller than
 # this means a plan module loaded but failed to register (the one
 # silent-shrink path imports can't catch).
-EXPECTED_MIN_QUERIES = 331
-EXPECTED_MIN_ORACLES = 319
+EXPECTED_MIN_QUERIES = 332
+EXPECTED_MIN_ORACLES = 320
 
 from web_attack_detection_spark.plans.registry import QUERIES as _Q  # noqa: E402
 

@@ -283,3 +283,105 @@ def dedup_suffix_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n") - F.col("nr")).cast("long").alias("n_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# the policy half: doc-level survivorship by repeated-passage coverage
+# ---------------------------------------------------------------------------
+
+_SURV_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+),
+pos AS (
+  SELECT doc_id, len(t) AS n, i, t
+  FROM toks, UNNEST(range(1, len(t) + 1)) AS r(i)
+),
+win AS (
+  SELECT doc_id, i,
+         array_to_string(t[i:i+{_CUT_K - 1}], ' ') AS pfx,
+         doc_id * 4294967296 + (i - 1) AS gpos
+  FROM pos WHERE i + {_CUT_K - 1} <= n
+),
+rep AS (
+  SELECT pfx, MIN(gpos) AS keep
+  FROM win GROUP BY pfx HAVING COUNT(*) >= 2
+),
+cut AS (
+  SELECT w.doc_id, w.i FROM win w
+  JOIN rep r ON w.pfx = r.pfx AND w.gpos != r.keep
+),
+cov AS (
+  SELECT DISTINCT doc_id, i + off AS j
+  FROM cut, UNNEST(range(0, {_CUT_K})) o(off)
+),
+sizes AS (SELECT doc_id, len(t) AS n FROM toks),
+surv AS (
+  SELECT s.doc_id, s.n, COALESCE(c.r, 0) AS r
+  FROM sizes s
+  LEFT JOIN (SELECT doc_id, COUNT(*) AS r FROM cov GROUP BY doc_id) c
+  ON s.doc_id = c.doc_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(SUM(CASE WHEN 2 * r < n THEN 1 END), 0) AS BIGINT)
+         AS n_survivors,
+       CAST(COALESCE(SUM(CASE WHEN 2 * r < n THEN n END), 0) AS BIGINT)
+         AS surviving_tokens,
+       CAST(COALESCE(SUM(r), 0) AS BIGINT) AS covered_tokens
+FROM surv
+"""
+
+
+@register(
+    "dedup_suffix_survivors",
+    _SURV_ORACLE,
+    doc="doc-level survivorship: drop docs with >=50% of tokens inside "
+    "repeated 32-windows (non-first occurrences)",
+)
+def dedup_suffix_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus POLICY on top of dedup_suffix_cut: a document more
+    than half-covered by non-first repeated 32-token passages is
+    boilerplate/duplication-dominated and dropped whole (the coarse
+    sibling of in-place cutting — pipelines use both: cut long
+    passages, drop docs that are mostly passage).  One row: corpus
+    size, survivor count, surviving/covered token mass — the numbers
+    a dataset card reports for the dedup stage.
+
+    Same chain as the spectrum and the cut (one `_doubling_levels`
+    build serves three queries); the policy itself is exact integer
+    arithmetic (2·covered < n), so the oracle inherits the chain's
+    bit-exactness with no new float surface."""
+    chain = dict(_doubling_levels(spark, sf_dir))
+    cur = chain[_CUT_K]
+    from pyspark.sql.window import Window
+
+    sized = cur.withColumn(
+        "c", F.count(F.lit(1)).over(Window.partitionBy("gid"))
+    )
+    cut = sized.filter((F.col("c") >= 2) & (F.col("gpos") != F.col("gid")))
+    cov = (
+        cut.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + _CUT_K - 1)).alias("j"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    surv = (
+        docs.select("doc_id", F.size(F.split("text", r"\s+")).alias("n"))
+        .join(cov, "doc_id", "left")
+        .select("n", F.coalesce(F.col("r"), F.lit(0)).alias("r"))
+    )
+    keep = F.lit(2) * F.col("r") < F.col("n")
+    return surv.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.coalesce(F.sum(F.when(keep, 1)), F.lit(0)).cast("long").alias("n_survivors"),
+        F.coalesce(F.sum(F.when(keep, F.col("n"))), F.lit(0))
+        .cast("long")
+        .alias("surviving_tokens"),
+        F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("covered_tokens"),
+    )
