@@ -815,6 +815,15 @@ _MLPX_B2 = 0.999
 _MLPX_EPS = 1e-07
 
 
+def _dlit(x: float) -> str:
+    """Spark-SQL double literal for engine-side generated SQL:
+    CAST('<repr>' AS DOUBLE) string-parses correctly-rounded (exact
+    round-trip of the driver float) and constant-folds to the same
+    Literal(double) the Column API's F.lit(x) would embed — the
+    optimized plan is bit-identical, only construction cost changes."""
+    return f"CAST('{x!r}' AS DOUBLE)"
+
+
 def _mlpx_param_names() -> list:
     """The 41 parameter column names in update order: hidden weights
     w{j}_{i} (j unit, i 0=bias), then head vb, v{j}."""
@@ -1267,47 +1276,62 @@ def _mlpx_train(
             m = m + F.lit(V[j]) * F.col(f"h{j}")
         return cur.select("*", m.alias("m"))
 
-    for r in range(1, _MLPX_ROUNDS + 1):
-        cur = _staged(z).select(
-            "*",
-            (
-                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m")))
-                - F.col("y").cast("double")
-            ).alias("resid"),
+    # Per-round gradient pass as ONE SQL string over a temp view of the
+    # checkpointed z (optimization guide §1.2 step 2 / §7.3): the
+    # Column-API version built ~1000 py4j-backed expression objects per
+    # round — serial driver latency at ANY scale.  The SQL text parses
+    # in one JVM call, and every CAST('<repr>' AS DOUBLE) constant-folds
+    # to the exact IEEE double F.lit() embedded, so the optimized plan
+    # (and every output bit) is identical to the Column-API build.
+    import uuid as _uuid
+
+    zview = f"mlpx_z_{_uuid.uuid4().hex[:8]}"
+    z.createOrReplaceTempView(zview)
+
+    def _round_sql() -> str:
+        pres = ", ".join(
+            f"{_dlit(W[j - 1][0])} + {_dlit(W[j - 1][1])} * z1"
+            f" + {_dlit(W[j - 1][2])} * z2"
+            f" + {_dlit(W[j - 1][3])} * z3 AS pre{j}"
+            for j in range(1, H + 1)
         )
-        aggs = [
-            F.sum(F.round(F.col("resid") * F.lit(1000000.0)).cast("long")).alias(
-                "gvb"
-            )
-        ]
+        hs = ", ".join(
+            f"GREATEST(LEAST(pre{j}, 1.0D), -1.0D) AS h{j}"
+            for j in range(1, H + 1)
+        )
+        m_expr = _dlit(V[0]) + "".join(
+            f" + {_dlit(V[j])} * h{j}" for j in range(1, H + 1)
+        )
+        g_cols = ["SUM(CAST(ROUND(resid * 1000000.0D) AS BIGINT)) AS gvb"]
         for j in range(1, H + 1):
-            aggs.append(
-                F.sum(
-                    F.round(
-                        F.col("resid") * F.col(f"h{j}") * F.lit(1000000.0)
-                    ).cast("long")
-                ).alias(f"gv{j}")
+            g_cols.append(
+                f"SUM(CAST(ROUND(resid * h{j} * 1000000.0D) AS BIGINT)) AS gv{j}"
             )
         for j in range(1, H + 1):
-            dh = F.when(
-                F.abs(F.col(f"pre{j}")) < F.lit(1.0),
-                F.col("resid") * F.lit(V[j]),
-            ).otherwise(F.lit(0.0))
-            aggs.append(
-                F.sum(F.round(dh * F.lit(1000000.0)).cast("long")).alias(f"gw{j}_0")
+            dh = (
+                f"(CASE WHEN ABS(pre{j}) < 1.0D THEN resid * {_dlit(V[j])}"
+                " ELSE 0.0D END)"
+            )
+            g_cols.append(
+                f"SUM(CAST(ROUND({dh} * 1000000.0D) AS BIGINT)) AS gw{j}_0"
             )
             for i in (1, 2, 3):
-                aggs.append(
-                    F.sum(
-                        F.round(dh * F.col(f"z{i}") * F.lit(1000000.0)).cast("long")
-                    ).alias(f"gw{j}_{i}")
+                g_cols.append(
+                    f"SUM(CAST(ROUND({dh} * z{i} * 1000000.0D) AS BIGINT))"
+                    f" AS gw{j}_{i}"
                 )
-        aggs.append(
-            F.sum(
-                ((F.col("m") >= F.lit(0.0)) == (F.col("y") == F.lit(1))).cast("long")
-            ).alias("nc")
+        g_cols.append("SUM(CAST((m >= 0.0D) = (y = 1) AS BIGINT)) AS nc")
+        return (
+            f"SELECT {', '.join(g_cols)} FROM ("
+            "SELECT *, 1.0D / (1.0D + EXP(-m)) - CAST(y AS DOUBLE) AS resid"
+            " FROM ("
+            f"SELECT *, {m_expr} AS m FROM ("
+            f"SELECT *, {hs} FROM ("
+            f"SELECT y, z1, z2, z3, {pres} FROM {zview}))))"
         )
-        g = cur.agg(*aggs).first()
+
+    for r in range(1, _MLPX_ROUNDS + 1):
+        g = spark.sql(_round_sql()).first()
         # parameter bookkeeping in _mlpx_param_names() order: a flat
         # view over (gradient-sum name, get weight, set weight, adam
         # moment slot index)
@@ -1358,6 +1382,7 @@ def _mlpx_train(
         acc_row = (r, "acc", 0, 0, int(g["nc"]), n)
         out.append(acc_row + (0, 0) if adam else acc_row)
 
+    spark.catalog.dropTempView(zview)
     if _return_model:
         # fitted weights + standardization stats for serving callers
         # (plans/streamq.stream_mlp_trained_scoring) — bit-identical

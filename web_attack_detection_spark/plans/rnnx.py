@@ -56,6 +56,7 @@ from pyspark.sql import functions as F
 from web_attack_detection_spark.io.sources import load_table
 from web_attack_detection_spark.plans.mlq import (
     STDZ_BASE_CTES,
+    _dlit,
     _lrgd_round_half_away,
 )
 from web_attack_detection_spark.plans.registry import register
@@ -512,112 +513,98 @@ def _rnnx_train(
             m = m + F.lit(V[j]) * F.col(f"s3_{j}")
         return cur.select("*", m.alias("m"))
 
-    for r in range(1, _RNNX_ROUNDS + 1):
-        cur = _fwd(z).select(
-            "*",
-            (
-                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m")))
-                - F.col("y").cast("double")
-            ).alias("resid"),
+    # Per-round BPTT pass as ONE SQL string over a temp view of the
+    # checkpointed z (the ml_mlp_exact pattern — optimization guide
+    # §1.2 step 2 / §7.3): the Column-API build issued thousands of
+    # py4j-backed expression constructions per round, pure serial
+    # driver latency at any scale.  Every CAST('<repr>' AS DOUBLE)
+    # constant-folds to the exact double F.lit() embedded, so the
+    # optimized plan — and every output bit — is unchanged.
+    import uuid as _uuid
+
+    zview = f"rnnx_z_{_uuid.uuid4().hex[:8]}"
+    z.createOrReplaceTempView(zview)
+
+    def _round_sql() -> str:
+        layers = [f"SELECT y, z1, z2, z3 FROM {zview}"]
+
+        def _stack(cols: list) -> None:
+            layers.append("SELECT *, " + ", ".join(cols) + " FROM (" + layers[-1] + ")")
+
+        for t in range(1, T + 1):
+            pres = []
+            for j in range(1, H + 1):
+                e = f"{_dlit(B[j - 1])} + {_dlit(U[j - 1])} * z{t}"
+                if t > 1:
+                    for k in range(1, H + 1):
+                        e += f" + {_dlit(R[j - 1][k - 1])} * s{t - 1}_{k}"
+                pres.append(f"{e} AS pre{t}_{j}")
+            _stack(pres)
+            _stack(
+                [
+                    f"GREATEST(LEAST(pre{t}_{j}, 1.0D), -1.0D) AS s{t}_{j}"
+                    for j in range(1, H + 1)
+                ]
+            )
+        m_expr = _dlit(V[0]) + "".join(
+            f" + {_dlit(V[j])} * s3_{j}" for j in range(1, H + 1)
         )
-        # BPTT chain as chained projections (mirror of the b_ CTE)
-        cur = cur.select(
-            "*",
-            *[
-                F.when(
-                    F.abs(F.col(f"pre3_{j}")) < F.lit(1.0),
-                    F.col("resid") * F.lit(V[j]),
-                )
-                .otherwise(F.lit(0.0))
-                .alias(f"d3_{j}")
+        _stack([f"{m_expr} AS m"])
+        _stack(["1.0D / (1.0D + EXP(-m)) - CAST(y AS DOUBLE) AS resid"])
+        _stack(
+            [
+                f"CASE WHEN ABS(pre3_{j}) < 1.0D THEN resid * {_dlit(V[j])}"
+                f" ELSE 0.0D END AS d3_{j}"
                 for j in range(1, H + 1)
-            ],
+            ]
         )
 
-        def _carry(t: int, k: int):
-            e = F.lit(R[0][k - 1]) * F.col(f"d{t + 1}_1")
+        def _carry(t: int, k: int) -> str:
+            e = f"{_dlit(R[0][k - 1])} * d{t + 1}_1"
             for j in range(2, H + 1):
-                e = e + F.lit(R[j - 1][k - 1]) * F.col(f"d{t + 1}_{j}")
+                e += f" + {_dlit(R[j - 1][k - 1])} * d{t + 1}_{j}"
             return e
 
-        cur = cur.select(
-            "*", *[_carry(2, k).alias(f"c2_{k}") for k in range(1, H + 1)]
-        )
-        cur = cur.select(
-            "*",
-            *[
-                F.when(F.abs(F.col(f"pre2_{j}")) < F.lit(1.0), F.col(f"c2_{j}"))
-                .otherwise(F.lit(0.0))
-                .alias(f"d2_{j}")
+        _stack([f"{_carry(2, k)} AS c2_{k}" for k in range(1, H + 1)])
+        _stack(
+            [
+                f"CASE WHEN ABS(pre2_{j}) < 1.0D THEN c2_{j} ELSE 0.0D END AS d2_{j}"
                 for j in range(1, H + 1)
-            ],
+            ]
         )
-        cur = cur.select(
-            "*", *[_carry(1, k).alias(f"c1_{k}") for k in range(1, H + 1)]
-        )
-        cur = cur.select(
-            "*",
-            *[
-                F.when(F.abs(F.col(f"pre1_{j}")) < F.lit(1.0), F.col(f"c1_{j}"))
-                .otherwise(F.lit(0.0))
-                .alias(f"d1_{j}")
+        _stack([f"{_carry(1, k)} AS c1_{k}" for k in range(1, H + 1)])
+        _stack(
+            [
+                f"CASE WHEN ABS(pre1_{j}) < 1.0D THEN c1_{j} ELSE 0.0D END AS d1_{j}"
                 for j in range(1, H + 1)
-            ],
+            ]
         )
-        aggs = [
-            F.sum(F.round(F.col("resid") * F.lit(1000000.0)).cast("long")).alias(
-                "gvb"
-            )
-        ]
+        g_cols = ["SUM(CAST(ROUND(resid * 1000000.0D) AS BIGINT)) AS gvb"]
         for j in range(1, H + 1):
-            aggs.append(
-                F.sum(
-                    F.round(
-                        F.col("resid") * F.col(f"s3_{j}") * F.lit(1000000.0)
-                    ).cast("long")
-                ).alias(f"gv{j}")
+            g_cols.append(
+                f"SUM(CAST(ROUND(resid * s3_{j} * 1000000.0D) AS BIGINT)) AS gv{j}"
             )
         for j in range(1, H + 1):
-            aggs.append(
-                F.sum(
-                    F.round(
-                        (F.col(f"d1_{j}") + F.col(f"d2_{j}") + F.col(f"d3_{j}"))
-                        * F.lit(1000000.0)
-                    ).cast("long")
-                ).alias(f"gb{j}")
+            g_cols.append(
+                f"SUM(CAST(ROUND((d1_{j} + d2_{j} + d3_{j}) * 1000000.0D)"
+                f" AS BIGINT)) AS gb{j}"
             )
         for j in range(1, H + 1):
-            aggs.append(
-                F.sum(
-                    F.round(
-                        (
-                            F.col(f"d1_{j}") * F.col("z1")
-                            + F.col(f"d2_{j}") * F.col("z2")
-                            + F.col(f"d3_{j}") * F.col("z3")
-                        )
-                        * F.lit(1000000.0)
-                    ).cast("long")
-                ).alias(f"gu{j}")
+            g_cols.append(
+                f"SUM(CAST(ROUND((d1_{j} * z1 + d2_{j} * z2 + d3_{j} * z3)"
+                f" * 1000000.0D) AS BIGINT)) AS gu{j}"
             )
         for j in range(1, H + 1):
             for k in range(1, H + 1):
-                aggs.append(
-                    F.sum(
-                        F.round(
-                            (
-                                F.col(f"d2_{j}") * F.col(f"s1_{k}")
-                                + F.col(f"d3_{j}") * F.col(f"s2_{k}")
-                            )
-                            * F.lit(1000000.0)
-                        ).cast("long")
-                    ).alias(f"gr{j}_{k}")
+                g_cols.append(
+                    f"SUM(CAST(ROUND((d2_{j} * s1_{k} + d3_{j} * s2_{k})"
+                    f" * 1000000.0D) AS BIGINT)) AS gr{j}_{k}"
                 )
-        aggs.append(
-            F.sum(
-                ((F.col("m") >= F.lit(0.0)) == (F.col("y") == F.lit(1))).cast("long")
-            ).alias("nc")
-        )
-        g = cur.agg(*aggs).first()
+        g_cols.append("SUM(CAST((m >= 0.0D) = (y = 1) AS BIGINT)) AS nc")
+        return f"SELECT {', '.join(g_cols)} FROM ({layers[-1]})"
+
+    for r in range(1, _RNNX_ROUNDS + 1):
+        g = spark.sql(_round_sql()).first()
         # parameter bookkeeping in _rnnx_param_names() order: gradient
         # column is uniformly "g" + param name; (layer, unit, pidx)
         # carries the tidy-output address, get/set close over B/U/R/V
@@ -684,6 +671,7 @@ def _rnnx_train(
         acc_row = (r, "acc", 0, 0, int(g["nc"]), n)
         out.append(acc_row + (0, 0) if adam else acc_row)
 
+    spark.catalog.dropTempView(zview)
     if _return_model:
         return {"B": B, "U": U, "R": R, "V": V, "mean": mean, "sd": sd, "n": n}
 
