@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 from web_attack_detection_spark.io.sources import load_table
 from web_attack_detection_spark.plans.mlq import (
     STDZ_BASE_CTES,
+    _dlit,
     _lrgd_round_half_away,
 )
 from web_attack_detection_spark.plans.registry import register
@@ -357,93 +358,84 @@ def _cnnx_train(
             m = m + F.lit(V[c]) * F.col(f"p{c}")
         return cur.select("*", m.alias("m"))
 
+    # Per-round gradient pass as ONE SQL string over a temp view of the
+    # checkpointed z (the ml_mlp_exact pattern — optimization guide
+    # §1.2 step 2 / §7.3): the Column-API build issued hundreds of
+    # py4j-backed expression constructions per round — serial driver
+    # latency at any scale.  Every CAST('<repr>' AS DOUBLE)
+    # constant-folds to the exact double F.lit() embedded, so the
+    # optimized plan — and every output bit — is unchanged.
+    import uuid as _uuid
+
+    zview = f"cnnx_z_{_uuid.uuid4().hex[:8]}"
+    z.createOrReplaceTempView(zview)
+
+    def _round_sql() -> str:
+        pres = ", ".join(
+            f"{_dlit(B[c - 1])} + {_dlit(K0[c - 1])} * z{t}"
+            f" + {_dlit(K1[c - 1])} * z{t + 1} AS pre{t}_{c}"
+            for t in range(1, P + 1)
+            for c in range(1, C + 1)
+        )
+        acts = ", ".join(
+            f"GREATEST(LEAST(pre{t}_{c}, 1.0D), -1.0D) AS a{t}_{c}"
+            for t in range(1, P + 1)
+            for c in range(1, C + 1)
+        )
+        pools = ", ".join(
+            f"GREATEST(a1_{c}, a2_{c}) AS p{c}" for c in range(1, C + 1)
+        )
+        m_expr = _dlit(V[0]) + "".join(
+            f" + {_dlit(V[c])} * p{c}" for c in range(1, C + 1)
+        )
+        dps = ", ".join(
+            f"resid * {_dlit(V[c])} AS dp_{c}" for c in range(1, C + 1)
+        )
+        ds = []
+        for c in range(1, C + 1):
+            ds.append(
+                f"CASE WHEN (a1_{c} >= a2_{c}) AND (ABS(pre1_{c}) < 1.0D)"
+                f" THEN dp_{c} ELSE 0.0D END AS d1_{c}"
+            )
+            ds.append(
+                f"CASE WHEN (a1_{c} < a2_{c}) AND (ABS(pre2_{c}) < 1.0D)"
+                f" THEN dp_{c} ELSE 0.0D END AS d2_{c}"
+            )
+        g_cols = ["SUM(CAST(ROUND(resid * 1000000.0D) AS BIGINT)) AS gvb"]
+        for c in range(1, C + 1):
+            g_cols.append(
+                f"SUM(CAST(ROUND(resid * p{c} * 1000000.0D) AS BIGINT)) AS gv{c}"
+            )
+        for c in range(1, C + 1):
+            g_cols.append(
+                f"SUM(CAST(ROUND((d1_{c} + d2_{c}) * 1000000.0D) AS BIGINT))"
+                f" AS gb{c}"
+            )
+        for c in range(1, C + 1):
+            g_cols.append(
+                f"SUM(CAST(ROUND((d1_{c} * z1 + d2_{c} * z2) * 1000000.0D)"
+                f" AS BIGINT)) AS gk0_{c}"
+            )
+        for c in range(1, C + 1):
+            g_cols.append(
+                f"SUM(CAST(ROUND((d1_{c} * z2 + d2_{c} * z3) * 1000000.0D)"
+                f" AS BIGINT)) AS gk1_{c}"
+            )
+        g_cols.append("SUM(CAST((m >= 0.0D) = (y = 1) AS BIGINT)) AS nc")
+        return (
+            f"SELECT {', '.join(g_cols)} FROM ("
+            f"SELECT *, {', '.join(ds)} FROM ("
+            f"SELECT *, {dps} FROM ("
+            "SELECT *, 1.0D / (1.0D + EXP(-m)) - CAST(y AS DOUBLE) AS resid"
+            " FROM ("
+            f"SELECT *, {m_expr} AS m FROM ("
+            f"SELECT *, {pools} FROM ("
+            f"SELECT *, {acts} FROM ("
+            f"SELECT y, z1, z2, z3, {pres} FROM {zview})))))))"
+        )
+
     for r in range(1, _CNNX_ROUNDS + 1):
-        cur = _fwd(z).select(
-            "*",
-            (
-                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m")))
-                - F.col("y").cast("double")
-            ).alias("resid"),
-        )
-        cur = cur.select(
-            "*",
-            *[
-                (F.col("resid") * F.lit(V[c])).alias(f"dp_{c}")
-                for c in range(1, C + 1)
-            ],
-        )
-        dcols = []
-        for c in range(1, C + 1):
-            dcols.append(
-                F.when(
-                    (F.col(f"a1_{c}") >= F.col(f"a2_{c}"))
-                    & (F.abs(F.col(f"pre1_{c}")) < F.lit(1.0)),
-                    F.col(f"dp_{c}"),
-                )
-                .otherwise(F.lit(0.0))
-                .alias(f"d1_{c}")
-            )
-            dcols.append(
-                F.when(
-                    (F.col(f"a1_{c}") < F.col(f"a2_{c}"))
-                    & (F.abs(F.col(f"pre2_{c}")) < F.lit(1.0)),
-                    F.col(f"dp_{c}"),
-                )
-                .otherwise(F.lit(0.0))
-                .alias(f"d2_{c}")
-            )
-        cur = cur.select("*", *dcols)
-        aggs = [
-            F.sum(F.round(F.col("resid") * F.lit(1000000.0)).cast("long")).alias(
-                "gvb"
-            )
-        ]
-        for c in range(1, C + 1):
-            aggs.append(
-                F.sum(
-                    F.round(
-                        F.col("resid") * F.col(f"p{c}") * F.lit(1000000.0)
-                    ).cast("long")
-                ).alias(f"gv{c}")
-            )
-        for c in range(1, C + 1):
-            aggs.append(
-                F.sum(
-                    F.round(
-                        (F.col(f"d1_{c}") + F.col(f"d2_{c}")) * F.lit(1000000.0)
-                    ).cast("long")
-                ).alias(f"gb{c}")
-            )
-        for c in range(1, C + 1):
-            aggs.append(
-                F.sum(
-                    F.round(
-                        (
-                            F.col(f"d1_{c}") * F.col("z1")
-                            + F.col(f"d2_{c}") * F.col("z2")
-                        )
-                        * F.lit(1000000.0)
-                    ).cast("long")
-                ).alias(f"gk0_{c}")
-            )
-        for c in range(1, C + 1):
-            aggs.append(
-                F.sum(
-                    F.round(
-                        (
-                            F.col(f"d1_{c}") * F.col("z2")
-                            + F.col(f"d2_{c}") * F.col("z3")
-                        )
-                        * F.lit(1000000.0)
-                    ).cast("long")
-                ).alias(f"gk1_{c}")
-            )
-        aggs.append(
-            F.sum(
-                ((F.col("m") >= F.lit(0.0)) == (F.col("y") == F.lit(1))).cast("long")
-            ).alias("nc")
-        )
-        g = cur.agg(*aggs).first()
+        g = spark.sql(_round_sql()).first()
         for c in range(1, C + 1):
             B[c - 1] = B[c - 1] - _CNNX_LR * (float(g[f"gb{c}"]) / n6)
             K0[c - 1] = K0[c - 1] - _CNNX_LR * (float(g[f"gk0_{c}"]) / n6)
@@ -465,6 +457,7 @@ def _cnnx_train(
             )
         out.append((r, "acc", 0, 0, int(g["nc"]), n))
 
+    spark.catalog.dropTempView(zview)
     if _return_model:
         # fitted weights + standardization stats for serving callers
         # (plans/streamq.stream_cnn_trained_scoring) — bit-identical

@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 from web_attack_detection_spark.io.sources import load_table
 from web_attack_detection_spark.plans.mlq import (
     STDZ_BASE_CTES,
+    _dlit,
     _lrgd_round_half_away,
 )
 from web_attack_detection_spark.plans.registry import register
@@ -514,148 +515,173 @@ def _lstmx_train(
             m = m + F.lit(V[j]) * F.col(f"h3_{j}")
         return cur.select("*", m.alias("m"))
 
-    for r in range(1, _LSTMX_ROUNDS + 1):
-        cur = _fwd(z).select(
-            "*",
-            (
-                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m")))
-                - F.col("y").cast("double")
-            ).alias("resid"),
+    # Per-round BPTT pass as ONE SQL string over a temp view of the
+    # checkpointed z (the ml_mlp_exact pattern — optimization guide
+    # §1.2 step 2 / §7.3): the Column-API build issued thousands of
+    # py4j-backed expression constructions per round — serial driver
+    # latency at any scale.  Every CAST('<repr>' AS DOUBLE)
+    # constant-folds to the exact double F.lit() embedded, so the
+    # optimized plan — and every output bit — is unchanged.
+    import uuid as _uuid
+
+    zview = f"lstmx_z_{_uuid.uuid4().hex[:8]}"
+    z.createOrReplaceTempView(zview)
+
+    def _round_sql() -> str:
+        layers = [f"SELECT y, z1, z2, z3 FROM {zview}"]
+
+        def _stack(cols: list) -> None:
+            layers.append(
+                "SELECT *, " + ", ".join(cols) + " FROM (" + layers[-1] + ")"
+            )
+
+        def _hsig_sql(x: str) -> str:
+            return f"GREATEST(LEAST(0.2D * {x} + 0.5D, 1.0D), 0.0D)"
+
+        for t in range(1, T + 1):
+            pres = []
+            for g in _GATES:
+                for j in range(1, H + 1):
+                    e = f"{_dlit(W[g][j - 1][0])} + {_dlit(W[g][j - 1][1])} * z{t}"
+                    if t > 1:
+                        for k in range(1, H + 1):
+                            e += f" + {_dlit(W[g][j - 1][1 + k])} * h{t - 1}_{k}"
+                    pres.append(f"{e} AS pre{g}{t}_{j}")
+            _stack(pres)
+            acts = []
+            for j in range(1, H + 1):
+                acts.append(f"{_hsig_sql(f'prei{t}_{j}')} AS gi{t}_{j}")
+                acts.append(f"{_hsig_sql(f'pref{t}_{j}')} AS gf{t}_{j}")
+                acts.append(f"{_hsig_sql(f'preo{t}_{j}')} AS go{t}_{j}")
+                acts.append(
+                    f"GREATEST(LEAST(preg{t}_{j}, 1.0D), -1.0D) AS gg{t}_{j}"
+                )
+            _stack(acts)
+            if t == 1:
+                _stack(
+                    [f"gi1_{j} * gg1_{j} AS c1_{j}" for j in range(1, H + 1)]
+                )
+            else:
+                _stack(
+                    [
+                        f"gf{t}_{j} * c{t - 1}_{j} + gi{t}_{j} * gg{t}_{j}"
+                        f" AS c{t}_{j}"
+                        for j in range(1, H + 1)
+                    ]
+                )
+            _stack(
+                [
+                    f"GREATEST(LEAST(c{t}_{j}, 1.0D), -1.0D) AS th{t}_{j}"
+                    for j in range(1, H + 1)
+                ]
+            )
+            _stack(
+                [
+                    f"go{t}_{j} * th{t}_{j} AS h{t}_{j}"
+                    for j in range(1, H + 1)
+                ]
+            )
+        m_expr = _dlit(V[0]) + "".join(
+            f" + {_dlit(V[j])} * h3_{j}" for j in range(1, H + 1)
         )
-        # backward chain — each projection layer mirrors a SQL layer
-        cur = cur.select(
-            "*",
-            *[
-                (F.col("resid") * F.lit(V[j])).alias(f"dh3_{j}")
+        _stack([f"{m_expr} AS m"])
+        _stack(["1.0D / (1.0D + EXP(-m)) - CAST(y AS DOUBLE) AS resid"])
+        _stack(
+            [
+                f"resid * {_dlit(V[j])} AS dh3_{j}"
                 for j in range(1, H + 1)
-            ],
+            ]
         )
 
-        def _gate_cols(t: int):
+        def _gate_cols(t: int) -> list:
             cols = []
             for j in range(1, H + 1):
                 cols.append(
-                    F.when(
-                        F.abs(F.col(f"preo{t}_{j}")) < F.lit(2.5),
-                        F.col(f"dh{t}_{j}") * F.col(f"th{t}_{j}") * F.lit(0.2),
-                    )
-                    .otherwise(F.lit(0.0))
-                    .alias(f"dpo{t}_{j}")
+                    f"CASE WHEN ABS(preo{t}_{j}) < 2.5D"
+                    f" THEN dh{t}_{j} * th{t}_{j} * 0.2D"
+                    f" ELSE 0.0D END AS dpo{t}_{j}"
                 )
-                base_dc = F.when(
-                    F.abs(F.col(f"c{t}_{j}")) < F.lit(1.0),
-                    F.col(f"dh{t}_{j}") * F.col(f"go{t}_{j}"),
-                ).otherwise(F.lit(0.0))
+                base_dc = (
+                    f"CASE WHEN ABS(c{t}_{j}) < 1.0D"
+                    f" THEN dh{t}_{j} * go{t}_{j} ELSE 0.0D END"
+                )
                 if t < T:
-                    base_dc = base_dc + F.col(f"dc{t + 1}_{j}") * F.col(
-                        f"gf{t + 1}_{j}"
-                    )
-                cols.append(base_dc.alias(f"dc{t}_{j}"))
+                    base_dc = f"({base_dc}) + dc{t + 1}_{j} * gf{t + 1}_{j}"
+                cols.append(f"{base_dc} AS dc{t}_{j}")
             return cols
 
-        def _delta_cols(t: int):
+        def _delta_cols(t: int) -> list:
             cols = []
             for j in range(1, H + 1):
                 cols.append(
-                    F.when(
-                        F.abs(F.col(f"prei{t}_{j}")) < F.lit(2.5),
-                        F.col(f"dc{t}_{j}") * F.col(f"gg{t}_{j}") * F.lit(0.2),
-                    )
-                    .otherwise(F.lit(0.0))
-                    .alias(f"dpi{t}_{j}")
+                    f"CASE WHEN ABS(prei{t}_{j}) < 2.5D"
+                    f" THEN dc{t}_{j} * gg{t}_{j} * 0.2D"
+                    f" ELSE 0.0D END AS dpi{t}_{j}"
                 )
                 if t > 1:
                     cols.append(
-                        F.when(
-                            F.abs(F.col(f"pref{t}_{j}")) < F.lit(2.5),
-                            F.col(f"dc{t}_{j}")
-                            * F.col(f"c{t - 1}_{j}")
-                            * F.lit(0.2),
-                        )
-                        .otherwise(F.lit(0.0))
-                        .alias(f"dpf{t}_{j}")
+                        f"CASE WHEN ABS(pref{t}_{j}) < 2.5D"
+                        f" THEN dc{t}_{j} * c{t - 1}_{j} * 0.2D"
+                        f" ELSE 0.0D END AS dpf{t}_{j}"
                     )
                 cols.append(
-                    F.when(
-                        F.abs(F.col(f"preg{t}_{j}")) < F.lit(1.0),
-                        F.col(f"dc{t}_{j}") * F.col(f"gi{t}_{j}"),
-                    )
-                    .otherwise(F.lit(0.0))
-                    .alias(f"dpg{t}_{j}")
+                    f"CASE WHEN ABS(preg{t}_{j}) < 1.0D"
+                    f" THEN dc{t}_{j} * gi{t}_{j}"
+                    f" ELSE 0.0D END AS dpg{t}_{j}"
                 )
             return cols
 
-        def _dh_cols(t: int):
+        def _dh_cols(t: int) -> list:
             cols = []
             for k in range(1, H + 1):
-                e = None
-                for j in range(1, H + 1):
-                    for g in _GATES:
-                        term = F.lit(W[g][j - 1][1 + k]) * F.col(
-                            f"dp{g}{t + 1}_{j}"
-                        )
-                        e = term if e is None else e + term
-                cols.append(e.alias(f"dh{t}_{k}"))
+                terms = [
+                    f"{_dlit(W[g][j - 1][1 + k])} * dp{g}{t + 1}_{j}"
+                    for j in range(1, H + 1)
+                    for g in _GATES
+                ]
+                cols.append(f"{' + '.join(terms)} AS dh{t}_{k}")
             return cols
 
-        cur = cur.select("*", *_gate_cols(3))
-        cur = cur.select("*", *_delta_cols(3))
-        cur = cur.select("*", *_dh_cols(2))
-        cur = cur.select("*", *_gate_cols(2))
-        cur = cur.select("*", *_delta_cols(2))
-        cur = cur.select("*", *_dh_cols(1))
-        cur = cur.select("*", *_gate_cols(1))
-        cur = cur.select("*", *_delta_cols(1))
-        aggs = [
-            F.sum(F.round(F.col("resid") * F.lit(1000000.0)).cast("long")).alias(
-                "gvb"
-            )
-        ]
+        _stack(_gate_cols(3))
+        _stack(_delta_cols(3))
+        _stack(_dh_cols(2))
+        _stack(_gate_cols(2))
+        _stack(_delta_cols(2))
+        _stack(_dh_cols(1))
+        _stack(_gate_cols(1))
+        _stack(_delta_cols(1))
+        g_cols = ["SUM(CAST(ROUND(resid * 1000000.0D) AS BIGINT)) AS gvb"]
         for j in range(1, H + 1):
-            aggs.append(
-                F.sum(
-                    F.round(
-                        F.col("resid") * F.col(f"h3_{j}") * F.lit(1000000.0)
-                    ).cast("long")
-                ).alias(f"gv{j}")
+            g_cols.append(
+                f"SUM(CAST(ROUND(resid * h3_{j} * 1000000.0D) AS BIGINT))"
+                f" AS gv{j}"
             )
         for g in _GATES:
             ts = (2, 3) if g == "f" else (1, 2, 3)
             for j in range(1, H + 1):
-                bexpr = None
-                for t in ts:
-                    term = F.col(f"dp{g}{t}_{j}")
-                    bexpr = term if bexpr is None else bexpr + term
-                aggs.append(
-                    F.sum(F.round(bexpr * F.lit(1000000.0)).cast("long")).alias(
-                        f"gb{g}{j}"
-                    )
+                bsum = " + ".join(f"dp{g}{t}_{j}" for t in ts)
+                g_cols.append(
+                    f"SUM(CAST(ROUND(({bsum}) * 1000000.0D) AS BIGINT))"
+                    f" AS gb{g}{j}"
                 )
-                uexpr = None
-                for t in ts:
-                    term = F.col(f"dp{g}{t}_{j}") * F.col(f"z{t}")
-                    uexpr = term if uexpr is None else uexpr + term
-                aggs.append(
-                    F.sum(F.round(uexpr * F.lit(1000000.0)).cast("long")).alias(
-                        f"gu{g}{j}"
-                    )
+                usum = " + ".join(f"dp{g}{t}_{j} * z{t}" for t in ts)
+                g_cols.append(
+                    f"SUM(CAST(ROUND(({usum}) * 1000000.0D) AS BIGINT))"
+                    f" AS gu{g}{j}"
                 )
                 for k in range(1, H + 1):
-                    rexpr = None
-                    for t in (2, 3):
-                        term = F.col(f"dp{g}{t}_{j}") * F.col(f"h{t - 1}_{k}")
-                        rexpr = term if rexpr is None else rexpr + term
-                    aggs.append(
-                        F.sum(
-                            F.round(rexpr * F.lit(1000000.0)).cast("long")
-                        ).alias(f"gr{g}{j}_{k}")
+                    rsum = " + ".join(
+                        f"dp{g}{t}_{j} * h{t - 1}_{k}" for t in (2, 3)
                     )
-        aggs.append(
-            F.sum(
-                ((F.col("m") >= F.lit(0.0)) == (F.col("y") == F.lit(1))).cast("long")
-            ).alias("nc")
-        )
-        gres = cur.agg(*aggs).first()
+                    g_cols.append(
+                        f"SUM(CAST(ROUND(({rsum}) * 1000000.0D) AS BIGINT))"
+                        f" AS gr{g}{j}_{k}"
+                    )
+        g_cols.append("SUM(CAST((m >= 0.0D) = (y = 1) AS BIGINT)) AS nc")
+        return f"SELECT {', '.join(g_cols)} FROM ({layers[-1]})"
+
+    for r in range(1, _LSTMX_ROUNDS + 1):
+        gres = spark.sql(_round_sql()).first()
         # weight updates + tidy rows
         for g in _GATES:
             for j in range(1, H + 1):
@@ -696,6 +722,7 @@ def _lstmx_train(
             )
         out.append((r, "acc", 0, 0, int(gres["nc"]), n))
 
+    spark.catalog.dropTempView(zview)
     if _return_model:
         return {"W": W, "V": V, "mean": mean, "sd": sd, "n": n}
 
