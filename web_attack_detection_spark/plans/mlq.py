@@ -412,38 +412,48 @@ def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     centers: list[list[float]] = [[float(x) for x in r["v"]] for r in seeds]
 
-    vd = F.transform(F.col("v"), lambda x: x.cast("double"))
+    # Per-round assignment as ONE SQL string over a temp view of the
+    # checkpointed q (the ml_mlp_exact pattern — optimization guide
+    # §1.2 step 2): the Column-API build constructed k·dim = 4096
+    # py4j-backed literal expressions per round (the measured cost is
+    # SF-independent — pure driver latency).  Every CAST('<repr>' AS
+    # DOUBLE) constant-folds to the exact double F.lit() embedded, so
+    # the optimized plan — and every output bit — is unchanged.
+    import uuid as _uuid
 
-    def dist_to(center: list[float]):
-        return F.aggregate(
-            F.zip_with(vd, F.array(*[F.lit(c) for c in center]), lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    qview = f"km_q_{_uuid.uuid4().hex[:8]}"
+    q.createOrReplaceTempView(qview)
+
+    def _dist_sql(center: list[float]) -> str:
+        arr = ", ".join(_dlit(c) for c in center)
+        return (
+            "aggregate(zip_with(transform(v, x -> CAST(x AS DOUBLE)), "
+            f"array({arr}), (a, b) -> (a - b) * (a - b)), "
+            "0.0D, (acc, x) -> acc + x)"
+        )
+
+    def _assigned_sql() -> str:
+        structs = ", ".join(
+            f"named_struct('dist', {_dist_sql(centers[c])}, 'cid', {c})"
+            for c in range(_KM_K)
+        )
+        return (
+            "SELECT vec_id, v, best.cid AS cid,"
+            " CAST(FLOOR(best.dist) AS BIGINT) AS distq"
+            f" FROM (SELECT vec_id, v, array_min(array({structs})) AS best"
+            f" FROM {qview})"
         )
 
     sse_trace: list[int] = []
     assigned = None
     for _ in range(_KM_ROUNDS):
-        best = F.array_min(
-            F.array(
-                *[
-                    F.struct(dist_to(centers[c]).alias("dist"), F.lit(c).alias("cid"))
-                    for c in range(_KM_K)
-                ]
-            )
-        )
         # no per-round localCheckpoint: every round's assignment
         # derives DIRECTLY from the checkpointed q + literal centers
         # (not from the previous round's DataFrame), so lineage is
         # already flat and each round is exactly ONE job — the
         # fit-stats collect below, which also carries the round SSE
         # (distq repeats once per dim row, so sum(distq)/dim is exact)
-        assigned = q.select(
-            "vec_id",
-            "v",
-            best["cid"].alias("cid"),
-            F.floor(best["dist"]).cast("long").alias("distq"),
-        )
+        assigned = spark.sql(_assigned_sql())
         stats = (
             assigned.select("cid", "distq", F.posexplode("v").alias("d0", "x"))
             .groupBy("cid", "d0")
@@ -471,7 +481,7 @@ def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ours = sse_trace[-1] / float(_KM_SCALE) ** 2
     sane = bool(mllib_cost > 0.0 and 0.5 <= ours / mllib_cost <= 2.0)
 
-    return (
+    ret = (
         assigned.groupBy("cid")
         .agg(F.count(F.lit(1)).alias("n_vectors"), F.sum("distq").alias("ssed"))
         .select(
@@ -484,6 +494,10 @@ def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sse_trace", F.lit("|".join(str(t) for t in sse_trace)))
         .withColumn("audit_mllib_sane", F.lit(sane))
     )
+    # the returned plan is fully analyzed (view inlined eagerly at each
+    # transformation above), so the temp view can be dropped now
+    spark.catalog.dropTempView(qview)
+    return ret
 
 
 def _majority_baseline(train_df, test_df, label_col: str = "event_type") -> float:
