@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from web_attack_detection_spark.functions.overlap import overlap
 from web_attack_detection_spark.io.sources import load_table, union_by_name
 from web_attack_detection_spark.operators.dedup import (
     connected_components,
@@ -201,11 +202,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1-t^rows)^bands per pair). tests/test_dedup.py bounds the same
     recall."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_near_dup_pairs(
-        docs, "text", "doc_id", n=3, num_perm=32, bands=8, threshold=0.4
+    do_audit = audit_scale_ok(docs)
+    # the banded MinHash chain and the exact-Jaccard audit chain are
+    # independent until the recall join — overlap them (guide §2.6):
+    # same DataFrames, interleaved jobs, identical values
+    pairs, exact = overlap(
+        lambda: minhash_near_dup_pairs(
+            docs, "text", "doc_id", n=3, num_perm=32, bands=8, threshold=0.4
+        ),
+        lambda: (
+            jaccard_pairs_exact(docs, "text", "doc_id", n=3, threshold=0.4)
+            if do_audit
+            else None
+        ),
     )
-    if audit_scale_ok(docs):
-        exact = jaccard_pairs_exact(docs, "text", "doc_id", n=3, threshold=0.4)
+    if do_audit:
         hit = pairs.select("id_a", "id_b").withColumn("__hit", F.lit(1))
         rec = (
             exact.select("id_a", "id_b")

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from web_attack_detection_spark.functions.overlap import overlap
 from web_attack_detection_spark.io.sources import load_table
 from web_attack_detection_spark.ml.pipeline import (
     accuracy,
@@ -445,39 +446,50 @@ def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     sse_trace: list[int] = []
-    assigned = None
-    for _ in range(_KM_ROUNDS):
-        # no per-round localCheckpoint: every round's assignment
-        # derives DIRECTLY from the checkpointed q + literal centers
-        # (not from the previous round's DataFrame), so lineage is
-        # already flat and each round is exactly ONE job — the
-        # fit-stats collect below, which also carries the round SSE
-        # (distq repeats once per dim row, so sum(distq)/dim is exact)
-        assigned = spark.sql(_assigned_sql())
-        stats = (
-            assigned.select("cid", "distq", F.posexplode("v").alias("d0", "x"))
-            .groupBy("cid", "d0")
-            .agg(
-                F.sum("x").alias("sv"),
-                F.count(F.lit(1)).alias("n"),
-                F.sum("distq").alias("sd"),
-            )
-            .collect()
-        )
-        sse_trace.append(sum(int(r["sd"]) for r in stats) // _KM_DIM)
-        nxt: dict[int, list[float]] = {}
-        for row in stats:
-            nxt.setdefault(row["cid"], [0.0] * _KM_DIM)[row["d0"]] = row["sv"] / row["n"]
-        centers = [nxt.get(c, centers[c]) for c in range(_KM_K)]
 
-    # MLlib cost-parity audit: a different local optimum of the same
-    # objective must land within 2x of the exact trainer's SSE.
-    vdf = to_vector(
-        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e")), "e", "fv"
-    )
-    mllib_cost = (
-        KMeans(k=_KM_K, seed=42, maxIter=_KM_ROUNDS, featuresCol="fv").fit(vdf).summary.trainingCost
-    )
+    def _lloyd():
+        """The 10 serial Lloyd rounds (each depends on the previous
+        round's centers)."""
+        nonlocal centers
+        assigned = None
+        for _ in range(_KM_ROUNDS):
+            # no per-round localCheckpoint: every round's assignment
+            # derives DIRECTLY from the checkpointed q + literal centers
+            # (not from the previous round's DataFrame), so lineage is
+            # already flat and each round is exactly ONE job — the
+            # fit-stats collect below, which also carries the round SSE
+            # (distq repeats once per dim row, so sum(distq)/dim is exact)
+            assigned = spark.sql(_assigned_sql())
+            stats = (
+                assigned.select("cid", "distq", F.posexplode("v").alias("d0", "x"))
+                .groupBy("cid", "d0")
+                .agg(
+                    F.sum("x").alias("sv"),
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("distq").alias("sd"),
+                )
+                .collect()
+            )
+            sse_trace.append(sum(int(r["sd"]) for r in stats) // _KM_DIM)
+            nxt: dict[int, list[float]] = {}
+            for row in stats:
+                nxt.setdefault(row["cid"], [0.0] * _KM_DIM)[row["d0"]] = row["sv"] / row["n"]
+            centers = [nxt.get(c, centers[c]) for c in range(_KM_K)]
+        return assigned
+
+    def _mllib_audit():
+        """MLlib cost-parity audit: a different local optimum of the
+        same objective must land within 2x of the exact trainer's SSE.
+        Independent of the Lloyd loop (reads emb directly), so the two
+        chains overlap (guide §2.6) — same values, interleaved jobs."""
+        vdf = to_vector(
+            emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e")), "e", "fv"
+        )
+        return (
+            KMeans(k=_KM_K, seed=42, maxIter=_KM_ROUNDS, featuresCol="fv").fit(vdf).summary.trainingCost
+        )
+
+    assigned, mllib_cost = overlap(_lloyd, _mllib_audit)
     ours = sse_trace[-1] / float(_KM_SCALE) ** 2
     sane = bool(mllib_cost > 0.0 and 0.5 <= ours / mllib_cost <= 2.0)
 
@@ -2201,39 +2213,42 @@ def ml_minhash_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from web_attack_detection_spark.plans.audit import audit_scale_ok
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    do_audit = audit_scale_ok(docs)
 
-    # --- portable path (drives the output): md5 MinHash -> 8 OR-bands
-    # -> candidate-restricted exact shingle-Jaccard verify
-    sig = minhash_signatures(docs, "text", "doc_id", n=3, num_perm=8)
-    cand = minhash_candidate_pairs(sig, bands=8, rows_per_band=1).localCheckpoint()
-    sh_rel = shingles(docs, "text", "doc_id", n=3)  # (id, shingle) distinct
-    sizes = sh_rel.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
-    # n_common ONLY for banded candidates: cand ⋈ sh(id_a) ⋈ sh(id_b,
-    # same shingle) — |cand| × shingles/doc, not Σ_shingle df²
-    inter = (
-        cand.join(sh_rel.select(F.col("id").alias("id_a"), "shingle"), "id_a")
-        .join(sh_rel.select(F.col("id").alias("id_b"), "shingle"), ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
-    )
-    jd = F.lit(1.0) - F.col("n_common") / (
-        F.col("sz_a") + F.col("sz_b") - F.col("n_common")
-    ).cast("double")
-    exactjd = (
-        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
-        .withColumn("jd", jd)
-        .filter(F.col("jd") <= 0.25)
-        .select("id_a", "id_b", "jd")
-        .localCheckpoint()  # tiny; reused by the output AND the MLlib dev audit
-    )
-    pairs = exactjd.select(
-        "id_a", "id_b", F.round("jd", 6).alias("jaccard_dist")
-    )
+    def _portable():
+        """md5 MinHash -> 8 OR-bands -> candidate-restricted exact
+        shingle-Jaccard verify (drives the output)."""
+        sig = minhash_signatures(docs, "text", "doc_id", n=3, num_perm=8)
+        cand = minhash_candidate_pairs(sig, bands=8, rows_per_band=1).localCheckpoint()
+        sh_rel = shingles(docs, "text", "doc_id", n=3)  # (id, shingle) distinct
+        sizes = sh_rel.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+        # n_common ONLY for banded candidates: cand ⋈ sh(id_a) ⋈ sh(id_b,
+        # same shingle) — |cand| × shingles/doc, not Σ_shingle df²
+        inter = (
+            cand.join(sh_rel.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+            .join(sh_rel.select(F.col("id").alias("id_b"), "shingle"), ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        )
+        jd = F.lit(1.0) - F.col("n_common") / (
+            F.col("sz_a") + F.col("sz_b") - F.col("n_common")
+        ).cast("double")
+        return (
+            inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+            .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+            .withColumn("jd", jd)
+            .filter(F.col("jd") <= 0.25)
+            .select("id_a", "id_b", "jd")
+            .localCheckpoint()  # tiny; reused by the output AND the MLlib dev audit
+        )
 
-    # --- MLlib audit path: same corpus, same threshold — gated, the
-    # self-approxSimilarityJoin is an oracle-scale tool
-    if audit_scale_ok(docs):
+    def _mllib_audit():
+        """MLlib audit path: same corpus, same threshold — gated, the
+        self-approxSimilarityJoin is an oracle-scale tool.  Fully
+        independent of the portable chain until the agreement counts,
+        so the two chains overlap (guide §2.6)."""
+        if not do_audit:
+            return None
         toks = Tokenizer(inputCol="text", outputCol="toks").transform(docs)
         sh = NGram(n=3, inputCol="toks", outputCol="shingles").transform(toks)
         tf = HashingTF(
@@ -2245,7 +2260,7 @@ def ml_minhash_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             model = MinHashLSH(
                 inputCol="fv", outputCol="hashes", numHashTables=8, seed=42
             ).fit(tf)
-            mllib_pairs = (
+            return (
                 model.approxSimilarityJoin(tf, tf, 0.25, distCol="mdist")
                 .select(
                     F.col("datasetA.doc_id").alias("id_a"),
@@ -2257,6 +2272,12 @@ def ml_minhash_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         finally:
             tf.unpersist()
+
+    exactjd, mllib_pairs = overlap(_portable, _mllib_audit)
+    pairs = exactjd.select(
+        "id_a", "id_b", F.round("jd", 6).alias("jaccard_dist")
+    )
+    if do_audit:
         mine = pairs.select("id_a", "id_b")
         n_mismatch = (
             mine.join(mllib_pairs, ["id_a", "id_b"], "left_anti").count()
@@ -2541,55 +2562,67 @@ def ml_brp_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    pairs = (
-        cand.join(q.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va")), "id_a")
-        .join(q.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb")), "id_b")
-        .withColumn("d2", d2)
-        .filter(F.col("d2") <= F.lit(_BRP_R2))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(F.sqrt("d2") / _BRP_SCALE, 6).alias("dist"),
-        )
-        .localCheckpoint()
-    )
-
-    # --- MLlib agreement audit: same corpus, same threshold, pair
-    # sets must match exactly (both sides verify by true distance)
-    both = to_vector(
-        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
-        .unionByName(
-            emb.filter(F.col("vec_id") % 5 == 0).select(
-                (F.col("vec_id") + 10000).alias("vec_id"),
-                F.transform(
-                    F.col("embedding").cast("array<double>"), lambda x: x * 0.995
-                ).alias("emb"),
-            )
-        ),
-        "emb",
-        "fv",
-    ).select("vec_id", "fv")
-    both = both.cache()
-    try:
-        model = BucketedRandomProjectionLSH(
-            inputCol="fv", outputCol="hashes", bucketLength=0.05, numHashTables=4, seed=42
-        ).fit(both)
-        mllib_pairs = (
-            model.approxSimilarityJoin(both, both, 0.5, distCol="dist")
+    def _portable():
+        """banded corner-key candidates -> exact-distance verify
+        (drives the output)."""
+        return (
+            cand.join(q.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va")), "id_a")
+            .join(q.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+            .withColumn("d2", d2)
+            .filter(F.col("d2") <= F.lit(_BRP_R2))
             .select(
-                F.col("datasetA.vec_id").alias("id_a"),
-                F.col("datasetB.vec_id").alias("id_b"),
+                "id_a",
+                "id_b",
+                F.round(F.sqrt("d2") / _BRP_SCALE, 6).alias("dist"),
             )
-            .filter(F.col("id_a") < F.col("id_b"))
+            .localCheckpoint()
         )
-        mine = pairs.select("id_a", "id_b")
-        n_mismatch = (
-            mine.join(mllib_pairs, ["id_a", "id_b"], "left_anti").count()
-            + mllib_pairs.join(mine, ["id_a", "id_b"], "left_anti").count()
-        )
-        mllib_agree = bool(n_mismatch == 0)
-    finally:
-        both.unpersist()
+
+    def _mllib_audit():
+        """MLlib agreement audit: same corpus, same threshold, pair
+        sets must match exactly (both sides verify by true distance).
+        Independent of the portable chain until the agreement counts,
+        so the two chains overlap (guide §2.6)."""
+        both = to_vector(
+            emb.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+            .unionByName(
+                emb.filter(F.col("vec_id") % 5 == 0).select(
+                    (F.col("vec_id") + 10000).alias("vec_id"),
+                    F.transform(
+                        F.col("embedding").cast("array<double>"), lambda x: x * 0.995
+                    ).alias("emb"),
+                )
+            ),
+            "emb",
+            "fv",
+        ).select("vec_id", "fv")
+        both = both.cache()
+        try:
+            model = BucketedRandomProjectionLSH(
+                inputCol="fv", outputCol="hashes", bucketLength=0.05, numHashTables=4, seed=42
+            ).fit(both)
+            return (
+                model.approxSimilarityJoin(both, both, 0.5, distCol="dist")
+                .select(
+                    F.col("datasetA.vec_id").alias("id_a"),
+                    F.col("datasetB.vec_id").alias("id_b"),
+                )
+                .filter(F.col("id_a") < F.col("id_b"))
+                # pin the (tiny) pair set so the expensive MLlib
+                # approx-join subtree runs ONCE, not once per anti-join
+                # count below (the ml_minhash_lsh_join pattern)
+                .localCheckpoint()
+            )
+        finally:
+            both.unpersist()
+
+    pairs, mllib_pairs = overlap(_portable, _mllib_audit)
+    mine = pairs.select("id_a", "id_b")
+    n_mismatch = (
+        mine.join(mllib_pairs, ["id_a", "id_b"], "left_anti").count()
+        + mllib_pairs.join(mine, ["id_a", "id_b"], "left_anti").count()
+    )
+    mllib_agree = bool(n_mismatch == 0)
 
     n_expected = emb.filter(F.col("vec_id") % 5 == 0).count()
     audit = (
