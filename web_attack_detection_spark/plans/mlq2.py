@@ -872,26 +872,47 @@ def ml_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(train.select("user_id", "item_id"), ["user_id", "item_id"], "left_anti")
     )
 
-    def top2_hits(c):
+    def top2_hits_df(c, tag):
         cw = Window.partitionBy("user_id").orderBy(
             F.col("score").desc(), F.col("item_id").asc()
         )
         top2 = c.withColumn("_r", F.row_number().over(cw)).filter(F.col("_r") <= 2)
-        return top2.join(
-            held,
-            (top2.user_id == held.user_id) & (top2.item_id == held.held_item),
-            "inner",
-        ).count()
+        return (
+            top2.join(
+                held,
+                (top2.user_id == held.user_id) & (top2.item_id == held.held_item),
+                "inner",
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(tag).alias("k"), "n")
+        )
 
-    exact_hits = top2_hits(cand)
+    def top2_hits(c):
+        return int(top2_hits_df(c, "x").first()["n"])
+
     pop = train.groupBy("item_id").agg(F.sum("cnt").cast("long").alias("score"))
     pop_cand = (
         held.select("user_id")
         .crossJoin(F.broadcast(pop))
         .join(train.select("user_id", "item_id"), ["user_id", "item_id"], "left_anti")
     )
-    pop_hits = top2_hits(pop_cand)
-    n_eval = eval_users.count()
+    # the three protocol counts are independent chains over pinned
+    # inputs (train/held checkpoints + the fit's pinned uf): ONE
+    # union-ed job instead of three sequential counts (guide §1.2)
+    counts = {
+        row["k"]: int(row["n"])
+        for row in (
+            top2_hits_df(cand, "exact")
+            .unionByName(top2_hits_df(pop_cand, "pop"))
+            .unionByName(
+                eval_users.agg(F.count(F.lit(1)).alias("n")).select(
+                    F.lit("n_eval").alias("k"), "n"
+                )
+            )
+            .collect()
+        )
+    }
+    exact_hits, pop_hits, n_eval = counts["exact"], counts["pop"], counts["n_eval"]
 
     # MLlib implicit-ALS parity audit: same split, same protocol
     als = ALS(
@@ -2850,7 +2871,17 @@ def _als_fit(ratings: DataFrame):
     """The exact alternating loop shared by ml_als_exact (fit on the
     full matrix) and ml_als_recommend (fit on the leave-one-out train
     split).  Returns (final user-factor DataFrame, final item-factor
-    list, per-round output rows, final SSE, per-item user counts)."""
+    list, per-round output rows, final SSE, per-item user counts).
+
+    Job count (r10 optimization, guide §1.2): 3 driver actions per
+    round collapsed to 1 — the user-factor checkpoint is LAZY
+    (``eager=False``), so its materialization rides inside the
+    item-solve ``collect`` (the join consumes every uf partition, so
+    the checkpoint backfill job never fires), and the per-round SSE
+    scans are DEFERRED into one union-ed job after the loop (each
+    branch reads its round's pinned uf blocks + the pinned ratings —
+    identical scans, identical BIGINT floor sums, one job launch
+    instead of one per round).  2·3+1 = 7 actions → 2+1 = 3."""
     S, LAM = _ALS_S, _ALS_LAM
     D38 = "decimal(38,0)"
     V = list(_ALS_INIT)
@@ -2858,6 +2889,7 @@ def _als_fit(ratings: DataFrame):
     sse_final = 0
     uf = None
     nmap: dict = {}
+    sse_parts: list[DataFrame] = []
     for r in range(1, _ALS_ROUNDS + 1):
         v1 = _als_vcol(V, 1)
         v2 = _als_vcol(V, 2)
@@ -2884,7 +2916,7 @@ def _als_fit(ratings: DataFrame):
             "user_id",
             F.round(u1 * F.lit(float(S))).cast("long").alias("uq1"),
             F.round(u2 * F.lit(float(S))).cast("long").alias("uq2"),
-        ).localCheckpoint()  # reused by item-solve AND the SSE scan
+        ).localCheckpoint(eager=False)  # pinned by the item-solve collect; SSE reads the blocks
         ru = ratings.join(uf, "user_id")
         ia = ru.groupBy("item_id").agg(
             F.sum((F.col("uq1") * F.col("uq1")).cast(D38)).alias("a11"),
@@ -2917,9 +2949,17 @@ def _als_fit(ratings: DataFrame):
         nv2 = _als_vcol(V, 2)
         dot = F.col("uq1") * nv1 + F.col("uq2") * nv2  # S^2 units
         e = (F.col("cnt") * F.lit(S * S) - dot).cast("double") / F.lit(float(S * S))
-        sse_final = int(
-            ru.agg(F.sum(F.floor(e * e).cast("long")).alias("s")).first()["s"]
+        sse_parts.append(
+            ru.agg(F.sum(F.floor(e * e).cast("long")).alias("s")).select(
+                F.lit(r).alias("r"), "s"
+            )
         )
         for i, v1q_, v2q_ in V:
-            rows.append((r, i, v1q_, v2q_, nmap[i], sse_final))
+            rows.append([r, i, v1q_, v2q_, nmap[i], None])
+    sse_df = sse_parts[0]
+    for p in sse_parts[1:]:
+        sse_df = sse_df.unionByName(p)
+    sse_map = {int(x["r"]): int(x["s"]) for x in sse_df.collect()}
+    sse_final = sse_map[_ALS_ROUNDS]
+    rows = [tuple(row[:5]) + (sse_map[row[0]],) for row in rows]
     return uf, V, rows, sse_final, nmap
