@@ -59,6 +59,37 @@ def test_minhash_recall_against_exact(spark):
     assert len(missed) <= max(1, len(exact) // 5), f"minhash missed too many: {missed}"
 
 
+def test_shingle_pair_counts_match_self_join(spark):
+    """The r10 pair-expansion rewrite (_shingle_pair_counts: one
+    groupBy(shingle) + in-place sorted-list pair expansion) must count
+    exactly what the two-sided self-join it replaced counted."""
+    from pyspark.sql import functions as F
+
+    from web_attack_detection_spark.io.sources import load_table
+    from web_attack_detection_spark.operators.dedup import (
+        _shingle_pair_counts,
+        shingles,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sh = shingles(docs, "text", "doc_id", 3)
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    joined = {
+        (r["id_a"], r["id_b"]): r["n_common"]
+        for r in a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .collect()
+    }
+    grouped = {
+        (r["id_a"], r["id_b"]): r["n_common"]
+        for r in _shingle_pair_counts(sh).collect()
+    }
+    assert joined == grouped and len(grouped) > 0
+
+
 def test_connected_components_chain_collapse(spark):
     """A~B, B~C, D~E (A~C never emitted) → components {A,B,C} and
     {D,E}, labeled by their min member id."""

@@ -99,6 +99,44 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame
 # ---------------------------------------------------------------------------
 
 
+def _shingle_pair_counts(sh: DataFrame) -> DataFrame:
+    """|A∩B| for every unordered doc pair sharing ≥1 shingle:
+    (id_a < id_b, n_common).
+
+    One groupBy(shingle) with the pair expansion done IN PLACE on the
+    per-shingle sorted id list (guide §2.3 "aggregate before you
+    shuffle"): the shingle table crosses the wire once, as partial
+    collect_list buffers, instead of twice as the probe+build sides of
+    a self-join — and the SortMergeJoin's two sorts disappear.  The
+    per-key work is unchanged: a hash join on ``shingle`` colocates a
+    hot shingle's d rows (and its d²/2 output pairs) in one task
+    exactly like the list form does, so the skew grain is identical;
+    ``max_shingle_df`` (the callers' guard) bounds d either way.
+    Counts are exact integers in both forms: the ids per (doc,
+    shingle) are distinct by construction (array_distinct in
+    :func:`shingles`), so each shared shingle contributes exactly one
+    (id_a, id_b) row before the pair groupBy."""
+    ids = F.array_sort(F.collect_list("id"))
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size("ids") - i - F.lit(1)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        sh.groupBy("shingle")
+        .agg(ids.alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+
+
 def jaccard_pairs_exact(
     df: DataFrame,
     text_col: str,
@@ -109,11 +147,13 @@ def jaccard_pairs_exact(
 ) -> DataFrame:
     """All pairs (id_a < id_b) with shingle-set Jaccard ≥ threshold.
 
-    Inverted-index join: explode shingles, self-join on the shingle,
-    count common shingles per pair, Jaccard = |∩| / (|A|+|B|-|∩|).
+    Inverted index: explode shingles, group by shingle and expand the
+    co-occurring id pairs in place (:func:`_shingle_pair_counts` — one
+    shuffle of the shingle table, not a two-sided self-join), count
+    common shingles per pair, Jaccard = |∩| / (|A|+|B|-|∩|).
     ``max_shingle_df`` drops shingles appearing in more than that many
-    docs before pairing — the skew guard that keeps the join linear
-    when a boilerplate shingle appears corpus-wide.
+    docs before pairing — the skew guard that keeps the pair volume
+    linear when a boilerplate shingle appears corpus-wide.
 
     Returns (id_a, id_b, jaccard) with jaccard rounded to 6 (exact
     rational k/n computed identically in any engine).
@@ -134,15 +174,7 @@ def jaccard_pairs_exact(
                 "shingle",
                 "left_anti",
             )
-        a = sh.select(F.col("id").alias("id_a"), "shingle")
-        b = sh.select(F.col("id").alias("id_b"), "shingle")
-        common = (
-            a.join(b, "shingle")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("n_common"))
-            .localCheckpoint()
-        )
+        common = _shingle_pair_counts(sh).localCheckpoint()
     finally:
         sh0.unpersist()
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
@@ -189,20 +221,11 @@ def containment_pairs_exact(
         sizes = (
             sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz")).localCheckpoint()
         )
-        a = sh.select(F.col("id").alias("id_a"), "shingle")
-        b = sh.select(F.col("id").alias("id_b"), "shingle")
-        # |A∩B| is symmetric: join/aggregate the UNORDERED pairs once
-        # (half the candidate volume of an id_a != id_b join), then emit
-        # both directions of each count before the size join — the swap is
-        # a cheap map over |pairs| rows, the join+groupBy it avoids was
-        # over |shingle-instance matches|.
-        half = (
-            a.join(b, "shingle")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("n_common"))
-            .localCheckpoint()
-        )
+        # |A∩B| is symmetric: count the UNORDERED pairs once (half the
+        # candidate volume of an id_a != id_b expansion), then emit
+        # both directions of each count before the size join — the swap
+        # is a cheap map over |pairs| rows.
+        half = _shingle_pair_counts(sh).localCheckpoint()
     finally:
         sh.unpersist()
     common = half.unionByName(

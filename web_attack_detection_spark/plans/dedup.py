@@ -918,21 +918,16 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold (the curve a cost/recall tradeoff is read from). Same
     scale properties as the pair relation itself; the threshold
     explosion multiplies only the tiny pair set, never the corpus."""
-    from web_attack_detection_spark.operators.dedup import shingles
+    from web_attack_detection_spark.operators.dedup import (
+        _shingle_pair_counts,
+        shingles,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     sh0 = shingles(docs, "text", "doc_id", 3).cache()
     try:
         sizes = sh0.groupBy("id").agg(F.count(F.lit(1)).alias("sz")).localCheckpoint()
-        a = sh0.select(F.col("id").alias("id_a"), "shingle")
-        b = sh0.select(F.col("id").alias("id_b"), "shingle")
-        common = (
-            a.join(b, "shingle")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("n_common"))
-            .localCheckpoint()
-        )
+        common = _shingle_pair_counts(sh0).localCheckpoint()
     finally:
         sh0.unpersist()
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
