@@ -68,6 +68,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def parallelize_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin repartition a scan whose parallelism is below the
+    core count — guide §2.5's unsplittable-input remedy.
+
+    The fixture parquet files are single row groups, so however low
+    ``maxPartitionBytes``/``openCostInBytes`` go, the scan is ONE task
+    and every map-side operator downstream runs on one core (measured
+    r10: embeddings/documents/events all scan as 1 partition at sf0.1).
+    Call this ONLY in front of heavy per-row compute (numpy forwards
+    ≈ ms/row) where the shuffle of the input is orders of magnitude
+    cheaper than the single-threaded compute it unlocks.  On splittable
+    production inputs the partition count exceeds the core count and
+    this is a no-op.  Round-robin repartition is deterministic under
+    retries (sort-before-repartition, SPARK-23207) and every caller's
+    output is partitioning-invariant (per-row maps + exact-integer
+    aggregation), which the oracle sweep re-proves."""
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     use = names or TABLES
     return {n: load_table(spark, sf_dir, n) for n in use}

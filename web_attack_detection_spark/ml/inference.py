@@ -56,7 +56,7 @@ def linear_softmax_scorer(
     )
 
 
-def sequence_scorer(forward, params: dict, seq_len: int):
+def sequence_scorer(forward, params: dict, seq_len: int, batch_size: int = 256):
     """``predict_batch_udf`` over a sequence-model forward pass
     (ml/nets.py: cnn_forward / rnn_forward / lstm_forward).
 
@@ -77,7 +77,12 @@ def sequence_scorer(forward, params: dict, seq_len: int):
     return predict_batch_udf(
         make_predict_fn,
         return_type=ArrayType(DoubleType()),
-        batch_size=256,
+        # per-architecture: the forwards are batch-shape-independent
+        # (bit-identical at any split; pinned in tests/test_ml.py), so
+        # batch size is purely a throughput knob — the LSTM stack's
+        # per-step matmuls amortize best near 1024, the small-unit RNN
+        # is cache-bound and fastest at 256 (measured, guide §4.2)
+        batch_size=batch_size,
         input_tensor_shapes=[[seq_len]],
     )
 

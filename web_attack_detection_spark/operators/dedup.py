@@ -94,6 +94,18 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame
     )
 
 
+def _scan_parallel(df: DataFrame) -> DataFrame:
+    """io.sources.parallelize_scan over the operator's own session —
+    the single-row-group fixture files scan as ONE partition, so the
+    tokenize/shingle explode (the map-heavy front of every tool here)
+    would run on one core (r10; measured 2.8-3.9 s → 1.3-2.1 s on the
+    sf0.1 pair stage).  No-op on splittable inputs; all consumers
+    aggregate exact integers, so output is partitioning-invariant."""
+    from web_attack_detection_spark.io.sources import parallelize_scan
+
+    return parallelize_scan(df.sparkSession, df)
+
+
 # ---------------------------------------------------------------------------
 # exact n-gram Jaccard pairs (ground truth; oracle-checkable)
 # ---------------------------------------------------------------------------
@@ -158,7 +170,7 @@ def jaccard_pairs_exact(
     Returns (id_a, id_b, jaccard) with jaccard rounded to 6 (exact
     rational k/n computed identically in any engine).
     """
-    sh0 = shingles(df, text_col, id_col, n).cache()
+    sh0 = shingles(_scan_parallel(df), text_col, id_col, n).cache()
     try:
         # eager localCheckpoints pin the derived relations so the shingle
         # cache is released before returning (ADVICE r1: repeated registry
@@ -212,7 +224,7 @@ def containment_pairs_exact(
     directions of each unordered pair are evaluated, and only the
     direction(s) above threshold survive.
     """
-    sh = shingles(df, text_col, id_col, n).cache()
+    sh = shingles(_scan_parallel(df), text_col, id_col, n).cache()
     try:
         # localCheckpoint (eager) pins the two SMALL derived relations,
         # so the shingle cache can be released before returning instead
@@ -281,7 +293,7 @@ def minhash_signatures(
     min-aggregates — map-side combine makes the shuffle carry k longs
     per doc, independent of doc length.
     """
-    sh = shingles(df, text_col, id_col, n)
+    sh = shingles(_scan_parallel(df), text_col, id_col, n)
     base = F.expr(
         "CAST(CONV(SUBSTRING(md5(CAST(shingle AS BINARY)), 1, 8), 16, 10)"
         f" AS BIGINT) & {MINHASH_P}"

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from web_attack_detection_spark.functions.overlap import overlap
-from web_attack_detection_spark.io.sources import load_table, union_by_name
+from web_attack_detection_spark.io.sources import load_table, parallelize_scan, union_by_name
 from web_attack_detection_spark.operators.dedup import (
     connected_components,
     exact_dedup,
@@ -924,7 +924,7 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    sh0 = shingles(docs, "text", "doc_id", 3).cache()
+    sh0 = shingles(parallelize_scan(spark, docs), "text", "doc_id", 3).cache()
     try:
         sizes = sh0.groupBy("id").agg(F.count(F.lit(1)).alias("sz")).localCheckpoint()
         common = _shingle_pair_counts(sh0).localCheckpoint()

@@ -57,7 +57,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from web_attack_detection_spark.io.sources import load_table
+from web_attack_detection_spark.io.sources import load_table, parallelize_scan
 from web_attack_detection_spark.plans.registry import register
 
 _N_CLASSES = 4
@@ -210,6 +210,11 @@ def _train_eval(spark: SparkSession, sf_dir: str, arch: str) -> DataFrame:
     tr.unpersist()
 
     scorer = sequence_scorer(FORWARD_FNS[arch], params, _SEQ_LEN)
+    # test derives from the unsplittable single-row-group scan (1
+    # partition): spread the numpy forward across cores (guide §2.5;
+    # io.sources.parallelize_scan — no-op on splittable inputs, output
+    # partitioning-invariant: per-row scoring + integer confusion sums)
+    test = parallelize_scan(spark, test)
     scored = test.select(
         "label", scorer(std(F.col("seq"))).alias("probs")
     ).select(
@@ -569,6 +574,7 @@ def ml_mlp_train_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr.unpersist()
 
     scorer = sequence_scorer(FORWARD_FNS["mlp"], params, width)
+    te = parallelize_scan(spark, te)  # same single-row-group remedy as _train_eval
     scored = te.select("label", scorer(F.col("seq")).alias("probs")).select(
         "label",
         (F.array_position(F.col("probs"), F.array_max("probs")) - 1)

@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from web_attack_detection_spark.functions.overlap import overlap
-from web_attack_detection_spark.io.sources import load_table
+from web_attack_detection_spark.io.sources import load_table, parallelize_scan
 from web_attack_detection_spark.ml.pipeline import (
     accuracy,
     fit_mlp,
@@ -394,6 +394,11 @@ def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from web_attack_detection_spark.ml.pipeline import to_vector
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # NOT parallelize_scan-guarded, deliberately (r10): each Lloyd
+    # round is a tiny JVM aggregate over the 2k-row corpus — measured
+    # interleaved, 32-way tasks cost MORE than the single-core scan
+    # (4.1 s vs 6.4 s); the guard pays only where per-row compute is
+    # heavy (numpy forwards, shingle explodes)
     q = emb.select(
         "vec_id",
         F.transform(
@@ -2667,7 +2672,14 @@ def _sequence_infer(spark: SparkSession, sf_dir: str, arch: str) -> DataFrame:
         scorer = sequence_scorer(
             nets.lstm_forward, nets.seeded_lstm_params(n_classes), 64
         )
-    emb = load_table(spark, sf_dir, "embeddings")
+    # the embeddings fixture is ONE parquet row group — unsplittable,
+    # so the forward pass would run in a single task however many cores
+    # exist (r10: measured 1 scan partition at sf0.1; LSTM ≈ 8 ms/row
+    # dwarfs the row's scan+shuffle cost).  io.sources.parallelize_scan
+    # spreads it; no-op on splittable production inputs; output
+    # invariant (per-row scoring + exact integer aggregation) —
+    # measured 5-6 s → 1.6-1.9 s interleaved at sf0.1 for the LSTM.
+    emb = parallelize_scan(spark, load_table(spark, sf_dir, "embeddings"))
     scored = emb.select(
         "vec_id", scorer(F.col("embedding").cast("array<double>")).alias("probs")
     )
