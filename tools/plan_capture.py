@@ -62,7 +62,14 @@ def main() -> int:
             txt = f"<explain failed: {e}>"
         captured.append(f"== action #{len(captured) + 1}: {action} ==\n{txt}")
 
-    orig = {m: getattr(CDF, m) for m in ("first", "collect", "count", "toPandas")}
+    # localCheckpoint included (r10): many queries run their heavy
+    # stage INSIDE an eager checkpoint (the knn edge builder, the
+    # dedup pair stages) — without it the captured file shows only the
+    # cheap final aggregate over pinned blocks
+    orig = {
+        m: getattr(CDF, m)
+        for m in ("first", "collect", "count", "toPandas", "localCheckpoint")
+    }
 
     def _wrap(m):
         def inner(self, *a, **kw):

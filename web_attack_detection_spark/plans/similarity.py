@@ -574,24 +574,22 @@ def _knn_mutual_edges(spark: SparkSession, sf_dir: str):
     corpus, take each vector's directed 3-NN within its cell, reduce
     to the mutual graph.  Returns (assigned, directed_edges,
     mutual_edges) with the edge frames localCheckpoint-ed (both are
-    consumed by multiple aggregates downstream)."""
-    from web_attack_detection_spark.operators.similarity import dot as _dot
-    from web_attack_detection_spark.operators.similarity import ivf_assign
+    consumed by multiple aggregates downstream).
+
+    The within-cell candidate scoring runs as the per-cell numpy block
+    kernel (operators/similarity.cell_pair_scores — r10: fold-join
+    1.4-2.0 s → ~0.4 s warm at sf0.1, cos bits IDENTICAL over all
+    ~250k pairs, so the fold-twin oracles replay unchanged)."""
+    from web_attack_detection_spark.operators.similarity import (
+        cell_pair_scores,
+        ivf_assign,
+    )
     from pyspark.sql.window import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
     _, assigned = ivf_assign(emb, k_centroids=16)
     a = assigned.select("vec_id", "cell", F.col("embedding").alias("u"))
-    x, y = a.alias("x"), a.alias("y")
-    scored = (
-        x.join(y, "cell")
-        .filter(F.col("x.vec_id") != F.col("y.vec_id"))
-        .select(
-            F.col("x.vec_id").alias("src"),
-            F.col("y.vec_id").alias("dst"),
-            _dot(F.col("x.u"), F.col("y.u")).alias("cos"),
-        )
-    )
+    scored = cell_pair_scores(a, id_col="vec_id", vec_col="u", cell_col="cell")
     w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst").asc())
     edges = (
         scored.withColumn("rn", F.row_number().over(w))
