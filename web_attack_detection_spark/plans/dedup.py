@@ -1178,9 +1178,6 @@ def dedup_cross_signal_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine_pairs_blocked,
     )
 
-    jp = jaccard_pairs_exact(docs, "text", "doc_id", n=3, threshold=0.2)
-    ep = cosine_pairs_blocked(emb, threshold=0.45).select("id_a", "id_b")
-
     def restrict(p: DataFrame) -> DataFrame:
         return (
             p.join(F.broadcast(common).withColumnRenamed("id", "id_a"), "id_a")
@@ -1188,8 +1185,19 @@ def dedup_cross_signal_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id_a", "id_b")
         )
 
-    jc = restrict(jp.select("id_a", "id_b")).localCheckpoint()
-    ec = restrict(ep).localCheckpoint()
+    # the two pair chains are independent until the full-outer join, so
+    # their eager checkpoints run from two driver threads (guide §2.6 —
+    # the lexical shingle chain is the fat one; the embedding kernel's
+    # jobs back-fill its idle cores)
+    def _lex() -> DataFrame:
+        jp = jaccard_pairs_exact(docs, "text", "doc_id", n=3, threshold=0.2)
+        return restrict(jp.select("id_a", "id_b")).localCheckpoint()
+
+    def _emb() -> DataFrame:
+        ep = cosine_pairs_blocked(emb, threshold=0.45).select("id_a", "id_b")
+        return restrict(ep).localCheckpoint()
+
+    jc, ec = overlap(_lex, _emb)
     m = (
         jc.withColumn("lex", F.lit(True))
         .join(ec.withColumn("emb", F.lit(True)), ["id_a", "id_b"], "full_outer")
