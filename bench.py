@@ -63,6 +63,39 @@ def measure_reps(run_once, reps: int, ratio: float = SPREAD_RERUN_RATIO):
     return runs, reran
 
 
+# Host-interference probe (r10 "Not yet optimized" item): the box
+# suffers multi-× slowdowns that NEITHER the load average NOR
+# /proc/stat steal registers (measured: identical code 3.7 s / 16.4 s
+# / 4.8 s across three windows at load ≤ 4, steal ≈ 0).  A fixed
+# single-thread CPU workload timed immediately before each rep is a
+# gauge of how fast the host actually executes RIGHT NOW, independent
+# of Spark; a rep whose probe ran slow is attributable to the host,
+# not the code.  INFORMATIONAL ONLY this round: the fields ride in
+# the sidecar so the next round can validate thresholds against real
+# windows before any gating depends on them (additive artifact
+# fields, no change to timings/median/contaminated semantics).
+_PROBE_ITERS = 200_000
+PROBE_FLAG_RATIO = 2.0
+
+
+def cpu_probe_ms(_iters: int = _PROBE_ITERS) -> float:
+    """Time a fixed pure-Python integer loop in milliseconds."""
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(_iters):
+        acc += i * i
+    assert acc >= 0  # keep the loop un-eliminable
+    return round((time.perf_counter() - t0) * 1000.0, 3)
+
+
+def probe_flagged(probes: list, baseline_ms: float, ratio: float = PROBE_FLAG_RATIO) -> bool:
+    """True when EVERY rep of a query ran on a slowed host — the
+    fastest probe still exceeds ``ratio``× the session baseline, so
+    even the recorded median is host-inflated.  Pure function for
+    unit tests."""
+    return bool(probes) and baseline_ms > 0 and min(probes) > ratio * baseline_ms
+
+
 def _vs_prev(timings: dict, sidecar: str) -> dict | None:
     """Common-subset total ratio vs the git-committed previous sidecar,
     computed and embedded by bench.py itself so the artifact and any
@@ -217,11 +250,21 @@ def main() -> None:
 
     spread_reruns: dict[str, list[float]] = {}
 
+    # session probe baseline: the fastest of 15 samples taken on the
+    # freshly-warmed session = how fast this host runs the fixed loop
+    # when nothing is interfering (min, not median: the baseline must
+    # be the CLEAN speed even if calibration itself catches a burst)
+    probe_baseline = min(cpu_probe_ms() for _ in range(15))
+    cpu_probes: dict[str, list[float]] = {}
+    probe_flags: list[str] = []
+
     def timed(name: str, fn) -> None:
         loads: list[float] = []
+        probes: list[float] = []
 
         def run_once() -> float:
             loads.append(round(os.getloadavg()[0], 2))
+            probes.append(cpu_probe_ms())
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             n = df.count()
@@ -245,6 +288,9 @@ def main() -> None:
         timings[name] = round(statistics.median(runs), 4)
         spread[name] = [min(runs), max(runs)]
         load_avg[name] = max(loads)
+        cpu_probes[name] = [min(probes), max(probes)]
+        if probe_flagged(probes, probe_baseline):
+            probe_flags.append(name)
         if max(loads) > load_threshold or (
             # the original batch already tripped the gate; if the fresh
             # batch is ALSO spread-polluted the interference is ongoing,
@@ -293,6 +339,14 @@ def main() -> None:
         "contaminated": contaminated,
         "spread_rerun_ratio": SPREAD_RERUN_RATIO,
         "spread_reruns": spread_reruns,
+        # informational host-interference gauge (see cpu_probe_ms):
+        # per-query [min, max] of the per-rep probe, the session
+        # baseline, and the queries whose FASTEST rep ran on a slowed
+        # host — not yet part of any gating decision
+        "probe_baseline_ms": probe_baseline,
+        "cpu_probe_ms": cpu_probes,
+        "probe_flag_ratio": PROBE_FLAG_RATIO,
+        "probe_flagged": probe_flags,
     }
     # The driver captures only a ~2 KB stdout tail; a 200-query map is
     # ~14 KB and has never parsed (BENCH_r01..03 all "parsed": null —
@@ -326,6 +380,8 @@ def main() -> None:
         "sf": sf_val,
         "n_contaminated": len(contaminated),
         "n_spread_reruns": len(spread_reruns),
+        "probe_baseline_ms": probe_baseline,
+        "n_probe_flagged": len(probe_flags),
         "full": sidecar,
     }
     # hard guarantee: stay inside the driver's capture window — drop

@@ -70,3 +70,30 @@ def test_persistent_noise_is_detectable_in_the_rerun_batch():
     ongoing = [2.0, 27.0, 2.1] + [2.0, 19.0, 2.1]
     assert not bench.spread_contaminated(one_blip[reps:])
     assert bench.spread_contaminated(ongoing[reps:])
+
+
+def test_cpu_probe_returns_positive_ms():
+    ms = bench.cpu_probe_ms(10_000)
+    assert ms > 0.0
+
+
+def test_probe_flag_requires_every_rep_slow():
+    # one slow rep among fast ones: the median rep is host-clean, so
+    # the query is NOT flagged (the spread gate handles single bursts)
+    assert not bench.probe_flagged([10.0, 45.0, 11.0], baseline_ms=10.0)
+    # every rep slow: even the median is host-inflated -> flagged
+    assert bench.probe_flagged([25.0, 45.0, 30.0], baseline_ms=10.0)
+
+
+def test_probe_flag_guards_degenerate_inputs():
+    assert not bench.probe_flagged([], baseline_ms=10.0)
+    assert not bench.probe_flagged([25.0], baseline_ms=0.0)
+
+
+def test_probe_flag_simulated_interference_window():
+    # synthetic-noise shape: a 3x-slowed host for a whole query's reps
+    baseline = 12.0
+    slowed = [baseline * 3.1, baseline * 2.8, baseline * 3.4]
+    clean = [baseline * 1.1, baseline * 0.95, baseline * 1.2]
+    assert bench.probe_flagged(slowed, baseline)
+    assert not bench.probe_flagged(clean, baseline)
