@@ -97,3 +97,44 @@ def test_probe_flag_simulated_interference_window():
     clean = [baseline * 1.1, baseline * 0.95, baseline * 1.2]
     assert bench.probe_flagged(slowed, baseline)
     assert not bench.probe_flagged(clean, baseline)
+
+
+# --- r11: the probe GATES (VERDICT r10 #2) -------------------------------
+
+
+def test_probe_gate_synthetic_slowed_host_trips_and_recovers():
+    """Synthetic slowed host for the original batch, recovered fresh
+    batch: the gate must trip (re-run), but the query must NOT be
+    contaminated — the median now rides on clean reps."""
+    baseline, reps = 12.0, 3
+    slowed_batch = [36.0, 34.0, 40.0]
+    clean_batch = [12.5, 11.8, 13.0]
+    assert bench.probe_flagged(slowed_batch, baseline)  # trips -> re-run
+    assert not bench.probe_contaminated(slowed_batch + clean_batch, baseline, reps)
+
+
+def test_probe_gate_persistent_interference_contaminates():
+    """Slowed through BOTH batches: ongoing interference — the query
+    joins `contaminated` (mirror of the spread gate's rule)."""
+    baseline, reps = 12.0, 3
+    both_slow = [36.0, 34.0, 40.0, 30.0, 33.0, 29.0]
+    assert bench.probe_contaminated(both_slow, baseline, reps)
+
+
+def test_probe_gate_clean_window_stays_at_zero():
+    """Clean-window shapes from the two committed r10 windows: the
+    worst observed min-ratio was 1.30x baseline, single-rep spikes to
+    2.7x. Neither trips the gate (min over the batch is clean)."""
+    baseline, reps = 12.0, 3
+    worst_clean = [15.6, 13.1, 12.2]  # min-ratio ~1.02
+    one_spike = [12.1, 32.4, 12.6]  # a 2.7x single-rep burst
+    assert not bench.probe_flagged(worst_clean, baseline)
+    assert not bench.probe_flagged(one_spike, baseline)
+    assert not bench.probe_contaminated(worst_clean, baseline, reps)
+    assert not bench.probe_contaminated(one_spike, baseline, reps)
+
+
+def test_probe_gate_unrerun_flag_stands():
+    """No fresh batch recorded (defensive path): the original flag
+    stands so a flagged query can never silently pass."""
+    assert bench.probe_contaminated([36.0, 34.0, 40.0], 12.0, reps=3)

@@ -90,6 +90,38 @@ def test_shingle_pair_counts_match_self_join(spark):
     assert joined == grouped and len(grouped) > 0
 
 
+def test_shingle_pair_counts_hot_shingle_chunked(spark):
+    """VERDICT r10 #1: a corpus-wide hot shingle (one shingle shared by
+    EVERY doc, no ``max_shingle_df`` cap) must (a) run through the
+    chunked expansion without building the d²/2 pair array as one
+    value, and (b) count exactly the n·(n-1)/2 pairs.  The plan guard
+    pins (a): the physical plan must contain two Generate nodes and no
+    ``flatten`` — the r10 single-buffer form had one Generate over a
+    flatten(transform(...)) pair array."""
+    from pyspark.sql import functions as F
+
+    from web_attack_detection_spark.operators.dedup import _shingle_pair_counts
+
+    n = 600  # d²/2 = 179,700 pairs through O(d)-bounded values
+    sh = spark.range(n).select(
+        F.col("id"), F.lit("the hot shingle").alias("shingle")
+    )
+    out = _shingle_pair_counts(sh)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate") >= 2 and "flatten" not in plan
+    rows = out.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min(F.col("n_common")).alias("lo"),
+        F.max(F.col("n_common")).alias("hi"),
+    ).first()
+    assert (rows["n_pairs"], rows["lo"], rows["hi"]) == (n * (n - 1) // 2, 1, 1)
+    # each doc pairs with every other exactly once: id 0 appears in
+    # n-1 pairs as id_a, id n-1 appears in n-1 pairs as id_b
+    first = out.filter(F.col("id_a") == 0).count()
+    last = out.filter(F.col("id_b") == n - 1).count()
+    assert first == n - 1 and last == n - 1
+
+
 def test_connected_components_chain_collapse(spark):
     """A~B, B~C, D~E (A~C never emitted) → components {A,B,C} and
     {D,E}, labeled by their min member id."""

@@ -48,10 +48,17 @@ def main() -> int:
     spark = build_session(app_name="plan_capture")
     spark.sparkContext.setLogLevel("ERROR")
 
+    import threading
+
     from pyspark.sql.classic.dataframe import DataFrame as CDF
 
     jvm = spark.sparkContext._jvm
     captured: list[str] = []
+    # overlap() queries act from several driver threads (ADVICE r10):
+    # serialize appends so the action numbering can't race, and tag
+    # each entry with its thread so overlapped sections can be sorted
+    # deterministically when comparing before/after files
+    _grab_lock = threading.Lock()
 
     def _grab(df, action: str) -> None:
         try:
@@ -60,7 +67,12 @@ def main() -> int:
             )
         except Exception as e:  # pragma: no cover - diagnostic path
             txt = f"<explain failed: {e}>"
-        captured.append(f"== action #{len(captured) + 1}: {action} ==\n{txt}")
+        tname = threading.current_thread().name
+        tag = "" if tname == "MainThread" else f" [thread {tname}]"
+        with _grab_lock:
+            captured.append(
+                f"== action #{len(captured) + 1}: {action}{tag} ==\n{txt}"
+            )
 
     # localCheckpoint included (r10): many queries run their heavy
     # stage INSIDE an eager checkpoint (the knn edge builder, the

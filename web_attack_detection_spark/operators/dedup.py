@@ -127,23 +127,30 @@ def _shingle_pair_counts(sh: DataFrame) -> DataFrame:
     Counts are exact integers in both forms: the ids per (doc,
     shingle) are distinct by construction (array_distinct in
     :func:`shingles`), so each shared shingle contributes exactly one
-    (id_a, id_b) row before the pair groupBy."""
+    (id_a, id_b) row before the pair groupBy.
+
+    The expansion is CHUNKED (VERDICT r10 #1): two chained Generates —
+    posexplode the id list to (i, id_a) rows carrying the O(d) list,
+    then explode each row's suffix slice — so the largest single value
+    ever materialized is one d-element array.  The r10 form flattened
+    the full d²/2 struct array into ONE aggregation-buffer value before
+    its explode, which a corpus-wide hot shingle (an uncapped
+    ``max_shingle_df=None`` call) could turn into a single-buffer OOM;
+    the replaced self-join STREAMED its d² rows, and this form streams
+    them again.  Pair multiset identical by construction: id_a = ids[i]
+    paired with every later element, exactly the flatten's nesting."""
     ids = F.array_sort(F.collect_list("id"))
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + F.lit(2), F.size("ids") - i - F.lit(1)),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
     return (
         sh.groupBy("shingle")
         .agg(ids.alias("ids"))
         .filter(F.size("ids") >= 2)
-        .select(F.explode(pair_arr).alias("p"))
-        .select("p.id_a", "p.id_b")
+        .select(F.col("ids"), F.posexplode("ids").alias("i", "id_a"))
+        .select(
+            "id_a",
+            F.explode(
+                F.slice(F.col("ids"), F.col("i") + F.lit(2), F.size("ids") - F.col("i") - F.lit(1))
+            ).alias("id_b"),
+        )
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )

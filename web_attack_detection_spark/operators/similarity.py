@@ -220,10 +220,12 @@ def cosine_pairs_blocked(
             return ids, mat
 
         def unitize(mat):
+            # += is the same IEEE add as acc = acc + x (bit-identical)
+            # without a fresh allocation per dimension (ADVICE r10)
             acc = np.zeros(mat.shape[0], dtype=np.float64)
             for d in range(mat.shape[1]):
                 col = mat[:, d]
-                acc = acc + col * col
+                acc += col * col
             return mat / np.sqrt(acc)[:, None]
 
         for pdf in batches:
@@ -240,7 +242,7 @@ def cosine_pairs_blocked(
                     mb = unitize(mb)
                 cos = np.zeros((ma.shape[0], mb.shape[0]), dtype=np.float64)
                 for d in range(ma.shape[1]):
-                    cos = cos + ma[:, d][:, None] * mb[:, d][None, :]
+                    cos += ma[:, d][:, None] * mb[:, d][None, :]
                 hit = cos >= threshold
                 if blk_a == blk_b:
                     hit &= ids_a[:, None] < ids_b[None, :]
@@ -262,6 +264,12 @@ def cosine_pairs_blocked(
     return raw.select("id_a", "id_b", F.round(F.col("cos"), 6).alias("cos"))
 
 
+# loud upper bound for one collapsed IVF cell (ADVICE r10): ~1M rows
+# of 64-dim float64 is ~0.5 GB as one aggregation value — beyond it
+# the kernel fails with an actionable message instead of an OOM
+_MAX_CELL_ROWS = 1 << 20
+
+
 def _within_cell_pairs(
     assigned: DataFrame,
     id_col: str,
@@ -276,11 +284,29 @@ def _within_cell_pairs(
     (directed, unthresholded — the kNN candidate stage) and
     :func:`cell_dup_pairs` (undirected id_a < id_b with a cos
     threshold — the SemDeDup stage).  See cell_pair_scores for the
-    exactness and scale contracts."""
-    cells = assigned.groupBy(F.col(cell_col).alias("cell")).agg(
-        F.collect_list(
-            F.struct(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        ).alias("rows")
+    exactness and scale contracts.
+
+    Input contract (ADVICE r10): rows with a NULL id or NULL vector
+    are DROPPED before the cell collapse — the join + fold form this
+    kernel replaced dropped them silently (null keys don't join, a
+    null fold returns null below any threshold), so the filter keeps
+    that behavior instead of crashing ``np.fromiter``/``np.asarray``;
+    vectors must be fixed-dimension (a ragged vector still fails the
+    2-D ``np.asarray``, loudly).  ``_MAX_CELL_ROWS`` bounds the
+    single-row cell collapse: a cell above it raises with the cell id
+    and size instead of an opaque executor OOM — at that size the
+    caller's IVF k is mis-sized for the corpus (see cell_pair_scores'
+    scale note)."""
+    cells = (
+        assigned.filter(
+            F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
+        )
+        .groupBy(F.col(cell_col).alias("cell"))
+        .agg(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+            ).alias("rows")
+        )
     )
 
     def kernel(batches):
@@ -290,6 +316,13 @@ def _within_cell_pairs(
         for pdf in batches:
             out_cell, out_s, out_d, out_c = [], [], [], []
             for cell_val, rows in zip(pdf["cell"], pdf["rows"]):
+                if len(rows) > _MAX_CELL_ROWS:
+                    raise ValueError(
+                        f"IVF cell {cell_val} holds {len(rows)} rows "
+                        f"(> {_MAX_CELL_ROWS}): the cell collapse would "
+                        "single-buffer it; raise k_centroids so cells "
+                        "stay corpus/k-sized"
+                    )
                 ids = np.fromiter(
                     (r["id"] for r in rows), dtype=np.int64, count=len(rows)
                 )
@@ -299,7 +332,7 @@ def _within_cell_pairs(
                     hi = min(lo + block, n)
                     cos = np.zeros((hi - lo, n), dtype=np.float64)
                     for d in range(mat.shape[1]):
-                        cos = cos + mat[lo:hi, d][:, None] * mat[:, d][None, :]
+                        cos += mat[lo:hi, d][:, None] * mat[:, d][None, :]
                     if directed:
                         keep = ids[lo:hi, None] != ids[None, :]
                     else:

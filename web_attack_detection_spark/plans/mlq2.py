@@ -2784,11 +2784,13 @@ def ml_als_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     trainer's final SSE — different optima of the same objective.
 
     Scale: the user-solve is ONE groupBy(user) aggregation against 10
-    broadcast item-factor literals; the item-solve is one
-    groupBy(item) over ratings ⋈ user-factors (co-keyed shuffle, the
-    exact shape MLlib's blocked ALS uses); the driver collects only
-    the 5-row item-factor table per round (bounded-collect).  HUGEINT
-    sums hold to ~1e9 users per item at these magnitudes."""
+    broadcast item-factor literals, carrying each user's ≤5 (item,
+    cnt) pairs in-buffer; the item-solve is one groupBy(item) over an
+    EXPLODE of the pinned user-factor blocks (r11 — no ratings
+    re-join, no per-round broadcast of the user factors); the driver
+    collects only the 5-row item-factor table per round
+    (bounded-collect).  HUGEINT sums hold to ~1e9 users per item at
+    these magnitudes."""
     from pyspark.ml.recommendation import ALS
 
     ratings = _als_ratings(spark, sf_dir)
@@ -2876,12 +2878,26 @@ def _als_fit(ratings: DataFrame):
     Job count (r10 optimization, guide §1.2): 3 driver actions per
     round collapsed to 1 — the user-factor checkpoint is LAZY
     (``eager=False``), so its materialization rides inside the
-    item-solve ``collect`` (the join consumes every uf partition, so
-    the checkpoint backfill job never fires), and the per-round SSE
-    scans are DEFERRED into one union-ed job after the loop (each
-    branch reads its round's pinned uf blocks + the pinned ratings —
-    identical scans, identical BIGINT floor sums, one job launch
-    instead of one per round).  2·3+1 = 7 actions → 2+1 = 3."""
+    item-solve ``collect``, and the per-round SSE scans are DEFERRED
+    into one union-ed job after the loop (each branch reads its
+    round's pinned uf blocks — identical BIGINT floor sums, one job
+    launch instead of one per round).  2·3+1 = 7 actions → 2+1 = 3.
+
+    One-pass solve merge (r11, VERDICT r10 #3, guide §2.4): the
+    user-solve now CARRIES each user's (item_id, cnt) pairs through
+    the groupBy(user) as a ``collect_list`` alongside the solve sums,
+    so the item-solve explodes the pinned user-factor blocks instead
+    of re-joining ratings — the per-round ratings ⋈ uf join (its
+    per-round BroadcastExchange of the user-factor table and second
+    ratings scan) is GONE, and the SSE branches read ONLY the pinned
+    uf blocks.  Row multiset identical by construction: the inner
+    join on user_id matched every rating row exactly once (uf is
+    ratings-derived, one row per user), which is exactly what the
+    explode reproduces; every aggregate downstream is an exact
+    integer/decimal sum, order-free.  At scale the list is bounded by
+    the 5-item domain, and the user shuffle carrying (item, cnt)
+    pairs replaces a full second shuffle of ratings for the join —
+    strictly fewer shuffled bytes."""
     S, LAM = _ALS_S, _ALS_LAM
     D38 = "decimal(38,0)"
     V = list(_ALS_INIT)
@@ -2894,7 +2910,9 @@ def _als_fit(ratings: DataFrame):
         v1 = _als_vcol(V, 1)
         v2 = _als_vcol(V, 2)
         ua = (
-            ratings.select("user_id", "cnt", v1.alias("v1"), v2.alias("v2"))
+            ratings.select(
+                "user_id", "item_id", "cnt", v1.alias("v1"), v2.alias("v2")
+            )
             .groupBy("user_id")
             .agg(
                 F.sum(F.col("v1") * F.col("v1")).alias("a11"),
@@ -2902,6 +2920,7 @@ def _als_fit(ratings: DataFrame):
                 F.sum(F.col("v2") * F.col("v2")).alias("a22"),
                 F.sum(F.col("cnt") * F.col("v1")).alias("c1"),
                 F.sum(F.col("cnt") * F.col("v2")).alias("c2"),
+                F.collect_list(F.struct("item_id", "cnt")).alias("its"),
             )
         )
         a11 = (F.col("a11") + F.lit(LAM)).cast(D38)
@@ -2916,8 +2935,11 @@ def _als_fit(ratings: DataFrame):
             "user_id",
             F.round(u1 * F.lit(float(S))).cast("long").alias("uq1"),
             F.round(u2 * F.lit(float(S))).cast("long").alias("uq2"),
+            "its",
         ).localCheckpoint(eager=False)  # pinned by the item-solve collect; SSE reads the blocks
-        ru = ratings.join(uf, "user_id")
+        ru = uf.select(
+            "user_id", "uq1", "uq2", F.explode("its").alias("t")
+        ).select("user_id", "uq1", "uq2", "t.item_id", "t.cnt")
         ia = ru.groupBy("item_id").agg(
             F.sum((F.col("uq1") * F.col("uq1")).cast(D38)).alias("a11"),
             F.sum((F.col("uq1") * F.col("uq2")).cast(D38)).alias("a12"),
@@ -2962,4 +2984,6 @@ def _als_fit(ratings: DataFrame):
     sse_map = {int(x["r"]): int(x["s"]) for x in sse_df.collect()}
     sse_final = sse_map[_ALS_ROUNDS]
     rows = [tuple(row[:5]) + (sse_map[row[0]],) for row in rows]
-    return uf, V, rows, sse_final, nmap
+    # drop the carried (item, cnt) list from the returned user factors
+    # so callers see the exact pre-r11 interface
+    return uf.select("user_id", "uq1", "uq2"), V, rows, sse_final, nmap
