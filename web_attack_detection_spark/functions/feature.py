@@ -283,23 +283,93 @@ class FeaturePipelineModel:
           assemble-only (no PCA) plan — the projection is ~free.
 
         The plan stays map-only (no join, no shuffle); the single
-        ArrowEvalPython node is asserted by tests/test_explain.py."""
-        out = apply_imputer(df, self.means)
-        out = apply_scaler(out, self.scaler_stats)
-        feature_cols = [f"{c}_scaled" for c in self.numeric_cols]
+        ArrowEvalPython node is asserted by tests/test_explain.py.
+
+        Driver latency (r11, guide §1.2, the r10 SQL-text cure): the
+        stage-per-withColumn chain built ~97 single-column projections
+        through the Column API — ~700 pyspark calls issuing ~10k py4j
+        round trips, ~1.4 s of serial driver time per transform CALL
+        at the UNSW width, at ANY data scale, before one row moves
+        (cProfile: 1.1 s in py4j send_command).  The same expressions
+        are now GENERATED AS SQL TEXT into two selectExpr calls + one
+        conjunctive filter with exact withColumn semantics (replace in
+        place, append in update order).  Every numeric literal embeds
+        as CAST('<repr>' AS DOUBLE), which string-parses correctly-
+        rounded and constant-folds to the same IEEE double F.lit()
+        embedded (the established plans/mlq.py _dlit equivalence), so
+        expression trees, filter conjunction, output schema, column
+        order — and therefore every output bit — are unchanged
+        (plan diff in plans/r11; oracle sweeps green)."""
+
+        def q(n: str) -> str:
+            return "`" + n.replace("`", "``") + "`"
+
+        def dlit(x) -> str:
+            return "CAST(NULL AS DOUBLE)" if x is None else f"CAST('{x!r}' AS DOUBLE)"
+
+        def slit(s: str) -> str:
+            return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+        def lookup_sql(col: str, mapping) -> str:
+            if not mapping:
+                return "CAST(NULL AS DOUBLE)"
+            pairs = ", ".join(
+                f"{slit(k)}, {dlit(float(v))}" for k, v in mapping.items()
+            )
+            return f"element_at(map({pairs}), CAST({q(col)} AS STRING))"
+
+        def merged(cols, updates):
+            # withColumn-chain semantics in ONE select list: replace
+            # an existing name in place, append new names in order
+            names = list(cols)
+            exprs = {c: q(c) for c in cols}
+            for name, e in updates:
+                if name not in exprs:
+                    names.append(name)
+                exprs[name] = e
+            return [f"{exprs[n]} AS {q(n)}" for n in names]
+
+        imp = {
+            c: f"coalesce(CAST({q(c)} AS DOUBLE), {dlit(m)})"
+            for c, m in self.means.items()
+        }
+        upd1 = list(imp.items())
+        for c, (_mean, std) in self.scaler_stats.items():
+            # the scaler ran on the already-imputed column: inline it
+            e = f"CAST({imp.get(c, q(c))} AS DOUBLE)"
+            if std is not None and std > 0.0:
+                e = f"({e} / {dlit(std)})"
+            upd1.append((f"{c}_scaled", e))
         for c in self.categorical_cols:
             # literal-map lookup; unseen values → NULL idx → row dropped
             # (Spark ML handleInvalid='skip' parity, same as the
             # broadcast-join primitive's keep_invalid=False)
-            out = out.withColumn(f"{c}_idx", self._lookup(c, self.cat_models[c]))
-            out = out.filter(F.col(f"{c}_idx").isNotNull())
-        if self.label_model is not None and self.label_col is not None:
-            out = out.withColumn(
-                "label", self._lookup(self.label_col, self.label_model)
-            ).filter(F.col("label").isNotNull())
+            upd1.append((f"{c}_idx", lookup_sql(c, self.cat_models[c])))
+        has_label = self.label_model is not None and self.label_col is not None
+        if has_label:
+            upd1.append(("label", lookup_sql(self.label_col, self.label_model)))
+        out = df.selectExpr(*merged(df.columns, upd1))
+        conds = [f"{q(c + '_idx')} IS NOT NULL" for c in self.categorical_cols]
+        if has_label:
+            conds.append("`label` IS NOT NULL")
+        if conds:
+            out = out.filter(" AND ".join(conds))
+        upd2 = []
         for c in self.categorical_cols:
-            out = apply_one_hot(out, f"{c}_idx", f"{c}_vec", self.cat_sizes[c])
-        out = assemble_array(out, feature_cols, "numeric_features")
+            width = self.cat_sizes[c] - 1  # apply_one_hot drop_last
+            slots = ", ".join(
+                f"CASE WHEN {q(c + '_idx')} = {dlit(float(i))} THEN 1.0D ELSE 0.0D END"
+                for i in range(width)
+            )
+            upd2.append((f"{c}_vec", f"array({slots})"))
+        feature_cols = [f"{c}_scaled" for c in self.numeric_cols]
+        upd2.append(
+            (
+                "numeric_features",
+                "array(" + ", ".join(f"CAST({q(c)} AS DOUBLE)" for c in feature_cols) + ")",
+            )
+        )
+        out = out.selectExpr(*merged(out.columns, upd2))
         # final assembly: scaled numerics ++ one-hot indicator arrays
         final = F.col("numeric_features")
         for c in self.categorical_cols:
